@@ -1,0 +1,46 @@
+"""Parquet table loaders for the synthetic star schema.
+
+The driver fixtures (TESTDATA.md) are one parquet file per table under
+``{sf_dir}/{name}.parquet``. Parquet carries its own schema, so reads
+are declarative — Catalyst gets column pruning + predicate pushdown at
+the scan for free (verify with ``.explain``: ``PushedFilters`` /
+``ReadSchema``).
+
+At 100 TB each "table" is a directory of many files (ideally
+partitioned, e.g. ``orders/o_orderdate=.../``); this loader is
+path-shaped for that: point it at a directory and Spark parallelizes
+the scan over splits, with partition pruning on any ``key=value``
+directory levels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimensions small enough to broadcast at ANY scale factor (bounded
+# domains: 5 regions, 25 nations). Other tables scale with SF and are
+# left to AQE's dynamic broadcast decision.
+ALWAYS_BROADCAST = frozenset({"region", "nation"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a DataFrame (lazy scan)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every fixture table, keyed by name."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}

@@ -1,0 +1,38 @@
+"""Every catalog query with an oracle must hash-match DuckDB at sf0.001.
+
+This mirrors the driver's t2 correctness gate (which runs at sf0.01);
+tests default to sf0.001 for speed, and the full sf0.01 sweep runs when
+ORACLE_SF_FULL=1 is set.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from cost_of_living_data_etl_spark.plans import catalog
+from tests.oracle_check import assert_matches_oracle
+
+SPECS = sorted(catalog().values(), key=lambda s: s.name)
+ORACLE_SPECS = [s for s in SPECS if s.oracle is not None]
+ROWS_ONLY_SPECS = [s for s in SPECS if s.oracle is None]
+
+
+def _sf_dir(sf_smoke, sf_oracle):
+    return sf_oracle if os.environ.get("ORACLE_SF_FULL") else sf_smoke
+
+
+@pytest.mark.parametrize("spec", ORACLE_SPECS, ids=[s.name for s in ORACLE_SPECS])
+def test_oracle_match(spark, sf_smoke, sf_oracle, spec):
+    sf = _sf_dir(sf_smoke, sf_oracle)
+    df = spec.fn(spark, sf)
+    assert_matches_oracle(df, spec.oracle, sf)
+
+
+@pytest.mark.parametrize("spec", ROWS_ONLY_SPECS, ids=[s.name for s in ROWS_ONLY_SPECS])
+def test_rows_only_runs(spark, sf_smoke, sf_oracle, spec):
+    sf = _sf_dir(sf_smoke, sf_oracle)
+    df = spec.fn(spark, sf)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0

@@ -1,0 +1,218 @@
+"""Aggregation capabilities beyond plain GROUP BY: rollup, cube,
+conditional aggregation, exact/approx distinct counts, percentiles.
+
+All are built-in Spark aggregates (JVM hash/sort aggregate with
+map-side partial application) — nothing here leaves codegen.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q_rollup_returnflag_linestatus",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        sum(l_quantity)                  AS sum_qty,
+        CAST(count(*) AS BIGINT)         AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "rollup"),
+)
+def q_rollup_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: per-(flag,status), per-flag subtotals, and grand total.
+
+    Spark expands rollup into grouping sets inside ONE aggregate —
+    no extra passes over the input at any scale.
+    """
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q_cube_status_priority",
+    oracle="""
+    SELECT
+        o_orderstatus,
+        o_orderpriority,
+        sum(o_totalprice)                AS total_price,
+        CAST(count(*) AS BIGINT)         AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "cube"),
+)
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping-set combinations in one aggregate."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum("o_totalprice").alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q_conditional_agg_segment",
+    oracle="""
+    SELECT
+        c_mktsegment                                                     AS segment,
+        CAST(count(*) AS BIGINT)                                         AS n_orders,
+        CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+        sum(CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice ELSE 0.0 END) AS urgent_value,
+        avg(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END)         AS avg_open_value
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+    tags=("agg", "conditional", "join"),
+)
+def q_conditional_agg_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (CASE WHEN) aggregation — the manual-pivot pattern."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("long")
+            .alias("n_finished"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice")).otherwise(0.0)
+            ).alias("urgent_value"),
+            F.avg(F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice"))).alias(
+                "avg_open_value"
+            ),
+        )
+    )
+
+
+@register(
+    "q_distinct_counts",
+    oracle="""
+    SELECT
+        l_returnflag,
+        CAST(count(DISTINCT l_partkey) AS BIGINT)   AS n_parts,
+        CAST(count(DISTINCT l_suppkey) AS BIGINT)   AS n_suppliers,
+        CAST(count(*) AS BIGINT)                    AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "distinct"),
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT(DISTINCT) (expand + two-phase agg)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count_distinct("l_partkey").alias("n_parts"),
+            F.count_distinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q_approx_distinct_counts",
+    oracle=None,  # HLL sketch result is engine-specific by construction;
+    # correctness is bounded-error vs q_distinct_counts (tested in pytest).
+    tags=("agg", "approx"),
+)
+def q_approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB-scale variant.
+
+    Exact distinct over a high-cardinality key needs a full shuffle of
+    the key; the HLL sketch is fixed-size per group and merges
+    map-side — this is the one to reach for on billions of keys.
+    """
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
+    "q_percentiles_order_value",
+    oracle="""
+    SELECT
+        o_orderpriority                                   AS priority,
+        quantile_cont(o_totalprice, 0.5)                  AS p50,
+        quantile_cont(o_totalprice, 0.9)                  AS p90,
+        min(o_totalprice)                                 AS min_price,
+        max(o_totalprice)                                 AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "percentile"),
+)
+def q_percentiles_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile`).
+
+    Note: at 100 TB one switches to `percentile_approx` (t-digest,
+    mergeable, bounded memory); exact percentile materializes the
+    group's values. Kept exact here to oracle-match quantile_cont.
+    """
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.percentile("o_totalprice", 0.5).alias("p50"),
+            F.percentile("o_totalprice", 0.9).alias("p90"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@register(
+    "q_stats_moments",
+    oracle="""
+    SELECT
+        l_linestatus,
+        stddev_samp(l_extendedprice)   AS sd_price,
+        var_samp(l_extendedprice)      AS var_price,
+        corr(l_quantity, l_extendedprice) AS corr_qty_price,
+        covar_samp(l_quantity, l_extendedprice) AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    tags=("agg", "stats"),
+)
+def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics (stddev/var/corr/covar) per group."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.stddev_samp("l_extendedprice").alias("sd_price"),
+            F.var_samp("l_extendedprice").alias("var_price"),
+            F.corr("l_quantity", "l_extendedprice").alias("corr_qty_price"),
+            F.covar_samp("l_quantity", "l_extendedprice").alias("covar_qty_price"),
+        )
+    )

@@ -1,3 +1,9 @@
 """Import every query-defining module so catalog registration runs."""
 
-from cost_of_living_data_etl_spark.plans import relational  # noqa: F401
+from cost_of_living_data_etl_spark.plans import (  # noqa: F401
+    aggregates,
+    joins_setops,
+    relational,
+    scalar_queries,
+    windows,
+)

@@ -1,0 +1,239 @@
+"""Window-function capabilities: ranking, offsets, frames, top-k per
+group (SURVEY.md §2.5).
+
+Every ORDER BY inside a window carries a unique tiebreaker key so
+results are deterministic across engines — without it, peers within
+the frame make row_number/lag/ntile engine-dependent.
+
+Scale note: a window partitioned by a key shuffles once on that key
+and sorts within partitions; AQE handles skewed partitions. A window
+with NO partitionBy (global ntile/running total) funnels everything
+through a single task — fine on dims, a red flag on facts; the global
+examples here run on the bounded orders table and the per-group forms
+are the 100 TB pattern.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "q_window_latest_order_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC
+        ) AS rn
+        FROM orders
+    )
+    WHERE rn = 1
+    """,
+    tags=("window", "rank"),
+)
+def q_window_latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-row-per-key via row_number — THE dedup/snapshot pattern."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    )
+
+
+@register(
+    "q_window_supplier_rank_in_nation",
+    oracle="""
+    SELECT
+        n_name                       AS nation_name,
+        s_name                       AS supplier_name,
+        s_acctbal,
+        CAST(rank()       OVER w AS BIGINT) AS bal_rank,
+        CAST(dense_rank() OVER w AS BIGINT) AS bal_dense_rank
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WINDOW w AS (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey)
+    """,
+    tags=("window", "rank", "join"),
+)
+def q_window_supplier_rank_in_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/dense_rank within a joined dimension partition."""
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("s_acctbal").desc(), F.col("s_suppkey"))
+    return (
+        supplier.join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .select(
+            F.col("n_name").alias("nation_name"),
+            F.col("s_name").alias("supplier_name"),
+            "s_acctbal",
+            F.rank().over(w).cast("long").alias("bal_rank"),
+            F.dense_rank().over(w).cast("long").alias("bal_dense_rank"),
+        )
+    )
+
+
+@register(
+    "q_window_order_value_delta",
+    oracle="""
+    SELECT
+        o_custkey,
+        o_orderkey,
+        o_totalprice,
+        lag(o_totalprice)  OVER w AS prev_price,
+        lead(o_totalprice) OVER w AS next_price,
+        o_totalprice - coalesce(lag(o_totalprice) OVER w, o_totalprice) AS delta_vs_prev
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("window", "offset"),
+)
+def q_window_order_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead offsets along each customer's order history."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_totalprice").over(w)
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        prev.alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+        (F.col("o_totalprice") - F.coalesce(prev, F.col("o_totalprice"))).alias(
+            "delta_vs_prev"
+        ),
+    )
+
+
+@register(
+    "q_window_running_revenue",
+    oracle="""
+    SELECT
+        o_custkey,
+        o_orderkey,
+        sum(o_totalprice) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS running_total,
+        avg(o_totalprice) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+        ) AS moving_avg_3
+    FROM orders
+    """,
+    tags=("window", "frame"),
+)
+def q_window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit row frames: running total + 3-row moving average."""
+    ordering = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = ordering.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    moving = ordering.rowsBetween(-2, Window.currentRow)
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum("o_totalprice").over(running).alias("running_total"),
+        F.avg("o_totalprice").over(moving).alias("moving_avg_3"),
+    )
+
+
+@register(
+    "q_window_ntile_price_quartiles",
+    oracle="""
+    SELECT
+        quartile,
+        CAST(count(*) AS BIGINT) AS n_orders,
+        min(o_totalprice)        AS min_price,
+        max(o_totalprice)        AS max_price
+    FROM (
+        SELECT o_totalprice, CAST(ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS quartile
+        FROM orders
+    )
+    GROUP BY quartile
+    """,
+    tags=("window", "ntile"),
+)
+def q_window_ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global ntile(4) bucketing then per-bucket stats.
+
+    Global (unpartitioned) window = single-task sort; acceptable on
+    orders-sized inputs, replaced by approx quantile cutpoints at
+    100 TB (see q_percentiles_order_value note).
+    """
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_totalprice", F.ntile(4).over(w).cast("long").alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+    )
+
+
+@register(
+    "q_topk_orders_per_priority",
+    oracle="""
+    SELECT o_orderpriority AS priority, o_orderkey, o_totalprice,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_orderpriority
+            ORDER BY o_totalprice DESC, o_orderkey
+        ) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+    tags=("window", "topk"),
+)
+def q_topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k: row_number + filter (no global sort, no collect)."""
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            "o_orderkey",
+            "o_totalprice",
+            F.col("rn").cast("long"),
+        )
+    )
+
+
+@register(
+    "q_global_topn_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+    tags=("sort", "limit"),
+)
+def q_global_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER BY + LIMIT: Spark plans TakeOrderedAndProject — each
+    partition keeps only its local top-10, the driver merges k·p rows.
+    No global sort materializes at any scale."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

@@ -1,0 +1,50 @@
+"""Lake (data-lake CSV) source.
+
+Replaces the reference's sequential boto3 list → filter-keys → N GETs →
+N parses → concat (reference app.py:13-30, S1-S4) with ONE distributed
+multi-file CSV scan:
+
+- the date partition becomes a path segment (partition pruning at the
+  listing level — only that date's directory is scanned),
+- the category substring-filter on object keys becomes a
+  ``pathGlobFilter`` (evaluated during file listing, zero data read),
+- the per-file concat (UNION ALL) is implicit in a multi-file scan,
+- the declared schema skips Spark's inference pass entirely.
+
+Works identically on ``file:/``, ``s3a://``, ``abfss://`` etc. — at
+100 TB, the same call fans out over every executor, with splittable
+files read in ``spark.sql.files.maxPartitionBytes`` chunks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from cost_of_living_data_etl_spark.plans.schemas import LAKE_SCHEMAS
+
+LAKE_PREFIX = "real_estate/cost_of_living"
+
+
+def read_lake_csv(
+    spark: SparkSession,
+    lake_root: str,
+    category: str,
+    extract_date: str,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """Read all CSV files of one category for one extract date.
+
+    Mirrors ``get_df_from_s3`` (reference app.py:13-30): any file whose
+    name contains ``category`` under the date-partition prefix.
+    """
+    schema = schema or LAKE_SCHEMAS[category]
+    path = f"{lake_root}/{LAKE_PREFIX}/{extract_date}"
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("pathGlobFilter", f"*{category}*")
+        # recursive: tolerate nested layout under the date partition
+        .option("recursiveFileLookup", True)
+        .csv(path)
+    )

@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+"""Benchmark the headline queries.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": "..."}
+
+Each query is forced end-to-end with a noop sink (full computation,
+no collect/driver materialization cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from cost_of_living_data_etl_spark.plans import catalog  # noqa: E402
+from cost_of_living_data_etl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: covers scan/agg, multi-join, windows, top-k, dedup
+# (exact + MinHash LSH + SimHash), text analysis, similarity search,
+# JSON + date scalar paths. Excluded: q_embed_neardup_pairs (O(n²)
+# validation baseline — not a scale query by design).
+HEADLINE = [
+    "q1_pricing_summary",
+    "q5_region_nation_revenue",
+    "q6_forecast_revenue",
+    "q_conditional_agg_segment",
+    "q_distinct_counts",
+    "q_window_latest_order_per_customer",
+    "q_window_running_revenue",
+    "q_topk_orders_per_priority",
+    "q_date_extraction_revenue",
+    "q_json_extraction_events",
+    "q_dedup_exact_groups",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_text_quality_by_source",
+    "q_text_langid_confusion",
+    "q_ann_bruteforce_topk",
+]
+
+
+def main() -> None:
+    spark = get_spark(app_name="cost-of-living-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = catalog()
+    timings: dict[str, float] = {}
+
+    # warm the JVM/codegen path once so timings measure the engine,
+    # not first-call class-loading
+    specs["q1_pricing_summary"].fn(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        specs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

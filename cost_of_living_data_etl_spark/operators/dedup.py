@@ -1,0 +1,386 @@
+"""Deduplication operators over the documents table.
+
+Four dedup families, all deterministic (salted-md5 hashing, no RNG) so
+the DuckDB oracles can mirror them bit-for-bit:
+
+- exact:        md5(text) hash-groupBy; keeper = min(doc_id)
+- MinHash LSH:  word-3-gram shingles → 16 salted-md5 minhashes →
+                4 bands × 4 rows → band-bucket self-join → exact
+                Jaccard verification of candidates
+- SimHash:      16-bit sign-aggregated word hashes → nibble-band
+                blocking → Hamming-distance filter
+- n-gram Jaccard: exact shingle-set Jaccard (one-vs-all form)
+
+Scale shape (the whole point of the LSH designs): the only shuffles
+are groupBys/joins on SHORT HASH KEYS — never on document text. At
+100 TB: shingling+minhashing is a map-only pass; the band join
+shuffles (doc_id, band_hash) pairs (tiny); candidate verification
+re-joins shingle sets only for the candidate set. Skewed buckets
+(boilerplate docs) are the known hazard → AQE skew-join handles the
+band join; a bucket-size cap (drop buckets > N, they're exact-dup
+families anyway) is the production guard.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# shared expression builders (Spark SQL expr strings, mirrored in oracles)
+# ---------------------------------------------------------------------------
+
+NUM_PERM = 16
+BANDS = 4
+ROWS_PER_BAND = 4
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 60  # 15 hex digits of md5 → no int64 overflow
+SIMHASH_BAND_BITS = 15
+HAMMING_MAX = 3  # ≤3 bit flips over 4 bands: one band always intact (pigeonhole)
+
+# word 3-gram shingles, distinct; short docs fall back to whole-text
+_WORDS = r"split(trim(text), '\\s+')"
+SHINGLES_SPARK = f"""
+array_distinct(
+  CASE WHEN size({_WORDS}) < 3 THEN array(trim(text))
+       ELSE transform(sequence(1, size({_WORDS}) - 2),
+                      i -> concat_ws(' ', slice({_WORDS}, i, 3)))
+  END)
+"""
+
+_WORDS_SQL = r"string_split_regex(trim(text), '\s+')"
+SHINGLES_SQL = f"""
+list_distinct(
+  CASE WHEN length({_WORDS_SQL}) < 3 THEN [trim(text)]
+       ELSE list_transform(range(1, greatest(length({_WORDS_SQL}) - 2, 0) + 1),
+                           i -> array_to_string({_WORDS_SQL}[CAST(i AS INT):CAST(i + 2 AS INT)], ' '))
+  END)
+"""
+
+
+# Universal-hash permutations over a 61-ish-bit shingle hash:
+#   H(s)  = md5(s) first 15 hex digits → int, reduced mod P
+#   mh_j  = min over shingles of (A_j·H + B_j) mod P
+# One md5 per shingle total (vs one per shingle PER PERMUTATION for
+# salted-md5 minhash) — at 100 TB that's the difference between 16
+# hash passes and 1. P = 2^31−1 keeps A_j·H < 2^62: no int64 overflow.
+MINHASH_P = 2_147_483_647
+_PERM_A = [(j * 2_654_435_761 + 1_013_904_223) % MINHASH_P or 1 for j in range(NUM_PERM)]
+_PERM_B = [(j * 1_597_334_677 + 2_246_822_519) % MINHASH_P for j in range(NUM_PERM)]
+
+_SHINGLE_H_SPARK = (
+    "cast(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % " + str(MINHASH_P)
+)
+_SHINGLE_H_SQL = (
+    "CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % " + str(MINHASH_P)
+)
+
+
+def _minhash_agg_spark() -> list[str]:
+    return [
+        f"min(({_PERM_A[j]} * h + {_PERM_B[j]}) % {MINHASH_P}) AS mh{j}"
+        for j in range(NUM_PERM)
+    ]
+
+
+def _minhash_agg_sql() -> str:
+    return ",\n".join(
+        f"CAST(min(({_PERM_A[j]} * h + {_PERM_B[j]}) % {MINHASH_P}) AS BIGINT) AS mh{j}"
+        for j in range(NUM_PERM)
+    )
+
+
+def _band_hash_spark(b: int) -> str:
+    cols = ", ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+    return f"md5(concat_ws('|', {cols}))"
+
+
+def _band_hash_sql(b: int) -> str:
+    cols = " || '|' || ".join(f"mh{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+    return f"md5({cols})"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_exact_groups",
+    oracle="""
+    SELECT
+        md5(text)                     AS content_hash,
+        CAST(min(doc_id) AS BIGINT)   AS keep_id,
+        CAST(count(*) AS BIGINT)      AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+    tags=("dedup", "exact"),
+)
+def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via content-hash groupBy; min(doc_id) is the keeper.
+
+    Deterministic replacement for dropDuplicates (which keeps an
+    arbitrary row). The shuffle key is the 32-char hash, never the
+    document — at 100 TB this moves ~50 bytes/doc.
+    """
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs
+# ---------------------------------------------------------------------------
+
+_MINHASH_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id, {SHINGLES_SQL} AS shingles FROM documents
+),
+ex AS (
+    SELECT doc_id, unnest(shingles) AS shingle FROM sh
+),
+hx AS (
+    SELECT doc_id, {_SHINGLE_H_SQL} AS h FROM ex
+),
+mh AS (
+    SELECT doc_id, {_minhash_agg_sql()} FROM hx GROUP BY doc_id
+),
+bands AS (
+    {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, {_band_hash_sql(b)} AS band_hash FROM mh"
+        for b in range(BANDS)
+    )}
+),
+candidates AS (
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+)
+SELECT
+    CAST(c.doc_id_1 AS BIGINT) AS doc_id_1,
+    CAST(c.doc_id_2 AS BIGINT) AS doc_id_2,
+    length(list_intersect(s1.shingles, s2.shingles)) * 1.0
+      / length(list_distinct(list_concat(s1.shingles, s2.shingles))) AS jaccard
+FROM candidates c
+JOIN sh s1 ON s1.doc_id = c.doc_id_1
+JOIN sh s2 ON s2.doc_id = c.doc_id_2
+WHERE length(list_intersect(s1.shingles, s2.shingles)) * 1.0
+      / length(list_distinct(list_concat(s1.shingles, s2.shingles))) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("q_dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("dedup", "minhash", "lsh"))
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, Jaccard-verified.
+
+    shingle → minhash (map-only) → band-bucket join (shuffle on band
+    hash) → exact verification on candidates only. With 16 perms in
+    4×4 bands, a 0.9-Jaccard pair is caught with p≈0.986.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.expr(SHINGLES_SPARK).alias("shingles"))
+    # explode → one md5 per shingle → 16 integer permutations inside a
+    # codegen'd hash aggregate (no per-permutation rehash, no lambdas)
+    hx = sh.select("doc_id", F.explode("shingles").alias("shingle")).selectExpr(
+        "doc_id", f"{_SHINGLE_H_SPARK} AS h"
+    )
+    mh = hx.groupBy("doc_id").agg(
+        *[F.expr(e) for e in _minhash_agg_spark()]
+    )
+
+    # one row → BANDS rows via posexplode: minhashes computed once per
+    # doc (a union of per-band branches would recompute them per band)
+    bands = mh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.expr(_band_hash_spark(b)) for b in range(BANDS)])
+        ).alias("band_idx", "band_hash"),
+    )
+
+    a, bb = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            bb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+
+    s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("shingles").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("shingles").alias("sh2"))
+    jaccard = F.size(F.array_intersect("sh1", "sh2")) / F.size(F.array_union("sh1", "sh2"))
+    return (
+        candidates.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .withColumn("jaccard", jaccard)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_id_1", "doc_id_2", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs
+# ---------------------------------------------------------------------------
+
+# SimHash via explode + conditional-sum aggregate: one md5 per distinct
+# word, bit counters as codegen'd sums — no per-element lambdas.
+_NIBBLE_BANDS = SIMHASH_BITS // SIMHASH_BAND_BITS
+_BAND_MOD = 1 << SIMHASH_BAND_BITS
+
+_BIT_SUMS_SQL = ", ".join(
+    f"sum(((h16 >> {k}) & 1)) AS c{k}" for k in range(SIMHASH_BITS)
+)
+_SIMHASH_FROM_COUNTS_SQL = (
+    "CAST("
+    + " + ".join(
+        f"CASE WHEN 2 * c{k} >= n THEN {1 << k} ELSE 0 END"
+        for k in range(SIMHASH_BITS)
+    )
+    + " AS BIGINT)"
+)
+
+_SIMHASH_ORACLE = f"""
+WITH w AS (
+    SELECT doc_id, unnest(list_distinct({_WORDS_SQL})) AS w FROM documents
+),
+h AS (
+    SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15)) AS BIGINT) AS h16 FROM w
+),
+agg AS (
+    SELECT doc_id, count(*) AS n, {_BIT_SUMS_SQL} FROM h GROUP BY doc_id
+),
+s AS (
+    SELECT doc_id, {_SIMHASH_FROM_COUNTS_SQL} AS simhash FROM agg
+),
+bands AS (
+    {" UNION ALL ".join(
+        f"SELECT doc_id, simhash, {n} AS band_idx, "
+        f"(simhash >> {SIMHASH_BAND_BITS * n}) & {_BAND_MOD - 1} AS nibble FROM s"
+        for n in range(_NIBBLE_BANDS)
+    )}
+)
+SELECT DISTINCT
+    CAST(a.doc_id AS BIGINT)                         AS doc_id_1,
+    CAST(b.doc_id AS BIGINT)                         AS doc_id_2,
+    CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM bands a JOIN bands b
+  ON a.band_idx = b.band_idx AND a.nibble = b.nibble AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+"""
+
+
+@register("q_dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("dedup", "simhash"))
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit sign-aggregate fingerprint,
+    nibble-band blocking (exact for Hamming ≤ 3 by pigeonhole),
+    Hamming filter. The fingerprint is 2 bytes/doc — the cheapest
+    possible shuffle for pairwise dedup at scale.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.expr(f"array_distinct({_WORDS})")).alias("w")
+    ).selectExpr(
+        "doc_id", "cast(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) AS h16"
+    )
+    counts = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.expr(f"shiftright(h16, {k}) % 2")).alias(f"c{k}")
+            for k in range(SIMHASH_BITS)
+        ],
+    )
+    simhash_expr = " + ".join(
+        f"IF(2 * c{k} >= n, {1 << k}, 0)" for k in range(SIMHASH_BITS)
+    )
+    s = counts.selectExpr("doc_id", f"cast({simhash_expr} AS BIGINT) AS simhash")
+
+    bands = s.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"shiftright(simhash, {SIMHASH_BAND_BITS * n}) % {_BAND_MOD}"
+                    )
+                    for n in range(_NIBBLE_BANDS)
+                ]
+            )
+        ).alias("band_idx", "nibble"),
+    )
+
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(F.expr("a.simhash ^ b.simhash")).cast("long")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.nibble") == F.col("b.nibble"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard, one-vs-all
+# ---------------------------------------------------------------------------
+
+_NGRAM_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id, {SHINGLES_SQL} AS shingles FROM documents
+),
+q AS (SELECT shingles AS qsh FROM sh WHERE doc_id = 0)
+SELECT
+    CAST(s.doc_id AS BIGINT) AS doc_id,
+    length(list_intersect(s.shingles, q.qsh)) * 1.0
+      / length(list_distinct(list_concat(s.shingles, q.qsh))) AS jaccard
+FROM sh s, q
+WHERE s.doc_id <> 0
+ORDER BY jaccard DESC, doc_id
+LIMIT 10
+"""
+
+
+@register("q_ngram_jaccard_topk", oracle=_NGRAM_ORACLE, tags=("dedup", "ngram", "topk"))
+def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents by exact 3-gram Jaccard against doc_id 0.
+
+    One-vs-all exact Jaccard via a broadcast of the query shingle set;
+    top-k by TakeOrderedAndProject (no global sort).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.expr(SHINGLES_SPARK).alias("shingles"))
+    q = sh.filter(F.col("doc_id") == 0).select(F.col("shingles").alias("qsh"))
+    jaccard = F.size(F.array_intersect("shingles", "qsh")) / F.size(
+        F.array_union("shingles", "qsh")
+    )
+    return (
+        sh.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("doc_id", jaccard.alias("jaccard"))
+        .orderBy(F.col("jaccard").desc(), F.col("doc_id"))
+        .limit(10)
+    )

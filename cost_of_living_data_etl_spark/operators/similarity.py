@@ -1,0 +1,291 @@
+"""Similarity search over the embeddings table (array<float> vectors).
+
+- brute-force cosine top-k: the exactness baseline (oracle-matched)
+- brute-force cosine near-dup pair join (oracle-matched)
+- sign-LSH bucketed ANN: the 100 TB path — deterministic hyperplanes,
+  banded buckets, cosine verification only on candidates
+- IVF-style probe: per-label centroids (elementwise avg via
+  posexplode), search only the nearest clusters
+
+All vector math is native array expressions (zip_with/aggregate fold
+— JVM codegen, no Python). Doubles throughout so results align with
+the DuckDB oracle at 1e-6.
+
+Scale notes: brute-force one-vs-all is a map-only pass (broadcast the
+query vector) — linear and fine at any scale for single queries.
+Brute-force PAIRWISE is O(n²) and only for validation; the LSH/IVF
+variants are the production designs: bucket on short signatures,
+shuffle signatures not vectors, verify only candidates.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.sources.tables import load_table
+
+NEARDUP_COS = 0.45
+TOPK = 10
+
+# cosine(a, b) with double accumulation, written identically on both engines
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS DOUBLE) * cast(y AS DOUBLE)), "
+    "cast(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def dot_expr(a: str, b: str) -> Column:
+    return F.expr(_DOT.format(a=a, b=b))
+
+
+def cosine_expr(a: str, b: str, norm_a: str, norm_b: str) -> Column:
+    return dot_expr(a, b) / (F.col(norm_a) * F.col(norm_b))
+
+
+def with_norm(df: DataFrame, vec: str = "embedding", out: str = "norm") -> DataFrame:
+    return df.withColumn(out, F.sqrt(dot_expr(vec, vec)))
+
+
+@register(
+    "q_ann_bruteforce_topk",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        FROM embeddings
+    ),
+    q AS (SELECT emb AS qemb, norm AS qnorm FROM e WHERE vec_id = 0)
+    SELECT
+        e.vec_id,
+        list_inner_product(e.emb, q.qemb) / (e.norm * q.qnorm) AS cos_sim
+    FROM e, q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT {TOPK}
+    """,
+    tags=("similarity", "ann", "topk"),
+)
+def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k vs the vec_id=0 query vector.
+
+    Broadcast query vector → map-only cosine → TakeOrderedAndProject:
+    each partition keeps its local top-k; no global sort, no shuffle
+    of vectors. This IS the scalable shape for single-query exact ANN.
+    """
+    e = with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qemb"), F.col("norm").alias("qnorm")
+    )
+    return (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            cosine_expr("embedding", "qemb", "norm", "qnorm").alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOPK)
+    )
+
+
+@register(
+    "q_embed_neardup_pairs",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        FROM embeddings
+    )
+    SELECT
+        a.vec_id AS vec_id_1,
+        b.vec_id AS vec_id_2,
+        list_inner_product(a.emb, b.emb) / (a.norm * b.norm) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_inner_product(a.emb, b.emb) / (a.norm * b.norm) >= {NEARDUP_COS}
+    """,
+    tags=("similarity", "neardup"),
+)
+def q_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact O(n²) baseline.
+
+    Validation-scale only (quadratic); `q_embed_neardup_lsh` is the
+    same predicate under sign-LSH blocking for production scale.
+    """
+    e = with_norm(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding", "norm"
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_id_1"),
+        F.col("embedding").alias("emb1"),
+        F.col("norm").alias("norm1"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_id_2"),
+        F.col("embedding").alias("emb2"),
+        F.col("norm").alias("norm2"),
+    )
+    cos = cosine_expr("emb1", "emb2", "norm1", "norm2")
+    return (
+        a.join(F.broadcast(b), F.col("vec_id_1") < F.col("vec_id_2"))
+        .select("vec_id_1", "vec_id_2", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= NEARDUP_COS)
+    )
+
+
+# --- sign-LSH: deterministic hyperplanes from md5(j:d) --------------------
+
+LSH_BITS = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+
+
+def _plane_sign(j: int, d: int) -> int:
+    """Deterministic ±1 from a hash — same on any engine, no RNG state."""
+    import hashlib
+
+    h = hashlib.md5(f"{j}:{d}".encode()).digest()[0]
+    return 1 if h % 2 else -1
+
+
+def _planes_literal(dims: int = 64) -> str:
+    """The 16×dims ±1 hyperplane matrix as a nested array literal.
+
+    A literal matrix + runtime zip_with/aggregate fold keeps the
+    expression tree small (codegen-friendly); unrolling the 1024 terms
+    into one expression blows up codegen and runs ~100× slower.
+    """
+    rows = []
+    for j in range(LSH_BITS):
+        vals = ", ".join(
+            f"{'1.0' if _plane_sign(j, d) > 0 else '-1.0'}D" for d in range(dims)
+        )
+        rows.append(f"array({vals})")
+    return "array(" + ", ".join(rows) + ")"
+
+
+def _signature_expr(vec: str, dims: int = 64) -> str:
+    """16-bit sign signature: bit j = [dot(vec, plane_j) > 0]."""
+    dot = (
+        f"aggregate(zip_with({vec}, element_at({_planes_literal(dims)}, j + 1), "
+        "(x, p) -> cast(x AS DOUBLE) * p), cast(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return (
+        f"aggregate(sequence(0, {LSH_BITS - 1}), 0, "
+        f"(acc, j) -> acc + IF(({dot}) > 0, cast(pow(2, j) AS INT), 0))"
+    )
+
+
+@register("q_embed_neardup_lsh", oracle=None, tags=("similarity", "neardup", "lsh"))
+def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH blocked near-dup pairs (the scale path).
+
+    Map-only 16-bit signature per vector → band-bucket self-join on
+    (band, nibble) → exact cosine verification of candidates only.
+    Shuffles 2-byte signatures instead of 256-byte vectors; recall is
+    tunable via bands/rows. Rows-only check: candidate generation is
+    probabilistic-by-construction (deterministic here, but not
+    SQL-oracle-worthy — the exact predicate is covered by
+    q_embed_neardup_pairs).
+    """
+    e = with_norm(load_table(spark, sf_dir, "embeddings"))
+    sig = e.withColumn("sig", F.expr(_signature_expr("embedding")))
+
+    # signature computed ONCE per vector, then fanned out to bands
+    bands = sig.select(
+        "vec_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(f"shiftright(sig, {4 * n}) % 16")
+                    for n in range(LSH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "nibble"),
+    )
+
+    # candidates carry only ids — the distinct() shuffles 16 bytes/pair,
+    # vectors are re-joined afterwards for verification only
+    a = bands.select(F.col("vec_id").alias("vec_id_1"), "band_idx", "nibble")
+    b = bands.select(F.col("vec_id").alias("vec_id_2"), "band_idx", "nibble")
+    candidates = (
+        a.join(b, ["band_idx", "nibble"])
+        .filter(F.col("vec_id_1") < F.col("vec_id_2"))
+        .select("vec_id_1", "vec_id_2")
+        .distinct()
+    )
+    e1 = e.select(
+        F.col("vec_id").alias("vec_id_1"),
+        F.col("embedding").alias("emb1"),
+        F.col("norm").alias("norm1"),
+    )
+    e2 = e.select(
+        F.col("vec_id").alias("vec_id_2"),
+        F.col("embedding").alias("emb2"),
+        F.col("norm").alias("norm2"),
+    )
+    cos = cosine_expr("emb1", "emb2", "norm1", "norm2")
+    return (
+        candidates.join(e1, "vec_id_1")
+        .join(e2, "vec_id_2")
+        .select("vec_id_1", "vec_id_2", cos.alias("cos_sim"))
+        .filter(F.col("cos_sim") >= NEARDUP_COS)
+    )
+
+
+@register("q_ann_ivf_probe", oracle=None, tags=("similarity", "ann", "ivf"))
+def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: coarse-quantize by per-label centroid, probe the
+    2 nearest clusters, exact cosine inside them.
+
+    Centroids via posexplode + groupBy(label, pos) avg — the
+    distributed elementwise mean. At scale, centroids come from
+    k-means (pyspark.ml) but the probe topology is identical. Rows-only
+    check: result depends on the (data-derived) centroid set, not
+    SQL-expressible concisely.
+    """
+    e = with_norm(load_table(spark, sf_dir, "embeddings"))
+
+    centroids = (
+        e.select("label", F.posexplode("embedding").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.avg("val").alias("avg_val"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "avg_val"))
+            ).alias("pairs")
+        )
+        .select(
+            "label",
+            F.expr("transform(pairs, p -> p.avg_val)").alias("centroid"),
+        )
+        .withColumn("cnorm", F.sqrt(dot_expr("centroid", "centroid")))
+    )
+
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qemb"), F.col("norm").alias("qnorm")
+    )
+    probe_labels = (
+        centroids.crossJoin(F.broadcast(q))
+        .select(
+            "label",
+            cosine_expr("centroid", "qemb", "cnorm", "qnorm").alias("cdist"),
+        )
+        .orderBy(F.col("cdist").desc())
+        .limit(2)
+        .select("label")
+    )
+    return (
+        e.join(F.broadcast(probe_labels), "label")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            cosine_expr("embedding", "qemb", "norm", "qnorm").alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+        .limit(TOPK)
+    )

@@ -1,0 +1,277 @@
+"""Text-analysis operators over the documents table: token counting,
+quality scoring, language identification, document fingerprinting.
+
+All four are pure native column expressions (regexp/array/hash
+builtins) — zero Python in the row path, so they run at parquet-scan
+speed and scale linearly to 100 TB of text. This is the profile a
+pretraining-data pipeline needs: per-document features computed in one
+embarrassingly-parallel pass, no shuffle at all until an aggregate.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# column builders (reusable outside the catalog)
+# ---------------------------------------------------------------------------
+
+WORD_RE = r"[A-Za-z0-9]+"
+STOPWORDS_EN = ("the", "a", "of", "to", "and", "in", "is", "for", "on", "with")
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Tokens by whitespace split (empty string → 0)."""
+    return F.when(F.length(F.trim(text)) == 0, F.lit(0)).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
+
+
+def word_token_count(text: Column) -> Column:
+    """BPE-ish lower bound: count of [A-Za-z0-9]+ runs."""
+    return F.regexp_count(text, F.lit(WORD_RE))
+
+
+def punct_ratio(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(r"[^\w\s]")) / F.greatest(
+        F.length(text), F.lit(1)
+    )
+
+
+def digit_ratio(text: Column) -> Column:
+    return F.regexp_count(text, F.lit(r"[0-9]")) / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column) -> Column:
+    pattern = r"\b(" + "|".join(STOPWORDS_EN) + r")\b"
+    return F.regexp_count(F.lower(text), F.lit(pattern)) / F.greatest(
+        word_token_count(text), F.lit(1)
+    )
+
+
+def mean_word_length(text: Column) -> Column:
+    n_words = word_token_count(text)
+    total = F.length(F.regexp_replace(text, r"[^A-Za-z0-9]", ""))
+    return total / F.greatest(n_words, F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite heuristic quality in [0,1]: long enough, word-like,
+    some stopwords, not digit/punct-soup. Deterministic, monotone in
+    each component — the standard cheap pre-filter before expensive
+    model-based scoring."""
+    length_component = F.least(F.length(text) / F.lit(500.0), F.lit(1.0))
+    stop_component = F.least(stopword_ratio(text) * 4, F.lit(1.0))
+    punct_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * 5)
+    digit_penalty = F.greatest(F.lit(0.0), F.lit(1.0) - digit_ratio(text) * 5)
+    return (
+        length_component * 0.4
+        + stop_component * 0.2
+        + punct_penalty * 0.2
+        + digit_penalty * 0.2
+    )
+
+
+# language-ID: marker-word hit counts per language, deterministic
+# argmax with fixed priority order on ties. A real pipeline swaps in
+# fastText/CLD3 via a pandas_udf; the n-gram-heuristic shape (score
+# columns → argmax) is identical.
+LANG_MARKERS: dict[str, str] = {
+    "en": r"\b(the|and|of|to|in|is)\b",
+    "de": r"\b(der|die|das|und|ist|nicht)\b",
+    "es": r"\b(el|los|las|es|y|que)\b",
+    "fr": r"\b(le|les|et|est|que|une)\b",
+    "zh": r"[一-鿿]",
+}
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {
+        lang: F.regexp_count(F.lower(text), F.lit(pat))
+        for lang, pat in LANG_MARKERS.items()
+    }
+
+
+def predicted_lang(text: Column) -> Column:
+    """argmax over marker scores; ties resolve to the earlier language
+    in LANG_MARKERS order; all-zero → 'und'."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build the when-chain in reverse so earlier languages win ties
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when(
+            (scores[lang] == best) & (best > 0), F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column, n: int = 8, stride: int = 4) -> Column:
+    """Rolling-hash document fingerprint: min md5 over stride-sampled
+    character n-grams (winnowing-lite). Identical docs → identical
+    fingerprint; near-identical docs collide with high probability.
+    Pure SQL expression — array ops stay JVM-side."""
+    return F.expr(
+        f"""
+        array_min(
+            transform(
+                sequence(1, greatest(length(text) - {n - 1}, 1), {stride}),
+                i -> md5(substring(text, i, {n}))
+            )
+        )
+        """
+    )
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full per-document feature set in one projection."""
+    t = F.col(text_col)
+    return df.select(
+        "*",
+        whitespace_token_count(t).cast("long").alias("n_tokens_ws"),
+        word_token_count(t).cast("long").alias("n_tokens_word"),
+        punct_ratio(t).alias("punct_ratio"),
+        digit_ratio(t).alias("digit_ratio"),
+        stopword_ratio(t).alias("stopword_ratio"),
+        mean_word_length(t).alias("mean_word_len"),
+        quality_score(t).alias("quality"),
+        predicted_lang(t).alias("lang_pred"),
+        fingerprint(t).alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# catalog queries (+ DuckDB oracles)
+# ---------------------------------------------------------------------------
+
+_WORD_RE_SQL = "[A-Za-z0-9]+"
+_STOP_SQL = r"\b(" + "|".join(STOPWORDS_EN) + r")\b"
+
+
+@register(
+    "q_text_token_counts",
+    oracle=f"""
+    SELECT
+        doc_id,
+        CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE length(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens_ws,
+        CAST(length(regexp_extract_all(text, '{_WORD_RE_SQL}')) AS BIGINT)      AS n_tokens_word,
+        CAST(length(text) AS BIGINT)                                            AS n_chars_actual
+    FROM documents
+    """,
+    tags=("text", "tokens"),
+)
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + word-regex token counts per document."""
+    t = F.col("text")
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        whitespace_token_count(t).cast("long").alias("n_tokens_ws"),
+        word_token_count(t).cast("long").alias("n_tokens_word"),
+        F.length(t).cast("long").alias("n_chars_actual"),
+    )
+
+
+@register(
+    "q_text_quality_by_source",
+    oracle=f"""
+    WITH feat AS (
+        SELECT
+            source,
+            length(regexp_extract_all(lower(text), '{_STOP_SQL}')) * 1.0
+              / greatest(length(regexp_extract_all(text, '{_WORD_RE_SQL}')), 1)  AS stop_ratio,
+            length(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+              / greatest(length(text), 1)                                        AS p_ratio,
+            length(regexp_extract_all(text, '[0-9]')) * 1.0
+              / greatest(length(text), 1)                                        AS d_ratio,
+            length(text)                                                         AS n
+        FROM documents
+    )
+    SELECT
+        source,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        avg(
+            least(n / 500.0, 1.0) * 0.4
+            + least(stop_ratio * 4, 1.0) * 0.2
+            + greatest(0.0, 1.0 - p_ratio * 5) * 0.2
+            + greatest(0.0, 1.0 - d_ratio * 5) * 0.2
+        ) AS avg_quality,
+        avg(stop_ratio) AS avg_stopword_ratio
+    FROM feat
+    GROUP BY source
+    """,
+    tags=("text", "quality"),
+)
+def q_text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score aggregated per source."""
+    t = F.col("text")
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.avg(quality_score(t)).alias("avg_quality"),
+            F.avg(stopword_ratio(t)).alias("avg_stopword_ratio"),
+        )
+    )
+
+
+_LANG_SCORE_SQL = {
+    lang: f"length(regexp_extract_all(lower(text), '{pat}'))"
+    for lang, pat in LANG_MARKERS.items()
+}
+_BEST_SQL = "greatest(" + ", ".join(_LANG_SCORE_SQL.values()) + ")"
+_PRED_SQL = "CASE "
+for _lang in LANG_MARKERS:  # first match wins ties — same order as Spark side
+    _PRED_SQL += f"WHEN {_LANG_SCORE_SQL[_lang]} = {_BEST_SQL} AND {_BEST_SQL} > 0 THEN '{_lang}' "
+_PRED_SQL += "ELSE 'und' END"
+
+
+@register(
+    "q_text_langid_confusion",
+    oracle=f"""
+    SELECT
+        lang                      AS lang_actual,
+        {_PRED_SQL}               AS lang_pred,
+        CAST(count(*) AS BIGINT)  AS n_docs
+    FROM documents
+    GROUP BY lang_actual, lang_pred
+    """,
+    tags=("text", "langid"),
+)
+def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-based language ID vs the labeled lang column (confusion counts)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(
+            F.col("lang").alias("lang_actual"),
+            predicted_lang(F.col("text")).alias("lang_pred"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "q_text_fingerprints",
+    oracle="""
+    SELECT
+        doc_id,
+        list_min(
+            list_transform(
+                range(1, greatest(length(text) - 7, 1) + 1, 4),
+                i -> md5(substr(text, CAST(i AS INT), 8))
+            )
+        ) AS fp
+    FROM documents
+    """,
+    tags=("text", "fingerprint"),
+)
+def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash fingerprint (min-md5 over stride-4 char 8-grams)."""
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )

@@ -1,5 +1,10 @@
 """Import every query-defining module so catalog registration runs."""
 
+from cost_of_living_data_etl_spark.operators import (  # noqa: F401
+    dedup,
+    similarity,
+    textstats,
+)
 from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     aggregates,
     joins_setops,

@@ -1,0 +1,221 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed
+metadata, with decode / feature-extraction / frame-sampling as
+Arrow-batched pandas stages over mapInPandas.
+
+The real codecs (PIL/torchaudio/ffmpeg) are NOT in this container, so
+the decode kernel is STUBBED: if a codec import fails, a clearly-marked
+deterministic fake decoder runs instead. Everything AROUND the stub —
+the asset schema, binary payload handling, batch iteration shape,
+output schemas, partitioning — is real Spark plumbing and is what
+matters at 100 TB:
+
+- payloads stay in executor memory as Arrow binary columns; nothing
+  ever collects to the driver;
+- mapInPandas streams batches of `arrow.maxRecordsPerBatch` rows, so
+  peak memory is bounded per batch regardless of table size;
+- feature extraction emits fixed-width array<float> — the shape the
+  similarity operators (operators/similarity.py) consume directly.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.sources.tables import load_table
+
+# Pandas-UDF kernels in this module must reach Python workers even when
+# the package is not importable on their path (the driver may load this
+# repo by file path). By-value pickling ships the code with the task.
+try:  # pragma: no cover - depends on bundled cloudpickle version
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:
+    pass
+
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("payload", BinaryType()),
+        StructField(
+            "meta",
+            StructType(
+                [
+                    StructField("n_bytes", LongType()),
+                    StructField("width", IntegerType()),
+                    StructField("height", IntegerType()),
+                    StructField("sample_rate", IntegerType()),
+                    StructField("duration_ms", IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+N_FEATURES = 16
+_KINDS = ("image", "audio", "video")
+
+
+def documents_to_assets(docs: DataFrame) -> DataFrame:
+    """Deterministic fake asset table derived from documents.
+
+    Stands in for `spark.read.format("binaryFile")` over an object
+    store: payload = utf-8 bytes of the text, kind cycles by doc_id,
+    metadata synthesized from byte length. The downstream pipeline is
+    agnostic to where the bytes came from.
+    """
+    n_bytes = F.length(F.col("text")).cast("long")
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.element_at(F.array(*[F.lit(k) for k in _KINDS]), (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),
+        F.col("text").cast("binary").alias("payload"),
+        F.struct(
+            n_bytes.alias("n_bytes"),
+            (F.col("doc_id") % 640 + 1).cast("int").alias("width"),
+            (F.col("doc_id") % 480 + 1).cast("int").alias("height"),
+            F.lit(16000).alias("sample_rate"),
+            (n_bytes * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def _decode_payload(payload: bytes, kind: str) -> np.ndarray:
+    """Decode bytes → sample array.
+
+    REAL decode would be: PIL.Image.open for images, soundfile/ffmpeg
+    for audio/video. Those libs are absent here, so this STUB falls
+    back to interpreting the raw bytes as uint8 samples — a
+    deterministic fake with the same array-out contract.
+    """
+    try:  # pragma: no cover - codec libs not installed in this container
+        if kind == "image":
+            import io
+
+            from PIL import Image  # noqa: F401
+
+            return np.asarray(Image.open(io.BytesIO(payload)), dtype=np.uint8).ravel()
+        raise ImportError("no audio/video codec wired up")
+    except ImportError:
+        # STUB: deterministic fake decode (raw bytes as samples)
+        return np.frombuffer(payload, dtype=np.uint8)
+
+
+def _feature_vector(samples: np.ndarray, n_features: int = N_FEATURES) -> np.ndarray:
+    """Normalized byte histogram — a stand-in embedding that is
+    deterministic, fixed-width, and cheap."""
+    if samples.size == 0:
+        return np.zeros(n_features, dtype=np.float32)
+    hist, _ = np.histogram(samples, bins=n_features, range=(0, 256))
+    return (hist / samples.size).astype(np.float32)
+
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_samples", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """mapInPandas decode + featurize: Arrow batches in, Arrow batches
+    out, bounded memory per batch, no driver involvement.
+
+    The kernel closes over local copies of the decode/featurize
+    helpers so cloudpickle serializes it fully BY VALUE — Python
+    workers need no importable copy of this package on their path.
+    """
+    decode, featurize, n_features = _decode_payload, _feature_vector, N_FEATURES
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            samples = [decode(p, k) for p, k in zip(pdf["payload"], pdf["kind"])]
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"],
+                    "kind": pdf["kind"],
+                    "n_samples": [int(s.size) for s in samples],
+                    "features": [featurize(s, n_features) for s in samples],
+                }
+            )
+
+    return assets.mapInPandas(kernel, schema=FEATURES_SCHEMA)
+
+
+FRAMES_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, frame_bytes: int = 64, every: int = 4) -> DataFrame:
+    """Frame sampling for video assets: split the payload into
+    fixed-size chunks, keep every Nth — one output row per frame.
+
+    Real ffmpeg frame extraction drops into `kernel` unchanged; the
+    row-explosion shape (1 asset → many frames) is the part Spark has
+    to handle, and mapInPandas lets one input batch emit any number of
+    output rows."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_idx, out_frames = [], [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                chunks = [
+                    payload[i : i + frame_bytes]
+                    for i in range(0, len(payload), frame_bytes)
+                ]
+                for j, chunk in enumerate(chunks[::every]):
+                    out_ids.append(aid)
+                    out_idx.append(j)
+                    out_frames.append(chunk)
+            yield pd.DataFrame(
+                {"asset_id": out_ids, "frame_idx": out_idx, "frame": out_frames}
+            )
+
+    return assets.filter(F.col("kind") == "video").mapInPandas(
+        kernel, schema=FRAMES_SCHEMA
+    )
+
+
+@register("q_multimodal_features_by_kind", oracle=None, tags=("multimodal", "pandas-udf"))
+def q_multimodal_features_by_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → binary assets → mapInPandas decode/featurize →
+    per-kind profile. Rows-only check: the decode stage is a stubbed
+    pandas kernel (see _decode_payload), not SQL-expressible."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = extract_features(documents_to_assets(docs))
+    return (
+        feats.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_samples").alias("total_samples"),
+            F.avg(F.expr("aggregate(features, cast(0.0 as double), (a, x) -> a + x)")).alias(
+                "avg_feature_mass"
+            ),
+        )
+    )

@@ -2,11 +2,13 @@
 
 from cost_of_living_data_etl_spark.operators import (  # noqa: F401
     dedup,
+    multimodal,
     similarity,
     textstats,
 )
 from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     aggregates,
+    events_queries,
     joins_setops,
     relational,
     scalar_queries,

@@ -1,0 +1,147 @@
+"""Batch analytics over the events table: tumbling windows,
+gap-based sessionization, per-user activity — the batch twins of the
+Structured Streaming jobs in ``streaming/events.py`` (same logical
+windows, so streaming output can be validated against these).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.sources.tables import load_table
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "q_events_tumbling_5min",
+    oracle="""
+    SELECT
+        time_bucket(INTERVAL 5 MINUTE, ts)   AS window_start,
+        event_type,
+        CAST(count(*) AS BIGINT)             AS n_events,
+        sum(value)                           AS total_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+    tags=("events", "window", "agg"),
+)
+def q_events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 5-minute windows per event type.
+
+    Identical grouping to the streaming job's
+    ``groupBy(window("ts", "5 minutes"), "event_type")`` — epoch-aligned
+    buckets, so DuckDB's time_bucket is the exact oracle.
+    """
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "5 minutes").start.alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+
+
+@register(
+    "q_events_sessionization",
+    oracle=f"""
+    WITH marked AS (
+        SELECT
+            user_id, ts, value,
+            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL {SESSION_GAP_MIN} MINUTE
+                 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT
+            user_id, ts, value,
+            sum(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_seq
+        FROM marked
+    )
+    SELECT
+        user_id,
+        CAST(session_seq AS BIGINT)                   AS session_seq,
+        min(ts)                                       AS session_start,
+        max(ts)                                       AS session_end,
+        CAST(count(*) AS BIGINT)                      AS n_events,
+        sum(value)                                    AS session_value
+    FROM sessions
+    GROUP BY user_id, session_seq
+    """,
+    tags=("events", "session", "window"),
+)
+def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag → flag →
+    running sum → per-session aggregate.
+
+    The same sessions Structured Streaming's session_window produces;
+    here derived with plain windows so it is oracle-checkable. Scale:
+    one shuffle on user_id, sort within user — the canonical pattern.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > SESSION_GAP_MIN * 60),
+        1,
+    ).otherwise(0)
+    return (
+        load_table(spark, sf_dir, "events")
+        .withColumn("new_session", new_session)
+        .withColumn("session_seq", F.sum("new_session").over(run).cast("long"))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+    )
+
+
+@register(
+    "q_events_user_activity",
+    oracle="""
+    SELECT
+        user_id,
+        CAST(count(*) AS BIGINT)                          AS n_events,
+        CAST(count(DISTINCT event_type) AS BIGINT)        AS n_types,
+        sum(value)                                        AS total_value,
+        min(ts)                                           AS first_seen,
+        max(ts)                                           AS last_seen,
+        CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+    FROM events
+    GROUP BY user_id
+    """,
+    tags=("events", "agg"),
+)
+def q_events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity profile over the full event history."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("event_type").alias("n_types"),
+            F.sum("value").alias("total_value"),
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+            F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+            .cast("long")
+            .alias("n_errors"),
+        )
+    )

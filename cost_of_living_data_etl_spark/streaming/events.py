@@ -1,0 +1,213 @@
+"""Structured Streaming jobs over the events stream.
+
+The reference is a batch job triggered per extract date (reference
+app.py:132) — its incremental semantics generalize here to real
+streams: file-source ingestion, event-time windows with watermarks,
+within-watermark dedup, custom stateful aggregation, and a
+foreachBatch warehouse sink.
+
+Every job is a pure ``streaming DataFrame -> DataFrame`` function so
+the same logic binds to any source (file, Kafka, rate) and is testable
+with ``trigger(availableNow=True)`` against the batch twins in
+``plans/events_queries.py``.
+
+Scale notes: state stores (windows, dedup, applyInPandasWithState)
+are partitioned by grouping key across executors; watermarks bound
+state size — without them every window/key lives forever. All
+aggregations here carry a watermark.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Ship stateful-kernel code by value to Python workers (see
+# operators/multimodal.py for rationale).
+try:  # pragma: no cover - depends on bundled cloudpickle version
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:
+    pass
+
+# parquet TIMESTAMP(NANOS) arrives as long under nanosAsLong (see
+# sources/tables.py); the stream normalizes to TimestampType at ingest
+EVENTS_RAW_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of event files landing in a directory.
+
+    The file source tracks processed files in the checkpoint — the
+    streaming equivalent of the reference's one-partition-per-run
+    incremental load.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(source_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling-window counts per event type with late-data handling.
+
+    Watermark = max observed ts − 10min; windows older than that are
+    finalized and evicted from the state store. Batch twin:
+    q_events_tumbling_5min.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_aggregation(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "60 minutes"
+) -> DataFrame:
+    """Per-user session windows (gap-close semantics).
+
+    session_window merges events within ``gap`` of each other — the
+    streaming-native form of q_events_sessionization's lag+cumsum.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "60 minutes") -> DataFrame:
+    """Exactly-once-ish ingest dedup on event_id.
+
+    State holds only ids younger than the watermark — bounded memory,
+    unlike a global dropDuplicates which keeps all ids forever.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+# --- custom stateful operator: running per-user totals ---------------------
+
+_USER_TOTALS_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("max_ts_micros", LongType()),
+    ]
+)
+
+_USER_TOTALS_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("max_ts_micros", LongType()),
+    ]
+)
+
+
+def _update_user_totals(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Accumulate lifetime (n, sum, max_ts) per user across batches."""
+    n, total, max_ts = (state.get if state.exists else (0, 0.0, 0))
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+        if len(pdf):
+            max_ts = max(max_ts, int(pdf["ts"].astype("int64").max()) // 1000)
+    state.update((n, total, max_ts))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "total_value": [total],
+            "max_ts_micros": [max_ts],
+        }
+    )
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Arbitrary stateful aggregation via applyInPandasWithState:
+    emits the updated lifetime totals for every user seen in a batch.
+
+    The canonical escape hatch when built-in windows can't express the
+    state machine (counters, ML feature state, fraud scores...).
+    State is per-key, Arrow-batched, partitioned across executors.
+    """
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_user_totals,
+        outputStructType=_USER_TOTALS_SCHEMA,
+        stateStructType=_USER_TOTALS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def write_stream_to_warehouse(
+    stream: DataFrame, warehouse_root: str, table: str, checkpoint: str
+):
+    """foreachBatch append sink: each micro-batch lands as an atomic
+    parquet append — the streaming version of the reference's
+    write_pandas append-load (app.py:195-197)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(f"{warehouse_root}/{table}")
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )

@@ -1,0 +1,56 @@
+"""Multimodal pipeline plumbing: schemas, determinism, batch shapes."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from cost_of_living_data_etl_spark.operators.multimodal import (
+    ASSET_SCHEMA,
+    N_FEATURES,
+    documents_to_assets,
+    extract_features,
+    sample_frames,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_asset_schema_and_payload(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assets = documents_to_assets(docs)
+    # simpleString ignores nullability flags, which differ between
+    # derived and declared schemas and don't affect the contract
+    assert assets.schema.simpleString() == ASSET_SCHEMA.simpleString()
+    row = assets.filter(F.col("asset_id") == 1).collect()[0]
+    doc = docs.filter(F.col("doc_id") == 1).collect()[0]
+    assert bytes(row["payload"]).decode("utf-8") == doc["text"]
+    assert row["meta"]["n_bytes"] == len(doc["text"])
+    assert row["kind"] in ("image", "audio", "video")
+
+
+def test_feature_extraction_deterministic(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    feats1 = extract_features(documents_to_assets(docs)).collect()
+    feats2 = extract_features(documents_to_assets(docs)).collect()
+    m1 = {r["asset_id"]: r["features"] for r in feats1}
+    m2 = {r["asset_id"]: r["features"] for r in feats2}
+    assert m1 == m2
+    for r in feats1:
+        assert len(r["features"]) == N_FEATURES
+        assert abs(sum(r["features"]) - 1.0) < 1e-5  # normalized histogram
+        assert r["n_samples"] > 0
+
+
+def test_frame_sampling_rowcounts(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    assets = documents_to_assets(docs)
+    frames = sample_frames(assets, frame_bytes=64, every=4)
+    n_video = assets.filter(F.col("kind") == "video").count()
+    assert n_video > 0
+    got = frames.groupBy("asset_id").count().collect()
+    assert len(got) == n_video
+    # every frame is at most frame_bytes long and indexed from 0
+    check = frames.agg(
+        F.max(F.length("frame")).alias("mx"), F.min("frame_idx").alias("mn")
+    ).collect()[0]
+    assert check["mx"] <= 64 and check["mn"] == 0

@@ -1,0 +1,143 @@
+"""Streaming jobs validated against their batch twins.
+
+Each stream runs with trigger(availableNow=True) into a memory sink,
+then its final state is compared to the equivalent batch computation
+over the same files.
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pyspark.sql.functions as F
+import pytest
+
+from cost_of_living_data_etl_spark.plans.catalog import catalog
+from cost_of_living_data_etl_spark.streaming.events import (
+    dedup_within_watermark,
+    read_events_stream,
+    session_aggregation,
+    stateful_user_totals,
+    tumbling_counts,
+    write_stream_to_warehouse,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF}/events.parquet", d / "events_0.parquet")
+    return str(d)
+
+
+def _run_to_memory(stream, name: str):
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if name.startswith("agg") else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_matches_batch(spark, stream_dir):
+    stream = tumbling_counts(read_events_stream(spark, stream_dir))
+    name = f"agg_tumbling_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(stream, name)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in catalog()["q_events_tumbling_5min"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
+
+
+def test_session_count_matches_batch(spark, stream_dir):
+    stream = session_aggregation(read_events_stream(spark, stream_dir))
+    name = f"agg_sessions_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(stream, name)
+    n_stream = spark.table(name).count()
+    n_batch = catalog()["q_events_sessionization"].fn(spark, SF).count()
+    assert n_stream == n_batch
+    # event totals conserved across sessions
+    total = spark.table(name).agg(F.sum("n_events")).collect()[0][0]
+    assert total == spark.read.parquet(f"{SF}/events.parquet").count()
+
+
+def test_dedup_within_watermark(spark, tmp_path):
+    # two copies of the same file → every event_id duplicated
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "a.parquet")
+    shutil.copy(f"{SF}/events.parquet", d / "b.parquet")
+    stream = dedup_within_watermark(read_events_stream(spark, str(d)))
+    name = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_distinct = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert spark.table(name).count() == n_distinct
+
+
+def test_stateful_user_totals(spark, stream_dir):
+    stream = stateful_user_totals(read_events_stream(spark, stream_dir))
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # last emitted row per user = lifetime totals
+    got = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in spark.table(name).collect()
+    }
+    want = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in (
+            spark.read.parquet(f"{SF}/events.parquet")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("total_value"),
+            )
+            .collect()
+        )
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
+
+
+def test_foreachbatch_warehouse_sink(spark, stream_dir, tmp_path):
+    stream = dedup_within_watermark(read_events_stream(spark, str(stream_dir)))
+    q = write_stream_to_warehouse(
+        stream,
+        str(tmp_path / "wh"),
+        "events_clean",
+        str(tmp_path / "ckpt"),
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    out = spark.read.parquet(str(tmp_path / "wh" / "events_clean"))
+    assert out.count() == spark.read.parquet(f"{SF}/events.parquet").count()
+    assert "ts" in out.columns and "event_id" in out.columns

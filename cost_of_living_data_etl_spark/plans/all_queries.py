@@ -8,6 +8,7 @@ from cost_of_living_data_etl_spark.operators import (  # noqa: F401
 )
 from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     aggregates,
+    etl_shaped,
     events_queries,
     joins_setops,
     relational,

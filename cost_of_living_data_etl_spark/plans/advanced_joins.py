@@ -1,0 +1,356 @@
+"""Advanced join & aggregation strategies the reference lacks.
+
+The reference's join surface is six broadcast equi-joins (reference
+app.py:151-164); a real warehouse workload also needs as-of joins,
+interval/range joins, grouping sets, skew-safe aggregation, and
+grouped-map transforms. Each is implemented with the scale strategy a
+1000-executor cluster wants — not the first plan that passes:
+
+- as-of join   → union + window (ONE shuffle, no join, no range
+                 explosion) instead of the naive inequality join.
+- range join   → equi-key + residual time predicate so Spark hashes on
+                 the key and only the residual is evaluated per pair.
+- skewed agg   → two-phase salted aggregation (partial on (key, salt),
+                 final on key) so one hot key spreads over N reducers.
+- grouped map  → applyInPandas with bounded group count (25 nations).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.sources.tables import load_table
+
+
+@register(
+    "q_asof_join_last_purchase",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT
+        c.event_id,
+        c.user_id,
+        c.ts    AS click_ts,
+        p.ts    AS purchase_ts,
+        p.value AS purchase_value
+    FROM clicks c
+    ASOF JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts >= p.ts
+    """,
+    tags=("join", "asof", "events"),
+)
+def q_asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click matched to the user's most recent
+    purchase at-or-before the click (DuckDB ASOF JOIN semantics).
+
+    Spark has no ASOF JOIN; the naive translation is an inequality
+    join (quadratic per user) or a per-key aggregate subquery (two
+    shuffles + a re-join). This plan instead UNIONs build and probe
+    rows, windows by (user_id, ts) and carries the last build row
+    forward with last(ignorenulls) — ONE shuffle on user_id, linear
+    work per user, no join operator at all. At 100 TB this is the
+    difference between a sort within each key partition and a blown-up
+    O(clicks x purchases) pair stream.
+    """
+    events = load_table(spark, sf_dir, "events")
+    probe = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("is_probe"),
+        "event_id",
+        F.lit(None).cast("double").alias("p_value"),
+    )
+    build = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("is_probe"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.col("value").alias("p_value"),
+    )
+    # at equal ts the build row must sort before the probe so ">="
+    # (inclusive) as-of semantics hold — hence orderBy(ts, is_probe)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_probe")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    build_ts = F.when(F.col("is_probe") == 0, F.col("ts"))
+    build_val = F.when(F.col("is_probe") == 0, F.col("p_value"))
+    return (
+        probe.unionByName(build)
+        .withColumn("purchase_ts", F.last(build_ts, ignorenulls=True).over(w))
+        .withColumn("purchase_value", F.last(build_val, ignorenulls=True).over(w))
+        .filter((F.col("is_probe") == 1) & F.col("purchase_ts").isNotNull())
+        .select(
+            "event_id",
+            "user_id",
+            F.col("ts").alias("click_ts"),
+            "purchase_ts",
+            "purchase_value",
+        )
+    )
+
+
+@register(
+    "q_range_join_error_burst",
+    oracle="""
+    SELECT
+        e.event_id AS err_id,
+        e.user_id,
+        count(f.event_id) AS events_in_window
+    FROM events e
+    LEFT JOIN events f
+      ON f.user_id = e.user_id
+     AND f.ts >  e.ts
+     AND f.ts <= e.ts + INTERVAL 5 MINUTE
+    WHERE e.event_type = 'error'
+    GROUP BY 1, 2
+    """,
+    tags=("join", "range", "events"),
+)
+def q_range_join_error_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: events within 5 minutes after each error
+    by the same user.
+
+    The equality on user_id makes this a hash-partitioned equi-join
+    with the time predicate as a residual filter — Spark shuffles both
+    sides on user_id only, so cost is |pairs within a user|, never a
+    cartesian product. (A keyless interval join would instead bin
+    timestamps to coarse buckets and equi-join on the bucket id.)
+    """
+    events = load_table(spark, sf_dir, "events")
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        F.col("user_id").alias("err_user"),
+        F.col("ts").alias("err_ts"),
+    )
+    follow = events.select("user_id", "ts", "event_id")
+    cond = (
+        (follow.user_id == errors.err_user)
+        & (follow.ts > errors.err_ts)
+        & (follow.ts <= errors.err_ts + F.expr("INTERVAL 5 MINUTES"))
+    )
+    return (
+        errors.join(follow, cond, "left")
+        .groupBy("err_id", "err_user")
+        .agg(F.count("event_id").alias("events_in_window"))
+        .select("err_id", F.col("err_user").alias("user_id"), "events_in_window")
+    )
+
+
+@register(
+    "q_grouping_sets_revenue",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        sum(l_extendedprice * (1 - l_discount)) AS revenue,
+        count(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags=("aggregate", "grouping-sets"),
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: detail, per-flag subtotal, and grand total in one
+    pass (single shuffle; Spark expands the sets map-side, so partial
+    aggregation still applies — vs three separate jobs + union).
+    """
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            sum(l_extendedprice * (1 - l_discount)) AS revenue,
+            count(*) AS n_rows
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "q_salted_agg_customer_spend",
+    oracle="""
+    SELECT
+        o_custkey,
+        sum(o_totalprice) AS total_spent,
+        count(*) AS n_orders
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("aggregate", "skew", "salting"),
+)
+def q_salted_agg_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation, hash-identical to a plain groupBy.
+
+    Phase 1 groups on (key, salt) — a hot customer's rows land on up
+    to 16 different reducers; phase 2 re-aggregates the tiny partial
+    table on the key alone. sum is reassociated as sum-of-sums and
+    count as sum-of-counts. This is the manual skew guard for when a
+    single key exceeds one executor's memory; for moderate skew AQE's
+    skewJoin/coalesce handles it without salting.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    partial = (
+        orders.withColumn(
+            "salt", F.pmod(F.crc32(F.col("o_orderkey").cast("string")), F.lit(16))
+        )
+        .groupBy("o_custkey", "salt")
+        .agg(
+            F.sum("o_totalprice").alias("partial_spent"),
+            F.count("*").alias("partial_n"),
+        )
+    )
+    return partial.groupBy("o_custkey").agg(
+        F.sum("partial_spent").alias("total_spent"),
+        F.sum("partial_n").alias("n_orders"),
+    )
+
+
+@register(
+    "q_grouped_map_zscore",
+    oracle="""
+    SELECT
+        c_custkey,
+        c_nationkey,
+        (c_acctbal - avg(c_acctbal) OVER (PARTITION BY c_nationkey))
+            / stddev_samp(c_acctbal) OVER (PARTITION BY c_nationkey) AS balance_z
+    FROM customer
+    """,
+    tags=("udf", "grouped-map", "pandas"),
+)
+def q_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped-map: per-nation z-score of account balance.
+
+    Demonstrates the Arrow grouped-map path (whole group as one pandas
+    DataFrame per call). Group count is bounded (25 nations) but group
+    SIZE scales with the data — safe here because the kernel is O(n)
+    with two passes; for unbounded-size groups prefer the equivalent
+    window-function plan (which is what the oracle uses).
+    """
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+
+    def zscore(pdf):
+        mu = pdf["c_acctbal"].mean()
+        sd = pdf["c_acctbal"].std(ddof=1)
+        out = pdf[["c_custkey", "c_nationkey"]].copy()
+        out["balance_z"] = (pdf["c_acctbal"] - mu) / sd
+        return out
+
+    return customer.groupBy("c_nationkey").applyInPandas(
+        zscore, "c_custkey long, c_nationkey long, balance_z double"
+    )
+
+
+@register(
+    "q_window_trailing_7d_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT
+            date_trunc('day', o_orderdate) AS order_day,
+            sum(o_totalprice) AS day_revenue
+        FROM orders
+        GROUP BY 1
+    )
+    SELECT
+        order_day,
+        day_revenue,
+        sum(day_revenue) OVER (
+            ORDER BY datediff('day', DATE '1995-01-01', CAST(order_day AS DATE))
+            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+        ) AS trailing_7d_revenue
+    FROM daily
+    """,
+    tags=("window", "range-frame", "time-series"),
+)
+def q_window_trailing_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window: 7-day trailing revenue over daily totals.
+
+    rangeBetween on a day-number column handles calendar gaps (a
+    missing day still ages out of the frame), which rowsBetween(-6, 0)
+    gets wrong. The groupBy first collapses the data to one row per
+    day, so the unpartitioned window sorts only |days| rows — bounded
+    by the calendar, not the data size; the heavy lifting stays in the
+    partial-aggregated groupBy.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("DAY", F.col("o_orderdate")).alias("order_day")
+    ).agg(F.sum("o_totalprice").alias("day_revenue"))
+    day_num = F.datediff(
+        F.to_date("order_day"), F.lit("1995-01-01").cast("date")
+    )
+    w = Window.orderBy(day_num).rangeBetween(-6, 0)
+    return daily.select(
+        "order_day",
+        "day_revenue",
+        F.sum("day_revenue").over(w).alias("trailing_7d_revenue"),
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT
+        l_orderkey,
+        o_orderdate,
+        sum(l_extendedprice * (1 - l_discount)) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-03-15'
+      AND l_shipdate  > TIMESTAMP '1996-03-15'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "multi-join", "topk", "tpch"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + aggregate + global top-10.
+
+    Plan notes: both date filters are pushed to the parquet scans
+    (PushedFilters), the filtered customer side is small enough that
+    AQE converts its join to broadcast at runtime, and the final
+    top-10 is TakeOrderedAndProject — per-partition heaps, no global
+    sort of the aggregate output.
+    """
+    cutoff = F.lit("1996-03-15").cast("timestamp")
+    customer = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    lineitem = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )

@@ -7,6 +7,7 @@ from cost_of_living_data_etl_spark.operators import (  # noqa: F401
     textstats,
 )
 from cost_of_living_data_etl_spark.plans import (  # noqa: F401
+    advanced_joins,
     aggregates,
     etl_shaped,
     events_queries,

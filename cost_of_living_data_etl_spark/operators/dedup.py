@@ -43,13 +43,30 @@ HAMMING_MAX = 3  # ≤3 bit flips over 4 bands: one band always intact (pigeonho
 
 # word 3-gram shingles, distinct; short docs fall back to whole-text
 _WORDS = r"split(trim(text), '\\s+')"
-SHINGLES_SPARK = f"""
+
+# Shingle expression over a pre-bound word-array column `ws` and
+# trimmed text `t`. Binding them in SEPARATE projections matters:
+# inlining the split into the transform lambda would re-run the regex
+# split once per shingle position — O(words²) splits per document
+# (measured 4.6s of a 9s query at sf0.1). Catalyst's CollapseProject
+# keeps multi-use non-cheap aliases in their own project, so `ws` is
+# computed exactly once per row.
+_SHINGLES_FROM_WS = """
 array_distinct(
-  CASE WHEN size({_WORDS}) < 3 THEN array(trim(text))
-       ELSE transform(sequence(1, size({_WORDS}) - 2),
-                      i -> concat_ws(' ', slice({_WORDS}, i, 3)))
+  CASE WHEN size(ws) < 3 THEN array(t)
+       ELSE transform(sequence(1, size(ws) - 2),
+                      i -> concat_ws(' ', slice(ws, i, 3)))
   END)
 """
+
+
+def shingle_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, shingles) with the word split evaluated once per doc."""
+    return (
+        docs.select("doc_id", F.trim(F.col("text")).alias("t"))
+        .select("doc_id", "t", F.split("t", r"\s+").alias("ws"))
+        .select("doc_id", F.expr(_SHINGLES_FROM_WS).alias("shingles"))
+    )
 
 _WORDS_SQL = r"string_split_regex(trim(text), '\s+')"
 SHINGLES_SQL = f"""
@@ -73,6 +90,10 @@ _PERM_B = [(j * 1_597_334_677 + 2_246_822_519) % MINHASH_P for j in range(NUM_PE
 
 _SHINGLE_H_SPARK = (
     "cast(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % " + str(MINHASH_P)
+)
+# same hash as a lambda body over variable `s` (array-native form)
+_SHINGLE_H_LAMBDA = (
+    "cast(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % " + str(MINHASH_P)
 )
 _SHINGLE_H_SQL = (
     "CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % " + str(MINHASH_P)
@@ -141,6 +162,11 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MinHash + LSH near-dup pairs
 # ---------------------------------------------------------------------------
 
+# Verification compares HASHED shingle sets (61-bit md5-derived ints),
+# not shingle strings: identical Jaccard modulo md5 collisions
+# (~2^-30 per pair), and the verify joins then move long-arrays
+# instead of re-shingled text. The oracle applies the same hashing, so
+# both sides agree exactly.
 _MINHASH_ORACLE = f"""
 WITH sh AS (
     SELECT doc_id, {SHINGLES_SQL} AS shingles FROM documents
@@ -152,7 +178,8 @@ hx AS (
     SELECT doc_id, {_SHINGLE_H_SQL} AS h FROM ex
 ),
 mh AS (
-    SELECT doc_id, {_minhash_agg_sql()} FROM hx GROUP BY doc_id
+    SELECT doc_id, list(DISTINCT h) AS hset, {_minhash_agg_sql()}
+    FROM hx GROUP BY doc_id
 ),
 bands AS (
     {" UNION ALL ".join(
@@ -169,13 +196,13 @@ candidates AS (
 SELECT
     CAST(c.doc_id_1 AS BIGINT) AS doc_id_1,
     CAST(c.doc_id_2 AS BIGINT) AS doc_id_2,
-    length(list_intersect(s1.shingles, s2.shingles)) * 1.0
-      / length(list_distinct(list_concat(s1.shingles, s2.shingles))) AS jaccard
+    length(list_intersect(s1.hset, s2.hset)) * 1.0
+      / length(list_distinct(list_concat(s1.hset, s2.hset))) AS jaccard
 FROM candidates c
-JOIN sh s1 ON s1.doc_id = c.doc_id_1
-JOIN sh s2 ON s2.doc_id = c.doc_id_2
-WHERE length(list_intersect(s1.shingles, s2.shingles)) * 1.0
-      / length(list_distinct(list_concat(s1.shingles, s2.shingles))) >= {JACCARD_THRESHOLD}
+JOIN mh s1 ON s1.doc_id = c.doc_id_1
+JOIN mh s2 ON s2.doc_id = c.doc_id_2
+WHERE length(list_intersect(s1.hset, s2.hset)) * 1.0
+      / length(list_distinct(list_concat(s1.hset, s2.hset))) >= {JACCARD_THRESHOLD}
 """
 
 
@@ -186,16 +213,42 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle → minhash (map-only) → band-bucket join (shuffle on band
     hash) → exact verification on candidates only. With 16 perms in
     4×4 bands, a 0.9-Jaccard pair is caught with p≈0.986.
+
+    The hash + minhash computation is ARRAY-NATIVE (transform /
+    array_min inside one projection) rather than explode + groupBy:
+    exploding ~300 shingle rows per doc costs 4× the whole map pass in
+    GenerateExec row materialization AND forces a 1.5M-row hash
+    aggregate, while the array form needs zero shuffles before the
+    band join (measured 4.3s → 1.1s at sf0.1). Verification compares
+    the hashed shingle sets computed in the same pass; ``mh`` (a
+    long-array + 16 longs per doc — far smaller than the text) is
+    persisted because three downstream branches consume it. At 100 TB
+    the same role is played by checkpointing ``mh`` to parquet;
+    column-pruned branch plans would otherwise each re-shingle the
+    corpus.
     """
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.expr(SHINGLES_SPARK).alias("shingles"))
-    # explode → one md5 per shingle → 16 integer permutations inside a
-    # codegen'd hash aggregate (no per-permutation rehash, no lambdas)
-    hx = sh.select("doc_id", F.explode("shingles").alias("shingle")).selectExpr(
-        "doc_id", f"{_SHINGLE_H_SPARK} AS h"
-    )
-    mh = hx.groupBy("doc_id").agg(
-        *[F.expr(e) for e in _minhash_agg_spark()]
+    sh = shingle_docs(docs)
+    # one md5 per shingle inside transform(); minhash per permutation
+    # as array_min over the hashed set (min is duplicate-insensitive,
+    # so hset and the raw hash array give identical signatures)
+    mh = (
+        sh.selectExpr(
+            "doc_id",
+            f"array_distinct(transform(shingles, s -> {_SHINGLE_H_LAMBDA})) AS hset",
+        )
+        .selectExpr(
+            "doc_id",
+            "hset",
+            *[
+                f"array_min(transform(hset, h -> ({_PERM_A[j]} * h + {_PERM_B[j]}) "
+                f"% {MINHASH_P})) AS mh{j}"
+                for j in range(NUM_PERM)
+            ],
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     # one row → BANDS rows via posexplode: minhashes computed once per
@@ -222,9 +275,11 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
 
-    s1 = sh.select(F.col("doc_id").alias("doc_id_1"), F.col("shingles").alias("sh1"))
-    s2 = sh.select(F.col("doc_id").alias("doc_id_2"), F.col("shingles").alias("sh2"))
-    jaccard = F.size(F.array_intersect("sh1", "sh2")) / F.size(F.array_union("sh1", "sh2"))
+    s1 = mh.select(F.col("doc_id").alias("doc_id_1"), F.col("hset").alias("hs1"))
+    s2 = mh.select(F.col("doc_id").alias("doc_id_2"), F.col("hset").alias("hs2"))
+    jaccard = F.size(F.array_intersect("hs1", "hs2")) / F.size(
+        F.array_union("hs1", "hs2")
+    )
     return (
         candidates.join(s1, "doc_id_1")
         .join(s2, "doc_id_2")
@@ -372,7 +427,7 @@ def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-k by TakeOrderedAndProject (no global sort).
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.expr(SHINGLES_SPARK).alias("shingles"))
+    sh = shingle_docs(docs)
     q = sh.filter(F.col("doc_id") == 0).select(F.col("shingles").alias("qsh"))
     jaccard = F.size(F.array_intersect("shingles", "qsh")) / F.size(
         F.array_union("shingles", "qsh")

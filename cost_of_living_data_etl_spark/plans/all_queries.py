@@ -14,5 +14,6 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     joins_setops,
     relational,
     scalar_queries,
+    udtf_queries,
     windows,
 )

@@ -39,3 +39,43 @@ class Warehouse:
 
     def overwrite(self, df: DataFrame, table: str) -> None:
         df.write.mode("overwrite").parquet(self.path(table))
+
+    def append_partitioned(
+        self, df: DataFrame, table: str, partition_cols: list[str]
+    ) -> None:
+        """Append-load into a hive-style partitioned layout.
+
+        The reference encodes its date partition as an S3 prefix it
+        lists by hand (app.py:26); writing ``partitionBy`` directories
+        gives the same incremental-load layout AND automatic partition
+        pruning on read — a query filtering on a partition column
+        scans only that directory (PartitionFilters in the plan), the
+        property that keeps per-snapshot queries O(snapshot) instead
+        of O(history) as the warehouse accretes years of loads.
+        """
+        df.write.mode("append").partitionBy(*partition_cols).parquet(self.path(table))
+
+    def save_bucketed(
+        self,
+        df: DataFrame,
+        table: str,
+        bucket_cols: list[str],
+        n_buckets: int = 16,
+    ) -> None:
+        """Save as a bucketed managed table (requires a table catalog).
+
+        Bucketing pre-shuffles data by the join/aggregation key at
+        WRITE time: two tables bucketed on the same key with the same
+        bucket count join with ZERO exchanges — the repeated-join cost
+        at 100 TB moves from every query to one load. Uses
+        ``saveAsTable`` with an explicit path so the data stays inside
+        this warehouse directory.
+        """
+        (
+            df.write.mode("overwrite")
+            .option("path", self.path(table))
+            .bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*bucket_cols)
+            .format("parquet")
+            .saveAsTable(table)
+        )

@@ -1,0 +1,83 @@
+"""Warehouse layout tests: partition pruning and bucketed co-location.
+
+These prove the two load-time layout decisions that dominate read cost
+at 100 TB actually take effect in the physical plan:
+
+- hive-style ``partitionBy`` dirs → a partition-column filter scans
+  only the matching directory (plan shows the partition filter and the
+  non-matching partition's files are never listed as input),
+- ``bucketBy`` on the join key → a same-key join of two bucketed
+  tables runs with ZERO shuffle exchanges.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cost_of_living_data_etl_spark.sources.warehouse import Warehouse
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    jmode = df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_partitioned_append_prunes_on_read(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "wh"))
+    base = spark.range(0, 1000).select(
+        F.col("id"),
+        (F.col("id") % 7).alias("v"),
+    )
+    # two snapshot loads, the incremental pattern of the reference ETL
+    wh.append_partitioned(
+        base.withColumn("snapshot_date", F.lit("2024-06-01")),
+        "fact_demo",
+        ["snapshot_date"],
+    )
+    wh.append_partitioned(
+        base.withColumn("snapshot_date", F.lit("2024-06-02")),
+        "fact_demo",
+        ["snapshot_date"],
+    )
+
+    df = spark.read.parquet(wh.path("fact_demo")).filter(
+        F.col("snapshot_date") == "2024-06-01"
+    )
+    assert df.count() == 1000  # not 2000: only one partition read
+
+    plan = plan_str(df)
+    # pruning happens at the partition level, not as a data filter
+    assert "PartitionFilters" in plan
+    assert "snapshot_date" in plan.split("PartitionFilters", 1)[1].split("\n", 2)[0]
+    # the scan's file listing excludes the other partition
+    assert "2024-06-02" not in plan
+
+
+def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "whb"))
+    left = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    wh.save_bucketed(left, "bucketed_left", ["k"], n_buckets=8)
+    wh.save_bucketed(right, "bucketed_right", ["k"], n_buckets=8)
+    try:
+        # force the non-broadcast path so the test exercises bucketing
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            l = spark.table("bucketed_left")
+            r = spark.table("bucketed_right")
+            joined = l.join(r, "k").select("k", "a", "b")
+            plan = plan_str(joined, mode="simple")
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan  # co-located: no shuffle at all
+            assert joined.count() == 5000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_left")
+        spark.sql("DROP TABLE IF EXISTS bucketed_right")

@@ -14,6 +14,7 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     joins_setops,
     relational,
     scalar_queries,
+    tpch_suite,
     udtf_queries,
     windows,
 )

@@ -49,6 +49,49 @@ def q_events_tumbling_5min(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_events_sliding_10m_5m",
+    oracle="""
+    WITH expanded AS (
+        SELECT
+            unnest([time_bucket(INTERVAL 5 MINUTE, ts),
+                    time_bucket(INTERVAL 5 MINUTE, ts) - INTERVAL 5 MINUTE])
+                AS window_start,
+            event_type, value
+        FROM events
+    )
+    SELECT
+        window_start,
+        event_type,
+        CAST(count(*) AS BIGINT)  AS n_events,
+        sum(value)                AS total_value
+    FROM expanded
+    GROUP BY window_start, event_type
+    """,
+    tags=("events", "window", "sliding", "agg"),
+)
+def q_events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows: 10-minute window, 5-minute slide, per event type.
+
+    Each event lands in exactly window/slide = 2 overlapping windows;
+    Spark's window() expands rows before the aggregate (the oracle
+    mirrors this with an explicit 2-element unnest of epoch-aligned
+    bucket starts). Scale: output rows = 2× tumbling, shuffle still on
+    (window, type) — the standard dashboard smoothing shape.
+    """
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "10 minutes", "5 minutes").start.alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+    )
+
+
+@register(
     "q_events_sessionization",
     oracle=f"""
     WITH marked AS (

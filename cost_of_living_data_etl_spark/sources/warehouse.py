@@ -55,6 +55,48 @@ class Warehouse:
         """
         df.write.mode("append").partitionBy(*partition_cols).parquet(self.path(table))
 
+    def merge_upsert(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        table: str,
+        key_cols: list[str],
+    ) -> None:
+        """MERGE-style upsert: rows matching on ``key_cols`` are
+        replaced by the update row, new keys are inserted.
+
+        Parquet has no row-level MERGE, so this is the classic
+        copy-on-write rewrite: target LEFT ANTI updates (drop stale
+        versions of updated keys) UNION updates, staged to a side
+        directory before an atomic-ish swap into place — the same
+        plan Delta/Iceberg MERGE lowers to, minus the transaction log.
+        The anti join broadcasts when the update batch is small
+        (incremental loads at 100 TB: a day's delta vs years of
+        history), so the rewrite is one scan of the target.
+
+        On a real deployment this binds to ``MERGE INTO`` on a
+        Delta/Iceberg catalog; the call signature is the contract.
+        """
+        import shutil
+        import uuid
+
+        target_path = self.path(table)
+        staged = updates.select(*updates.columns)
+        try:
+            target = spark.read.parquet(target_path)
+        except Exception:
+            staged.write.mode("overwrite").parquet(target_path)
+            return
+        merged = target.join(
+            updates.select(*key_cols).dropDuplicates(key_cols),
+            on=key_cols,
+            how="left_anti",
+        ).unionByName(staged)
+        tmp_path = f"{self.root}/.staging-{table}-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp_path)
+        shutil.rmtree(target_path)
+        shutil.move(tmp_path, target_path)
+
     def save_bucketed(
         self,
         df: DataFrame,

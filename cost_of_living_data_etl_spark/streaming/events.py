@@ -100,6 +100,33 @@ def tumbling_counts(
     )
 
 
+def sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding-window counts per event type (window ≥ slide → each
+    event in window/slide overlapping windows). State per open window;
+    watermark bounds how many stay open. Batch twin:
+    q_events_sliding_10m_5m.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def session_aggregation(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "60 minutes"
 ) -> DataFrame:

@@ -18,6 +18,7 @@ from cost_of_living_data_etl_spark.streaming.events import (
     dedup_within_watermark,
     read_events_stream,
     session_aggregation,
+    sliding_counts,
     stateful_user_totals,
     tumbling_counts,
     write_stream_to_warehouse,
@@ -56,6 +57,24 @@ def test_tumbling_matches_batch(spark, stream_dir):
     want = {
         (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
         for r in catalog()["q_events_tumbling_5min"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-6
+
+
+def test_sliding_matches_batch(spark, stream_dir):
+    stream = sliding_counts(read_events_stream(spark, stream_dir))
+    name = f"agg_sliding_{uuid.uuid4().hex[:8]}"
+    _run_to_memory(stream, name)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table(name).collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in catalog()["q_events_sliding_10m_5m"].fn(spark, SF).collect()
     }
     assert set(got) == set(want)
     for k in want:

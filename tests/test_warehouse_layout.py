@@ -54,6 +54,30 @@ def test_partitioned_append_prunes_on_read(spark, tmp_path):
     assert "2024-06-02" not in plan
 
 
+def test_merge_upsert(spark, tmp_path):
+    wh = Warehouse(str(tmp_path / "whm"))
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, name string, v double"
+    )
+    wh.overwrite(target, "dim_demo")
+
+    # update k=2, insert k=4
+    updates = spark.createDataFrame(
+        [(2, "b2", 21.0), (4, "d", 40.0)], "k int, name string, v double"
+    )
+    wh.merge_upsert(spark, updates, "dim_demo", ["k"])
+
+    got = {
+        r["k"]: (r["name"], r["v"])
+        for r in wh.read(spark, "dim_demo").collect()
+    }
+    assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 3: ("c", 30.0), 4: ("d", 40.0)}
+
+    # upsert into a missing table = plain create
+    wh.merge_upsert(spark, updates, "dim_new", ["k"])
+    assert wh.read(spark, "dim_new").count() == 2
+
+
 def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
     wh = Warehouse(str(tmp_path / "whb"))
     left = spark.range(0, 5000).select(

@@ -33,8 +33,17 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # validation baseline — not a scale query by design).
 HEADLINE = [
     "q1_pricing_summary",
+    "q4_order_priority",
     "q5_region_nation_revenue",
     "q6_forecast_revenue",
+    "q7_nation_pair_volume",
+    "q9_profit_by_nation_year",
+    "q10_returned_item_topk",
+    "q13_order_count_distribution",
+    "q18_large_volume_customers",
+    "q21_sole_supplier_orders",
+    "q_events_sessionization",
+    "q_events_sliding_10m_5m",
     "q_conditional_agg_segment",
     "q_distinct_counts",
     "q_window_latest_order_per_customer",

@@ -13,6 +13,7 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     events_queries,
     joins_setops,
     relational,
+    reshape,
     scalar_queries,
     tpch_suite,
     udtf_queries,

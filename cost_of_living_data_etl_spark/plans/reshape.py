@@ -1,0 +1,208 @@
+"""Reshape & sampling operators: pivot, unpivot/melt, array explode
+with position, deterministic sampling, and train/val/test splits.
+
+The sampling/split family is the training-data-pipeline shape: splits
+must be DETERMINISTIC (same row → same split on every run and every
+cluster size), so assignment is a pure function of a stable key
+(md5-derived integer mod 100) rather than Bernoulli RNG — that is what
+makes the DuckDB oracles able to match bit-for-bit, and what makes a
+100 TB re-run reproducible after adding data.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.sources.tables import load_table
+
+# stable 0..99 bucket from any key column (cast to string first).
+# Same md5-prefix-as-int trick the dedup family uses: 15 hex digits
+# fit int64 exactly on both engines.
+_BUCKET_SPARK = "cast(conv(substring(md5(cast({k} AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"
+_BUCKET_SQL = "CAST(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+
+PRIORITIES = ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+_PRIORITY_ALIAS = {
+    "1-URGENT": "n_urgent",
+    "2-HIGH": "n_high",
+    "3-MEDIUM": "n_medium",
+    "4-NOT SPECIFIED": "n_notspec",
+    "5-LOW": "n_low",
+}
+
+
+@register(
+    "q_pivot_priority_counts",
+    oracle=f"""
+    SELECT
+        o_orderstatus,
+        {", ".join(
+            f"CAST(count(*) FILTER (WHERE o_orderpriority = '{p}') AS BIGINT)"
+            f" AS {_PRIORITY_ALIAS[p]}"
+            for p in PRIORITIES
+        )}
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("pivot", "agg"),
+)
+def q_pivot_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: order counts per status × priority (long → wide).
+
+    The pivot value list is EXPLICIT — with it, Spark skips the extra
+    distinct-values job and the plan is a single hash aggregate with
+    one conditional count per cell, identical cost to Q1. Never leave
+    pivot values implicit at scale: the inference pass is a full extra
+    scan.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    wide = (
+        orders.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", list(PRIORITIES))
+        .agg(F.count(F.lit(1)))
+    )
+    renamed = wide.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(f"`{p}`"), F.lit(0)).alias(_PRIORITY_ALIAS[p]) for p in PRIORITIES],
+    )
+    return renamed
+
+
+@register(
+    "q_unpivot_charge_components",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'extendedprice' AS component, l_extendedprice AS amount
+    FROM lineitem WHERE l_linenumber = 1
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount_amt', l_extendedprice * l_discount
+    FROM lineitem WHERE l_linenumber = 1
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'tax_amt', l_extendedprice * (1 - l_discount) * l_tax
+    FROM lineitem WHERE l_linenumber = 1
+    """,
+    tags=("unpivot", "melt"),
+)
+def q_unpivot_charge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt: charge components wide → long (3 rows per line).
+
+    DataFrame.unpivot expands in-place per input row (Generate node,
+    no shuffle, no join) — the oracle's UNION ALL of three scans shows
+    what it replaces: one scan instead of three.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(F.col("l_linenumber") == 1)
+    charges = lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_extendedprice").alias("extendedprice"),
+        (F.col("l_extendedprice") * F.col("l_discount")).alias("discount_amt"),
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.col("l_tax")
+        ).alias("tax_amt"),
+    )
+    return charges.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["extendedprice", "discount_amt", "tax_amt"],
+        "component",
+        "amount",
+    )
+
+
+@register(
+    "q_embedding_dim_stats",
+    oracle="""
+    SELECT
+        CAST(dim AS INT)  AS dim,
+        avg(v)            AS mean_v,
+        stddev_samp(v)    AS std_v,
+        min(v)            AS min_v,
+        max(v)            AS max_v
+    FROM (
+        SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+        FROM embeddings
+    )
+    GROUP BY dim
+    """,
+    tags=("array", "explode", "agg", "embeddings"),
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension distribution stats of the embedding column.
+
+    posexplode turns each vector into (dim, value) rows; the aggregate
+    is map-side partial over |dims| groups. The feature-normalization
+    precursor (mean/std per dim) every embedding pipeline needs.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        F.posexplode("embedding").alias("dim0", "v")
+    ).select((F.col("dim0") + 1).cast("int").alias("dim"), F.col("v").cast("double"))
+    return exploded.groupBy("dim").agg(
+        F.avg("v").alias("mean_v"),
+        F.stddev_samp("v").alias("std_v"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+
+
+@register(
+    "q_deterministic_sample",
+    oracle=f"""
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled, CAST(min(doc_id) AS BIGINT) AS min_id
+    FROM documents
+    WHERE {_BUCKET_SQL.format(k="doc_id")} < 10
+    GROUP BY lang
+    """,
+    tags=("sampling", "deterministic"),
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample via hash-bucket predicate.
+
+    Unlike df.sample() (Bernoulli RNG: different rows per run, per
+    partitioning, per Spark version), hash(doc_id) % 100 < 10 is a pure
+    row predicate: reproducible everywhere, evaluates in the scan
+    stage, and composes with incremental loads (new rows don't reshuffle
+    old ones between sample/rest).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.expr(_BUCKET_SPARK.format(k="doc_id")) < 10)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("min_id"))
+    )
+
+
+@register(
+    "q_train_val_test_split",
+    oracle=f"""
+    SELECT
+        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        lang,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        sum(n_chars)             AS total_chars
+    FROM (SELECT lang, n_chars, {_BUCKET_SQL.format(k="doc_id")} AS b FROM documents)
+    GROUP BY split, lang
+    """,
+    tags=("sampling", "split", "deterministic"),
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 train/val/test assignment, deterministic per doc_id.
+
+    The split column is a pure function of the id — adding documents
+    never moves an existing document between splits (no leakage drift
+    across dataset versions). Counts per (split, lang) audit the
+    stratification.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.expr(_BUCKET_SPARK.format(k="doc_id"))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split")
+    )
+    return (
+        docs.select(split, "lang", "n_chars")
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

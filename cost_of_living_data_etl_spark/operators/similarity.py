@@ -134,6 +134,71 @@ def q_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_BATCH_QUERIES = 5
+BATCH_TOPK = 3
+
+
+@register(
+    "q_ann_batch_topk",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT
+            q.vec_id AS query_id,
+            e.vec_id AS vec_id,
+            list_inner_product(e.emb, q.emb) / (e.norm * q.norm) AS cos_sim,
+            row_number() OVER (
+                PARTITION BY q.vec_id
+                ORDER BY list_inner_product(e.emb, q.emb) / (e.norm * q.norm) DESC,
+                         e.vec_id
+            ) AS rk
+        FROM e JOIN e q
+          ON q.vec_id < {N_BATCH_QUERIES} AND e.vec_id >= {N_BATCH_QUERIES}
+    )
+    SELECT query_id, vec_id, cos_sim, CAST(rk AS INT) AS rk
+    FROM scored WHERE rk <= {BATCH_TOPK}
+    """,
+    tags=("similarity", "ann", "topk", "window"),
+)
+def q_ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch retrieval: top-3 neighbors for EACH of 5 query vectors.
+
+    The realistic retrieval shape (many queries at once): broadcast the
+    query block, map-side cosine against every (query, vector) pair,
+    then per-query top-k via row_number — Spark's WindowGroupLimit
+    pushes the k-cutoff below the shuffle, so each partition emits at
+    most k rows per query instead of |vectors|. At 100 TB the broadcast
+    side is the query batch (small by construction) and the big side
+    never shuffles full vectors, only (query_id, vec_id, score).
+    """
+    from pyspark.sql import Window
+
+    e = with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qemb"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        e.filter(F.col("vec_id") >= N_BATCH_QUERIES)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_expr("embedding", "qemb", "norm", "qnorm").alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= BATCH_TOPK)
+    )
+
+
 # --- sign-LSH: deterministic hyperplanes from md5(j:d) --------------------
 
 LSH_BITS = 16

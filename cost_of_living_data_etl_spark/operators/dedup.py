@@ -206,8 +206,7 @@ WHERE length(list_intersect(s1.hset, s2.hset)) * 1.0
 """
 
 
-@register("q_dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("dedup", "minhash", "lsh"))
-def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_pair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, Jaccard-verified.
 
     shingle → minhash (map-only) → band-bucket join (shuffle on band
@@ -287,6 +286,87 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_id_1", "doc_id_2", "jaccard")
     )
+
+
+@register("q_dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("dedup", "minhash", "lsh"))
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry for the MinHash-LSH pair plan (see minhash_pair_plan)."""
+    return minhash_pair_plan(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# connected-components dedup clustering
+# ---------------------------------------------------------------------------
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE
+nodes AS (SELECT doc_id FROM documents),
+pairs AS (
+    SELECT doc_id_1, doc_id_2 FROM ({_MINHASH_ORACLE}) p
+),
+edges AS (
+    SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+    UNION ALL
+    SELECT doc_id_2 AS src, doc_id_1 AS dst FROM pairs
+),
+reach(id, lbl) AS (
+    SELECT doc_id, doc_id FROM nodes
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edges e ON r.id = e.src
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id
+"""
+
+
+@register("q_dedup_clusters", oracle=_CLUSTERS_ORACLE, tags=("dedup", "clustering", "iterative"))
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph → cluster_id
+    per document (min doc_id in the component; singletons are their own
+    cluster). THE production dedup output: keep rows where
+    doc_id == cluster_id, drop the rest.
+
+    Iterative min-label propagation: each round, every node takes the
+    min of its own and its neighbors' labels; converges in
+    graph-diameter rounds (near-dup components are shallow — dup
+    families, not social graphs). Each round is one shuffle-join on
+    ids; ``localCheckpoint`` truncates lineage so plans don't grow
+    exponentially; convergence is detected by the monotone decrease of
+    sum(label) — one cheap aggregate per round, no driver-side
+    collect of labels. The DuckDB oracle computes the same components
+    via a recursive CTE (label transitive closure), so this iterative
+    algorithm is hash-verified, not rows-only.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(F.col("doc_id").alias("id"))
+    pairs = minhash_pair_plan(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    edges = pairs.selectExpr("doc_id_1 AS src", "doc_id_2 AS dst").unionAll(
+        pairs.selectExpr("doc_id_2 AS src", "doc_id_1 AS dst")
+    )
+    edges = edges.localCheckpoint()  # pair plan runs once, not per round
+
+    labels = docs.select("id", F.col("id").alias("lbl")).localCheckpoint()
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(20):  # >= diameter of any plausible dup family
+        nmin = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("nid"))
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        labels = (
+            labels.join(nmin, labels.id == nmin.nid, "left")
+            .select(
+                "id",
+                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias(
+                    "lbl"
+                ),
+            )
+            .localCheckpoint()
+        )
+        new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
 # ---------------------------------------------------------------------------

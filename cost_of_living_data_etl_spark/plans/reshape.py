@@ -12,7 +12,7 @@ makes the DuckDB oracles able to match bit-for-bit, and what makes a
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.sources.tables import load_table
@@ -169,6 +169,121 @@ def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.expr(_BUCKET_SPARK.format(k="doc_id")) < 10)
         .groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_sampled"), F.min("doc_id").alias("min_id"))
+    )
+
+
+PACK_BUDGET = 2048  # characters per packed sequence (token stand-in)
+N_SHARDS = 8
+
+
+@register(
+    "q_pack_sequences",
+    oracle=f"""
+    WITH sharded AS (
+        SELECT doc_id, n_chars,
+               {_BUCKET_SQL.format(k="doc_id")} % {N_SHARDS} AS shard
+        FROM documents
+    ),
+    cum AS (
+        SELECT shard, doc_id, n_chars,
+               sum(n_chars) OVER (
+                   PARTITION BY shard ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS cum_before
+        FROM sharded
+    ),
+    binned AS (
+        SELECT shard, doc_id, n_chars,
+               CAST(coalesce(cum_before, 0) // {PACK_BUDGET} AS BIGINT) AS bin_id
+        FROM cum
+    )
+    SELECT
+        CAST(shard AS BIGINT)    AS shard,
+        bin_id,
+        CAST(count(*) AS BIGINT) AS n_docs,
+        sum(n_chars)             AS total_chars,
+        CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM binned
+    GROUP BY shard, bin_id
+    """,
+    tags=("packing", "window", "training-data"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: assign documents to ~2048-char
+    bins within hash shards (streaming chunking policy: a bin closes
+    when the running total crosses the budget; the straddling doc
+    starts the next bin's budget accounting).
+
+    The LLM-pretraining packing shape, fully distributed: shard
+    assignment is a hash (embarrassingly parallel), bin assignment is
+    one window cumsum per shard — no sequential driver loop, no
+    per-bin state. Shards bound the window partition size, so at
+    100 TB you raise N_SHARDS until each shard fits an executor's
+    sort buffer.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (F.expr(_BUCKET_SPARK.format(k="doc_id")) % N_SHARDS).alias("shard")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = (
+        docs.select(shard, "doc_id", "n_chars")
+        .withColumn(
+            "bin_id",
+            (F.coalesce(F.sum("n_chars").over(w), F.lit(0)) / PACK_BUDGET)
+            .cast("bigint"),
+        )
+    )
+    return binned.groupBy(F.col("shard").cast("bigint").alias("shard"), "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+@register(
+    "q_quality_percentile_filter",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang, n_chars,
+               percent_rank() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS pr
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           sum(n_chars)             AS kept_chars,
+           min(n_chars)             AS min_chars_kept
+    FROM ranked
+    WHERE pr >= 0.25
+    GROUP BY lang
+    """,
+    tags=("filtering", "window", "training-data"),
+)
+def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-cutoff filtering: drop the bottom quartile (by length
+    proxy) WITHIN each language, keep per-lang survivors' stats.
+
+    Per-group relative cutoffs (not a global threshold) are how
+    pretraining filters avoid wiping out low-resource languages. One
+    window per lang partition; at scale the percent_rank can be
+    replaced by approx_percentile thresholds computed in a first pass
+    to avoid the per-group sort — semantics identical to 1e-2.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id", "lang", "n_chars", F.percent_rank().over(w).alias("pr")
+    )
+    return (
+        ranked.filter(F.col("pr") >= 0.25)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+            F.min("n_chars").alias("min_chars_kept"),
+        )
     )
 
 

@@ -15,6 +15,7 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     relational,
     reshape,
     scalar_queries,
+    sql_interface,
     tpch_suite,
     udtf_queries,
     windows,

@@ -54,6 +54,22 @@ def test_partitioned_append_prunes_on_read(spark, tmp_path):
     assert "2024-06-02" not in plan
 
 
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    """Appended loads may add columns; mergeSchema reconciles old files
+    (missing column → NULL) without rewriting history — the schema-
+    drift reality of a warehouse accreting loads over years."""
+    wh = Warehouse(str(tmp_path / "whse"))
+    v1 = spark.createDataFrame([(1, "a")], "k int, name string")
+    v2 = spark.createDataFrame([(2, "b", 9.5)], "k int, name string, score double")
+    wh.append(v1, "evolving")
+    wh.append(v2, "evolving")
+
+    df = spark.read.option("mergeSchema", "true").parquet(wh.path("evolving"))
+    assert set(df.columns) == {"k", "name", "score"}
+    rows = {r["k"]: (r["name"], r["score"]) for r in df.collect()}
+    assert rows == {1: ("a", None), 2: ("b", 9.5)}
+
+
 def test_merge_upsert(spark, tmp_path):
     wh = Warehouse(str(tmp_path / "whm"))
     target = spark.createDataFrame(

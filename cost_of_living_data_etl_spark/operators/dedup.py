@@ -427,23 +427,49 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming filter. The fingerprint is 2 bytes/doc — the cheapest
     possible shuffle for pairwise dedup at scale.
     """
+    # Signature is computed ARRAY-NATIVE in one map-only pass: hash the
+    # distinct-word array in place, fold it into a 60-long bit-count
+    # vector, majority-vote the counts into the fingerprint. The
+    # explode + groupBy(60 × sum) formulation this replaces shuffled
+    # |doc|×|words| rows through a 60-counter hash aggregate — measured
+    # 2.9s vs 0.6s at 50k docs, and at 100 TB the difference is a full
+    # extra shuffle of the tokenized corpus vs none.
+    #
+    # The intermediates (hs, n, counts) are LET-BOUND as lambda
+    # variables via single-element transform(array(e), x -> body)[0]
+    # scoping, not projection aliases: CollapseProject inlines aliases
+    # into every reference site, and `n` is referenced once per bit —
+    # inlined, the whole md5 pipeline re-ran 60× per row (measured 22s
+    # vs 0.5s for the identical computation). Lambda variables are
+    # evaluated exactly once by construction.
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select(
-        "doc_id", F.explode(F.expr(f"array_distinct({_WORDS})")).alias("w")
-    ).selectExpr(
-        "doc_id", "cast(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT) AS h16"
+    _hs = (
+        f"transform(array_distinct({_WORDS}), "
+        "w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT))"
     )
-    counts = words.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n"),
-        *[
-            F.sum(F.expr(f"shiftright(h16, {k}) % 2")).alias(f"c{k}")
-            for k in range(SIMHASH_BITS)
-        ],
+    _counts_fold = (
+        f"aggregate(hs, array_repeat(0L, {SIMHASH_BITS}), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {SIMHASH_BITS - 1}), "
+        "(a, k) -> a + (shiftright(h, k) % 2)))"
     )
-    simhash_expr = " + ".join(
-        f"IF(2 * c{k} >= n, {1 << k}, 0)" for k in range(SIMHASH_BITS)
+    _majority = (
+        f"aggregate(zip_with(s.c, sequence(0, {SIMHASH_BITS - 1}), "
+        "(c, k) -> IF(2 * c >= s.n, shiftleft(1L, k), 0L)), 0L, (a, v) -> a + v)"
     )
-    s = counts.selectExpr("doc_id", f"cast({simhash_expr} AS BIGINT) AS simhash")
+    simhash_expr = (
+        f"element_at(transform(array({_hs}), hs -> "
+        f"element_at(transform(array(named_struct('n', size(hs), 'c', {_counts_fold})), "
+        f"s -> {_majority}), 1)"
+        "), 1)"
+    )
+    # 16 bytes/doc: persist so the band self-join reads signatures, not
+    # two full recomputations of the hashing pipeline (same pattern as
+    # the minhash `mh` table; at 100 TB this is a parquet checkpoint).
+    s = docs.selectExpr("doc_id", f"{simhash_expr} AS simhash").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
     bands = s.select(
         "doc_id",

@@ -210,10 +210,15 @@ def run_pipeline(
 ) -> dict[str, int]:
     """End-to-end ETL: lake → conform → append-load 3 facts (app.py:106-199).
 
-    Returns loaded row counts per fact (the reference returns an
-    unconditional 200 with no row-count check, app.py:199 — we keep
-    the pipeline infallible but report counts for observability).
+    Returns the row count each load APPENDED (the reference returns an
+    unconditional 200 with no row-count check, app.py:199). Counts come
+    from ``df.observe`` accumulators attached to the write itself —
+    zero extra scans, exact per-batch numbers. At 100 TB this is the
+    difference between free load metrics and re-reading the facts you
+    just wrote.
     """
+    from pyspark.sql import Observation
+
     dim_location = warehouse.read(spark, "dim_location")
     dim_date = warehouse.read(spark, "dim_date")
     result = build_pipeline(
@@ -225,6 +230,7 @@ def run_pipeline(
         ("FACT_LIVING_WAGE", result.fact_living_wage),
         ("FACT_TYPICAL_ANNUAL_SALARY", result.fact_typical_annual_salary),
     ]:
-        warehouse.append(df, table)
-        counts[table] = warehouse.read(spark, table).count()
+        obs = Observation(f"load_{table}")
+        warehouse.append(df.observe(obs, F.count(F.lit(1)).alias("rows")), table)
+        counts[table] = int(obs.get["rows"])
     return counts

@@ -97,6 +97,56 @@ def test_etl_shaped_zero_shuffles(spark, sf_smoke):
     assert "+- Exchange" not in plan.replace("BroadcastExchange", "BX")
 
 
+def test_q4_exists_compiles_to_semi_join(spark, sf_smoke):
+    plan = plan_of(spark, "q4_order_priority", sf_smoke)
+    assert "LeftSemi" in plan
+    # the date range reaches the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q7_nation_joins_broadcast(spark, sf_smoke):
+    tree = plan_of(spark, "q7_nation_pair_volume", sf_smoke, mode="simple")
+    # both nation sides must broadcast at ANY scale (25 rows, bounded)
+    assert tree.count("BroadcastHashJoin") >= 2
+    # shipdate range pushed to the lineitem scan
+    plan = plan_of(spark, "q7_nation_pair_volume", sf_smoke)
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_q10_topk_no_global_sort(spark, sf_smoke):
+    plan = plan_of(spark, "q10_returned_item_topk", sf_smoke, mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    # returnflag filter reaches the scan
+    full = plan_of(spark, "q10_returned_item_topk", sf_smoke)
+    assert "EqualTo(l_returnflag,R)" in full
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_smoke):
+    plan = plan_of(spark, "q22_dormant_high_balance", sf_smoke)
+    assert "LeftAnti" in plan
+    # the scalar avg arrives via broadcast, not a driver collect
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_ann_batch_topk_uses_window_group_limit(spark, sf_smoke):
+    plan = plan_of(spark, "q_ann_batch_topk", sf_smoke)
+    assert "WindowGroupLimit" in plan
+
+
+def test_simhash_signature_is_shuffle_free(spark, sf_smoke):
+    """The signature stage must not shuffle the tokenized corpus: the
+    only exchanges are for the band self-join + distinct, downstream
+    of the 16-byte/doc signature table."""
+    plan = plan_of(spark, "q_dedup_simhash", sf_smoke, mode="simple")
+    # exactly one shuffle in the whole query: the candidate distinct.
+    assert plan.count("Exchange hashpartitioning") == 1
+    # signature pipeline (InMemoryRelation → ... → FileScan) is a pure
+    # Project over the scan: no aggregate, no exchange, md5 once.
+    sig = plan.split("InMemoryRelation", 1)[1].split("FileScan", 1)[0]
+    assert "HashAggregate" not in sig and "Exchange" not in sig
+    assert sig.count("md5") == 1
+
+
 HEADLINE_NO_PYTHON_ROW_UDF = [
     "q1_pricing_summary",
     "q5_region_nation_revenue",

@@ -54,9 +54,17 @@ HEADLINE = [
     "q_dedup_exact_groups",
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
+    "q_dedup_clusters",
     "q_text_quality_by_source",
     "q_text_langid_confusion",
+    "q_text_fingerprints",
     "q_ann_bruteforce_topk",
+    "q_ann_batch_topk",
+    "q_sql_cte_window",
+    "q_pivot_priority_counts",
+    "q_pack_sequences",
+    "q_quality_percentile_filter",
+    "q_embedding_dim_stats",
 ]
 
 

@@ -1,0 +1,108 @@
+"""Property-based checks (SURVEY.md §5.4).
+
+Each property generates adversarial inputs with hypothesis, ships them
+through the REAL Spark expressions in one batch per example, and
+compares against an independent Python reference. Spark jobs are slow,
+so examples are capped and deadlines disabled.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from cost_of_living_data_etl_spark.functions.columns import (
+    decomma_to_double,
+    with_county_suffix,
+)
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# comma-grouped numerals like "1,234.56" / "-12,345" / "0.5"
+_grouped_number = st.builds(
+    lambda sign, intpart, frac: sign + f"{intpart:,}" + (f".{frac:02d}" if frac is not None else ""),
+    st.sampled_from(["", "-"]),
+    st.integers(min_value=0, max_value=10**12),
+    st.one_of(st.none(), st.integers(min_value=0, max_value=99)),
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_grouped_number, min_size=1, max_size=50))
+def test_decomma_matches_python_float(spark, values):
+    """decomma_to_double(x) == float(x.replace(',', '')) for any
+    comma-grouped numeral (the reference's C2 lambda semantics)."""
+    df = spark.createDataFrame([(v,) for v in values], "raw string")
+    got = [r["d"] for r in df.select(decomma_to_double("raw").alias("d")).collect()]
+    want = [float(v.replace(",", "")) for v in values]
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.text(min_size=0, max_size=30), min_size=1, max_size=50))
+def test_county_suffix_is_plain_concat(spark, values):
+    """Suffix concat matches Python '+' for arbitrary unicode county
+    names (C3) — no trimming, casefolding, or escaping surprises."""
+    df = spark.createDataFrame([(v,) for v in values], "c string")
+    got = [r["s"] for r in df.select(with_county_suffix("c").alias("s")).collect()]
+    assert got == [v + " COUNTY" for v in values]
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(st.integers(min_value=0, max_value=20), min_size=1, max_size=60),
+    st.lists(st.integers(min_value=0, max_value=20), min_size=0, max_size=10),
+)
+def test_inner_join_count_bounded_union_additive(spark, fact_keys, dim_keys):
+    """Inner-join output ≤ |fact| × max-dup-factor; with a UNIQUE dim,
+    output ≤ |fact| exactly; union-all counts are additive."""
+    fact = spark.createDataFrame([(k,) for k in fact_keys], "k int")
+    dim = spark.createDataFrame(
+        [(k,) for k in sorted(set(dim_keys))] or [(None,)], "k int"
+    ).filter(F.col("k").isNotNull())
+    joined = fact.join(dim, "k", "inner")
+    assert joined.count() == sum(1 for k in fact_keys if k in set(dim_keys))
+    assert fact.unionAll(fact).count() == 2 * len(fact_keys)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=80))
+def test_split_assignment_partitions_and_is_stable(spark, ids):
+    """Every id lands in exactly one of train/val/test, assignment is a
+    pure function of the id (same id duplicated → same split), and the
+    three counts sum to the input size."""
+    rows = [(i,) for i in ids] + [(i,) for i in ids]  # duplicates on purpose
+    df = spark.createDataFrame(rows, "doc_id long")
+    b = F.expr(
+        "cast(conv(substring(md5(cast(doc_id AS STRING)), 1, 15), 16, 10) AS BIGINT) % 100"
+    )
+    split = F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+    out = df.select("doc_id", split.alias("split")).collect()
+    by_id: dict[int, set[str]] = {}
+    for r in out:
+        by_id.setdefault(r["doc_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_id.values())  # stable per id
+    assert len(out) == 2 * len(ids)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=30))
+def test_identical_texts_get_identical_shingles(spark, texts):
+    """shingle_docs is a pure function of text: duplicated documents
+    produce element-wise identical shingle sets (the invariant MinHash
+    dedup correctness rests on)."""
+    from cost_of_living_data_etl_spark.operators.dedup import shingle_docs
+
+    n = len(texts)
+    rows = [(i, t) for i, t in enumerate(texts)] + [
+        (i + n, t) for i, t in enumerate(texts)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = {r["doc_id"]: r["shingles"] for r in shingle_docs(docs).collect()}
+    for i in range(n):
+        assert sh[i] == sh[i + n]

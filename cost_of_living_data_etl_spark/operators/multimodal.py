@@ -98,6 +98,34 @@ def documents_to_assets(docs: DataFrame) -> DataFrame:
     )
 
 
+def read_binary_assets(spark: SparkSession, path: str, kind: str) -> DataFrame:
+    """Object-store ingestion: ``binaryFile`` source → asset schema.
+
+    The production entry point for real media: Spark's binaryFile
+    source reads each object as one row (path, modificationTime,
+    length, content) with the bytes staying on executors. asset_id is
+    the digits in the filename (upload convention `<id>.<ext>`);
+    decode-time metadata (width/height/...) is NULL until
+    ``extract_features`` fills it — ingest never opens the payload.
+    At 100 TB, parallelism is per-object; pair with
+    ``pathGlobFilter`` and partitioned prefixes for pruning.
+    """
+    raw = spark.read.format("binaryFile").load(path)
+    n_bytes = F.col("length").cast("long")
+    return raw.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.\w+$", 1).cast("long").alias("asset_id"),
+        F.lit(kind).alias("kind"),
+        F.col("content").alias("payload"),
+        F.struct(
+            n_bytes.alias("n_bytes"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
 def _decode_payload(payload: bytes, kind: str) -> np.ndarray:
     """Decode bytes → sample array.
 

@@ -9,6 +9,7 @@ from cost_of_living_data_etl_spark.operators.multimodal import (
     N_FEATURES,
     documents_to_assets,
     extract_features,
+    read_binary_assets,
     sample_frames,
 )
 
@@ -26,6 +27,26 @@ def test_asset_schema_and_payload(spark):
     assert bytes(row["payload"]).decode("utf-8") == doc["text"]
     assert row["meta"]["n_bytes"] == len(doc["text"])
     assert row["kind"] in ("image", "audio", "video")
+
+
+def test_binaryfile_source_to_assets(spark, tmp_path):
+    """Real ingestion path: files on disk → binaryFile source → asset
+    schema → feature extraction, bytes round-tripping exactly."""
+    payloads = {7: b"\x00\x01\x02hello", 42: bytes(range(200))}
+    for aid, data in payloads.items():
+        (tmp_path / f"{aid}.bin").write_bytes(data)
+
+    assets = read_binary_assets(spark, str(tmp_path), "image")
+    assert assets.schema.simpleString() == ASSET_SCHEMA.simpleString()
+    rows = {r["asset_id"]: r for r in assets.collect()}
+    assert set(rows) == {7, 42}
+    assert bytes(rows[42]["payload"]) == payloads[42]
+    assert rows[7]["meta"]["n_bytes"] == len(payloads[7])
+    assert rows[7]["meta"]["width"] is None  # unknown until decode
+
+    feats = {r["asset_id"]: r for r in extract_features(assets).collect()}
+    assert feats[42]["n_samples"] == 200
+    assert len(feats[42]["features"]) == N_FEATURES
 
 
 def test_feature_extraction_deterministic(spark):

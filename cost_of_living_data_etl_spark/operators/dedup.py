@@ -206,8 +206,17 @@ WHERE length(list_intersect(s1.hset, s2.hset)) * 1.0
 """
 
 
-def minhash_pair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_pair_plan(
+    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, Jaccard-verified.
+
+    ``max_bucket`` is the production skew guard: band buckets larger
+    than the cap are dropped BEFORE the self-join (a bucket of size b
+    emits b² candidate pairs — boilerplate/empty documents at 100 TB
+    produce million-row buckets that would dominate the join). Capped
+    buckets are near-exact-dup families, which exact dedup already
+    catches upstream. Default None keeps exact oracle parity.
 
     shingle → minhash (map-only) → band-bucket join (shuffle on band
     hash) → exact verification on candidates only. With 16 perms in
@@ -258,6 +267,17 @@ def minhash_pair_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[F.expr(_band_hash_spark(b)) for b in range(BANDS)])
         ).alias("band_idx", "band_hash"),
     )
+
+    if max_bucket is not None:
+        # drop pathological buckets before the b² self-join; one extra
+        # aggregate over (band, hash) — short keys, map-side partial
+        w_ok = (
+            bands.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("bsz"))
+            .filter(F.col("bsz") <= max_bucket)
+            .select("band_idx", "band_hash")
+        )
+        bands = bands.join(w_ok, ["band_idx", "band_hash"], "left_semi")
 
     a, bb = bands.alias("a"), bands.alias("b")
     candidates = (

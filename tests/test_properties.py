@@ -90,6 +90,26 @@ def test_split_assignment_partitions_and_is_stable(spark, ids):
     assert len(out) == 2 * len(ids)
 
 
+def test_minhash_bucket_cap_is_subset(spark):
+    """The capped pair plan returns a subset of the uncapped pairs
+    (it can only DROP candidates), and a cap of 1 kills all pairs
+    (every matching bucket has ≥2 members by construction)."""
+    from cost_of_living_data_etl_spark.operators.dedup import minhash_pair_plan
+
+    sf = "/root/testdata/sf0.001"
+    full = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in minhash_pair_plan(spark, sf).collect()
+    }
+    capped = {
+        (r["doc_id_1"], r["doc_id_2"])
+        for r in minhash_pair_plan(spark, sf, max_bucket=3).collect()
+    }
+    assert capped <= full
+    assert minhash_pair_plan(spark, sf, max_bucket=1).count() == 0
+    assert len(full) > 0
+
+
 @settings(**_SETTINGS)
 @given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=30))
 def test_identical_texts_get_identical_shingles(spark, texts):

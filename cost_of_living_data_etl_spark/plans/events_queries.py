@@ -157,6 +157,64 @@ def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_events_click_attribution",
+    oracle="""
+    SELECT
+        p.user_id                 AS user_id,
+        CAST(p.event_id AS BIGINT)  AS purchase_id,
+        p.ts                      AS purchase_ts,
+        p.value                   AS purchase_value,
+        CAST(c.event_id AS BIGINT)  AS click_id,
+        c.ts                      AS click_ts
+    FROM events p
+    JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.user_id = p.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+    tags=("events", "range-join", "attribution"),
+)
+def q_events_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases attributed to same-user clicks in the prior 30 min —
+    the batch twin of the stream-stream join
+    (streaming/events.py::click_purchase_attribution), same output
+    columns so streaming results are validated against this.
+
+    Scale: equi-key on user_id carries the shuffle; the time-range
+    predicate is a post-join filter within each user's partition.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")
+        ),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )
+
+
+@register(
     "q_events_user_activity",
     oracle="""
     SELECT

@@ -152,6 +152,58 @@ def session_aggregation(
     )
 
 
+def click_purchase_attribution(
+    events: DataFrame,
+    horizon_min: int = 30,
+    watermark: str = "60 minutes",
+) -> DataFrame:
+    """Stream-stream join: attribute each purchase to the same user's
+    clicks in the preceding ``horizon_min`` minutes.
+
+    Both sides are watermarked and the join carries an event-time range
+    condition — that PAIR is what lets Spark bound the join state
+    (clicks older than watermark+horizon are evicted; without the time
+    bound, stream-stream join state grows forever). Batch twin:
+    q_events_click_attribution.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_min} MINUTES")
+        ),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )
+
+
 def dedup_within_watermark(events: DataFrame, watermark: str = "60 minutes") -> DataFrame:
     """Exactly-once-ish ingest dedup on event_id.
 

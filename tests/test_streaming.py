@@ -15,6 +15,7 @@ import pytest
 
 from cost_of_living_data_etl_spark.plans.catalog import catalog
 from cost_of_living_data_etl_spark.streaming.events import (
+    click_purchase_attribution,
     dedup_within_watermark,
     read_events_stream,
     session_aggregation,
@@ -92,6 +93,28 @@ def test_session_count_matches_batch(spark, stream_dir):
     # event totals conserved across sessions
     total = spark.table(name).agg(F.sum("n_events")).collect()[0][0]
     assert total == spark.read.parquet(f"{SF}/events.parquet").count()
+
+
+def test_stream_stream_join_matches_batch(spark, stream_dir):
+    stream = click_purchase_attribution(read_events_stream(spark, stream_dir))
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["purchase_id"], r["click_id"]) for r in spark.table(name).collect()
+    }
+    want = {
+        (r["purchase_id"], r["click_id"])
+        for r in catalog()["q_events_click_attribution"].fn(spark, SF).collect()
+    }
+    assert got == want
+    assert len(want) > 0
 
 
 def test_dedup_within_watermark(spark, tmp_path):

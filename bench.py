@@ -56,6 +56,9 @@ HEADLINE = [
     "q_dedup_simhash",
     "q_dedup_clusters",
     "q_text_quality_by_source",
+    "q_text_repetition",
+    "q_decontaminate_ngram",
+    "q_events_funnel",
     "q_text_langid_confusion",
     "q_text_fingerprints",
     "q_ann_bruteforce_topk",

@@ -1,0 +1,195 @@
+"""Benchmark-decontamination and intra-document repetition operators.
+
+Two more LLM-training-data quality passes over the ``documents`` table
+(complementing dedup.py's cross-document near-dup families):
+
+- **decontamination**: find training documents that share word-n-grams
+  with an evaluation/benchmark set — the standard contamination check
+  (GPT-3 used 13-gram overlap; the fixture docs average ~60 words, so
+  n=5 keeps the check meaningful at test scale). The eval set here is
+  the deterministic slice ``doc_id % 20 == 0``; in production it is a
+  separate (small) benchmark corpus.
+- **repetition**: fraction of repeated word-3-grams inside each
+  document — the Gopher-style "excessive repetition" quality signal
+  that catches boilerplate/spam pages cheaply before model scoring.
+
+Scale shape: both are map-only over the corpus until a shuffle on
+8-byte n-gram hashes (never on text). The eval side of the
+decontamination join is tiny by construction (benchmarks are MBs,
+corpora are TBs), so Spark broadcasts it and the whole check costs one
+scan of the training corpus. Repetition never shuffles at all.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.sources.tables import load_table
+
+NGRAM_N = 5  # decontamination n-gram width
+REP_N = 3  # repetition n-gram width
+EVAL_MOD = 20  # doc_id % EVAL_MOD == 0 → eval-set member
+HASH_P = 2_147_483_647  # same 61-bit md5 → mod-P hash as dedup.py
+
+
+def _word_ngrams_spark(n: int) -> str:
+    """Word n-grams (WITH duplicates) over bound cols `t` (trimmed
+    text) and `ws` (word array); short docs fall back to whole-text —
+    same convention as dedup.shingle_docs so the families compose."""
+    return f"""
+    CASE WHEN size(ws) < {n} THEN array(t)
+         ELSE transform(sequence(1, size(ws) - {n - 1}),
+                        i -> concat_ws(' ', slice(ws, i, {n})))
+    END
+    """
+
+
+def _word_ngrams_sql(n: int) -> str:
+    ws = r"string_split_regex(trim(text), '\s+')"
+    return f"""
+    CASE WHEN length({ws}) < {n} THEN [trim(text)]
+         ELSE list_transform(range(1, greatest(length({ws}) - {n - 1}, 0) + 1),
+                             i -> array_to_string({ws}[CAST(i AS INT):CAST(i + {n - 1} AS INT)], ' '))
+    END
+    """
+
+
+_HASH_LAMBDA_SPARK = (
+    f"cast(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT) % {HASH_P}"
+)
+_HASH_SQL = f"CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) % {HASH_P}"
+
+
+def ngram_hashes(docs: DataFrame, n: int) -> DataFrame:
+    """(doc_id, hset): distinct hashed word-n-grams per document.
+
+    One md5 per n-gram, array-native (no explode before the hash): the
+    corpus-side pass stays inside one whole-stage-codegen projection.
+    """
+    return (
+        docs.select("doc_id", F.trim(F.col("text")).alias("t"))
+        .select("doc_id", "t", F.split("t", r"\s+").alias("ws"))
+        .selectExpr(
+            "doc_id",
+            f"array_distinct(transform({_word_ngrams_spark(n)}, "
+            f"g -> {_HASH_LAMBDA_SPARK})) AS hset",
+        )
+    )
+
+
+_DECONTAM_ORACLE = f"""
+WITH grams AS (
+    SELECT doc_id,
+           list_distinct(list_transform({_word_ngrams_sql(NGRAM_N)},
+                                        g -> {_HASH_SQL})) AS hset
+    FROM documents
+),
+eval_hashes AS (
+    SELECT DISTINCT unnest(hset) AS h FROM grams WHERE doc_id % {EVAL_MOD} = 0
+),
+train AS (
+    SELECT doc_id, unnest(hset) AS h, length(hset) AS n_ngrams
+    FROM grams WHERE doc_id % {EVAL_MOD} <> 0
+)
+SELECT
+    CAST(t.doc_id AS BIGINT)   AS doc_id,
+    CAST(any_value(t.n_ngrams) AS BIGINT) AS n_ngrams,
+    CAST(count(*) AS BIGINT)   AS n_shared,
+    count(*) * 1.0 / any_value(t.n_ngrams) AS contam_rate
+FROM train t JOIN eval_hashes e ON t.h = e.h
+GROUP BY t.doc_id
+"""
+
+
+@register("q_decontaminate_ngram", oracle=_DECONTAM_ORACLE, tags=("text", "decontam"))
+def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs sharing ≥1 word-5-gram with the eval slice
+    (doc_id % 20 == 0), with overlap counts and contamination rate.
+
+    The eval n-gram set is deduped then BROADCAST — at 100 TB the
+    benchmark side is still only MBs of hashes, so the contamination
+    scan is map-only over the corpus: hash n-grams in-place, explode,
+    probe the broadcast hash set, partial-agg per doc. No shuffle of
+    corpus text ever happens; the only full-width aggregate runs on
+    (doc_id, count) pairs.
+
+    The hashed gram table is persisted because both the eval and train
+    branches consume it — without the cache the interpreter-bound
+    n-gram hashing pass (higher-order ``transform`` doesn't codegen)
+    runs twice, doubling the dominant cost. At 100 TB the same role is
+    played by checkpointing the gram table to parquet.
+    """
+    from pyspark import StorageLevel
+
+    grams = ngram_hashes(load_table(spark, sf_dir, "documents"), NGRAM_N).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+
+    eval_hashes = (
+        grams.filter(is_eval)
+        .select(F.explode("hset").alias("h"))
+        .distinct()
+    )
+    train = grams.filter(~is_eval).select(
+        "doc_id", F.size("hset").alias("n_ngrams"), F.explode("hset").alias("h")
+    )
+    return (
+        train.join(F.broadcast(eval_hashes), "h")
+        .groupBy("doc_id")
+        .agg(
+            F.first("n_ngrams").alias("n_ngrams"),
+            F.count(F.lit(1)).alias("n_shared"),
+        )
+        .withColumn("contam_rate", F.col("n_shared") / F.col("n_ngrams"))
+        .select(
+            F.col("doc_id").cast("long"),
+            F.col("n_ngrams").cast("long"),
+            F.col("n_shared").cast("long"),
+            "contam_rate",
+        )
+    )
+
+
+_REPETITION_ORACLE = f"""
+WITH g AS (
+    SELECT doc_id, source, {_word_ngrams_sql(REP_N)} AS grams FROM documents
+)
+SELECT
+    source,
+    CAST(count(*) AS BIGINT) AS n_docs,
+    avg(1.0 - length(list_distinct(grams)) * 1.0 / length(grams)) AS avg_rep_ratio,
+    max(1.0 - length(list_distinct(grams)) * 1.0 / length(grams)) AS max_rep_ratio
+FROM g
+GROUP BY source
+"""
+
+
+@register("q_text_repetition", oracle=_REPETITION_ORACLE, tags=("text", "quality"))
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signal: fraction of duplicated word
+    3-grams per document, aggregated per source (avg + worst doc).
+
+    Entirely map-side (array ops in one projection) + one short-key
+    aggregate on `source` — the cheapest possible quality feature at
+    100 TB. Documents shorter than 3 words have one whole-text "gram"
+    and a ratio of 0, matching the shingle fallback convention.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rep = (
+        docs.select("doc_id", "source", F.trim(F.col("text")).alias("t"))
+        .select("doc_id", "source", "t", F.split("t", r"\s+").alias("ws"))
+        .selectExpr(
+            "source",
+            f"element_at(transform(array({_word_ngrams_spark(REP_N)}), grams -> "
+            "1.0 - size(array_distinct(grams)) / cast(size(grams) AS DOUBLE)"
+            "), 1) AS rep_ratio",
+        )
+    )
+    return rep.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("rep_ratio").alias("avg_rep_ratio"),
+        F.max("rep_ratio").alias("max_rep_ratio"),
+    )

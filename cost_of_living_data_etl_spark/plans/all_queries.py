@@ -1,6 +1,7 @@
 """Import every query-defining module so catalog registration runs."""
 
 from cost_of_living_data_etl_spark.operators import (  # noqa: F401
+    decontam,
     dedup,
     multimodal,
     similarity,

@@ -246,3 +246,73 @@ def q_events_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_errors"),
         )
     )
+
+
+@register(
+    "q_events_funnel",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, min(ts) AS t_view
+        FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, min(e.ts) AS t_click
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'click' AND e.ts >= v.t_view
+        GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(e.ts) AS t_purchase
+        FROM events e JOIN c USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+        GROUP BY e.user_id
+    )
+    SELECT
+        CAST(count(v.user_id) AS BIGINT) AS n_view,
+        CAST(count(c.user_id) AS BIGINT) AS n_view_click,
+        CAST(count(p.user_id) AS BIGINT) AS n_view_click_purchase
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+    tags=("events", "funnel"),
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel view → click → purchase:
+    users counted at stage k only if stage k's event occurs at or after
+    their stage-(k-1) anchor time (first qualifying event).
+
+    Scale shape: every stage aggregates and joins on ``user_id`` — one
+    partitioning reused across all three stages (Catalyst's
+    ReuseExchange + AQE keep the user-id shuffle from re-running), and
+    the final count is a metadata-sized single-row aggregate. No event
+    payload survives past the first projection.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .filter(F.col("ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .filter(F.col("ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        views.join(clicks, "user_id", "left")
+        .join(purchases, "user_id", "left")
+        .agg(
+            F.count("t_view").alias("n_view"),
+            F.count("t_click").alias("n_view_click"),
+            F.count("t_purchase").alias("n_view_click_purchase"),
+        )
+    )

@@ -14,6 +14,7 @@ hand-encodes in its SQL strings (app.py:140,143, S5/S6).
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -54,6 +55,60 @@ class Warehouse:
         of O(history) as the warehouse accretes years of loads.
         """
         df.write.mode("append").partitionBy(*partition_cols).parquet(self.path(table))
+
+    def overwrite_partitions(
+        self, df: DataFrame, table: str, partition_cols: list[str]
+    ) -> None:
+        """Dynamic partition overwrite: replace ONLY the hive
+        partitions present in ``df``, leaving all others untouched.
+
+        This is the idempotent-backfill primitive the reference lacks:
+        its append-only ``write_pandas`` (app.py:195-197) duplicates
+        rows on every re-run of an extract date. With
+        ``partitionOverwriteMode=dynamic``, re-running one
+        ``extract_date`` rewrites exactly that directory — at 100 TB a
+        day's reprocess costs one day's write, not a table rewrite,
+        and is safe to retry.
+        """
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_cols)
+            .parquet(self.path(table))
+        )
+
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        target_files: int = 1,
+        partition_cols: list[str] | None = None,
+    ) -> None:
+        """Small-file compaction: rewrite a table into ``target_files``
+        files (one file per hive partition when ``partition_cols`` is
+        given — each output task then owns whole partition values).
+
+        Streaming/incremental appends accrete thousands of KB-sized
+        files per partition; at 100 TB the resulting driver listing +
+        per-file open overhead dominates scan time. The rewrite stages
+        to a side directory before the swap — same pattern as
+        ``merge_upsert``. On Delta/Iceberg this binds to OPTIMIZE /
+        rewrite_data_files.
+        """
+        import shutil
+        import uuid
+
+        target_path = self.path(table)
+        df = spark.read.parquet(target_path)
+        if partition_cols:
+            compacted = df.repartition(*[F.col(c) for c in partition_cols])
+            writer = compacted.write.mode("overwrite").partitionBy(*partition_cols)
+        else:
+            writer = df.repartition(target_files).write.mode("overwrite")
+        tmp_path = f"{self.root}/.compact-{table}-{uuid.uuid4().hex[:8]}"
+        writer.parquet(tmp_path)
+        shutil.rmtree(target_path)
+        shutil.move(tmp_path, target_path)
 
     def merge_upsert(
         self,

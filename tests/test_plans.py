@@ -169,3 +169,43 @@ def test_pandas_udf_uses_arrow(spark, sf_smoke):
     plan = plan_of(spark, "q_pandas_udf_quality", sf_smoke)
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark, sf_smoke):
+    """With broadcast off (the 100 TB shuffle-join regime), Catalyst
+    injects a bloom filter built from the selective dimension side into
+    the fact scan (`might_contain` on the probe rows) — rows that can't
+    join are dropped BEFORE the shuffle, which is the runtime analogue
+    of the manual pre-join filtering the reference hand-codes."""
+    import pyspark.sql.functions as F
+
+    old = {
+        "spark.sql.autoBroadcastJoinThreshold": spark.conf.get(
+            "spark.sql.autoBroadcastJoinThreshold"
+        ),
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": spark.conf.get(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+        ),
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = spark.read.parquet(f"{sf_smoke}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_smoke}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        jmode = j._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = j._jdf.queryExecution().explainString(jmode)
+        assert "might_contain" in plan  # probe-side runtime filter applied
+        assert "bloom_filter_agg" in plan  # built from the filtered dim
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -121,3 +121,53 @@ def test_bucketed_join_has_zero_exchanges(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_left")
         spark.sql("DROP TABLE IF EXISTS bucketed_right")
+
+
+def test_dynamic_partition_overwrite_is_idempotent(spark, tmp_path):
+    """Re-running one extract date's load replaces only that partition
+    — the idempotent-backfill semantics the reference's append-only
+    write_pandas lacks (re-runs there duplicate rows)."""
+    wh = Warehouse(str(tmp_path / "whd"))
+    day1 = spark.range(0, 100).withColumn("snapshot_date", F.lit("2024-06-01"))
+    day2 = spark.range(0, 200).withColumn("snapshot_date", F.lit("2024-06-02"))
+    wh.overwrite_partitions(day1, "fact_dyn", ["snapshot_date"])
+    wh.overwrite_partitions(day2, "fact_dyn", ["snapshot_date"])
+
+    # re-run day1 (simulating a corrected backfill with fewer rows)
+    day1_fixed = spark.range(0, 50).withColumn("snapshot_date", F.lit("2024-06-01"))
+    wh.overwrite_partitions(day1_fixed, "fact_dyn", ["snapshot_date"])
+
+    df = spark.read.parquet(wh.path("fact_dyn"))
+    counts = {
+        str(r["snapshot_date"]): r["n"]
+        for r in df.groupBy("snapshot_date").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts == {"2024-06-01": 50, "2024-06-02": 200}  # day2 untouched
+
+
+def test_compact_collapses_small_files(spark, tmp_path):
+    """Many tiny appended files → one file per partition after
+    compact(), with identical data."""
+    from pathlib import Path
+
+    wh = Warehouse(str(tmp_path / "whc"))
+    for batch in range(5):  # 5 appends × 8 shuffle partitions of files
+        wh.append_partitioned(
+            spark.range(batch * 10, batch * 10 + 10)
+            .repartition(4)
+            .withColumn("snapshot_date", F.lit("2024-06-01")),
+            "fact_small",
+            ["snapshot_date"],
+        )
+    part_dir = Path(wh.path("fact_small")) / "snapshot_date=2024-06-01"
+    n_before = len(list(part_dir.glob("*.parquet")))
+    assert n_before >= 5
+
+    before = {r["id"] for r in spark.read.parquet(wh.path("fact_small")).collect()}
+    wh.compact(spark, "fact_small", partition_cols=["snapshot_date"])
+
+    part_dir = Path(wh.path("fact_small")) / "snapshot_date=2024-06-01"
+    n_after = len(list(part_dir.glob("*.parquet")))
+    assert n_after == 1
+    after = {r["id"] for r in spark.read.parquet(wh.path("fact_small")).collect()}
+    assert after == before == set(range(50))

@@ -59,6 +59,10 @@ HEADLINE = [
     "q_text_repetition",
     "q_decontaminate_ngram",
     "q_events_funnel",
+    "q_events_retention",
+    "q12_returnflag_priority",
+    "q_word_frequency_topk",
+    "q_tfidf_top_terms",
     "q_text_langid_confusion",
     "q_text_fingerprints",
     "q_ann_bruteforce_topk",

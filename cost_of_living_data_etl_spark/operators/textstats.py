@@ -11,7 +11,7 @@ embarrassingly-parallel pass, no shuffle at all until an aggregate.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.sources.tables import load_table
@@ -356,4 +356,108 @@ def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash fingerprint (min-md5 over stride-4 char 8-grams)."""
     return load_table(spark, sf_dir, "documents").select(
         "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+
+
+@register(
+    "q_word_frequency_topk",
+    oracle="""
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt
+    FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents WHERE trim(text) <> ''
+    )
+    GROUP BY word
+    ORDER BY cnt DESC, word
+    LIMIT 20
+    """,
+    tags=("text", "wordcount", "topk"),
+)
+def q_word_frequency_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide word frequency, top 20 — the canonical vocabulary
+    pass of a training-data pipeline (vocab building, stopword
+    discovery, tokenizer fitting).
+
+    Scale shape: explode happens AFTER projecting away every non-text
+    column, the count is a partial (map-side) aggregate on the word key
+    — the shuffle carries (word, partial_count) pairs, bounded by
+    |vocab| × partitions, not corpus size — and the final top-k is
+    TakeOrderedAndProject (k rows per partition to the driver, no
+    global sort). The (cnt DESC, word) total order makes the k-set
+    deterministic under ties on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.trim(F.col("text")).alias("t"))
+        .filter(F.col("t") != "")
+        .select(F.explode(F.split("t", r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(20)
+    )
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle="""
+    WITH words AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents WHERE trim(text) <> ''
+    ),
+    tf AS (
+        SELECT source, word, count(*) AS tf FROM words GROUP BY source, word
+    ),
+    df AS (
+        SELECT word, count(*) AS df FROM tf GROUP BY word
+    ),
+    n AS (SELECT count(DISTINCT source) AS n_sources FROM words),
+    scored AS (
+        SELECT source, word,
+               tf * ln((n_sources + 1.0) / (df + 1.0)) AS tfidf,
+               row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY tf * ln((n_sources + 1.0) / (df + 1.0)) DESC, word
+               ) AS rn
+        FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT source, word, tfidf FROM scored WHERE rn <= 3
+    """,
+    tags=("text", "tfidf", "window"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 most source-distinctive terms by TF-IDF (tf per source ×
+    smoothed inverse source-frequency) — the standard cheap topical
+    signature for corpus slices (domain mixing, source triage).
+
+    Scale shape: one explode+agg builds the (source, word, tf) table —
+    the only pass over text; df is an agg over that already-tiny table;
+    the 1-row corpus count and the df table broadcast back onto tf, so
+    scoring never reshuffles. The per-source top-3 window compiles to
+    WindowGroupLimit: each shuffle partition keeps ≤3 rows per source
+    before the final rank. Deterministic (score DESC, word) tiebreak on
+    both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select("source", F.trim(F.col("text")).alias("t"))
+        .filter(F.col("t") != "")
+        .select("source", F.explode(F.split("t", r"\s+")).alias("word"))
+    )
+    tf = words.groupBy("source", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = words.agg(F.count_distinct("source").alias("n_sources"))
+    tfidf = F.col("tf") * F.log(
+        (F.col("n_sources") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("tfidf").desc(), F.col("word")
+    )
+    return (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn("tfidf", tfidf)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", "word", "tfidf")
     )

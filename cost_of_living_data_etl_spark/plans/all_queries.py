@@ -2,6 +2,7 @@
 
 from cost_of_living_data_etl_spark.operators import (  # noqa: F401
     decontam,
+    pii,
     dedup,
     multimodal,
     similarity,

@@ -316,3 +316,50 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("t_purchase").alias("n_view_click_purchase"),
         )
     )
+
+
+@register(
+    "q_events_retention",
+    oracle="""
+    WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+    firsts AS (SELECT user_id, min(d) AS cohort_date FROM ev GROUP BY user_id),
+    active AS (SELECT DISTINCT user_id, d FROM ev)
+    SELECT
+        cohort_date,
+        CAST(count(DISTINCT firsts.user_id) AS BIGINT) AS n_users,
+        CAST(count(DISTINCT CASE WHEN date_diff('day', cohort_date, d) = 1
+                                 THEN active.user_id END) AS BIGINT) AS retained_d1,
+        CAST(count(DISTINCT CASE WHEN date_diff('day', cohort_date, d) = 7
+                                 THEN active.user_id END) AS BIGINT) AS retained_d7
+    FROM firsts JOIN active USING (user_id)
+    GROUP BY cohort_date
+    """,
+    tags=("events", "retention", "cohort"),
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users grouped by first-seen date, with
+    day-1 and day-7 return rates.
+
+    Scale shape: the raw event stream collapses to DISTINCT
+    (user_id, day) pairs in the first map+shuffle — at 100 TB that is
+    the only pass over full event data; everything downstream operates
+    on the per-user-day table (~3 orders of magnitude smaller). The
+    firsts/active join and all aggregates share the user_id
+    partitioning, so Catalyst reuses one exchange, and the final
+    per-cohort rollup is metadata-sized.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    active = ev.distinct()
+    off = F.datediff(F.col("d"), F.col("cohort_date"))
+    return (
+        firsts.join(active, "user_id")
+        .groupBy("cohort_date")
+        .agg(
+            F.count_distinct("user_id").alias("n_users"),
+            F.count_distinct(F.when(off == 1, F.col("user_id"))).alias("retained_d1"),
+            F.count_distinct(F.when(off == 7, F.col("user_id"))).alias("retained_d7"),
+        )
+    )

@@ -321,3 +321,51 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# per-language sampling rates (percent) — downsample the dominant
+# language, keep more of the rarer ones: the standard corpus-rebalance
+# move before training-mixture construction.
+STRATA_RATES = {"en": 10, "de": 40, "es": 40, "fr": 40, "zh": 40}
+DEFAULT_RATE = 20
+
+_RATE_CASE_SQL = "CASE lang " + " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in STRATA_RATES.items()
+) + f" ELSE {DEFAULT_RATE} END"
+
+
+@register(
+    "q_stratified_sample_by_lang",
+    oracle=f"""
+    SELECT
+        lang,
+        CAST(count(*) AS BIGINT) AS n_total,
+        CAST(sum(CASE WHEN {_BUCKET_SQL.format(k="doc_id")} < {_RATE_CASE_SQL}
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        CAST(min(CASE WHEN {_BUCKET_SQL.format(k="doc_id")} < {_RATE_CASE_SQL}
+                      THEN doc_id END) AS BIGINT) AS min_sampled_id
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("sampling", "stratified", "deterministic"),
+)
+def q_stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language rates (heavy
+    downsample of the dominant 'en' stratum, lighter elsewhere) via the
+    same hash-bucket predicate as q_deterministic_sample — this is
+    df.sampleBy() made reproducible.
+
+    Scale shape: the rate lookup is a constant CASE expression folded
+    into the scan-stage filter — zero joins, zero extra passes; the
+    only shuffle is the per-language count rollup on a 5-value key.
+    Adding data never resamples old rows (pure function of doc_id), so
+    incremental corpus builds stay consistent across runs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = F.expr(_RATE_CASE_SQL)
+    in_sample = F.expr(_BUCKET_SPARK.format(k="doc_id")) < rate
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.when(in_sample, 1).otherwise(0)).cast("long").alias("n_sampled"),
+        F.min(F.when(in_sample, F.col("doc_id"))).cast("long").alias("min_sampled_id"),
+    )

@@ -635,3 +635,50 @@ def q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count("*").alias("numcust"), F.sum("c_acctbal").alias("totacctbal"))
     )
+
+
+@register(
+    "q12_returnflag_priority",
+    oracle="""
+    SELECT
+        l_returnflag,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+    tags=("join", "conditional-agg"),
+)
+def q12_returnflag_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 adapted: priority mix of late-shipped 1996 lines per
+    return flag (``l_returnflag`` stands in for the shipmode column the
+    fixtures don't carry; lateness is ``l_shipdate > o_orderdate`` as in
+    q4 — module docstring).
+
+    Shape: fact-fact equi-join with the selective shipdate-window filter
+    evaluated at the lineitem SCAN (pushed to parquet), then a
+    conditional partial aggregate on a 3-value key. Only the join keys
+    and two small columns survive the shuffle; at 100 TB the date window
+    prunes most of lineitem before any exchange, and AQE coalesces the
+    tiny post-agg partitions.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )

@@ -63,6 +63,7 @@ HEADLINE = [
     "q12_returnflag_priority",
     "q_word_frequency_topk",
     "q_tfidf_top_terms",
+    "q_histogram_order_values",
     "q_text_langid_confusion",
     "q_text_fingerprints",
     "q_ann_bruteforce_topk",

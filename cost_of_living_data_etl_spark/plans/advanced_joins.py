@@ -354,3 +354,48 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
+
+
+@register(
+    "q_grouped_agg_geomean",
+    oracle="""
+    SELECT
+        o_orderpriority,
+        exp(avg(ln(o_totalprice))) AS geomean_price
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("udf", "grouped-agg", "pandas"),
+)
+def q_grouped_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-AGG pandas_udf (Series → scalar): geometric mean of
+    order value per priority — the UDAF variant of the Arrow UDF
+    surface (scalar pandas_udf, grouped-map, mapInPandas, and UDTF are
+    covered elsewhere; this completes the set).
+
+    The kernel is algebraic (mean of logs), so Spark still runs it as
+    partial aggregates per partition ONLY IF expressed natively — a
+    pandas grouped-agg UDAF instead ships whole groups to Python. That
+    is the documented trade-off: use this path for genuinely
+    non-algebraic kernels (e.g. exact medians of small groups); here
+    the group count is bounded (5 priorities) so the Arrow transfer is
+    small and the demonstration is safe at scale only because the
+    DOMAIN is bounded. The oracle shows the native equivalent.
+    """
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: `from __future__ import annotations`
+    # stringifies hints so the Series->scalar signature can't be
+    # inferred (same reason q_pandas_udf_quality goes hint-less)
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        return float(np.exp(np.log(v).mean()))
+
+    orders = load_table(spark, sf_dir, "orders")
+    # NB: Spark forbids mixing grouped-agg pandas UDFs with native
+    # aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT) — another
+    # reason the native algebraic form wins when it exists.
+    return orders.groupBy("o_orderpriority").agg(
+        geomean("o_totalprice").alias("geomean_price"),
+    )

@@ -216,3 +216,51 @@ def q_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.covar_samp("l_quantity", "l_extendedprice").alias("covar_qty_price"),
         )
     )
+
+
+HIST_LO, HIST_HI, HIST_NBINS = 0.0, 400_000.0, 20
+
+
+@register(
+    "q_histogram_order_values",
+    oracle=f"""
+    SELECT
+        CAST(least(greatest(floor((o_totalprice - {HIST_LO})
+                 / (({HIST_HI} - {HIST_LO}) / {HIST_NBINS})), 0), {HIST_NBINS - 1})
+             AS BIGINT) AS bin_id,
+        CAST(count(*) AS BIGINT) AS n,
+        min(o_totalprice) AS lo,
+        max(o_totalprice) AS hi
+    FROM orders
+    GROUP BY bin_id
+    """,
+    tags=("agg", "histogram"),
+)
+def q_histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order values (20 bins over [0, 400k],
+    clamped at the edges) — the profiling primitive behind data-quality
+    dashboards and skew diagnosis.
+
+    Bin assignment is a pure scan-stage expression (no sort, no
+    window); the shuffle key domain is the BIN COUNT, not the row
+    count, so at 100 TB this is one map pass plus a 20-row exchange —
+    the cheapest possible shape for a full-table distribution profile.
+    """
+    width = (HIST_HI - HIST_LO) / HIST_NBINS
+    bin_id = F.least(
+        F.greatest(
+            F.floor((F.col("o_totalprice") - F.lit(HIST_LO)) / F.lit(width)),
+            F.lit(0),
+        ),
+        F.lit(HIST_NBINS - 1),
+    ).cast("long")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(bin_id.alias("bin_id"), "o_totalprice")
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )

@@ -290,3 +290,42 @@ def write_stream_to_warehouse(
         .option("checkpointLocation", checkpoint)
         .outputMode("update")
     )
+
+
+def enrich_with_user_dim(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: stamp each event with its user's dimension
+    row (segment, region, ...) as it arrives.
+
+    Stream-static joins are STATELESS — no watermark, no state store:
+    each micro-batch hash-joins against the static side, and because a
+    user dimension is small relative to the event firehose the static
+    side is broadcast, so enrichment costs zero shuffles of the
+    stream. The static side is re-read per micro-batch only for
+    file-source tables that change; a cached dimension pins one copy
+    per executor. Left join preserves events for unknown users
+    (late-arriving dimension rows) rather than dropping them — the
+    streaming analogue of the ETL anti-join audit (reference
+    app.py:151-164 silently drops).
+    """
+    return events.join(F.broadcast(user_dim), "user_id", "left")
+
+
+def segment_window_counts(
+    events: DataFrame, user_dim: DataFrame, window: str = "5 minutes"
+) -> DataFrame:
+    """Enriched windowed rollup: events per (segment, tumbling window).
+
+    Composition proof that the stream-static join feeds straight into
+    a watermarked window aggregate — join first (stateless), then the
+    windowed groupBy keys state by (segment, window), tiny domain.
+    """
+    enriched = enrich_with_user_dim(events, user_dim)
+    return (
+        enriched.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.coalesce(F.col("segment"), F.lit("unknown")).alias("segment"),
+            F.window("ts", window).alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("segment", F.col("w.start").alias("window_start"), "n_events")
+    )

@@ -183,3 +183,84 @@ def test_foreachbatch_warehouse_sink(spark, stream_dir, tmp_path):
     out = spark.read.parquet(str(tmp_path / "wh" / "events_clean"))
     assert out.count() == spark.read.parquet(f"{SF}/events.parquet").count()
     assert "ts" in out.columns and "event_id" in out.columns
+
+
+def _user_segment_dim(spark):
+    """Deterministic tiny user dimension: user_id -> segment bucket."""
+    return spark.range(0, 2000).select(
+        F.col("id").alias("user_id"),
+        F.concat(F.lit("seg_"), (F.col("id") % 3).cast("string")).alias("segment"),
+    )
+
+
+def test_stream_static_enrichment_matches_batch(spark, stream_dir):
+    from cost_of_living_data_etl_spark.streaming.events import (
+        enrich_with_user_dim,
+        read_events_stream,
+        segment_window_counts,
+    )
+
+    dim = _user_segment_dim(spark)
+    stream = read_events_stream(spark, stream_dir)
+    name = f"agg_enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        segment_window_counts(stream, dim)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["segment"], r["window_start"], r["n_events"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    batch = (
+        spark.read.schema(
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(stream_dir)
+        .withColumn("ts", F.timestamp_seconds(F.col("ts") / 1_000_000_000))
+    )
+    want = {
+        (r["segment"], r["window_start"], r["n_events"])
+        for r in (
+            batch.join(dim, "user_id", "left")
+            .groupBy(
+                F.coalesce(F.col("segment"), F.lit("unknown")).alias("segment"),
+                F.window("ts", "5 minutes").alias("w"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select("segment", F.col("w.start").alias("window_start"), "n_events")
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stream_static_join_is_broadcast_and_stateless(spark, stream_dir):
+    """The enrichment plan must broadcast the dim (no stream shuffle)
+    and carry no streaming state operator."""
+    from cost_of_living_data_etl_spark.streaming.events import (
+        enrich_with_user_dim,
+        read_events_stream,
+    )
+
+    stream = read_events_stream(spark, stream_dir)
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    q = (
+        enrich_with_user_dim(stream, _user_segment_dim(spark))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    jplan = q._jsq.explainInternal(True)
+    assert "BroadcastHashJoin" in jplan
+    assert "StateStore" not in jplan
+    n = spark.sql(f"SELECT count(*) AS n FROM {name}").collect()[0]["n"]
+    assert n == spark.read.parquet(stream_dir).count()

@@ -176,3 +176,97 @@ class Warehouse:
             .format("parquet")
             .saveAsTable(table)
         )
+
+    def scd2_upsert(
+        self,
+        spark: SparkSession,
+        updates: DataFrame,
+        table: str,
+        key_cols: list[str],
+        change_cols: list[str],
+        as_of: str,
+    ) -> None:
+        """Slowly-changing-dimension Type 2 merge: attribute changes
+        CLOSE the current version (``valid_to = as_of``,
+        ``is_current = false``) and open a new one, instead of
+        overwriting history.
+
+        The reference's dims are static lookups (app.py:140) — when a
+        county is re-mapped its history is silently lost. SCD2 is the
+        standard warehouse answer; this is the copy-on-write plan
+        Delta's ``MERGE WHEN MATCHED``/``WHEN NOT MATCHED`` lowers to:
+
+        - unchanged / historical rows pass through untouched,
+        - current rows whose ``change_cols`` differ from the incoming
+          row are closed,
+        - changed + brand-new keys insert an open version
+          (``valid_from = as_of``, ``valid_to = null``).
+
+        Scale shape: one scan of the target joined (broadcast when the
+        delta is small — the normal case) against the update batch; a
+        dimension rewrite is MBs-to-GBs even when facts are 100 TB.
+        Idempotent for the same ``as_of``: re-running with an already-
+        applied batch changes nothing (the change predicate is false).
+        """
+        import shutil
+        import uuid
+
+        target_path = self.path(table)
+        open_updates = (
+            updates.withColumn("valid_from", F.lit(as_of).cast("date"))
+            .withColumn("valid_to", F.lit(None).cast("date"))
+            .withColumn("is_current", F.lit(True))
+        )
+        try:
+            target = spark.read.parquet(target_path)
+        except Exception:
+            open_updates.write.mode("overwrite").parquet(target_path)
+            return
+
+        change_pred = None  # any tracked attribute differs (null-safe)
+        for c in change_cols:
+            p = ~F.col(f"cur.{c}").eqNullSafe(F.col(f"upd.{c}"))
+            change_pred = p if change_pred is None else (change_pred | p)
+
+        cur = target.filter(F.col("is_current")).alias("cur")
+        upd = F.broadcast(updates.alias("upd"))
+        on = [F.col(f"cur.{k}") == F.col(f"upd.{k}") for k in key_cols]
+
+        # current rows with a differing incoming version → close them
+        closed = (
+            cur.join(upd, on, "inner")
+            .filter(change_pred)
+            .select("cur.*")
+            .withColumn("valid_to", F.lit(as_of).cast("date"))
+            .withColumn("is_current", F.lit(False))
+        )
+        # current rows to keep verbatim: no incoming row, or unchanged
+        kept_current = cur.join(
+            upd.filter(F.lit(True)), on, "left_anti"
+        ).unionByName(
+            cur.join(upd, on, "inner").filter(~change_pred).select("cur.*")
+        )
+        historical = target.filter(~F.col("is_current"))
+
+        # incoming rows that actually open a new version: new keys, or
+        # keys whose current row differs
+        new_keys = upd.join(cur, on, "left_anti").select("upd.*")
+        changed_new = (
+            upd.join(cur, on, "inner").filter(change_pred).select("upd.*")
+        )
+        opened = (
+            new_keys.unionByName(changed_new)
+            .withColumn("valid_from", F.lit(as_of).cast("date"))
+            .withColumn("valid_to", F.lit(None).cast("date"))
+            .withColumn("is_current", F.lit(True))
+        )
+
+        merged = (
+            historical.unionByName(kept_current)
+            .unionByName(closed)
+            .unionByName(opened)
+        )
+        tmp_path = f"{self.root}/.scd2-{table}-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(tmp_path)
+        shutil.rmtree(target_path)
+        shutil.move(tmp_path, target_path)

@@ -171,3 +171,69 @@ def test_compact_collapses_small_files(spark, tmp_path):
     assert n_after == 1
     after = {r["id"] for r in spark.read.parquet(wh.path("fact_small")).collect()}
     assert after == before == set(range(50))
+
+
+def test_scd2_upsert_versions_history(spark, tmp_path):
+    """Type-2 dimension merge: changed attributes close the old
+    version and open a new one; unchanged and absent keys are
+    untouched; re-applying the same batch is a no-op."""
+    wh = Warehouse(str(tmp_path / "whs"))
+    dim_v1 = spark.createDataFrame(
+        [(1, "Kent", "DE"), (2, "Sussex", "DE"), (3, "New Castle", "DE")],
+        ["location_id", "county", "state"],
+    )
+    wh.scd2_upsert(spark, dim_v1, "dim_location", ["location_id"],
+                   ["county", "state"], as_of="2024-01-01")
+
+    # day 2: county 2 renamed, county 4 appears, 1 and 3 unchanged
+    dim_v2 = spark.createDataFrame(
+        [(1, "Kent", "DE"), (2, "Sussex Renamed", "DE"), (4, "Ocean", "MD")],
+        ["location_id", "county", "state"],
+    )
+    wh.scd2_upsert(spark, dim_v2, "dim_location", ["location_id"],
+                   ["county", "state"], as_of="2024-06-01")
+
+    rows = {
+        (r["location_id"], r["county"], str(r["valid_from"]),
+         str(r["valid_to"]), r["is_current"])
+        for r in spark.read.parquet(wh.path("dim_location")).collect()
+    }
+    assert (2, "Sussex", "2024-01-01", "2024-06-01", False) in rows  # closed
+    assert (2, "Sussex Renamed", "2024-06-01", "None", True) in rows  # reopened
+    assert (1, "Kent", "2024-01-01", "None", True) in rows  # untouched
+    assert (3, "New Castle", "2024-01-01", "None", True) in rows  # absent from batch
+    assert (4, "Ocean", "2024-06-01", "None", True) in rows  # brand new
+    assert len(rows) == 5
+
+    # idempotence: re-apply the same batch → nothing changes
+    wh.scd2_upsert(spark, dim_v2, "dim_location", ["location_id"],
+                   ["county", "state"], as_of="2024-06-01")
+    rows2 = {
+        (r["location_id"], r["county"], str(r["valid_from"]),
+         str(r["valid_to"]), r["is_current"])
+        for r in spark.read.parquet(wh.path("dim_location")).collect()
+    }
+    assert rows2 == rows
+
+
+def test_scd2_point_in_time_lookup(spark, tmp_path):
+    """The version table answers as-of queries: which county name was
+    current on a given date (valid_from <= d < valid_to-or-open)."""
+    wh = Warehouse(str(tmp_path / "whp"))
+    v1 = spark.createDataFrame([(2, "Sussex", "DE")], ["location_id", "county", "state"])
+    v2 = spark.createDataFrame([(2, "Sussex Renamed", "DE")], ["location_id", "county", "state"])
+    wh.scd2_upsert(spark, v1, "dim", ["location_id"], ["county"], as_of="2024-01-01")
+    wh.scd2_upsert(spark, v2, "dim", ["location_id"], ["county"], as_of="2024-06-01")
+
+    dim = spark.read.parquet(wh.path("dim"))
+
+    def as_of(d):
+        return (
+            dim.filter(
+                (F.col("valid_from") <= F.lit(d).cast("date"))
+                & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(d).cast("date")))
+            ).select("county").collect()
+        )
+
+    assert [r["county"] for r in as_of("2024-03-15")] == ["Sussex"]
+    assert [r["county"] for r in as_of("2024-07-01")] == ["Sussex Renamed"]

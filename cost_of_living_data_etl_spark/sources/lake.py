@@ -48,3 +48,30 @@ def read_lake_csv(
         .option("recursiveFileLookup", True)
         .csv(path)
     )
+
+
+def read_lake_jsonl(
+    spark: SparkSession,
+    lake_root: str,
+    category: str,
+    extract_date: str,
+    schema: StructType,
+) -> DataFrame:
+    """JSON-lines variant of the lake read — same layout contract
+    (date-partition prefix + category glob), for feeds that land as
+    newline-delimited JSON instead of CSV.
+
+    The explicit schema matters even more than for CSV: schema
+    inference on JSON is a FULL extra pass over the data (Spark reads
+    everything once just to guess types) — at 100 TB that doubles
+    ingest cost and can mis-type sparse fields from whichever files
+    the sample hits. Malformed lines go to ``_corrupt_record`` under
+    the default PERMISSIVE mode instead of failing the load.
+    """
+    path = f"{lake_root}/{LAKE_PREFIX}/{extract_date}"
+    return (
+        spark.read.schema(schema)
+        .option("pathGlobFilter", f"*{category}*")
+        .option("recursiveFileLookup", True)
+        .json(path)
+    )

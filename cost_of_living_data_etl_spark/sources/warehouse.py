@@ -270,3 +270,31 @@ class Warehouse:
         merged.write.mode("overwrite").parquet(tmp_path)
         shutil.rmtree(target_path)
         shutil.move(tmp_path, target_path)
+
+    def save_sorted(
+        self,
+        df: DataFrame,
+        table: str,
+        sort_cols: list[str],
+        n_files: int = 8,
+    ) -> None:
+        """Range-clustered, sorted-within-file layout for data
+        skipping: rows are range-partitioned on ``sort_cols`` (each
+        output file owns a contiguous key range) and sorted inside
+        each file (each parquet ROW GROUP owns a sub-range).
+
+        Selective filters on the sort key then prune at two levels
+        with zero query-side cost: non-matching files are skipped via
+        their footer min/max, and inside the one matching file the
+        reader skips non-matching row groups. On a 100 TB fact table
+        this turns point/range lookups from full scans into a handful
+        of row groups — the poor man's Z-order, and the single highest-
+        leverage layout decision after partitioning. Verified by scan
+        numOutputRows in tests/test_warehouse_layout.py.
+        """
+        (
+            df.repartitionByRange(n_files, *[F.col(c) for c in sort_cols])
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+            .parquet(self.path(table))
+        )

@@ -237,3 +237,94 @@ def test_scd2_point_in_time_lookup(spark, tmp_path):
 
     assert [r["county"] for r in as_of("2024-03-15")] == ["Sussex"]
     assert [r["county"] for r in as_of("2024-07-01")] == ["Sussex Renamed"]
+
+
+def _scan_output_rows(df) -> int:
+    """numOutputRows of the parquet FileScan node after an action —
+    rows actually DECODED by the reader (post row-group skipping)."""
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan()
+
+    def walk(node):
+        name = node.nodeName()
+        if "Scan" in name and "parquet" in node.toString().lower():
+            m = node.metrics().get("numOutputRows")
+            if not m.isEmpty():
+                return m.get().value()
+        for i in range(node.children().size()):
+            got = walk(node.children().apply(i))
+            if got is not None:
+                return got
+        return None
+
+    return walk(plan)
+
+
+def test_sorted_layout_skips_row_groups(spark, tmp_path):
+    """save_sorted clusters the key range per file AND per row group,
+    so a selective key-range filter decodes a small fraction of the
+    table; the same data in random layout decodes everything."""
+    wh = Warehouse(str(tmp_path / "whsort"))
+    n = 200_000
+    base = (
+        spark.range(0, n)
+        .withColumn("k", F.pmod(F.col("id") * 7919, F.lit(n)))  # shuffle keys
+        .withColumn("payload", F.md5(F.col("id").cast("string")))
+    )
+    # force small row groups so sf-scale data has >1 group per file
+    spark.conf.set("spark.hadoop.parquet.block.size", 64 * 1024)
+    try:
+        wh.save_sorted(base, "fact_sorted", ["k"], n_files=8)
+        base.repartition(8).write.mode("overwrite").parquet(wh.path("fact_random"))
+    finally:
+        spark.conf.unset("spark.hadoop.parquet.block.size")
+
+    pred = (F.col("k") >= 1000) & (F.col("k") < 1100)  # 0.05% of keys
+    sorted_rows = _scan_output_rows(
+        spark.read.parquet(wh.path("fact_sorted")).filter(pred)
+    )
+    random_rows = _scan_output_rows(
+        spark.read.parquet(wh.path("fact_random")).filter(pred)
+    )
+    # both return the same answer…
+    assert (
+        spark.read.parquet(wh.path("fact_sorted")).filter(pred).count()
+        == spark.read.parquet(wh.path("fact_random")).filter(pred).count()
+        == 100
+    )
+    # …but the sorted layout decodes a small fraction of the rows
+    assert sorted_rows is not None and random_rows is not None
+    assert random_rows > n * 0.9
+    assert sorted_rows < random_rows / 5  # ≥5x fewer rows decoded
+
+
+def test_read_lake_jsonl(spark, tmp_path):
+    """JSONL lake feed: same prefix/glob contract as CSV, explicit
+    schema (no inference pass), permissive corrupt-record handling."""
+    import json as _json
+
+    from cost_of_living_data_etl_spark.sources.lake import read_lake_jsonl
+
+    d = tmp_path / "lake" / "real_estate" / "cost_of_living" / "2024-06-01"
+    d.mkdir(parents=True)
+    rows = [
+        {"county": "Kent", "usd_amount": "1,234.56"},
+        {"county": "Sussex", "usd_amount": "99.50"},
+    ]
+    (d / "part_living_wage_0.jsonl").write_text(
+        "\n".join(_json.dumps(r) for r in rows)
+    )
+    (d / "part_expenses_0.jsonl").write_text(
+        _json.dumps({"county": "IGNORED", "usd_amount": "0"})
+    )
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("county", StringType()), StructField("usd_amount", StringType())]
+    )
+    df = read_lake_jsonl(
+        spark, str(tmp_path / "lake"), "living_wage", "2024-06-01", schema
+    )
+    got = {(r["county"], r["usd_amount"]) for r in df.collect()}
+    assert got == {("Kent", "1,234.56"), ("Sussex", "99.50")}  # glob excluded expenses

@@ -55,6 +55,7 @@ HEADLINE = [
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
     "q_dedup_clusters",
+    "q_dedup_incremental_batch",
     "q_text_quality_by_source",
     "q_text_repetition",
     "q_decontaminate_ngram",

@@ -238,31 +238,54 @@ def minhash_pair_plan(
     from pyspark import StorageLevel
 
     docs = load_table(spark, sf_dir, "documents")
+    mh = minhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    return neardup_pairs_from_sigs(mh, max_bucket=max_bucket)
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, hset, mh0..mhN): hashed shingle set + minhash signature
+    per document — one map-only projection, no shuffle.
+
+    One md5 per shingle inside transform(); minhash per permutation as
+    array_min over the hashed set (min is duplicate-insensitive, so
+    hset and the raw hash array give identical signatures). This is
+    the table to PERSIST (warehouse parquet at 100 TB): it is ~100
+    bytes/doc vs KBs of text, and every downstream near-dup consumer —
+    full pair mining, clustering, and incremental batch dedup — reads
+    it instead of re-shingling the corpus.
+    """
     sh = shingle_docs(docs)
-    # one md5 per shingle inside transform(); minhash per permutation
-    # as array_min over the hashed set (min is duplicate-insensitive,
-    # so hset and the raw hash array give identical signatures)
-    mh = (
-        sh.selectExpr(
-            "doc_id",
-            f"array_distinct(transform(shingles, s -> {_SHINGLE_H_LAMBDA})) AS hset",
-        )
-        .selectExpr(
-            "doc_id",
-            "hset",
-            *[
-                f"array_min(transform(hset, h -> ({_PERM_A[j]} * h + {_PERM_B[j]}) "
-                f"% {MINHASH_P})) AS mh{j}"
-                for j in range(NUM_PERM)
-            ],
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    return sh.selectExpr(
+        "doc_id",
+        f"array_distinct(transform(shingles, s -> {_SHINGLE_H_LAMBDA})) AS hset",
+    ).selectExpr(
+        "doc_id",
+        "hset",
+        *[
+            f"array_min(transform(hset, h -> ({_PERM_A[j]} * h + {_PERM_B[j]}) "
+            f"% {MINHASH_P})) AS mh{j}"
+            for j in range(NUM_PERM)
+        ],
     )
 
+
+def neardup_pairs_from_sigs(
+    mh: DataFrame,
+    max_bucket: int | None = None,
+    touching_only: str | None = None,
+) -> DataFrame:
+    """Band-join + Jaccard-verify over an existing signature table.
+
+    ``touching_only``: name of a boolean column in ``mh``; when given,
+    only pairs where at least one side has it true are mined — the
+    incremental-dedup path (new batch vs corpus) where corpus-internal
+    pairs are already known and must not be recomputed.
+    """
     # one row → BANDS rows via posexplode: minhashes computed once per
     # doc (a union of per-band branches would recompute them per band)
+    band_cols = ["doc_id"] + ([touching_only] if touching_only else [])
     bands = mh.select(
-        "doc_id",
+        *band_cols,
         F.posexplode(
             F.array(*[F.expr(_band_hash_spark(b)) for b in range(BANDS)])
         ).alias("band_idx", "band_hash"),
@@ -280,13 +303,17 @@ def minhash_pair_plan(
         bands = bands.join(w_ok, ["band_idx", "band_hash"], "left_semi")
 
     a, bb = bands.alias("a"), bands.alias("b")
-    candidates = (
-        a.join(
-            bb,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    join_cond = (
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    if touching_only:
+        join_cond = join_cond & (
+            F.col(f"a.{touching_only}") | F.col(f"b.{touching_only}")
         )
+    candidates = (
+        a.join(bb, join_cond)
         .select(
             F.col("a.doc_id").alias("doc_id_1"),
             F.col("b.doc_id").alias("doc_id_2"),
@@ -565,3 +592,41 @@ def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), F.col("doc_id"))
         .limit(10)
     )
+
+
+NEW_BATCH_MOD = 10  # doc_id % 10 == 0 → today's incoming batch
+
+
+_INCREMENTAL_ORACLE = f"""
+SELECT doc_id_1, doc_id_2, jaccard FROM ({_MINHASH_ORACLE}) p
+WHERE doc_id_1 % {NEW_BATCH_MOD} = 0 OR doc_id_2 % {NEW_BATCH_MOD} = 0
+"""
+
+
+@register(
+    "q_dedup_incremental_batch",
+    oracle=_INCREMENTAL_ORACLE,
+    tags=("dedup", "minhash", "incremental"),
+)
+def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: mine ONLY pairs touching today's batch
+    (``doc_id % 10 == 0`` stands in for the new partition) — batch-vs-
+    corpus and batch-internal pairs; corpus-internal pairs are already
+    known from previous runs and are never recomputed.
+
+    This is the operation a daily 100 TB corpus build actually runs:
+    signatures for the historical corpus come from the PERSISTED
+    signature table (minhash_signatures written to warehouse parquet —
+    ~100 bytes/doc), so the per-day cost is (a) a map-only signature
+    pass over the NEW data only, (b) a band join whose probe side is
+    the day's batch, (c) Jaccard verification against stored hash
+    sets. The corpus text is never re-read. Here both sides derive
+    from the fixture table so the DuckDB oracle can verify the exact
+    pair set; the plan shape is identical when the corpus half comes
+    from parquet.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs).withColumn(
+        "is_new", F.col("doc_id") % NEW_BATCH_MOD == 0
+    )
+    return neardup_pairs_from_sigs(sigs, touching_only="is_new")

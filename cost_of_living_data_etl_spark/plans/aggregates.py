@@ -264,3 +264,164 @@ def q_histogram_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@register(
+    "q_dq_violations_report",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'orders_null_custkey' AS check_name,
+               CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+        FROM orders
+        UNION ALL
+        SELECT 'orders_nonpositive_price',
+               CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orders_dup_orderkey',
+               CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        FROM orders
+        UNION ALL
+        SELECT 'orders_orphan_custkey',
+               CAST(count(*) AS BIGINT)
+        FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        WHERE c_custkey IS NULL
+        UNION ALL
+        SELECT 'lineitem_orphan_orderkey',
+               CAST(count(*) AS BIGINT)
+        FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+        WHERE o_orderkey IS NULL
+        UNION ALL
+        SELECT 'lineitem_discount_range',
+               CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM lineitem
+    )
+    """,
+    tags=("quality", "constraints", "audit"),
+)
+def q_dq_violations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations report: null keys, domain violations,
+    primary-key duplicates, and referential orphans across the star
+    schema in one pass per table — the load-gate audit the reference
+    lacks entirely (it returns 200 unconditionally, app.py:199).
+
+    Scale shape: the column checks per table fuse into ONE scan with
+    conditional partial aggregates (6 checks ≠ 6 scans); the FK checks
+    are anti-join shaped (count of probe rows with no build match),
+    with the dim side broadcast when small. Output is one row per
+    check — metadata-sized, cheap to gate a 100 TB load on.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    order_checks = orders.agg(
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("orders_null_custkey"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("orders_nonpositive_price"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey")))
+        .cast("long")
+        .alias("orders_dup_orderkey"),
+    )
+    li_checks = lineitem.agg(
+        F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0))
+        .cast("long")
+        .alias("lineitem_discount_range"),
+    )
+    orphan_orders = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("orders_orphan_custkey"))
+    )
+    orphan_lines = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("lineitem_orphan_orderkey"))
+    )
+
+    # melt each 1-row aggregate into (check_name, n_violations) rows
+    def melt(df):
+        cols = df.columns
+        stack = ", ".join(f"'{c}', {c}" for c in cols)
+        return df.selectExpr(
+            f"stack({len(cols)}, {stack}) AS (check_name, n_violations)"
+        )
+
+    return (
+        melt(order_checks)
+        .unionByName(melt(li_checks))
+        .unionByName(melt(orphan_orders))
+        .unionByName(melt(orphan_lines))
+    )
+
+
+WINSOR_LO, WINSOR_HI = 0.01, 0.99
+
+
+@register(
+    "q_winsorized_stats",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT
+            c_mktsegment AS seg,
+            quantile_cont(o_totalprice, {WINSOR_LO}) AS lo,
+            quantile_cont(o_totalprice, {WINSOR_HI}) AS hi
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1
+    )
+    SELECT
+        c_mktsegment,
+        CAST(count(*) AS BIGINT) AS n_orders,
+        avg(o_totalprice) AS raw_avg,
+        avg(least(greatest(o_totalprice, lo), hi)) AS winsor_avg,
+        CAST(sum(CASE WHEN o_totalprice < lo OR o_totalprice > hi
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN bounds ON c_mktsegment = seg
+    GROUP BY c_mktsegment
+    """,
+    tags=("quality", "winsorize", "percentile"),
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (P1/P99-clipped) average order value per market
+    segment vs the raw average — the standard outlier-robust cleaning
+    step before statistics or model features.
+
+    Two passes over the joined fact: one computes exact per-segment
+    percentile bounds (tiny result: one row per segment), which then
+    broadcast back onto the fact for the clipped aggregate. At 100 TB
+    swap exact `percentile` for `approx_percentile` (t-digest sketch,
+    single pass, mergeable map-side) — the code shape is unchanged.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = orders.join(customer, orders.o_custkey == customer.c_custkey).select(
+        "c_mktsegment", "o_totalprice"
+    )
+    bounds = joined.groupBy(F.col("c_mktsegment").alias("seg")).agg(
+        F.expr(f"percentile(o_totalprice, {WINSOR_LO})").alias("lo"),
+        F.expr(f"percentile(o_totalprice, {WINSOR_HI})").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    return (
+        joined.join(F.broadcast(bounds), joined.c_mktsegment == bounds.seg)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.avg("o_totalprice").alias("raw_avg"),
+            F.avg(clipped).alias("winsor_avg"),
+            F.sum(
+                F.when(
+                    (F.col("o_totalprice") < F.col("lo"))
+                    | (F.col("o_totalprice") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_clipped"),
+        )
+    )

@@ -126,3 +126,59 @@ def test_identical_texts_get_identical_shingles(spark, texts):
     sh = {r["doc_id"]: r["shingles"] for r in shingle_docs(docs).collect()}
     for i in range(n):
         assert sh[i] == sh[i + n]
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="ascii", exclude_characters="\x00"
+            ),
+            min_size=0,
+            max_size=80,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_pii_redaction_is_idempotent(spark, texts):
+    """redact(redact(x)) == redact(x): replacement tokens contain no
+    characters any detector matches, so a second pass is a no-op —
+    the property that makes re-running a scrub job safe."""
+    from cost_of_living_data_etl_spark.operators.pii import redact_pii
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["i", "text"]
+    )
+    out = df.select(
+        "i",
+        redact_pii(F.col("text")).alias("once"),
+        redact_pii(redact_pii(F.col("text"))).alias("twice"),
+    )
+    assert all(r["once"] == r["twice"] for r in out.collect())
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=100,
+    )
+)
+def test_histogram_bins_partition_all_rows(spark, values):
+    """Clamped equi-width binning loses no rows: bin counts sum to the
+    row count and every bin id is in [0, nbins)."""
+    lo, hi, nbins = 0.0, 400_000.0, 20
+    width = (hi - lo) / nbins
+    df = spark.createDataFrame([(v,) for v in values], ["x"])
+    bin_id = F.least(
+        F.greatest(F.floor((F.col("x") - F.lit(lo)) / F.lit(width)), F.lit(0)),
+        F.lit(nbins - 1),
+    ).cast("long")
+    rows = df.select(bin_id.alias("b")).groupBy("b").count().collect()
+    assert sum(r["count"] for r in rows) == len(values)
+    assert all(0 <= r["b"] < nbins for r in rows)

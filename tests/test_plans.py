@@ -209,3 +209,49 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_smoke):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_decontamination_broadcasts_eval_hashes(spark, sf_smoke):
+    """The eval n-gram set (MBs even at 100 TB corpora) must broadcast
+    — a shuffled join here would move the whole training corpus's
+    exploded gram stream through an exchange keyed on gram hash."""
+    plan = plan_of(spark, "q_decontaminate_ngram", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_winsorize_broadcasts_bounds(spark, sf_smoke):
+    """Per-segment P1/P99 bounds are a handful of rows; they broadcast
+    back onto the fact instead of re-shuffling it."""
+    plan = plan_of(spark, "q_winsorized_stats", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_wordcount_topk_avoids_global_sort(spark, sf_smoke):
+    """Global top-20 words compiles to TakeOrderedAndProject (per-
+    partition heaps + driver merge), never a full sort of the vocab."""
+    plan = plan_of(spark, "q_word_frequency_topk", sf_smoke)
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort [cnt" not in plan or "global=true" not in plan.split("Sort [cnt")[1][:80]
+
+
+def test_tfidf_topk_uses_window_group_limit(spark, sf_smoke):
+    """Per-source top-3 terms prunes to ≤3 rows per source per
+    partition BEFORE the window shuffle (WindowGroupLimit)."""
+    plan = plan_of(spark, "q_tfidf_top_terms", sf_smoke)
+    assert "WindowGroupLimit" in plan
+
+
+def test_q12_pushes_shipdate_window_to_scan(spark, sf_smoke):
+    """The 1996 shipdate window must reach the lineitem parquet scan
+    (PushedFilters) — it removes ~6/7 of the fact before the join."""
+    plan = plan_of(spark, "q12_returnflag_priority", sf_smoke)
+    m = re.search(r"PushedFilters: \[[^\]]*l_shipdate[^\]]*\]", plan)
+    assert m, "no shipdate pushdown at scan"
+
+
+def test_stratified_sample_filter_is_scan_stage(spark, sf_smoke):
+    """The per-stratum hash predicate evaluates in the scan stage — no
+    join against a rate table, no extra exchange before the rollup."""
+    plan = plan_of(spark, "q_stratified_sample_by_lang", sf_smoke)
+    assert "Join" not in plan  # rate CASE is folded into the filter
+    assert plan.count("Exchange") <= 2  # final 5-key rollup (+AQE read)

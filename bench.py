@@ -74,6 +74,8 @@ HEADLINE = [
     "q_pack_sequences",
     "q_quality_percentile_filter",
     "q_embedding_dim_stats",
+    "q_heavy_hitter_words",
+    "q_sketch_rollup_customers",
 ]
 
 

@@ -1,0 +1,294 @@
+"""Sketch-based operators: bounded-memory heavy hitters and mergeable
+HyperLogLog rollup tables.
+
+These are the two patterns a 100 TB pipeline reaches for when the KEY
+SPACE itself is too large to shuffle or hold exactly:
+
+- **Heavy hitters (two-pass candidate/verify)**: a full
+  ``groupBy(key).count()`` shuffles one record per distinct key — fine
+  for a vocabulary, fatal for a web-scale token/URL/user space. Pass 1
+  builds a truncated per-partition summary (top-C keys + an error
+  bound) in one map-only Arrow pass; merging the tiny summaries yields
+  a provable UPPER bound on every key's global count, so keys whose
+  upper bound clears the threshold form a small candidate superset
+  that is guaranteed to contain every true heavy hitter. Pass 2
+  re-scans with a broadcast semi-join on the candidates and counts
+  them EXACTLY — so the final answer is exact and oracle-checkable,
+  while the shuffle never carries more than |candidates| keys.
+  (SpaceSaving/Misra-Gries summaries have the same (est, err) merge
+  contract and swap in when even a partition's distinct set exceeds
+  memory; the fixtures' partitions fit, so the summary here is
+  exact-then-truncate, which gives the tightest bound.)
+
+- **HLL sketch rollup**: ``hll_sketch_agg`` (Datasketches HLL)
+  produces a fixed-size binary sketch per group that is *mergeable*:
+  unioning the sketches of A and B estimates |A ∪ B| within the same
+  error bound as sketching A ∪ B directly (the registers merge
+  exactly; only the estimator mode can differ for tiny inputs).
+  Persist per-(day, dim) sketches once, then answer any coarser
+  rollup (per-month, per-dim, grand total) by ``hll_union_agg`` over
+  the sketch table — no re-scan of raw data, ever. This is the
+  incremental-analytics pattern: each new ingest batch appends its
+  sketches and every historical rollup stays queryable at sketch
+  cost.
+
+The reference has no aggregation layer at all (SURVEY §2.5 — verified
+absent, reference app.py:1-206); both operators are north-star
+extensions sized for the 100 TB target.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# heavy hitters: truncated per-partition summaries → candidate superset →
+# exact verify pass
+# ---------------------------------------------------------------------------
+
+SUMMARY_SCHEMA = "key string, cnt long, part_total long, part_err long, pid int"
+
+
+def partition_summaries(keys: DataFrame, capacity: int) -> DataFrame:
+    """Per-partition truncated count summaries of ``keys`` (single
+    string column named ``key``).
+
+    Each output row is one of the partition's top-``capacity`` keys by
+    exact in-partition count, annotated with:
+
+    - ``part_total``: the partition's total row count (exact),
+    - ``part_err``: the (capacity+1)-th count — an upper bound on the
+      in-partition count of any key ABSENT from this summary (0 when
+      the partition has ≤ capacity distinct keys),
+    - ``pid``: the physical partition id, so per-partition constants
+      can be recovered with a distinct-on-pid aggregate.
+
+    One Arrow-batched map pass, no shuffle; output size is at most
+    ``capacity × num_partitions`` rows regardless of key cardinality.
+    """
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict[str, int] = {}
+        pid = -1
+        total = 0
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            pid = int(pdf["pid"].iloc[0])
+            total += len(pdf)
+            for k, c in pdf["key"].value_counts().items():
+                counts[k] = counts.get(k, 0) + int(c)
+        if not counts:
+            return
+        top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        kept = top[:capacity]
+        err = top[capacity][1] if len(top) > capacity else 0
+        yield pd.DataFrame(
+            {
+                "key": [k for k, _ in kept],
+                "cnt": [c for _, c in kept],
+                "part_total": total,
+                "part_err": err,
+                "pid": pid,
+            }
+        )
+
+    return keys.withColumn("pid", F.spark_partition_id()).mapInPandas(
+        summarize, SUMMARY_SCHEMA
+    )
+
+
+def heavy_hitter_candidates(summaries: DataFrame, min_share: float) -> DataFrame:
+    """Keys whose global-count UPPER BOUND reaches ``min_share`` of the
+    total row count — a guaranteed superset of the true heavy hitters.
+
+    For key k: true_count(k) = Σ_p count_p(k). In partitions where k
+    appears in the summary, count_p(k) is exact; where it is absent,
+    count_p(k) ≤ part_err_p. Hence
+
+        true_count(k) ≤ Σ_present cnt + (TOTAL_ERR − Σ_present part_err)
+
+    with TOTAL_ERR = Σ_p part_err_p. Both Σ_p constants come from a
+    distinct-on-pid aggregate of the (tiny) summary table itself, so no
+    extra scan of the raw data is needed.
+    """
+    per_part = summaries.select("pid", "part_total", "part_err").distinct()
+    totals = per_part.agg(
+        F.sum("part_total").alias("n_total"),
+        F.sum("part_err").alias("total_err"),
+    )
+    return (
+        summaries.groupBy("key")
+        .agg(
+            F.sum("cnt").alias("present_cnt"),
+            F.sum("part_err").alias("present_err"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "upper_bound",
+            F.col("present_cnt") + (F.col("total_err") - F.col("present_err")),
+        )
+        .filter(F.col("upper_bound") >= F.col("n_total") * F.lit(min_share))
+        .select("key", "upper_bound", "n_total")
+    )
+
+
+def safe_capacity(min_share: float) -> int:
+    """Smallest summary capacity for which the candidate set is a
+    guaranteed superset of the true heavy hitters.
+
+    With capacity C, the (C+1)-th in-partition count satisfies
+    err_p ≤ n_p/(C+1), so TOTAL_ERR ≤ n/(C+1). With C ≥ 1/min_share
+    that is strictly below the threshold n·min_share — hence every true
+    heavy hitter must surface in at least one summary (a key absent
+    from ALL summaries has true count ≤ TOTAL_ERR < threshold).
+    Below this floor the guarantee genuinely fails: a key trimmed from
+    every partition's top-C can still hold min_share of the total.
+    """
+    import math
+
+    return math.ceil(1.0 / min_share)
+
+
+def exact_heavy_hitters(
+    keys: DataFrame, min_share: float, capacity: int = 64
+) -> DataFrame:
+    """Keys with exact global count ≥ min_share × total, computed
+    without ever shuffling the full key space.
+
+    Pass 1 (map-only): truncated per-partition summaries → candidate
+    superset (provably contains every true heavy hitter — ``capacity``
+    is floored at ``safe_capacity(min_share)``, the bound that makes
+    the superset claim hold). Pass 2: broadcast-semi-join the
+    candidates onto the raw keys and count exactly; the shuffle carries
+    only candidate keys. Returns (key, cnt, share) — exact values, so
+    the result is independent of ``capacity`` and oracle-checkable
+    against plain GROUP BY/HAVING.
+    """
+    summaries = partition_summaries(keys, max(capacity, safe_capacity(min_share)))
+    cand = heavy_hitter_candidates(summaries, min_share)
+    return (
+        keys.join(F.broadcast(cand.select("key")), "key", "left_semi")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(
+            F.broadcast(cand.select("n_total").distinct())
+        )
+        .filter(F.col("cnt") >= F.col("n_total") * F.lit(min_share))
+        .select(
+            "key",
+            "cnt",
+            (F.col("cnt") / F.col("n_total")).alias("share"),
+        )
+    )
+
+
+@register(
+    "q_heavy_hitter_words",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS key
+        FROM documents WHERE trim(text) <> ''
+    ),
+    n AS (SELECT count(*) AS n_total FROM words)
+    SELECT key,
+           CAST(count(*) AS BIGINT)        AS cnt,
+           count(*) * 1.0 / max(n.n_total) AS share
+    FROM words CROSS JOIN n
+    GROUP BY key
+    HAVING count(*) >= max(n.n_total) * 0.005
+    """,
+    tags=("sketch", "heavy-hitters", "text"),
+)
+def q_heavy_hitter_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokens holding ≥0.5% of the corpus token mass, via the two-pass
+    candidate/verify heavy-hitter operator (see module docstring).
+
+    The result is EXACT (pass 2 recounts candidates), which is what
+    makes a DuckDB GROUP BY/HAVING oracle possible for a sketch-backed
+    plan. At 100 TB the win is that neither pass shuffles the
+    vocabulary: pass 1 is map-only, pass 2 shuffles only the handful
+    of candidate tokens.
+    """
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.trim(F.col("text")).alias("t"))
+        .filter(F.col("t") != "")
+        .select(F.explode(F.split("t", r"\s+")).alias("key"))
+    )
+    return exact_heavy_hitters(words, min_share=0.005, capacity=64)
+
+
+# ---------------------------------------------------------------------------
+# HLL sketch rollup: persisted per-day sketches, union-merged rollups
+# ---------------------------------------------------------------------------
+
+
+def build_hll_rollup(
+    df: DataFrame, group_cols: list[str], distinct_col: str, lgk: int = 12
+) -> DataFrame:
+    """Fine-grained sketch table: one Datasketches-HLL binary sketch of
+    ``distinct_col`` per ``group_cols`` cell, plus the exact row count.
+
+    Intended to be PERSISTED (parquet handles the binary column); each
+    ingest batch appends its cells and coarser rollups are answered by
+    ``merge_hll_rollup`` without re-reading raw data.
+    """
+    return df.groupBy(*group_cols).agg(
+        F.hll_sketch_agg(distinct_col, F.lit(lgk)).alias("hll_sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def merge_hll_rollup(sketches: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Roll a sketch table up to coarser ``group_cols``: union the
+    sketches (register-exact merge; estimates stay within HLL error of
+    a direct sketch of the union) and sum the exact row counts. Input
+    and output are both sketch-table-shaped, so rollups compose
+    (day → month → year)."""
+    agg = [
+        F.hll_union_agg("hll_sketch").alias("hll_sketch"),
+        F.sum("n_rows").alias("n_rows"),
+    ]
+    if group_cols:
+        return sketches.groupBy(*group_cols).agg(*agg)
+    return sketches.agg(*agg)
+
+
+def estimate_distinct(sketches: DataFrame) -> DataFrame:
+    """Replace the binary sketch column with its cardinality estimate."""
+    other = [c for c in sketches.columns if c != "hll_sketch"]
+    return sketches.select(
+        *other, F.hll_sketch_estimate("hll_sketch").alias("n_distinct_est")
+    )
+
+
+@register(
+    "q_sketch_rollup_customers",
+    oracle=None,  # HLL estimates are engine-specific by construction; the
+    # bounded-error + merge-losslessness contracts are tested in
+    # tests/test_sketches.py against exact count_distinct.
+    tags=("sketch", "hll", "rollup"),
+)
+def q_sketch_rollup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct ordering customers per priority, answered from a
+    (day, priority)-grained HLL sketch table by union-merge — the
+    incremental pattern: the daily table is what a 100 TB pipeline
+    persists per ingest batch, and every coarser rollup (this one
+    collapses ~2400 days) reads only sketches.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.to_date("o_orderdate").alias("day"), "o_orderpriority", "o_custkey"
+    )
+    daily = build_hll_rollup(orders, ["day", "o_orderpriority"], "o_custkey")
+    per_priority = merge_hll_rollup(daily, ["o_orderpriority"])
+    return estimate_distinct(per_priority).select(
+        F.col("o_orderpriority").alias("priority"), "n_distinct_est", "n_rows"
+    )

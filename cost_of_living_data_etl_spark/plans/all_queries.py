@@ -6,6 +6,7 @@ from cost_of_living_data_etl_spark.operators import (  # noqa: F401
     dedup,
     multimodal,
     similarity,
+    sketches,
     textstats,
 )
 from cost_of_living_data_etl_spark.plans import (  # noqa: F401

@@ -1,0 +1,176 @@
+"""Sketch operators: heavy-hitter guarantee and HLL rollup contracts.
+
+The heavy-hitter operator's whole claim is that truncating partition
+summaries NEVER loses a true heavy hitter (the candidate set is a
+provable superset) and that the verify pass makes the final answer
+exact — i.e. independent of the summary capacity. The HLL rollup's
+claim is that union-merging persisted sketches is lossless versus
+sketching the raw union. Both are tested here directly.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from cost_of_living_data_etl_spark.operators.sketches import (
+    build_hll_rollup,
+    estimate_distinct,
+    exact_heavy_hitters,
+    heavy_hitter_candidates,
+    merge_hll_rollup,
+    partition_summaries,
+    safe_capacity,
+)
+
+
+def _brute_force(keys: list[str], min_share: float) -> dict[str, int]:
+    n = len(keys)
+    counts: dict[str, int] = {}
+    for k in keys:
+        counts[k] = counts.get(k, 0) + 1
+    return {k: c for k, c in counts.items() if c >= n * min_share}
+
+
+def _keys_df(spark, keys: list[str], partitions: int):
+    return spark.createDataFrame(
+        [(k,) for k in keys], "key string"
+    ).repartition(partitions)
+
+
+def test_heavy_hitters_exact_and_capacity_independent(spark):
+    # skewed stream: 'hot' holds 40%, 'warm' 10%, a long tail of uniques
+    keys = ["hot"] * 400 + ["warm"] * 100 + [f"tail{i}" for i in range(500)]
+    expected = _brute_force(keys, 0.05)
+    for capacity in (1, 2, 64):
+        got = {
+            r["key"]: r["cnt"]
+            for r in exact_heavy_hitters(
+                _keys_df(spark, keys, 8), min_share=0.05, capacity=capacity
+            ).collect()
+        }
+        assert got == expected, f"capacity={capacity}"
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    keys=st.lists(
+        st.sampled_from([f"k{i}" for i in range(12)]), min_size=1, max_size=120
+    ),
+    extra_capacity=st.integers(min_value=0, max_value=5),
+    share_pct=st.integers(min_value=5, max_value=40),
+)
+def test_candidate_superset_property(spark_module, keys, extra_capacity, share_pct):
+    """Candidates from truncated summaries always cover the true heavy
+    hitters, for any data / threshold, at any capacity at or above the
+    safe_capacity floor (below it the guarantee provably fails — that
+    is why exact_heavy_hitters enforces the floor)."""
+    min_share = share_pct / 100.0
+    truth = set(_brute_force(keys, min_share))
+    capacity = safe_capacity(min_share) + extra_capacity
+    summaries = partition_summaries(_keys_df(spark_module, keys, 4), capacity)
+    cand = {
+        r["key"] for r in heavy_hitter_candidates(summaries, min_share).collect()
+    }
+    assert truth <= cand
+
+
+@pytest.fixture(scope="module")
+def spark_module(spark):
+    # hypothesis forbids function-scoped fixtures; alias the session one
+    return spark
+
+
+def test_summary_size_bounded(spark):
+    keys = [f"k{i % 97}" for i in range(2000)]
+    parts = 8
+    capacity = 5
+    summaries = partition_summaries(_keys_df(spark, keys, parts), capacity)
+    assert summaries.count() <= capacity * parts
+
+
+def test_hll_union_tracks_direct_sketch(spark, sf_oracle):
+    """Union of ~2400 per-day sketches estimates the same cardinality
+    as one sketch over the raw union, within HLL error — rolling up a
+    persisted fine-grained sketch table costs only sketch-mode error
+    (union forces dense HLL; a small direct sketch may still be in
+    near-exact coupon mode, so bit-equality is NOT the contract)."""
+    orders = spark.read.parquet(f"{sf_oracle}/orders.parquet").select(
+        F.to_date("o_orderdate").alias("day"), "o_orderpriority", "o_custkey"
+    )
+    daily = build_hll_rollup(orders, ["day", "o_orderpriority"], "o_custkey")
+    merged = {
+        r["o_orderpriority"]: r["n_distinct_est"]
+        for r in estimate_distinct(
+            merge_hll_rollup(daily, ["o_orderpriority"])
+        ).collect()
+    }
+    direct = {
+        r["o_orderpriority"]: r["n_distinct_est"]
+        for r in estimate_distinct(
+            build_hll_rollup(orders, ["o_orderpriority"], "o_custkey")
+        ).collect()
+    }
+    assert merged.keys() == direct.keys()
+    for k in direct:
+        assert abs(merged[k] - direct[k]) / direct[k] < 0.03
+
+
+def test_hll_rollup_bounded_error_and_counts(spark, sf_oracle):
+    orders = spark.read.parquet(f"{sf_oracle}/orders.parquet")
+    sketches = build_hll_rollup(orders, ["o_orderpriority"], "o_custkey")
+    est = {
+        r["o_orderpriority"]: (r["n_distinct_est"], r["n_rows"])
+        for r in estimate_distinct(sketches).collect()
+    }
+    exact = {
+        r["o_orderpriority"]: (r["d"], r["n"])
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct("o_custkey").alias("d"), F.count(F.lit(1)).alias("n")
+        )
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for k in exact:
+        (e_d, e_n), (x_d, x_n) = est[k], exact[k]
+        assert e_n == x_n  # row counts ride along exactly
+        assert abs(e_d - x_d) / x_d < 0.05
+
+
+def test_sketch_table_survives_parquet_roundtrip(spark, sf_oracle, tmp_path):
+    """The incremental pattern: persist daily sketches, append a new
+    batch's sketches, answer the global rollup from the table alone."""
+    orders = spark.read.parquet(f"{sf_oracle}/orders.parquet").select(
+        F.to_date("o_orderdate").alias("day"), "o_custkey"
+    )
+    old = orders.filter(F.year("day") <= 1996)
+    new = orders.filter(F.year("day") > 1996)
+    path = str(tmp_path / "sketches")
+    build_hll_rollup(old, ["day"], "o_custkey").write.parquet(path)
+    build_hll_rollup(new, ["day"], "o_custkey").write.mode("append").parquet(path)
+
+    table = spark.read.parquet(path)
+    total = estimate_distinct(merge_hll_rollup(table, [])).collect()[0]
+    exact = orders.agg(
+        F.count_distinct("o_custkey").alias("d"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert total["n_rows"] == exact["n"]
+    assert abs(total["n_distinct_est"] - exact["d"]) / exact["d"] < 0.05
+
+
+def test_heavy_hitter_plan_shape(spark, sf_oracle):
+    """Pass 2 probes candidates via broadcast (no vocabulary shuffle);
+    Python appears only on the Arrow path."""
+    from cost_of_living_data_etl_spark.plans.catalog import catalog
+
+    plan = (
+        catalog()["q_heavy_hitter_words"]
+        .fn(spark, sf_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "BatchEvalPython" not in plan

@@ -264,3 +264,43 @@ def test_stream_static_join_is_broadcast_and_stateless(spark, stream_dir):
     assert "StateStore" not in jplan
     n = spark.sql(f"SELECT count(*) AS n FROM {name}").collect()[0]["n"]
     assert n == spark.read.parquet(stream_dir).count()
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Restarting from the checkpoint neither re-processes old files
+    nor misses new ones — the exactly-once contract of the file source
+    + checkpoint across three separate query lifetimes: initial run,
+    restart with new data, restart with nothing new.
+    """
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "in"
+    src.mkdir()
+    table = pq.read_table(f"{SF}/events.parquet")
+    n = table.num_rows
+    pq.write_table(table.slice(0, n // 2), str(src / "batch1.parquet"))
+
+    wh, ckpt = str(tmp_path / "wh"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = read_events_stream(spark, str(src), max_files_per_trigger=1)
+        q = (
+            write_stream_to_warehouse(stream, wh, "events_sink", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        out = spark.read.parquet(f"{wh}/events_sink")
+        return out.count(), out.select("event_id").distinct().count()
+
+    total1, distinct1 = run_once()
+    assert total1 == distinct1 == n // 2
+
+    # new file lands; restart from the same checkpoint
+    pq.write_table(table.slice(n // 2), str(src / "batch2.parquet"))
+    total2, distinct2 = run_once()
+    assert total2 == distinct2 == n  # batch1 not re-read, batch2 fully read
+
+    # restart with no new data: a no-op, not a replay
+    total3, distinct3 = run_once()
+    assert (total3, distinct3) == (n, n)

@@ -76,6 +76,7 @@ HEADLINE = [
     "q_embedding_dim_stats",
     "q_heavy_hitter_words",
     "q_sketch_rollup_customers",
+    "q_corpus_prep_funnel",
 ]
 
 

@@ -7,7 +7,20 @@ local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
      "queries": {"q1_pricing_summary": sec, ...}, "sf": "..."}
 
 Each query is forced end-to-end with a noop sink (full computation,
-no collect/driver materialization cost).
+no collect/driver materialization cost) and timed twice:
+
+- **cold**: first execution of the plan — includes whole-stage-codegen
+  compilation and class loading, a per-PLAN fixed cost that is
+  identical at sf0.01 and at 100 TB (reported as ``cold_value`` /
+  ``queries_cold``).
+- **warm**: second execution with the codegen cache hot and the DATA
+  cache cleared between runs (``spark.catalog.clearCache()``, so
+  queries that persist intermediates get no cross-run advantage).
+
+The headline ``value`` is the WARM total: at the 100 TB design point
+the 0.5-3 s one-time compile per plan is noise against minutes of
+scan/shuffle, so steady-state engine cost is the number that predicts
+cluster behavior. Both totals are printed for transparency.
 """
 
 from __future__ import annotations
@@ -92,21 +105,28 @@ def main() -> None:
         "overwrite"
     ).save()
 
-    total = 0.0
-    for name in HEADLINE:
+    cold: dict[str, float] = {}
+
+    def run_once(name: str) -> float:
         t0 = time.perf_counter()
         specs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+        return time.perf_counter() - t0
+
+    for name in HEADLINE:
+        cold[name] = round(run_once(name), 3)
+        spark.catalog.clearCache()
+        timings[name] = round(run_once(name), 3)
+        spark.catalog.clearCache()
 
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": round(total, 3),
+                "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "cold_value": round(sum(cold.values()), 3),
+                "queries_cold": cold,
                 "sf": SF_DIR,
             }
         )

@@ -36,7 +36,6 @@ from cost_of_living_data_etl_spark.operators.decontam import (
     NGRAM_N,
     _HASH_SQL,
     _word_ngrams_sql,
-    ngram_hashes,
 )
 from cost_of_living_data_etl_spark.operators.textstats import quality_score
 from cost_of_living_data_etl_spark.plans.catalog import register
@@ -121,43 +120,112 @@ JOIN per_lang p USING (lang)
 """
 
 
-def dedup_keepers(docs: DataFrame) -> DataFrame:
-    """Exact-dedup keeper set: min doc_id per content hash. The shuffle
-    key is the 32-byte md5, never the text."""
+def doc_signals(docs: DataFrame) -> DataFrame:
+    """ONE map pass over the corpus computing every text-derived signal
+    — content hash, quality score, n-gram hash set — then dropping the
+    text column: (doc_id, lang, n_chars, h, quality, hset), persisted.
+
+    This is the load-bearing scale decision of the pipeline: document
+    text never crosses an exchange. Every downstream shuffle (dedup
+    window, contamination probe, funnel aggregates, packing window)
+    operates on this slim frame — a few hundred bytes/doc independent
+    of document size. Quality is therefore scored for ALL documents
+    rather than only dedup survivors; at 100 TB trading ~10% extra
+    map-side regex work for text-free shuffles is decisively right.
+    At that scale this frame is what gets checkpointed to parquet
+    between the corpus scan and everything else.
+    """
+    from pyspark import StorageLevel
+
+    from cost_of_living_data_etl_spark.operators.decontam import (
+        _HASH_LAMBDA_SPARK,
+        _word_ngrams_spark,
+    )
+
     return (
-        docs.select("doc_id", F.md5("text").alias("h"))
-        .groupBy("h")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.md5("text").alias("h"),
+            quality_score(F.col("text")).alias("quality"),
+            F.trim(F.col("text")).alias("t"),
+        )
+        .select("*", F.split("t", r"\s+").alias("ws"))
+        .selectExpr(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "h",
+            "quality",
+            f"array_distinct(transform({_word_ngrams_spark(NGRAM_N)}, "
+            f"g -> {_HASH_LAMBDA_SPARK})) AS hset",
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
 
-def contaminated_doc_ids(docs: DataFrame) -> DataFrame:
+def contaminated_doc_ids(signals: DataFrame) -> DataFrame:
     """Train doc_ids sharing ≥1 word-NGRAM_N-gram with the eval slice
-    (same broadcast-probe shape as q_decontaminate_ngram)."""
-    grams = ngram_hashes(docs, NGRAM_N)
+    (same broadcast-probe shape as q_decontaminate_ngram), read from
+    the persisted signal frame — no text pass of its own."""
     is_eval = F.col("doc_id") % EVAL_MOD == 0
-    eval_hashes = grams.filter(is_eval).select(F.explode("hset").alias("h")).distinct()
+    eval_hashes = (
+        signals.filter(is_eval).select(F.explode("hset").alias("g")).distinct()
+    )
     return (
-        grams.filter(~is_eval)
-        .select("doc_id", F.explode("hset").alias("h"))
-        .join(F.broadcast(eval_hashes), "h")
+        signals.filter(~is_eval)
+        .select("doc_id", F.explode("hset").alias("g"))
+        .join(F.broadcast(eval_hashes), "g")
         .select("doc_id")
         .distinct()
+    )
+
+
+def annotate_docs(docs: DataFrame) -> DataFrame:
+    """Slim per-document frame with one flag per pipeline stage:
+    (doc_id, lang, n_chars, is_keeper, is_eval, is_contam, quality).
+
+    Built entirely from the single-text-pass signal frame: the keeper
+    flag is a row_number over the content-hash partition (keeper =
+    lowest doc_id per md5 — one slim shuffle, no join-back), the
+    contamination flag a left join of the probe result.
+    """
+    signals = doc_signals(docs)
+    keeper_w = Window.partitionBy("h").orderBy("doc_id")
+    contam = contaminated_doc_ids(signals).withColumn("is_contam", F.lit(True))
+    return (
+        signals.withColumn("is_keeper", F.row_number().over(keeper_w) == 1)
+        .withColumn("is_eval", F.col("doc_id") % EVAL_MOD == 0)
+        .join(contam, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            "is_keeper",
+            "is_eval",
+            F.coalesce("is_contam", F.lit(False)).alias("is_contam"),
+            "quality",
+        )
     )
 
 
 def prepare_corpus(docs: DataFrame) -> DataFrame:
     """Cleaned, packed corpus: the per-document output of the funnel
     (doc_id, lang, n_chars, quality, bin_id)."""
-    kept = dedup_keepers(docs)
-    train = docs.join(kept, "doc_id", "left_semi").filter(
-        F.col("doc_id") % EVAL_MOD != 0
+    return _pack(_final(annotate_docs(docs)))
+
+
+def _final(ann: DataFrame) -> DataFrame:
+    return ann.filter(
+        F.col("is_keeper")
+        & ~F.col("is_eval")
+        & ~F.col("is_contam")
+        & (F.col("quality") >= QUALITY_MIN)
     )
-    clean = train.join(contaminated_doc_ids(docs), "doc_id", "left_anti")
-    final = clean.withColumn("quality", quality_score(F.col("text"))).filter(
-        F.col("quality") >= QUALITY_MIN
-    )
+
+
+def _pack(final: DataFrame) -> DataFrame:
     w = (
         Window.partitionBy("lang")
         .orderBy("doc_id")
@@ -187,33 +255,24 @@ def q_corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong side, dedup after decontam, packing pre-filter docs — are
     caught, not just per-stage math.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    kept = dedup_keepers(docs)
-    train = docs.join(kept, "doc_id", "left_semi").filter(
-        F.col("doc_id") % EVAL_MOD != 0
+    ann = annotate_docs(load_table(spark, sf_dir, "documents"))
+    train = F.col("is_keeper") & ~F.col("is_eval")
+    stage_counts = ann.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_input"),
+        F.count_if(train).alias("n_after_dedup"),
+        F.count_if(train & F.col("is_contam")).alias("n_contaminated"),
     )
-    clean = train.join(contaminated_doc_ids(docs), "doc_id", "left_anti")
-    packed = prepare_corpus(docs)
-
-    n_input = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_input"))
-    n_train = train.groupBy("lang").agg(F.count(F.lit(1)).alias("n_after_dedup"))
-    n_clean = clean.groupBy("lang").agg(F.count(F.lit(1)).alias("n_clean"))
-    per_lang = packed.groupBy("lang").agg(
+    per_lang = _pack(_final(ann)).groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_final"),
         F.sum("n_chars").alias("final_chars"),
         F.count_distinct("bin_id").alias("n_bins"),
     )
-    return (
-        n_input.join(n_train, "lang")
-        .join(n_clean, "lang")
-        .join(per_lang, "lang")
-        .select(
-            "lang",
-            "n_input",
-            "n_after_dedup",
-            (F.col("n_after_dedup") - F.col("n_clean")).alias("n_contaminated"),
-            "n_final",
-            "final_chars",
-            "n_bins",
-        )
+    return stage_counts.join(per_lang, "lang").select(
+        "lang",
+        "n_input",
+        "n_after_dedup",
+        "n_contaminated",
+        "n_final",
+        "final_chars",
+        "n_bins",
     )

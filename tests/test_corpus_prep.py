@@ -54,3 +54,21 @@ def test_packing_is_monotone_within_budget(spark, sf_oracle):
         # bins are nondecreasing in doc order
         bins = [r["bin_id"] for r in docs]
         assert bins == sorted(bins)
+
+
+def test_no_text_in_any_exchange(spark, sf_oracle):
+    """The pipeline's scale contract: document text is consumed in the
+    map pass (signal projection) and never crosses a shuffle — every
+    Exchange carries only the slim signal/flag columns."""
+    from cost_of_living_data_etl_spark.plans.catalog import catalog
+
+    plan = (
+        catalog()["q_corpus_prep_funnel"]
+        .fn(spark, sf_oracle)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exchange_lines, "expected shuffles in the funnel plan"
+    assert not any("text" in l for l in exchange_lines)

@@ -1,0 +1,132 @@
+"""Custom Python Data Source with the reference's object-store contract.
+
+The reference's source pipeline (reference app.py:13-30) is:
+list objects under ``{bucket}/{prefix}/{extract_date}`` → keep keys
+whose name contains the category substring → GET + parse each CSV →
+concat. ``sources/lake.py`` replaces that with Spark's native CSV
+reader (the hot path — JVM, vectorized, splittable). This module
+implements the SAME contract as a pluggable Spark 4 **Python Data
+Source** — the extension point you use when the listing protocol is
+NOT a filesystem Spark understands: a REST catalog, a boto3 pagination
+loop with custom auth, a proprietary object index.
+
+Execution model: ``partitions()`` runs once on the driver (the cheap
+listing call); each listed object becomes one ``InputPartition``, so
+the N downloads+parses run in PARALLEL across executors — the
+reference does them sequentially in one process. Rows stream back
+over Arrow. For plain files this is strictly slower than the native
+reader (Python parse path); it exists for protocol extensibility and
+as the template for binary/multimodal ingestion connectors.
+
+Usage::
+
+    register(spark)                            # not spark.dataSource.register
+    (spark.read.format("lake_objects")
+        .schema(LAKE_SCHEMAS[category])        # explicit, never inferred
+        .option("root", lake_root)
+        .option("category", category)
+        .option("extract_date", extract_date)
+        .load())
+
+Deployment note (why ``register`` exists): Spark ships the DataSource
+class to Python workers via cloudpickle, which by default pickles
+classes BY REFERENCE — workers then try to import this module and
+fail unless the package is on every worker's ``sys.path``. On a real
+cluster you ship the package (``--py-files`` zip / pip image). For a
+path-independent local run, ``register`` flips this one module to
+by-value pickling, which is why the module deliberately has no
+package-internal imports (stdlib + pyspark only): by-value
+registration does not extend to a module's imports.
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import os
+import sys
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructType,
+)
+
+# mirrors sources.lake.LAKE_PREFIX — duplicated literal, not imported,
+# to keep this module dependency-free for by-value pickling (see
+# module docstring); equality is asserted in tests.
+LAKE_PREFIX = "real_estate/cost_of_living"
+
+
+def register(spark) -> None:
+    """Register the source with by-value class pickling so Python
+    workers never need this package importable."""
+    from pyspark import cloudpickle
+
+    if __name__ not in sys.modules:  # e.g. importlib.spec loading
+        raise RuntimeError(
+            "import this module as part of its package before calling "
+            "register() — by-value pickling needs it in sys.modules"
+        )
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.dataSource.register(LakeObjectsDataSource)
+
+
+class LakeObjectsDataSource(DataSource):
+    """``format("lake_objects")`` — see module docstring.
+
+    ``schema()`` is deliberately NOT implemented: the engine-wide
+    policy is explicit schemas (inference nondeterminism killed at the
+    boundary, SURVEY §1.2), so the caller must pass ``.schema(...)``.
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "lake_objects"
+
+    def reader(self, schema: StructType) -> "LakeObjectsReader":
+        return LakeObjectsReader(schema, self.options)
+
+
+class LakeObjectsReader(DataSourceReader):
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.root = options["root"]
+        self.category = options["category"]
+        self.extract_date = options["extract_date"]
+
+    def partitions(self) -> Sequence[InputPartition]:
+        """Driver-side listing: the reference's list_objects + key
+        substring filter (app.py:26-27). One partition per object."""
+        prefix = os.path.join(self.root, LAKE_PREFIX, self.extract_date)
+        keys = sorted(
+            p
+            for p in glob.glob(os.path.join(prefix, "**", "*"), recursive=True)
+            if os.path.isfile(p) and self.category in os.path.basename(p)
+        )
+        return [InputPartition(k) for k in keys]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        """Executor-side: fetch + parse ONE object (the body of the
+        reference's sequential loop, app.py:28-29), typed against the
+        declared schema instead of re-inferred per file."""
+        if partition is None or partition.value is None:
+            return  # empty listing: Spark still schedules one task
+        converters = []
+        for field in self.schema.fields:
+            if isinstance(field.dataType, (IntegerType, LongType)):
+                converters.append((field.name, int))
+            elif isinstance(field.dataType, (DoubleType, FloatType)):
+                converters.append((field.name, float))
+            else:
+                converters.append((field.name, str))
+        with open(partition.value, newline="") as f:
+            for row in csv.DictReader(f):
+                yield tuple(
+                    conv(row[name]) if row.get(name) not in (None, "") else None
+                    for name, conv in converters
+                )

@@ -391,7 +391,19 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = edges.localCheckpoint()  # pair plan runs once, not per round
 
-    labels = docs.select("id", F.col("id").alias("lbl")).localCheckpoint()
+    # Iterate ONLY over nodes that touch an edge: documents in no pair
+    # are their own cluster by definition and never change label, so
+    # they are excluded from every round and re-attached at the end.
+    # At corpus scale this shrinks the per-round shuffles from |docs|
+    # to |dup-family members| — typically orders of magnitude smaller.
+    # The node-set build IS propagation round one: one groupBy gives
+    # every edge-touching node its min(self, neighbors) label.
+    labels = (
+        edges.groupBy(F.col("dst").alias("id"))
+        .agg(F.min("src").alias("nlbl"))
+        .select("id", F.least("id", "nlbl").alias("lbl"))
+        .localCheckpoint()
+    )
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(20):  # >= diameter of any plausible dup family
         nmin = (
@@ -413,7 +425,10 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
-    return labels.select(F.col("id").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+    return docs.join(labels, docs.id == labels.id, "left").select(
+        docs.id.alias("doc_id"),
+        F.coalesce("lbl", docs.id).alias("cluster_id"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -101,7 +101,7 @@ packed AS (
 per_lang AS (
     SELECT lang,
            CAST(count(*) AS BIGINT)          AS n_final,
-           sum(n_chars)                      AS final_chars,
+           CAST(sum(n_chars) AS BIGINT)      AS final_chars,
            CAST(count(DISTINCT bin_id) AS BIGINT) AS n_bins
     FROM packed GROUP BY lang
 )

@@ -201,7 +201,7 @@ N_SHARDS = 8
         CAST(shard AS BIGINT)    AS shard,
         bin_id,
         CAST(count(*) AS BIGINT) AS n_docs,
-        sum(n_chars)             AS total_chars,
+        CAST(sum(n_chars) AS BIGINT) AS total_chars,
         CAST(min(doc_id) AS BIGINT) AS first_doc
     FROM binned
     GROUP BY shard, bin_id
@@ -253,7 +253,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            CAST(count(*) AS BIGINT) AS n_kept,
-           sum(n_chars)             AS kept_chars,
+           CAST(sum(n_chars) AS BIGINT) AS kept_chars,
            min(n_chars)             AS min_chars_kept
     FROM ranked
     WHERE pr >= 0.25
@@ -294,7 +294,7 @@ def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
         lang,
         CAST(count(*) AS BIGINT) AS n_docs,
-        sum(n_chars)             AS total_chars
+        CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM (SELECT lang, n_chars, {_BUCKET_SQL.format(k="doc_id")} AS b FROM documents)
     GROUP BY split, lang
     """,

@@ -1,13 +1,26 @@
 """Local re-implementation of the driver's DuckDB-oracle comparison.
 
 Runs a catalog query on Spark and its oracle SQL on DuckDB over the
-same parquet tables, then compares row count, column names, and values
-(order-insensitive, float-tolerant). Keeping this in-tree means every
-oracle mismatch is caught at `pytest` time, not at driver-verify time.
+same parquet tables, then compares row count, column names, dtypes, and
+values (order-insensitive, float-tolerant). Keeping this in-tree means
+every oracle mismatch is caught at `pytest` time, not at driver-verify
+time.
+
+Dtype strictness: the driver hashes stringified values, so a KIND
+divergence (e.g. DuckDB ``sum(INTEGER)`` returning HUGEINT — surfaced
+as float64/object by pandas — while Spark returns LongType) is a
+driver hash mismatch even when the numbers are equal: ``"123"`` vs
+``"123.0"``. Width-only differences (int32 vs int64) stringify
+identically and DID pass the driver in round 1 (q_grouped_map_zscore),
+so ``_dtype_tag`` is kind-level: int / float / bool / datetime /
+object. ``assert_matches_oracle`` fails on any per-column tag
+difference — fix the oracle SQL with an explicit CAST, never this
+check.
 """
 
 from __future__ import annotations
 
+import datetime
 import math
 
 import duckdb
@@ -36,23 +49,45 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def _is_datelike_object(s: pd.Series) -> bool:
+    if s.dtype != object:
+        return False
+    nonnull = s.dropna()
+    if nonnull.empty:
+        return False
+    v = nonnull.iloc[0]
+    return isinstance(v, (datetime.date, datetime.datetime))
+
+
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
-    """Sort columns by name, canonicalize dtypes, sort rows."""
+    """Sort columns by name, canonicalize temporal representations
+    (object-of-date and any datetime64 unit → datetime64[us]) and
+    list values (→ tuples), sort rows. Integer/float widths are NOT
+    normalized — see module docstring."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
-        if pd.api.types.is_datetime64_any_dtype(s):
+        if pd.api.types.is_datetime64_any_dtype(s) or _is_datelike_object(s):
             df[c] = pd.to_datetime(s).astype("datetime64[us]")
-        elif pd.api.types.is_float_dtype(s):
-            df[c] = s.astype("float64")
-        elif pd.api.types.is_integer_dtype(s):
-            df[c] = s.astype("int64")
         elif s.dtype == object:
             df[c] = s.map(
                 lambda v: tuple(v) if isinstance(v, (list, tuple)) else v,
                 na_action="ignore",
             )
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def _dtype_tag(s: pd.Series) -> str:
+    """Canonical dtype label used for the strict cross-engine check."""
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    return "object"
 
 
 def assert_matches_oracle(spark_df, oracle: str, sf_dir: str, rel_tol: float = 1e-6):
@@ -67,6 +102,14 @@ def assert_matches_oracle(spark_df, oracle: str, sf_dir: str, rel_tol: float = 1
         f"column mismatch: spark={list(got.columns)} oracle={list(want.columns)}"
     )
     assert len(got) == len(want), f"row count: spark={len(got)} oracle={len(want)}"
+
+    for c in got.columns:
+        gt, wt = _dtype_tag(got[c]), _dtype_tag(want[c])
+        assert gt == wt, (
+            f"dtype mismatch on col {c}: spark={gt} ({got[c].dtype}) "
+            f"oracle={wt} ({want[c].dtype}) — the driver hashes types; "
+            f"add an explicit CAST to the oracle SQL or the Spark plan"
+        )
 
     for c in got.columns:
         g, w = got[c], want[c]

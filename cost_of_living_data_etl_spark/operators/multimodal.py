@@ -230,11 +230,53 @@ def sample_frames(assets: DataFrame, frame_bytes: int = 64, every: int = 4) -> D
     )
 
 
-@register("q_multimodal_features_by_kind", oracle=None, tags=("multimodal", "pandas-udf"))
+# DuckDB mirror of the deterministic fake decode + featurize path.
+# The fake decode reads the utf-8 payload bytes as uint8 samples and
+# featurize is a 16-bin histogram over [0,256) — so bin(byte) is
+# byte >> 4, which is exactly the FIRST HEX NIBBLE of the byte:
+# regexp-dropping every second char of hex(payload) leaves one nibble
+# per byte, and each bin count is a per-digit character count. The
+# float32 rounding of each histogram entry (numpy .astype(float32))
+# is replayed with CAST(... AS FLOAT), and the fold order of the
+# feature-mass sum (bins 0..15, double accumulator) is preserved by
+# the left-associative + chain.
+_HEX_DIGITS = "0123456789ABCDEF"
+_MASS_TERMS = " + ".join(
+    f"CAST(CAST((length(nib) - length(replace(nib, '{d}', ''))) / n AS FLOAT) AS DOUBLE)"
+    for d in _HEX_DIGITS
+)
+_MM_ORACLE = f"""
+WITH b AS (
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           octet_length(encode(text)) AS n,
+           regexp_replace(hex(encode(text)), '(.).', '\\1', 'g') AS nib
+    FROM documents
+),
+m AS (
+    SELECT kind, n,
+           CASE WHEN n = 0 THEN 0.0 ELSE {_MASS_TERMS} END AS mass
+    FROM b
+)
+SELECT kind,
+       CAST(count(*) AS BIGINT)  AS n_assets,
+       CAST(sum(n) AS BIGINT)    AS total_samples,
+       avg(mass)                 AS avg_feature_mass
+FROM m GROUP BY kind
+"""
+
+
+@register(
+    "q_multimodal_features_by_kind", oracle=_MM_ORACLE, tags=("multimodal", "pandas-udf")
+)
 def q_multimodal_features_by_kind(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → binary assets → mapInPandas decode/featurize →
-    per-kind profile. Rows-only check: the decode stage is a stubbed
-    pandas kernel (see _decode_payload), not SQL-expressible."""
+    per-kind profile. The deterministic fake decode contract (raw
+    payload bytes as uint8 samples, 16-bin normalized histogram) is
+    mirrored bit-for-bit in DuckDB (see _MM_ORACLE), so the whole
+    mapInPandas plumbing — binary payloads, Arrow batching, schema —
+    is hash-verified end-to-end, not rows-only."""
     docs = load_table(spark, sf_dir, "documents")
     feats = extract_features(documents_to_assets(docs))
     return (

@@ -90,6 +90,9 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_EXACT_PAIRS_ROWS = 100_000  # all-pairs guard: ~5e9 candidate pairs
+
+
 @register(
     "q_embed_neardup_pairs",
     oracle=f"""
@@ -110,12 +113,23 @@ def q_ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, exact O(n²) baseline.
 
-    Validation-scale only (quadratic); `q_embed_neardup_lsh` is the
-    same predicate under sign-LSH blocking for production scale.
+    Validation-scale only (quadratic): the builder REFUSES to plan the
+    all-pairs join above MAX_EXACT_PAIRS_ROWS input rows, so the
+    catalog cannot silently launch a quadratic job on a production
+    corpus — `q_embed_neardup_lsh` is the same predicate under
+    sign-LSH blocking for that scale.
     """
     e = with_norm(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding", "norm"
     )
+    n = e.count()
+    if n > MAX_EXACT_PAIRS_ROWS:
+        raise ValueError(
+            f"q_embed_neardup_pairs is an O(n²) validation baseline and the "
+            f"input has {n} > {MAX_EXACT_PAIRS_ROWS} vectors — use "
+            f"q_embed_neardup_lsh (sign-LSH blocked, same cosine predicate) "
+            f"at this scale."
+        )
     a = e.select(
         F.col("vec_id").alias("vec_id_1"),
         F.col("embedding").alias("emb1"),
@@ -242,7 +256,69 @@ def _signature_expr(vec: str, dims: int = 64) -> str:
     )
 
 
-@register("q_embed_neardup_lsh", oracle=None, tags=("similarity", "neardup", "lsh"))
+def _plane_sql_literal(j: int, dims: int = 64) -> str:
+    """Hyperplane j as a DuckDB DOUBLE[] literal — same md5-derived
+    ±1 signs as the Spark side (_plane_sign), so both engines hash
+    every vector into identical buckets."""
+    return (
+        "["
+        + ", ".join(
+            "1.0" if _plane_sign(j, d) > 0 else "-1.0" for d in range(dims)
+        )
+        + "]"
+    )
+
+
+def _lsh_oracle(dims: int = 64) -> str:
+    """DuckDB replay of the ENTIRE sign-LSH pipeline: signature bits →
+    band nibbles → bucket self-join → exact cosine verification. The
+    planes are deterministic literals, so the candidate set (not just
+    the final predicate) is oracle-checked."""
+    bit_cols = ",\n           ".join(
+        f"CASE WHEN list_inner_product(emb, {_plane_sql_literal(j, dims)}) > 0 "
+        f"THEN 1 ELSE 0 END AS b{j}"
+        for j in range(LSH_BITS)
+    )
+    nibbles = ", ".join(
+        " + ".join(f"{1 << r} * b{4 * n + r}" for r in range(4))
+        for n in range(LSH_BANDS)
+    )
+    band_idx = ", ".join(str(n) for n in range(LSH_BANDS))
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        FROM embeddings
+    ),
+    sig AS (
+        SELECT vec_id, emb, norm,
+           {bit_cols}
+        FROM e
+    ),
+    bands AS (
+        SELECT vec_id,
+               unnest([{band_idx}]) AS band_idx,
+               unnest([{nibbles}]) AS nibble
+        FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_id_1, b.vec_id AS vec_id_2
+        FROM bands a
+        JOIN bands b ON a.band_idx = b.band_idx AND a.nibble = b.nibble
+                     AND a.vec_id < b.vec_id
+    )
+    SELECT c.vec_id_1, c.vec_id_2,
+           list_inner_product(e1.emb, e2.emb) / (e1.norm * e2.norm) AS cos_sim
+    FROM cand c
+    JOIN e e1 ON c.vec_id_1 = e1.vec_id
+    JOIN e e2 ON c.vec_id_2 = e2.vec_id
+    WHERE list_inner_product(e1.emb, e2.emb) / (e1.norm * e2.norm) >= {NEARDUP_COS}
+    """
+
+
+@register(
+    "q_embed_neardup_lsh", oracle=_lsh_oracle(), tags=("similarity", "neardup", "lsh")
+)
 def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH blocked near-dup pairs (the scale path).
 
@@ -251,10 +327,10 @@ def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Shuffles fixed-width signatures instead of 256-byte vectors;
     recall is tunable via bands/rows (8 bands x 4 bits: ~0.99
     theoretical recall at the 0.9-cosine threshold, measured >=0.9 in
-    tests/test_similarity_recall.py). Rows-only check: candidate generation is
-    probabilistic-by-construction (deterministic here, but not
-    SQL-oracle-worthy — the exact predicate is covered by
-    q_embed_neardup_pairs).
+    tests/test_similarity_recall.py). The hyperplanes are md5-derived
+    deterministic literals, so the FULL pipeline — bucketing included,
+    not just the cosine predicate — replays in DuckDB (_lsh_oracle)
+    and is hash-matched.
     """
     e = with_norm(load_table(spark, sf_dir, "embeddings"))
     sig = e.withColumn("sig", F.expr(_signature_expr("embedding")))
@@ -303,42 +379,163 @@ def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 IVF_K = 8  # coarse-quantizer cells
 IVF_NPROBE = 3  # cells scanned per query
+IVF_ITERS = 4  # Lloyd refinement rounds (fixed — part of the contract)
 
 
-@register("q_ann_ivf_probe", oracle=None, tags=("similarity", "ann", "ivf"))
+def _assign_cells(e: DataFrame, cdf: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast the tiny centroid table,
+    score = |c|² − 2·⟨x,c⟩ (argmin-equivalent to Euclidean distance —
+    the |x|² term is constant per vector), tie-break on cell id via
+    lexicographic struct min. One map-side pass, no shuffle of
+    vectors; the only aggregate groups by vec_id."""
+    score = (dot_expr("c", "c") - 2 * dot_expr("embedding", "c")).alias("score")
+    scored = e.crossJoin(F.broadcast(cdf)).select(
+        "vec_id", "embedding", "norm", "cell", score
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("score", "cell")).alias("m"),
+            F.first("embedding").alias("embedding"),
+            F.first("norm").alias("norm"),
+        )
+        .select("vec_id", F.col("m.cell").alias("cell"), "embedding", "norm")
+    )
+
+
+def _fit_ivf_centroids(e: DataFrame) -> list[tuple[int, list[float]]]:
+    """Deterministic Lloyd's k-means: init = the IVF_K lowest vec_ids'
+    vectors, then IVF_ITERS rounds of assign → per-cell mean. No RNG,
+    no seed-dependent init, so the DuckDB oracle replays the identical
+    fit with unrolled CTEs.
+
+    Each round collects only the k×dims centroid matrix (≤ 8×64
+    doubles) to the driver — the quantizer is an offline artifact at
+    scale, and the heavy work (assignment scan, per-dimension means)
+    stays distributed: posexplode → groupBy(cell, dim) is a partial
+    aggregate over k·dims groups regardless of corpus size."""
+    spark = e.sparkSession
+    cents = [
+        (int(r["vec_id"]), [float(v) for v in r["embedding"]])
+        for r in e.filter(F.col("vec_id") < IVF_K)
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    for _ in range(IVF_ITERS):
+        cdf = spark.createDataFrame(cents, "cell int, c array<double>")
+        members = _assign_cells(e, cdf).select(
+            "cell", F.posexplode("embedding").alias("dim", "v")
+        )
+        newc = (
+            members.groupBy("cell", "dim")
+            .agg(F.avg("v").alias("av"))
+            .groupBy("cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, av))), s -> s.av)"
+                ).alias("c")
+            )
+            .collect()
+        )
+        cents = [(int(r["cell"]), [float(v) for v in r["c"]]) for r in newc]
+    return cents
+
+
+def _ivf_oracle() -> str:
+    """DuckDB replay of the whole IVF path: the SAME deterministic
+    Lloyd fit (unrolled — one assign CTE + one centroid CTE per
+    round), probe-cell selection, and in-cell exact search."""
+    ip = "list_inner_product"
+    sql = [
+        f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS emb,
+               sqrt({ip}(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        FROM embeddings
+    ),
+    c0 AS (SELECT CAST(vec_id AS INT) AS cell, emb AS c FROM e WHERE vec_id < {IVF_K})"""
+    ]
+    for t in range(1, IVF_ITERS + 2):
+        prev = f"c{min(t - 1, IVF_ITERS)}"
+        sql.append(
+            f""",
+    a{t} AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, {prev}.cell,
+                   row_number() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {ip}({prev}.c, {prev}.c) - 2 * {ip}(e.emb, {prev}.c),
+                                {prev}.cell
+                   ) AS rn
+            FROM e, {prev}
+        ) WHERE rn = 1
+    )"""
+        )
+        if t <= IVF_ITERS:
+            sql.append(
+                f""",
+    c{t} AS (
+        SELECT cell, list(av ORDER BY dim) AS c
+        FROM (
+            SELECT cell, dim, avg(v) AS av
+            FROM (
+                SELECT a{t}.cell, generate_subscripts(e.emb, 1) AS dim,
+                       unnest(e.emb) AS v
+                FROM a{t} JOIN e USING (vec_id)
+            )
+            GROUP BY cell, dim
+        )
+        GROUP BY cell
+    )"""
+            )
+    final_a = f"a{IVF_ITERS + 1}"
+    final_c = f"c{IVF_ITERS}"
+    sql.append(
+        f""",
+    q AS (SELECT emb AS qemb, norm AS qnorm FROM e WHERE vec_id = 0),
+    probe AS (
+        SELECT cell FROM (
+            SELECT {final_c}.cell,
+                   {ip}({final_c}.c, q.qemb)
+                     / (sqrt({ip}({final_c}.c, {final_c}.c)) * q.qnorm) AS cdist
+            FROM {final_c}, q
+        ) ORDER BY cdist DESC, cell LIMIT {IVF_NPROBE}
+    )
+    SELECT e.vec_id, CAST(a.cell AS BIGINT) AS cell,
+           {ip}(e.emb, q.qemb) / (e.norm * q.qnorm) AS cos_sim
+    FROM {final_a} a
+    JOIN probe USING (cell)
+    JOIN e ON e.vec_id = a.vec_id
+    CROSS JOIN q
+    WHERE e.vec_id <> 0
+    ORDER BY cos_sim DESC, e.vec_id
+    LIMIT {TOPK}"""
+    )
+    return "".join(sql)
+
+
+@register("q_ann_ivf_probe", oracle=_ivf_oracle(), tags=("similarity", "ann", "ivf"))
 def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN: k-means coarse quantizer (pyspark.ml, fixed seed) →
-    probe the IVF_NPROBE nearest cells → exact cosine inside them.
+    """IVF ANN: deterministic Lloyd k-means coarse quantizer → probe
+    the IVF_NPROBE nearest cells → exact cosine inside them.
 
     This is the production IVF topology: the quantizer is FIT once
-    (an offline, cached artifact at scale — the fit is itself a
-    distributed Spark job), assignment is one model.transform pass,
-    and each query scans only nprobe/k of the corpus. Geometric cells
-    matter: partitioning by an unrelated attribute (e.g. the label
-    column) gives ~chance recall, k-means Voronoi cells concentrate a
-    query's true neighbors in its nearest cells — recall@10 is
-    measured against the brute-force baseline in
-    tests/test_similarity_recall.py. Rows-only check: the result
-    depends on the fitted centroid set, not SQL-expressible.
+    (an offline, cached artifact at scale — the fit itself stays a
+    distributed Spark job, see _fit_ivf_centroids), assignment is one
+    broadcast map pass, and each query scans only nprobe/k of the
+    corpus. Geometric cells matter: partitioning by an unrelated
+    attribute (e.g. the label column) gives ~chance recall; Voronoi
+    cells concentrate a query's true neighbors in its nearest cells —
+    recall@10 is measured against the brute-force baseline in
+    tests/test_similarity_recall.py. The fit is deterministic (fixed
+    init + fixed rounds, no RNG), so the full path — fit, probe,
+    search — replays in DuckDB and is hash-matched, not rows-only.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     e = with_norm(load_table(spark, sf_dir, "embeddings"))
-    feats = e.select(
-        "vec_id",
-        "embedding",
-        "norm",
-        array_to_vector(F.col("embedding").cast("array<double>")).alias("features"),
-    )
-    model = KMeans(k=IVF_K, seed=42, maxIter=8).fit(feats)
-    assigned = model.transform(feats).select(
-        "vec_id", "embedding", "norm", F.col("prediction").alias("cell")
-    )
-    centroids = spark.createDataFrame(
-        [(i, [float(v) for v in c]) for i, c in enumerate(model.clusterCenters())],
-        "cell int, centroid array<double>",
-    ).withColumn("cnorm", F.sqrt(dot_expr("centroid", "centroid")))
+    cents = _fit_ivf_centroids(e)
+    cdf = spark.createDataFrame(cents, "cell int, c array<double>")
+    assigned = _assign_cells(e, cdf)
+    centroids = cdf.withColumn("cnorm", F.sqrt(dot_expr("c", "c")))
 
     q = e.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qemb"), F.col("norm").alias("qnorm")
@@ -347,9 +544,9 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids.crossJoin(F.broadcast(q))
         .select(
             "cell",
-            cosine_expr("centroid", "qemb", "cnorm", "qnorm").alias("cdist"),
+            cosine_expr("c", "qemb", "cnorm", "qnorm").alias("cdist"),
         )
-        .orderBy(F.col("cdist").desc())
+        .orderBy(F.col("cdist").desc(), F.col("cell"))
         .limit(IVF_NPROBE)
         .select("cell")
     )

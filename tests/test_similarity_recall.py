@@ -46,6 +46,18 @@ def test_lsh_neardup_recall_floor(spark):
         assert recall >= floor, (sf, recall, len(exact))
 
 
+def test_exact_pairs_guard_refuses_large_input(spark, monkeypatch):
+    """The O(n²) baseline must not be plannable on production-sized
+    input from the public catalog."""
+    import pytest
+
+    import cost_of_living_data_etl_spark.operators.similarity as sim
+
+    monkeypatch.setattr(sim, "MAX_EXACT_PAIRS_ROWS", 10)
+    with pytest.raises(ValueError, match="q_embed_neardup_lsh"):
+        sim.q_embed_neardup_pairs(spark, SF_MED)
+
+
 def _topk_ids(spark, name, sf):
     return [r["vec_id"] for r in catalog()[name].fn(spark, sf).collect()]
 

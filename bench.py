@@ -118,6 +118,18 @@ def main() -> None:
         timings[name] = round(run_once(name), 3)
         spark.catalog.clearCache()
 
+    # Detail line FIRST (cold breakdown), compact headline line LAST:
+    # the recorder keeps the tail of stdout, so the parseable line must
+    # be final and small enough to never truncate.
+    print(
+        json.dumps(
+            {
+                "detail": "cold_run",
+                "cold_value": round(sum(cold.values()), 3),
+                "queries_cold": cold,
+            }
+        )
+    )
     print(
         json.dumps(
             {
@@ -125,8 +137,6 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
-                "cold_value": round(sum(cold.values()), 3),
-                "queries_cold": cold,
                 "sf": SF_DIR,
             }
         )

@@ -7,7 +7,7 @@ the DuckDB oracles can mirror them bit-for-bit:
 - MinHash LSH:  word-3-gram shingles → 16 salted-md5 minhashes →
                 4 bands × 4 rows → band-bucket self-join → exact
                 Jaccard verification of candidates
-- SimHash:      16-bit sign-aggregated word hashes → nibble-band
+- SimHash:      60-bit sign-aggregated word hashes → nibble-band
                 blocking → Hamming-distance filter
 - n-gram Jaccard: exact shingle-set Jaccard (one-vs-all form)
 
@@ -484,10 +484,11 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 
 @register("q_dedup_simhash", oracle=_SIMHASH_ORACLE, tags=("dedup", "simhash"))
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: 16-bit sign-aggregate fingerprint,
-    nibble-band blocking (exact for Hamming ≤ 3 by pigeonhole),
-    Hamming filter. The fingerprint is 2 bytes/doc — the cheapest
-    possible shuffle for pairwise dedup at scale.
+    """SimHash near-dup pairs: 60-bit sign-aggregate fingerprint
+    (SIMHASH_BITS — 15 md5 hex digits, int64-safe), nibble-band
+    blocking (exact for Hamming ≤ 3 by pigeonhole), Hamming filter.
+    The fingerprint is 8 bytes/doc — the cheapest possible shuffle
+    for pairwise dedup at scale.
     """
     # Signature is computed ARRAY-NATIVE in one map-only pass: hash the
     # distinct-word array in place, fold it into a 60-long bit-count

@@ -96,7 +96,7 @@ def q_events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH marked AS (
         SELECT
-            user_id, ts, value,
+            user_id, ts, value, event_id,
             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                       > INTERVAL {SESSION_GAP_MIN} MINUTE
                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -107,7 +107,7 @@ def q_events_sliding_10m_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT
             user_id, ts, value,
             sum(new_session) OVER (
-                PARTITION BY user_id ORDER BY ts
+                PARTITION BY user_id ORDER BY ts, event_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
             ) AS session_seq
         FROM marked
@@ -132,8 +132,11 @@ def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     here derived with plain windows so it is oracle-checkable. Scale:
     one shuffle on user_id, sort within user — the canonical pattern.
     """
+    # BOTH windows tie-break on event_id: with ts-only ordering, two
+    # events at the same timestamp would make the running-sum row order
+    # (hence session_seq of the tied rows) engine-dependent.
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     prev_ts = F.lag("ts").over(w)

@@ -275,15 +275,32 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def _batch_sink(
+    batch_df: DataFrame, batch_id: int, warehouse_root: str, table: str
+) -> None:
+    """Idempotent per-micro-batch parquet write: batch N owns the
+    partition directory ``batch_id=N`` and OVERWRITES it, so a replay
+    after a crash between the sink write and the checkpoint commit
+    replaces batch N's output instead of appending duplicates — the
+    standard batch_id-keyed exactly-once pattern for file sinks
+    (a plain ``mode("append")`` here would be at-least-once)."""
+    batch_df.write.mode("overwrite").parquet(
+        f"{warehouse_root}/{table}/batch_id={batch_id}"
+    )
+
+
 def write_stream_to_warehouse(
     stream: DataFrame, warehouse_root: str, table: str, checkpoint: str
 ):
-    """foreachBatch append sink: each micro-batch lands as an atomic
-    parquet append — the streaming version of the reference's
-    write_pandas append-load (app.py:195-197)."""
+    """foreachBatch parquet sink with exactly-once output: each
+    micro-batch lands in its own ``batch_id=N`` partition via
+    idempotent overwrite (see _batch_sink) — the streaming version of
+    the reference's write_pandas append-load (app.py:195-197), minus
+    its duplicate-on-retry failure mode. Readers see one extra
+    ``batch_id`` partition column on the table root."""
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").parquet(f"{warehouse_root}/{table}")
+        _batch_sink(batch_df, batch_id, warehouse_root, table)
 
     return (
         stream.writeStream.foreachBatch(_sink)

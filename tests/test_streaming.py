@@ -185,6 +185,20 @@ def test_foreachbatch_warehouse_sink(spark, stream_dir, tmp_path):
     assert "ts" in out.columns and "event_id" in out.columns
 
 
+def test_foreachbatch_sink_replay_is_idempotent(spark, tmp_path):
+    """Replaying a micro-batch (crash between sink write and
+    checkpoint commit) must not duplicate rows: batch N overwrites its
+    own batch_id=N partition."""
+    from cost_of_living_data_etl_spark.streaming.events import _batch_sink
+
+    df = spark.range(0, 100).withColumnRenamed("id", "event_id")
+    _batch_sink(df, 7, str(tmp_path), "sink_tbl")
+    _batch_sink(df, 7, str(tmp_path), "sink_tbl")  # replay of the same batch
+    out = spark.read.parquet(str(tmp_path / "sink_tbl"))
+    assert out.count() == 100
+    assert out.select("event_id").distinct().count() == 100
+
+
 def _user_segment_dim(spark):
     """Deterministic tiny user dimension: user_id -> segment bucket."""
     return spark.range(0, 2000).select(

@@ -25,6 +25,8 @@ from cost_of_living_data_etl_spark.plans.schemas import (
 from cost_of_living_data_etl_spark.sources.lake import LAKE_PREFIX, read_lake_csv
 from cost_of_living_data_etl_spark.sources.warehouse import Warehouse
 
+from cost_of_living_data_etl_spark.app import AppConfig, main
+
 AS_OF = dt.date(2024, 6, 1)
 EXTRACT = "2024-06-01"
 
@@ -173,3 +175,43 @@ def test_state_filter_excludes_other_states(spark, lake_root, warehouse):
     )
     ids = {r["LOCATION_ID"] for r in res.fact_living_wage.collect()}
     assert 4 not in ids
+
+
+def test_main_event_wrapper_end_to_end(spark, lake_root, warehouse, tmp_path):
+    """Reference-parity handler: {"extractDate": d} event + config
+    object → full ETL into a fresh warehouse (app.py:106,202-205)."""
+    wh = Warehouse(str(tmp_path / "wh"))
+    wh.overwrite(warehouse.read(spark, "dim_location"), "dim_location")
+    wh.overwrite(warehouse.read(spark, "dim_date"), "dim_date")
+    cfg = AppConfig(lake_root=lake_root, warehouse_root=wh.root, as_of=AS_OF)
+    resp = main({"extractDate": EXTRACT}, config=cfg, spark=spark)
+    assert resp["statusCode"] == 200
+    assert resp["counts"] == {
+        "FACT_ANNUAL_EXPENSE": 3,
+        "FACT_LIVING_WAGE": 2,
+        "FACT_TYPICAL_ANNUAL_SALARY": 2,
+    }
+    assert wh.read(spark, "FACT_LIVING_WAGE").count() == 2
+
+
+def test_main_rejects_bad_events(spark, lake_root, warehouse):
+    cfg = AppConfig(lake_root=lake_root, warehouse_root=warehouse.root, as_of=AS_OF)
+    with pytest.raises(ValueError, match="extractDate"):
+        main({}, config=cfg, spark=spark)
+    with pytest.raises(ValueError):
+        main({"extractDate": "not-a-date"}, config=cfg, spark=spark)
+
+
+def test_appconfig_from_env():
+    cfg = AppConfig.from_env(
+        {
+            "LAKE_ROOT": "/lake",
+            "WAREHOUSE_ROOT": "/wh",
+            "AS_OF_DATE": "2024-06-01",
+        }
+    )
+    assert cfg.lake_root == "/lake"
+    assert cfg.state == "DE"
+    assert cfg.as_of == dt.date(2024, 6, 1)
+    with pytest.raises(KeyError, match="LAKE_ROOT"):
+        AppConfig.from_env({"WAREHOUSE_ROOT": "/wh"})

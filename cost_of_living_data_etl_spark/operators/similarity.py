@@ -441,15 +441,16 @@ def _fit_ivf_centroids(e: DataFrame) -> list[tuple[int, list[float]]]:
     return cents
 
 
-def _ivf_oracle() -> str:
-    """DuckDB replay of the whole IVF path: the SAME deterministic
-    Lloyd fit (unrolled — one assign CTE + one centroid CTE per
-    round), probe-cell selection, and in-cell exact search."""
+def _lloyd_cte_chain() -> tuple[str, str, str]:
+    """Shared DuckDB unrolling of the deterministic Lloyd fit: returns
+    (WITH-chain SQL, final-assignment CTE name, final-centroid CTE
+    name). Used by the IVF probe oracle and the k-means cell-profile
+    oracle so both replay the identical quantizer."""
     ip = "list_inner_product"
     sql = [
         f"""
     WITH e AS (
-        SELECT vec_id, embedding::DOUBLE[] AS emb,
+        SELECT vec_id, label, embedding::DOUBLE[] AS emb,
                sqrt({ip}(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
         FROM embeddings
     ),
@@ -488,8 +489,16 @@ def _ivf_oracle() -> str:
         GROUP BY cell
     )"""
             )
-    final_a = f"a{IVF_ITERS + 1}"
-    final_c = f"c{IVF_ITERS}"
+    return "".join(sql), f"a{IVF_ITERS + 1}", f"c{IVF_ITERS}"
+
+
+def _ivf_oracle() -> str:
+    """DuckDB replay of the whole IVF path: the SAME deterministic
+    Lloyd fit (unrolled — one assign CTE + one centroid CTE per
+    round), probe-cell selection, and in-cell exact search."""
+    ip = "list_inner_product"
+    chain, final_a, final_c = _lloyd_cte_chain()
+    sql = [chain]
     sql.append(
         f""",
     q AS (SELECT emb AS qemb, norm AS qnorm FROM e WHERE vec_id = 0),
@@ -561,4 +570,96 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
         .limit(TOPK)
+    )
+
+
+def _kmeans_cells_oracle() -> str:
+    """DuckDB replay of the cell-profile query over the shared
+    deterministic Lloyd fit (_lloyd_cte_chain)."""
+    ip = "list_inner_product"
+    chain, final_a, final_c = _lloyd_cte_chain()
+    return (
+        chain
+        + f""",
+    mem AS (
+        SELECT a.cell, e.vec_id, e.label,
+               {ip}(e.emb, c.c) / (e.norm * sqrt({ip}(c.c, c.c))) AS cosc
+        FROM {final_a} a
+        JOIN e ON e.vec_id = a.vec_id
+        JOIN {final_c} c ON c.cell = a.cell
+    ),
+    lab AS (
+        SELECT cell, label, count(*) AS n,
+               row_number() OVER (
+                   PARTITION BY cell ORDER BY count(*) DESC, label
+               ) AS rk
+        FROM mem GROUP BY cell, label
+    ),
+    cellstats AS (
+        SELECT cell, count(*) AS n_vectors, avg(cosc) AS mean_cos
+        FROM mem GROUP BY cell
+    )
+    SELECT CAST(s.cell AS BIGINT)      AS cell,
+           CAST(s.n_vectors AS BIGINT) AS n_vectors,
+           s.mean_cos                  AS mean_cos,
+           CAST(l.label AS BIGINT)     AS top_label,
+           l.n * 1.0 / s.n_vectors    AS top_label_share
+    FROM cellstats s JOIN lab l ON l.cell = s.cell AND l.rk = 1
+    """
+    )
+
+
+@register(
+    "q_embed_kmeans_cells",
+    oracle=_kmeans_cells_oracle(),
+    tags=("clustering", "embeddings", "kmeans", "training-data"),
+)
+def q_embed_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space corpus clustering profile: per k-means cell,
+    its size, cohesion (mean cosine of members to their centroid) and
+    label purity (majority label + share).
+
+    The corpus-bucketing pass of a curation pipeline — semantic dedup
+    regions, mixture-weight design, topic skew audits all start from
+    exactly this table. Reuses the deterministic Lloyd quantizer
+    (_fit_ivf_centroids), so the fit is an offline shared artifact
+    between clustering and ANN, and the whole query — fit included —
+    replays in DuckDB and is hash-matched.
+
+    Scale shape: assignment is a broadcast map pass; every aggregate
+    groups on (cell) or (cell, label) — k·|labels| cells regardless of
+    corpus size; no vector ever shuffles (the centroid join is
+    broadcast, cosines are computed map-side).
+    """
+    from pyspark.sql import Window
+
+    e = with_norm(load_table(spark, sf_dir, "embeddings"))
+    cdf = spark.createDataFrame(_fit_ivf_centroids(e), "cell int, c array<double>")
+    assigned = _assign_cells(e, cdf)
+    mem = (
+        assigned.join(e.select("vec_id", "label"), "vec_id")
+        .join(F.broadcast(cdf.withColumn("cnorm", F.sqrt(dot_expr("c", "c")))), "cell")
+        .select(
+            "cell",
+            "vec_id",
+            "label",
+            cosine_expr("embedding", "c", "norm", "cnorm").alias("cosc"),
+        )
+    )
+    lab_w = Window.partitionBy("cell").orderBy(F.desc("n"), F.asc("label"))
+    lab = (
+        mem.groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(lab_w))
+        .filter(F.col("rk") == 1)
+    )
+    stats = mem.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"), F.avg("cosc").alias("mean_cos")
+    )
+    return stats.join(lab, "cell").select(
+        F.col("cell").cast("long").alias("cell"),
+        "n_vectors",
+        "mean_cos",
+        F.col("label").cast("long").alias("top_label"),
+        (F.col("n") / F.col("n_vectors")).alias("top_label_share"),
     )

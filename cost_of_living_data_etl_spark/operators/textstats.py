@@ -461,3 +461,104 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("source", "word", "tfidf")
     )
+
+
+PMI_MIN_PAIR = 10  # ignore bigrams rarer than this (PMI is unstable there)
+PMI_TOPK = 20
+
+_BIGRAMS_SPARK = (
+    "zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)), "
+    "slice(ws, 2, greatest(size(ws) - 1, 0)), "
+    "(a, b) -> concat(a, ' ', b))"
+)
+_BIGRAMS_SQL = (
+    "list_transform(range(1, greatest(length(ws), 1)), "
+    "i -> ws[i] || ' ' || ws[i + 1])"
+)
+
+_PMI_ORACLE = f"""
+WITH w AS (
+    SELECT {_WORDS_LOWER_SQL} AS ws FROM documents
+),
+uni AS (
+    SELECT word, count(*) AS n_w
+    FROM (SELECT unnest(ws) AS word FROM w) GROUP BY word
+),
+tot AS (
+    SELECT sum(length(ws)) AS u_total,
+           sum(greatest(length(ws) - 1, 0)) AS b_total
+    FROM w
+),
+pairs AS (
+    SELECT bigram, count(*) AS n_pair
+    FROM (SELECT unnest({_BIGRAMS_SQL}) AS bigram FROM w)
+    GROUP BY bigram HAVING count(*) >= {PMI_MIN_PAIR}
+)
+SELECT p.bigram,
+       CAST(p.n_pair AS BIGINT) AS n_pair,
+       ln((CAST(p.n_pair AS DOUBLE) * t.u_total * t.u_total)
+          / (CAST(t.b_total AS DOUBLE) * u1.n_w * u2.n_w)) AS pmi
+FROM pairs p, tot t
+JOIN uni u1 ON u1.word = string_split(p.bigram, ' ')[1]
+JOIN uni u2 ON u2.word = string_split(p.bigram, ' ')[2]
+ORDER BY pmi DESC, p.bigram
+LIMIT {PMI_TOPK}
+"""
+
+
+@register(
+    "q_bigram_pmi_topk",
+    oracle=_PMI_ORACLE,
+    tags=("text", "phrases", "pmi", "training-data"),
+)
+def q_bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: top-20 bigrams by pointwise mutual
+    information — PMI = ln(p(ab) / (p(a)·p(b))) computed from corpus
+    unigram/bigram counts, floored at {PMI_MIN_PAIR} occurrences.
+
+    The phrase-discovery pass of tokenizer/vocabulary construction
+    (multi-word-expression merging à la word2vec phrases). Scale
+    shape: one projection-then-explode per count table (shuffles carry
+    (token, partial_count) pairs bounded by vocab, never text), the
+    scalar totals ride a 1-row broadcast, the unigram joins are plain
+    key joins, and the final top-k is TakeOrderedAndProject with a
+    (pmi, bigram) total order for deterministic ties.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(lower_word_array(F.col("text")).alias("ws"))
+    uni = (
+        w.select(F.explode("ws").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    tot = w.agg(
+        F.sum(F.size("ws")).alias("u_total"),
+        F.sum(F.greatest(F.size("ws") - 1, F.lit(0))).alias("b_total"),
+    )
+    pairs = (
+        w.select(F.explode(F.expr(_BIGRAMS_SPARK)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= PMI_MIN_PAIR)
+    )
+    split = F.split(F.col("bigram"), " ")
+    scored = (
+        pairs.crossJoin(F.broadcast(tot))
+        .withColumn("w1", split.getItem(0))
+        .withColumn("w2", split.getItem(1))
+        .join(uni.select(F.col("word").alias("w1"), F.col("n_w").alias("n_w1")), "w1")
+        .join(uni.select(F.col("word").alias("w2"), F.col("n_w").alias("n_w2")), "w2")
+        .select(
+            "bigram",
+            "n_pair",
+            F.log(
+                (F.col("n_pair").cast("double") * F.col("u_total") * F.col("u_total"))
+                / (
+                    F.col("b_total").cast("double")
+                    * F.col("n_w1")
+                    * F.col("n_w2")
+                )
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(PMI_TOPK)

@@ -156,7 +156,20 @@ HEADLINE_NO_PYTHON_ROW_UDF = [
     "q_text_langid_confusion",
     "q_ann_bruteforce_topk",
     "q_etl_shaped_conform",
+    "q_bigram_pmi_topk",
+    "q_embed_kmeans_cells",
 ]
+
+
+def test_bigram_pmi_plan_shape(spark, sf_smoke):
+    """Phrase mining at scale: the final k-cut is TakeOrderedAndProject
+    (no global sort) and document text never crosses a shuffle — the
+    count tables explode AFTER the word-array projection."""
+    plan = plan_of(spark, "q_bigram_pmi_topk", sf_smoke)
+    assert "TakeOrderedAndProject" in plan
+    exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exchange_lines
+    assert not any("text" in l for l in exchange_lines)
 
 
 @pytest.mark.parametrize("name", HEADLINE_NO_PYTHON_ROW_UDF)

@@ -4,8 +4,11 @@
 - brute-force cosine near-dup pair join (oracle-matched)
 - sign-LSH bucketed ANN: the 100 TB path — deterministic hyperplanes,
   banded buckets, cosine verification only on candidates
-- IVF probe: k-means coarse quantizer (pyspark.ml, fixed seed),
-  search only the nprobe nearest Voronoi cells
+- IVF probe: deterministic Lloyd k-means coarse quantizer (fixed
+  init + fixed rounds — DuckDB-replayable), search only the nprobe
+  nearest Voronoi cells
+- k-means cell profiling: per-cell size / cohesion / label purity
+  over the same shared quantizer fit
 
 All vector math is native array expressions (zip_with/aggregate fold
 — JVM codegen, no Python). Doubles throughout so results align with

@@ -193,3 +193,108 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("rep_ratio").alias("avg_rep_ratio"),
         F.max("rep_ratio").alias("max_rep_ratio"),
     )
+
+
+CONTAIN_FLAG = 0.2  # train docs covering ≥20% of an eval doc's grams
+
+_CONTAINMENT_ORACLE = f"""
+WITH grams AS (
+    SELECT doc_id,
+           list_distinct(list_transform({_word_ngrams_sql(NGRAM_N)},
+                                        g -> {_HASH_SQL})) AS hset
+    FROM documents
+),
+ev AS (
+    SELECT doc_id AS eval_id, length(hset) AS n_eval, unnest(hset) AS h
+    FROM grams WHERE doc_id % {EVAL_MOD} = 0
+),
+tr AS (
+    SELECT doc_id AS train_id, unnest(hset) AS h
+    FROM grams WHERE doc_id % {EVAL_MOD} <> 0
+),
+pairs AS (
+    SELECT t.train_id, e.eval_id,
+           any_value(e.n_eval) AS n_eval, count(*) AS n_shared
+    FROM tr t JOIN ev e ON t.h = e.h
+    GROUP BY t.train_id, e.eval_id
+),
+scored AS (
+    SELECT *, n_shared / CAST(n_eval AS DOUBLE) AS containment FROM pairs
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY eval_id ORDER BY containment DESC, train_id
+    ) AS rk
+    FROM scored
+),
+flags AS (
+    SELECT eval_id,
+           CAST(count(*) FILTER (WHERE containment >= {CONTAIN_FLAG}) AS BIGINT)
+             AS n_flagged
+    FROM scored GROUP BY eval_id
+)
+SELECT CAST(r.eval_id AS BIGINT)  AS eval_doc_id,
+       CAST(r.train_id AS BIGINT) AS best_train_doc_id,
+       r.containment              AS best_containment,
+       f.n_flagged                AS n_flagged
+FROM ranked r JOIN flags f USING (eval_id)
+WHERE r.rk = 1
+"""
+
+
+@register(
+    "q_decontam_containment",
+    oracle=_CONTAINMENT_ORACLE,
+    tags=("text", "decontam", "containment"),
+)
+def q_decontam_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graded decontamination: for each eval document, the single
+    training document covering the largest fraction of its n-gram set
+    (containment = |shared grams| / |eval grams|), plus how many
+    training docs cross the {CONTAIN_FLAG} flag line.
+
+    Binary overlap (q_decontaminate_ngram) answers "is anything
+    shared?"; containment answers "is the benchmark ITSELF leaked?" —
+    a near-copy of an eval item scores ~1.0 even when it shares few
+    grams with the rest of the corpus. Scale shape: the eval gram side
+    is broadcast (benchmarks are MBs), the only shuffles carry
+    (train_id, eval_id) id pairs and their counts, and the per-eval
+    argmax is a window over |eval|·candidates rows — corpus text never
+    shuffles.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    grams = ngram_hashes(load_table(spark, sf_dir, "documents"), NGRAM_N).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    is_eval = F.col("doc_id") % EVAL_MOD == 0
+    ev = grams.filter(is_eval).select(
+        F.col("doc_id").alias("eval_id"),
+        F.size("hset").alias("n_eval"),
+        F.explode("hset").alias("h"),
+    )
+    tr = grams.filter(~is_eval).select(
+        F.col("doc_id").alias("train_id"), F.explode("hset").alias("h")
+    )
+    scored = (
+        tr.join(F.broadcast(ev), "h")
+        .groupBy("train_id", "eval_id")
+        .agg(F.first("n_eval").alias("n_eval"), F.count(F.lit(1)).alias("n_shared"))
+        .withColumn("containment", F.col("n_shared") / F.col("n_eval").cast("double"))
+    )
+    w = Window.partitionBy("eval_id").orderBy(F.desc("containment"), F.asc("train_id"))
+    ranked = scored.withColumn("rk", F.row_number().over(w))
+    flags = scored.groupBy("eval_id").agg(
+        F.count_if(F.col("containment") >= CONTAIN_FLAG).alias("n_flagged")
+    )
+    return (
+        ranked.filter(F.col("rk") == 1)
+        .join(flags, "eval_id")
+        .select(
+            F.col("eval_id").cast("long").alias("eval_doc_id"),
+            F.col("train_id").cast("long").alias("best_train_doc_id"),
+            F.col("containment").alias("best_containment"),
+            "n_flagged",
+        )
+    )

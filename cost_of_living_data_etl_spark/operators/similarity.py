@@ -417,7 +417,14 @@ def _fit_ivf_centroids(e: DataFrame) -> list[tuple[int, list[float]]]:
     scale, and the heavy work (assignment scan, per-dimension means)
     stays distributed: posexplode → groupBy(cell, dim) is a partial
     aggregate over k·dims groups regardless of corpus size."""
+    from pyspark import StorageLevel
+
     spark = e.sparkSession
+    # The fit makes 2·IVF_ITERS+1 passes over the vectors (assign +
+    # mean per round, final assignment); persist so the source is
+    # scanned once — at 100 TB this frame is the parquet checkpoint
+    # the offline quantizer job reads.
+    e.persist(StorageLevel.MEMORY_AND_DISK)
     cents = [
         (int(r["vec_id"]), [float(v) for v in r["embedding"]])
         for r in e.filter(F.col("vec_id") < IVF_K)

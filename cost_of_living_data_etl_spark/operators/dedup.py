@@ -646,3 +646,53 @@ def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_new", F.col("doc_id") % NEW_BATCH_MOD == 0
     )
     return neardup_pairs_from_sigs(sigs, touching_only="is_new")
+
+
+_DUP_RATE_ORACLE = """
+WITH ranked AS (
+    SELECT source, doc_id,
+           row_number() OVER (
+               PARTITION BY md5(text) ORDER BY doc_id
+           ) AS rn,
+           count(*) OVER (PARTITION BY md5(text)) AS family_size
+    FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT)                         AS n_docs,
+       CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT)   AS n_dupes,
+       count(*) FILTER (WHERE rn > 1) / CAST(count(*) AS DOUBLE) AS dup_rate,
+       CAST(max(family_size) AS BIGINT)                 AS max_family
+FROM ranked
+GROUP BY source
+"""
+
+
+@register("q_dedup_rate_by_source", oracle=_DUP_RATE_ORACLE, tags=("dedup", "curation"))
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication audit: how many docs each source
+    contributes, how many are exact-duplicate copies (non-keepers),
+    the dup rate, and the largest duplicate family.
+
+    The source-triage table of a curation pipeline — a crawl slice
+    with dup_rate 0.6 gets its acquisition fixed, not its duplicates
+    lovingly deduped forever. One shuffle on the 32-char content hash
+    (the same key exact dedup already uses), then a short-key rollup
+    on source.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.col("text").cast("binary"))
+    byhash = Window.partitionBy(h)
+    ranked = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.row_number().over(byhash.orderBy("doc_id")).alias("rn"),
+        F.count(F.lit(1)).over(byhash).alias("family_size"),
+    )
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if(F.col("rn") > 1).alias("n_dupes"),
+        (F.count_if(F.col("rn") > 1) / F.count(F.lit(1)).cast("double")).alias(
+            "dup_rate"
+        ),
+        F.max("family_size").cast("long").alias("max_family"),
+    )

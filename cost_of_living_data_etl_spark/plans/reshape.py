@@ -369,3 +369,57 @@ def q_stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(in_sample, 1).otherwise(0)).cast("long").alias("n_sampled"),
         F.min(F.when(in_sample, F.col("doc_id"))).cast("long").alias("min_sampled_id"),
     )
+
+
+MIX_ALPHA = 0.3  # temperature exponent: p^α rebalancing of language shares
+
+
+@register(
+    "q_lang_mixture_weights",
+    oracle=f"""
+    WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+    t AS (SELECT sum(n_docs) AS total FROM c),
+    s AS (
+        SELECT lang, n_docs,
+               n_docs / CAST(total AS DOUBLE)            AS p_raw,
+               pow(n_docs / CAST(total AS DOUBLE), {MIX_ALPHA}) AS pa
+        FROM c, t
+    ),
+    d AS (SELECT sum(pa) AS denom FROM s)
+    SELECT lang,
+           CAST(n_docs AS BIGINT)   AS n_docs,
+           p_raw,
+           pa / denom               AS mix_weight,
+           (pa / denom) / p_raw     AS upsample_factor
+    FROM s, d
+    """,
+    tags=("sampling", "mixture", "training-data"),
+)
+def q_lang_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture: rebalance raw language
+    shares p_l to p_l^α / Σ p_m^α (α = {MIX_ALPHA}) — the standard
+    multilingual-pretraining move that boosts low-resource languages
+    without flattening the distribution; upsample_factor is the
+    per-language epoch multiplier a sampler applies.
+
+    Scale shape: one partial-agg count per language, then all the
+    exponent math runs on a |langs|-row frame (a broadcast scalar for
+    the total, one trivial window for the normalizer) — corpus size
+    only ever touches the first count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("total"))
+    s = (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("p_raw", F.col("n_docs") / F.col("total").cast("double"))
+        .withColumn("pa", F.pow(F.col("p_raw"), F.lit(MIX_ALPHA)))
+    )
+    denom = s.agg(F.sum("pa").alias("denom"))
+    return s.crossJoin(F.broadcast(denom)).select(
+        "lang",
+        "n_docs",
+        "p_raw",
+        (F.col("pa") / F.col("denom")).alias("mix_weight"),
+        ((F.col("pa") / F.col("denom")) / F.col("p_raw")).alias("upsample_factor"),
+    )

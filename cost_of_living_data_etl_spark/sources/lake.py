@@ -50,6 +50,51 @@ def read_lake_csv(
     )
 
 
+def read_lake_csv_audited(
+    spark: SparkSession,
+    lake_root: str,
+    category: str,
+    extract_date: str,
+    schema: StructType | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Lake CSV read that QUARANTINES malformed rows instead of
+    silently nulling them: returns (clean_rows, corrupt_rows).
+
+    The reference trusts ``pd.read_csv`` (reference app.py:29) — a
+    truncated upload or stray delimiter either crashes the Lambda or
+    silently corrupts a load. Spark's PERMISSIVE mode parks each
+    unparseable line's raw text in a ``_corrupt_record`` column; the
+    clean frame drops it, the quarantine frame keeps (raw_line) for
+    the data-quality report. The parsed frame is cached because Spark
+    (correctly) refuses corrupt-column-only queries against a raw CSV
+    scan; at 100 TB the equivalent is landing the parsed frame once
+    and splitting from that materialization — same cost model.
+    """
+    from pyspark.sql.types import StringType, StructField
+
+    schema = schema or LAKE_SCHEMAS[category]
+    audited = StructType(
+        schema.fields + [StructField("_corrupt_record", StringType())]
+    )
+    path = f"{lake_root}/{LAKE_PREFIX}/{extract_date}"
+    raw = (
+        spark.read.schema(audited)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("pathGlobFilter", f"*{category}*")
+        .option("recursiveFileLookup", True)
+        .csv(path)
+    )
+    raw = raw.cache()
+    is_bad = raw["_corrupt_record"].isNotNull()
+    clean = raw.filter(~is_bad).drop("_corrupt_record")
+    corrupt = raw.filter(is_bad).select(
+        raw["_corrupt_record"].alias("raw_line")
+    )
+    return clean, corrupt
+
+
 def read_lake_jsonl(
     spark: SparkSession,
     lake_root: str,

@@ -215,3 +215,26 @@ def test_appconfig_from_env():
     assert cfg.as_of == dt.date(2024, 6, 1)
     with pytest.raises(KeyError, match="LAKE_ROOT"):
         AppConfig.from_env({"WAREHOUSE_ROOT": "/wh"})
+
+
+def test_audited_read_quarantines_malformed_rows(spark, tmp_path):
+    """PERMISSIVE lake read: clean rows parse, malformed lines land in
+    the quarantine frame verbatim (the reference would silently corrupt
+    or crash — app.py:29)."""
+    from cost_of_living_data_etl_spark.sources.lake import read_lake_csv_audited
+
+    d = tmp_path / LAKE_PREFIX / EXTRACT
+    d.mkdir(parents=True)
+    (d / "living_wage_bad.csv").write_text(
+        "wage_level,num_adults,num_children,num_working,county,usd_amount\n"
+        "LIVING WAGE,2,2,1,Kent,21.34\n"
+        'LIVING WAGE,not_a_number,"unterminated,Sussex\n'
+        "LIVING WAGE,1,0,1,Sussex,15.50\n"
+    )
+    clean, corrupt = read_lake_csv_audited(
+        spark, str(tmp_path), "living_wage", EXTRACT
+    )
+    assert clean.count() == 2
+    bad = corrupt.collect()
+    assert len(bad) == 1
+    assert "unterminated" in bad[0]["raw_line"]

@@ -399,3 +399,71 @@ def q_grouped_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderpriority").agg(
         geomean("o_totalprice").alias("geomean_price"),
     )
+
+
+@register(
+    "q_cogroup_user_purchase_profile",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey AS custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               sum(o_totalprice) AS order_value
+        FROM orders GROUP BY 1
+    ),
+    e AS (
+        SELECT user_id AS custkey,
+               CAST(count(*) AS BIGINT) AS n_events,
+               sum(value) AS event_value
+        FROM events GROUP BY 1
+    )
+    SELECT CAST(custkey AS BIGINT)                  AS custkey,
+           CAST(coalesce(o.n_orders, 0) AS BIGINT)  AS n_orders,
+           coalesce(o.order_value, 0.0)             AS order_value,
+           CAST(coalesce(e.n_events, 0) AS BIGINT)  AS n_events,
+           coalesce(e.event_value, 0.0)             AS event_value
+    FROM o FULL OUTER JOIN e USING (custkey)
+    """,
+    tags=("pandas-udf", "cogroup", "udf-surface"),
+)
+def q_cogroup_user_purchase_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas: align each customer's ORDERS group with
+    their EVENTS group in one kernel call and emit a combined profile
+    (order/event counts and value totals; keys missing on one side get
+    zeros).
+
+    Completes the vectorized-UDF surface (scalar pandas_udf,
+    grouped-agg, grouped-map, mapInPandas, UDTF, and now cogrouped
+    map): cogroup is Spark's shape for two-sided per-key custom logic
+    — feature joins where the kernel needs BOTH frames at once
+    (sessionized attribution models, per-user feature crosses). Both
+    sides shuffle once on the key; each kernel call sees only one
+    key's rows, so executor memory is bounded by the largest single
+    key, not the table. The demonstration kernel is deliberately
+    SQL-mirrorable (the oracle's FULL OUTER JOIN of two aggregates);
+    production kernels put the non-SQL pandas logic here.
+    """
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    events = load_table(spark, sf_dir, "events").select("user_id", "value")
+
+    def profile(key, o_pdf, e_pdf):
+        import pandas as pd
+
+        return pd.DataFrame(
+            {
+                "custkey": [int(key[0])],
+                "n_orders": [len(o_pdf)],
+                "order_value": [float(o_pdf["o_totalprice"].sum()) if len(o_pdf) else 0.0],
+                "n_events": [len(e_pdf)],
+                "event_value": [float(e_pdf["value"].sum()) if len(e_pdf) else 0.0],
+            }
+        )
+
+    return (
+        orders.groupBy("o_custkey")
+        .cogroup(events.groupBy("user_id"))
+        .applyInPandas(
+            profile,
+            "custkey long, n_orders long, order_value double, "
+            "n_events long, event_value double",
+        )
+    )

@@ -189,3 +189,49 @@ def q_null_handling_bucketed_balance(spark: SparkSession, sf_dir: str) -> DataFr
             F.sum("c_acctbal").alias("total_balance"),
         )
     )
+
+
+@register(
+    "q_variant_json_events",
+    oracle="""
+    WITH x AS (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT)             AS n_events,
+           CAST(count(DISTINCT k) AS BIGINT)    AS n_distinct_k,
+           CAST(max(k) AS BIGINT)               AS max_k,
+           count(*) FILTER (WHERE k >= 50) / CAST(count(*) AS DOUBLE) AS share_high_k
+    FROM x GROUP BY event_type
+    """,
+    tags=("scalar", "json", "variant"),
+)
+def q_variant_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via the VARIANT type (Spark 4):
+    ``parse_json`` ONCE per row into a binary variant, then typed
+    ``variant_get`` probes — vs ``get_json_object``'s re-parse per
+    field probed (q_json_extraction_events shows that legacy path).
+
+    At 100 TB the difference compounds: a props blob probed for five
+    fields parses five times under get_json_object and once under
+    variant; variant columns are also storable, so the parse can be
+    paid at INGEST and never again. Shuffle shape is unchanged — one
+    short-key aggregate on event_type.
+    """
+    events = _t(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.variant_get(v, "$.k", "long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.col("k")).cast("long").alias("n_distinct_k"),
+            F.max("k").alias("max_k"),
+            (
+                F.count_if(F.col("k") >= 50) / F.count(F.lit(1)).cast("double")
+            ).alias("share_high_k"),
+        )
+    )

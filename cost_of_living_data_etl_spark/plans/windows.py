@@ -237,3 +237,85 @@ def q_global_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@register(
+    "q_timeseries_gapfill_ffill",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderstatus AS status,
+               date_trunc('day', o_orderdate) AS day,
+               sum(o_totalprice) AS day_revenue
+        FROM orders GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+    calendar AS (
+        SELECT s.status, g.day
+        FROM (SELECT DISTINCT status FROM daily) s
+        CROSS JOIN (
+            SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM bounds
+        ) g
+    )
+    SELECT c.status, c.day,
+           coalesce(last_value(d.day_revenue IGNORE NULLS) OVER (
+               PARTITION BY c.status ORDER BY c.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 0.0)                                   AS revenue_ffill,
+           d.day_revenue IS NULL                     AS is_gap
+    FROM calendar c LEFT JOIN daily d
+      ON d.status = c.status AND d.day = c.day
+    """,
+    tags=("window", "time-series", "gapfill"),
+)
+def q_timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar densification + forward fill: make per-status daily
+    revenue CONTIGUOUS (one row per status × day between the global
+    min and max order day) and carry the last observed value across
+    gap days, flagging them.
+
+    The resample/ffill step every time-series feature pipeline needs —
+    downstream windows (trailing averages, lag features) silently skip
+    missing days unless the grid is densified first. Scale shape: the
+    calendar derives from a 1-row bounds aggregate exploded by
+    `sequence` (|days| rows, data-independent), the join is
+    (status, day)-keyed against the already-aggregated daily frame,
+    and the fill is one window with `last(..., ignoreNulls)` — no
+    self-joins, no driver loops.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(
+            F.col("o_orderstatus").alias("status"),
+            F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+        )
+        .agg(F.sum("o_totalprice").alias("day_revenue"))
+    )
+    bounds = daily.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    calendar = (
+        daily.select("status")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "status",
+            F.explode(
+                F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("status")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        calendar.join(daily, ["status", "day"], "left")
+        .select(
+            "status",
+            "day",
+            F.coalesce(
+                F.last("day_revenue", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("revenue_ffill"),
+            F.col("day_revenue").isNull().alias("is_gap"),
+        )
+    )

@@ -696,3 +696,120 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("family_size").cast("long").alias("max_family"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+PR_DAMPING = 0.85
+PR_ITERS = 10
+
+
+def _pagerank_oracle() -> str:
+    """DuckDB replay: the minhash pair oracle feeds an unrolled
+    PR_ITERS-step power iteration — same fixed-iteration determinism
+    pattern as the Lloyd/IVF oracles. ``pairs`` MUST be MATERIALIZED:
+    DuckDB inlines plain CTEs, so without it the full minhash chain
+    re-evaluates once per unrolled iteration (measured 51 s vs 0.9 s
+    at sf0.01)."""
+    d = PR_DAMPING
+    sql = [
+        f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT doc_id_1, doc_id_2 FROM ( {_MINHASH_ORACLE} )
+    ),
+    edges AS (
+        SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+        UNION ALL
+        SELECT doc_id_2, doc_id_1 FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    deg AS (SELECT src, count(*) AS outd FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / n AS pr FROM nodes, nn)"""
+    ]
+    for t in range(1, PR_ITERS + 1):
+        sql.append(
+            f""",
+    r{t} AS (
+        SELECT v.node,
+               (1 - {d}) / nn.n + {d} * coalesce(s.contrib, 0.0) AS pr
+        FROM nodes v
+        CROSS JOIN nn
+        LEFT JOIN (
+            SELECT e.dst, sum(r.pr / dg.outd) AS contrib
+            FROM edges e
+            JOIN r{t - 1} r ON r.node = e.src
+            JOIN deg dg ON dg.src = e.src
+            GROUP BY e.dst
+        ) s ON s.dst = v.node
+    )"""
+        )
+    sql.append(
+        f"""
+    SELECT CAST(node AS BIGINT) AS doc_id, pr AS pagerank FROM r{PR_ITERS}"""
+    )
+    return "".join(sql)
+
+
+@register(
+    "q_pagerank_neardup_graph",
+    oracle=_pagerank_oracle(),
+    tags=("graph", "pagerank", "iterative", "dedup"),
+)
+def q_pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the undirected near-dup pair graph: which
+    documents sit at the CENTER of duplication neighborhoods (template
+    hubs, boilerplate ancestors) vs on the periphery — the ranking a
+    curation team uses to pick canonical representatives and to spot
+    template families worth a regex instead of pairwise dedup.
+
+    Second iterative-graph operator next to connected components, same
+    discipline: fixed PR_ITERS power-iteration rounds (deterministic →
+    DuckDB-replayable, unrolled in the oracle), ranks carried as slim
+    (node, pr) rows, lineage truncated with localCheckpoint every few
+    rounds. Scale shape per round: one join of edges→ranks on src, one
+    aggregate on dst — all short-key shuffles proportional to |edges|,
+    never to corpus size; degrees and the node list are computed once.
+    """
+    pairs = minhash_pair_plan(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    edges = (
+        pairs.select(
+            F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+        )
+        .unionAll(
+            pairs.select(
+                F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst")
+            )
+        )
+        .persist()
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct().persist()
+    n = nodes.count()  # 1-scalar driver value, like the CC convergence check
+    if n == 0:
+        return nodes.select(
+            F.col("node").cast("long").alias("doc_id"),
+            F.lit(0.0).alias("pagerank"),
+        )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    for t in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges["src"] == ranks["node"])
+            .join(deg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("outd")).alias("contrib"))
+        )
+        ranks = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
+            "node",
+            (
+                F.lit((1 - PR_DAMPING) / n)
+                + PR_DAMPING * F.coalesce(F.col("contrib"), F.lit(0.0))
+            ).alias("pr"),
+        )
+        if (t + 1) % 3 == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks.select(
+        F.col("node").cast("long").alias("doc_id"), F.col("pr").alias("pagerank")
+    )

@@ -423,3 +423,52 @@ def q_lang_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pa") / F.col("denom")).alias("mix_weight"),
         ((F.col("pa") / F.col("denom")) / F.col("p_raw")).alias("upsample_factor"),
     )
+
+
+WSAMPLE_K = 20
+# md5-derived uniform in (0,1): 53 bits of the doc_id hash, +1 so u>0.
+_U_SPARK = (
+    "(cast(conv(substring(md5(cast(doc_id AS STRING)), 1, 13), 16, 10) AS DOUBLE) + 1.0)"
+    " / 4503599627370497.0"
+)
+_U_SQL = (
+    "(CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT) AS DOUBLE) + 1.0)"
+    " / 4503599627370497.0"
+)
+
+
+@register(
+    "q_weighted_sample_topk",
+    oracle=f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           pow({_U_SQL}, 1.0 / n_chars) AS sample_key
+    FROM documents
+    WHERE n_chars > 0
+    ORDER BY sample_key DESC, doc_id
+    LIMIT {WSAMPLE_K}
+    """,
+    tags=("sampling", "weighted", "deterministic", "training-data"),
+)
+def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis–Spirakis A-ES):
+    each document draws a pseudo-uniform u from md5(doc_id) and gets
+    key u^(1/weight); the global top-k by key IS a weighted sample
+    without replacement — here weighted by n_chars (longer docs
+    proportionally likelier), in production by a quality score.
+
+    The standard trick made reproducible: the "random" draw is a pure
+    function of the row key, so the same corpus yields the same sample
+    on any cluster, any partitioning, any rerun — and an oracle can
+    replay it. Scale shape: key computation folds into the scan
+    projection, and the k-cut is TakeOrderedAndProject (each partition
+    surfaces k candidates; no global sort).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.pow(F.expr(_U_SPARK), 1.0 / F.col("n_chars"))
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .select("doc_id", "lang", "n_chars", key.alias("sample_key"))
+        .orderBy(F.desc("sample_key"), F.asc("doc_id"))
+        .limit(WSAMPLE_K)
+    )

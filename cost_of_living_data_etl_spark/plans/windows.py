@@ -319,3 +319,68 @@ def q_timeseries_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day_revenue").isNull().alias("is_gap"),
         )
     )
+
+
+ANOM_WINDOW = 30  # trailing days in the baseline
+ANOM_Z = 2.0
+
+
+@register(
+    "q_revenue_anomaly_days",
+    oracle=f"""
+    WITH daily AS (
+        SELECT date_trunc('day', o_orderdate) AS day,
+               sum(o_totalprice) AS day_revenue
+        FROM orders GROUP BY 1
+    ),
+    scored AS (
+        SELECT day, day_revenue,
+               avg(day_revenue) OVER w          AS base_mean,
+               stddev_samp(day_revenue) OVER w  AS base_std,
+               count(*) OVER w                  AS n_base
+        FROM daily
+        WINDOW w AS (
+            ORDER BY day ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING
+        )
+    )
+    SELECT day, day_revenue, base_mean,
+           (day_revenue - base_mean) / base_std AS z
+    FROM scored
+    WHERE n_base >= 10 AND base_std > 0
+      AND abs((day_revenue - base_mean) / base_std) >= {ANOM_Z}
+    """,
+    tags=("window", "time-series", "anomaly"),
+)
+def q_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window anomaly detection: days whose revenue sits
+    ≥ {ANOM_Z}σ from the mean of the PRECEDING {ANOM_WINDOW} days
+    (frame excludes the current row, so an outlier can't shift its own
+    baseline — the classic self-contamination bug in rolling z-scores).
+
+    The monitoring query every load pipeline wants over the facts it
+    writes. One pre-aggregation to |days| rows, one window pass; at
+    100 TB the window input is the tiny daily rollup, never raw
+    orders.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.sum("o_totalprice").alias("day_revenue"))
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(-ANOM_WINDOW, -1)
+    )
+    scored = daily.select(
+        "day",
+        "day_revenue",
+        F.avg("day_revenue").over(w).alias("base_mean"),
+        F.stddev_samp("day_revenue").over(w).alias("base_std"),
+        F.count(F.lit(1)).over(w).alias("n_base"),
+    )
+    z = (F.col("day_revenue") - F.col("base_mean")) / F.col("base_std")
+    return (
+        scored.filter(
+            (F.col("n_base") >= 10) & (F.col("base_std") > 0) & (F.abs(z) >= ANOM_Z)
+        )
+        .select("day", "day_revenue", "base_mean", z.alias("z"))
+    )

@@ -276,3 +276,57 @@ def q_corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "final_chars",
         "n_bins",
     )
+
+
+@register(
+    "q_quality_dup_deciles",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, n_chars,
+               {_QUALITY_SQL} AS quality,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_dup
+        FROM documents
+    ),
+    binned AS (
+        SELECT *, CAST(ntile(10) OVER (ORDER BY quality, doc_id) AS BIGINT) AS decile
+        FROM scored
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           count(*) FILTER (WHERE is_dup) / CAST(count(*) AS DOUBLE) AS dup_rate,
+           avg(quality) AS avg_quality,
+           avg(n_chars) AS avg_chars
+    FROM binned GROUP BY decile
+    """,
+    tags=("quality", "dedup", "diagnostics", "training-data"),
+)
+def q_quality_dup_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal diagnostic: exact-duplicate rate per quality
+    decile — the curation sanity check that low-quality strata are
+    (usually) also the duplicated strata, which decides whether dedup
+    or quality filtering runs first and how much each can claim.
+
+    The quality expression is the SAME bit-identical Spark/DuckDB pair
+    the funnel uses, so decile boundaries agree across engines. The
+    global ntile runs on (quality, doc_id) pairs after the per-doc map
+    pass — at 100 TB swap it for approx-quantile cutpoints exactly as
+    q_window_ntile_price_quartiles documents.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    dup_w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    scored = docs.select(
+        "doc_id",
+        "n_chars",
+        quality_score(F.col("text")).alias("quality"),
+        (F.row_number().over(dup_w) > 1).alias("is_dup"),
+    )
+    decile_w = Window.orderBy("quality", "doc_id")
+    binned = scored.withColumn(
+        "decile", F.ntile(10).over(decile_w).cast("long")
+    )
+    return binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count_if("is_dup") / F.count(F.lit(1)).cast("double")).alias("dup_rate"),
+        F.avg("quality").alias("avg_quality"),
+        F.avg("n_chars").alias("avg_chars"),
+    )

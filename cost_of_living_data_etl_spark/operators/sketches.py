@@ -270,25 +270,157 @@ def estimate_distinct(sketches: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# deterministic portable HLL: md5-derived registers in an exploded
+# (group, idx, reg) table — the same algorithm, but every step is plain
+# relational algebra, so ANY engine replays it bit-for-bit
+# ---------------------------------------------------------------------------
+#
+# Why a second HLL: ``hll_sketch_agg`` above is the production variant
+# (opaque Datasketches binary, fastest, engine-native) but its register
+# layout is engine-SPECIFIC, so no cross-engine oracle can check it.
+# This variant fixes the hash (md5 → 60-bit int: low p bits pick the
+# register, the leading-zero count of the remaining 48 bits is the
+# rank) and stores registers as ROWS. All three sketch operations are
+# then vanilla SQL — build = GROUP BY max(rho), merge = GROUP BY
+# max(reg) (max is associative ⇒ rollups compose exactly like the
+# binary union), estimate = one aggregate over ≤ m rows per group —
+# which makes the whole pipeline hash-verifiable against DuckDB and
+# portable across warehouses (the "HLL in pure SQL" interop pattern).
+# Cost: ~9 bytes/register-row vs 1 byte/register packed; at lgK=12
+# that is ≤ 36 KB per persisted cell, still thousands of times smaller
+# than re-scanning raw data at 100 TB.
+
+DET_HLL_P = 12
+DET_HLL_M = 1 << DET_HLL_P  # 4096 registers
+_DET_HLL_MAX_RHO = 60 - DET_HLL_P + 1  # 49: empty 48-bit suffix
+_DET_HLL_POW = float(1 << (_DET_HLL_MAX_RHO + 1))  # 2^-reg scale factor
+_DET_HLL_ALPHA_MM = 0.7213 / (1.0 + 1.079 / DET_HLL_M) * DET_HLL_M * DET_HLL_M
+
+
+def det_hll_registers(
+    df: DataFrame, group_cols: list[str], distinct_col: str
+) -> DataFrame:
+    """Build the exploded-register sketch table: one row per occupied
+    register per ``group_cols`` cell, carrying ``reg`` (max rank seen)
+    and ``n_rows`` (exact cell row count). Map-side combinable; the
+    shuffle carries ≤ m rows per cell regardless of cardinality."""
+    h60 = F.conv(
+        F.substring(F.md5(F.col(distinct_col).cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    rest = F.shiftright(F.col("h60"), DET_HLL_P)
+    rho = F.when(rest == F.lit(0), F.lit(_DET_HLL_MAX_RHO)).otherwise(
+        F.lit(_DET_HLL_MAX_RHO) - F.length(F.bin(rest))
+    )
+    return (
+        df.select(*group_cols, h60.alias("h60"))
+        .select(
+            *group_cols,
+            F.col("h60").bitwiseAND(F.lit(DET_HLL_M - 1)).alias("idx"),
+            rho.alias("rho"),
+        )
+        .groupBy(*group_cols, "idx")
+        .agg(F.max("rho").alias("reg"), F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+def det_hll_merge(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Roll a register table up to coarser ``group_cols``: max per
+    register is EXACTLY the HLL union (estimates identical to sketching
+    the raw union), row counts sum. Input and output share a schema, so
+    rollups compose (day → month → year)."""
+    return registers.groupBy(*group_cols, "idx").agg(
+        F.max("reg").alias("reg"), F.sum("n_rows").alias("n_rows")
+    )
+
+
+def det_hll_estimate(
+    registers: DataFrame, group_cols: list[str], est_col: str = "n_distinct_est"
+) -> DataFrame:
+    """Standard HLL estimator over the register table: harmonic mean of
+    2^-reg with linear-counting small-range correction. The register
+    sum is kept in exact BIGINT arithmetic (2^(50-reg) per row) so both
+    engines see identical values; only the final division/log are
+    floats (IEEE-identical given identical inputs)."""
+    agg = registers.groupBy(*group_cols).agg(
+        F.expr(
+            f"sum(shiftleft(CAST(1 AS BIGINT), {_DET_HLL_MAX_RHO + 1} - reg))"
+        ).alias("s_int"),
+        F.count(F.lit(1)).alias("present"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    zeros = F.lit(DET_HLL_M) - F.col("present")
+    raw = F.lit(_DET_HLL_ALPHA_MM) / (F.col("s_int") / F.lit(_DET_HLL_POW) + zeros)
+    est = F.when(
+        (raw <= F.lit(2.5 * DET_HLL_M)) & (zeros > F.lit(0)),
+        F.lit(float(DET_HLL_M)) * F.log(F.lit(float(DET_HLL_M)) / zeros),
+    ).otherwise(raw)
+    return agg.select(*group_cols, est.alias(est_col), "n_rows")
+
+
+def det_hll_oracle(source_sql: str, group_cols: list[str], est_alias: str) -> str:
+    """DuckDB replay of registers→merge→estimate over ``source_sql``,
+    which must yield ``group_cols`` plus ``v`` (the key as VARCHAR).
+    Because merge is an associative max, building registers at the
+    finest grain and rolling up equals grouping directly — so one CTE
+    chain oracles any rollup depth."""
+    gc = ", ".join(group_cols)
+    m, p, maxr = DET_HLL_M, DET_HLL_P, _DET_HLL_MAX_RHO
+    raw = f"{_DET_HLL_ALPHA_MM!r} / (s_int / {_DET_HLL_POW!r} + ({m} - present))"
+    return f"""
+    WITH src AS ({source_sql}),
+    h AS (
+        SELECT {gc}, CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) AS h60
+        FROM src
+    ),
+    regs AS (
+        SELECT {gc}, h60 & {m - 1} AS idx,
+               max(CASE WHEN h60 >> {p} = 0 THEN {maxr}
+                        ELSE {maxr} - length(bin(h60 >> {p})) END) AS reg,
+               count(*) AS cnt
+        FROM h GROUP BY {gc}, idx
+    ),
+    agg AS (
+        SELECT {gc},
+               CAST(sum(CAST(1 AS BIGINT) << ({maxr + 1} - reg)) AS BIGINT) AS s_int,
+               count(*) AS present,
+               CAST(sum(cnt) AS BIGINT) AS n_rows
+        FROM regs GROUP BY {gc}
+    )
+    SELECT {gc},
+           CASE WHEN {raw} <= {2.5 * DET_HLL_M!r} AND present < {m}
+                THEN {float(DET_HLL_M)!r} * ln({float(DET_HLL_M)!r} / ({m} - present))
+                ELSE {raw} END AS {est_alias},
+           n_rows
+    FROM agg
+    """
+
+
 @register(
     "q_sketch_rollup_customers",
-    oracle=None,  # HLL estimates are engine-specific by construction; the
-    # bounded-error + merge-losslessness contracts are tested in
-    # tests/test_sketches.py against exact count_distinct.
+    oracle=det_hll_oracle(
+        "SELECT o_orderpriority AS priority, CAST(o_custkey AS VARCHAR) AS v"
+        " FROM orders",
+        ["priority"],
+        "n_distinct_est",
+    ),
     tags=("sketch", "hll", "rollup"),
 )
 def q_sketch_rollup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct ordering customers per priority, answered from a
-    (day, priority)-grained HLL sketch table by union-merge — the
-    incremental pattern: the daily table is what a 100 TB pipeline
+    (day, priority)-grained register-table HLL sketch by max-merge —
+    the incremental pattern: the daily table is what a 100 TB pipeline
     persists per ingest batch, and every coarser rollup (this one
-    collapses ~2400 days) reads only sketches.
-    """
+    collapses ~2400 days) reads only sketches. Uses the deterministic
+    portable HLL so the whole sketch→merge→estimate path hash-matches
+    the DuckDB oracle; ``build_hll_rollup`` (Datasketches) is the
+    engine-native drop-in with identical mergeability, covered in
+    tests/test_sketches.py."""
     orders = load_table(spark, sf_dir, "orders").select(
-        F.to_date("o_orderdate").alias("day"), "o_orderpriority", "o_custkey"
+        F.to_date("o_orderdate").alias("day"),
+        F.col("o_orderpriority").alias("priority"),
+        "o_custkey",
     )
-    daily = build_hll_rollup(orders, ["day", "o_orderpriority"], "o_custkey")
-    per_priority = merge_hll_rollup(daily, ["o_orderpriority"])
-    return estimate_distinct(per_priority).select(
-        F.col("o_orderpriority").alias("priority"), "n_distinct_est", "n_rows"
-    )
+    daily = det_hll_registers(orders, ["day", "priority"], "o_custkey")
+    per_priority = det_hll_merge(daily, ["priority"])
+    return det_hll_estimate(per_priority, ["priority"])

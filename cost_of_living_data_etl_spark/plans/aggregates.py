@@ -134,27 +134,39 @@ def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _approx_distinct_oracle() -> str:
+    from cost_of_living_data_etl_spark.operators.sketches import det_hll_oracle
+
+    return det_hll_oracle(
+        "SELECT l_returnflag, CAST(l_partkey AS VARCHAR) AS v FROM lineitem",
+        ["l_returnflag"],
+        "n_parts_approx",
+    )
+
+
 @register(
     "q_approx_distinct_counts",
-    oracle=None,  # HLL sketch result is engine-specific by construction;
-    # correctness is bounded-error vs q_distinct_counts (tested in pytest).
+    oracle=_approx_distinct_oracle(),
     tags=("agg", "approx"),
 )
 def q_approx_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HyperLogLog++): the 100 TB-scale variant.
-
-    Exact distinct over a high-cardinality key needs a full shuffle of
-    the key; the HLL sketch is fixed-size per group and merges
-    map-side — this is the one to reach for on billions of keys.
+    """Approximate COUNT(DISTINCT) via HyperLogLog: the 100 TB-scale
+    variant. Exact distinct over a high-cardinality key needs a full
+    shuffle of the key; the HLL register table is bounded at m=4096
+    rows per group and merges map-side — this is the one to reach for
+    on billions of keys. Uses the deterministic portable HLL
+    (operators/sketches.py) so the estimate itself hash-matches the
+    DuckDB replay; `F.approx_count_distinct` is the engine-native
+    drop-in, accuracy-tested against it in tests/test_sketches.py.
     """
-    return (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("n_parts_approx"),
-            F.count(F.lit(1)).alias("n_rows"),
-        )
+    from cost_of_living_data_etl_spark.operators.sketches import (
+        det_hll_estimate,
+        det_hll_registers,
     )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_partkey")
+    regs = det_hll_registers(li, ["l_returnflag"], "l_partkey")
+    return det_hll_estimate(regs, ["l_returnflag"], "n_parts_approx")
 
 
 @register(

@@ -174,3 +174,67 @@ def test_heavy_hitter_plan_shape(spark, sf_oracle):
     )
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "BatchEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# deterministic portable HLL (exploded-register table)
+# ---------------------------------------------------------------------------
+
+
+def test_det_hll_bounded_error_vs_exact(spark, sf_oracle):
+    from cost_of_living_data_etl_spark.operators.sketches import (
+        det_hll_estimate,
+        det_hll_registers,
+    )
+
+    li = spark.read.parquet(f"{sf_oracle}/lineitem.parquet").select(
+        "l_returnflag", "l_partkey"
+    )
+    regs = det_hll_registers(li, ["l_returnflag"], "l_partkey")
+    est = {
+        r["l_returnflag"]: (r["n_parts_approx"], r["n_rows"])
+        for r in det_hll_estimate(regs, ["l_returnflag"], "n_parts_approx").collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["d"], r["n"])
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("d"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert est.keys() == exact.keys()
+    for k in exact:
+        (e_d, e_n), (x_d, x_n) = est[k], exact[k]
+        assert e_n == x_n  # exact row counts ride along
+        assert abs(e_d - x_d) / x_d < 0.05  # ~1.04/sqrt(4096) ≈ 1.6% rsd
+
+
+def test_det_hll_merge_is_lossless(spark, sf_oracle):
+    """max-merging per-day register tables gives BIT-IDENTICAL
+    estimates to building the registers at the coarse grain directly —
+    stronger than the Datasketches contract (which only promises
+    within-error), and exactly why the merged rollup can share one
+    DuckDB oracle with the direct form."""
+    from cost_of_living_data_etl_spark.operators.sketches import (
+        det_hll_estimate,
+        det_hll_merge,
+        det_hll_registers,
+    )
+
+    orders = spark.read.parquet(f"{sf_oracle}/orders.parquet").select(
+        F.to_date("o_orderdate").alias("day"), "o_orderpriority", "o_custkey"
+    )
+    daily = det_hll_registers(orders, ["day", "o_orderpriority"], "o_custkey")
+    merged = {
+        r["o_orderpriority"]: (r["n_distinct_est"], r["n_rows"])
+        for r in det_hll_estimate(
+            det_hll_merge(daily, ["o_orderpriority"]), ["o_orderpriority"]
+        ).collect()
+    }
+    direct = {
+        r["o_orderpriority"]: (r["n_distinct_est"], r["n_rows"])
+        for r in det_hll_estimate(
+            det_hll_registers(orders, ["o_orderpriority"], "o_custkey"),
+            ["o_orderpriority"],
+        ).collect()
+    }
+    assert merged == direct

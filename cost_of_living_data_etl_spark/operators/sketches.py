@@ -1,8 +1,9 @@
-"""Sketch-based operators: bounded-memory heavy hitters and mergeable
-HyperLogLog rollup tables.
+"""Sketch-based operators: bounded-memory heavy hitters, mergeable
+HyperLogLog rollup tables (engine-native and portable deterministic
+forms), and Bloom-filter join pruning.
 
-These are the two patterns a 100 TB pipeline reaches for when the KEY
-SPACE itself is too large to shuffle or hold exactly:
+These are the patterns a 100 TB pipeline reaches for when the KEY
+SPACE itself is too large to shuffle, broadcast, or hold exactly:
 
 - **Heavy hitters (two-pass candidate/verify)**: a full
   ``groupBy(key).count()`` shuffles one record per distinct key — fine
@@ -424,3 +425,120 @@ def q_sketch_rollup_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = det_hll_registers(orders, ["day", "priority"], "o_custkey")
     per_priority = det_hll_merge(daily, ["priority"])
     return det_hll_estimate(per_priority, ["priority"])
+
+
+# ---------------------------------------------------------------------------
+# deterministic portable Bloom filter: build-side bit set, map-side
+# probe, exact verify — runtime-filter join pruning without broadcasting
+# the dimension
+# ---------------------------------------------------------------------------
+#
+# The third portable sketch (with the heavy-hitter summaries and the
+# register-table HLL above). Scenario it exists for: a fact⋈dim semi
+# join where the DIM side is too big to broadcast-hash-join but its
+# Bloom filter is not (1 bit/key vs ~100 bytes/row ⇒ a 10^9-key dim is
+# a ~1 GB hash table but a ~170 MB bloom at 1% fp). Probing the bloom
+# map-side prunes the fact scan BEFORE the join shuffle, so the
+# Exchange carries only (matches + fp-rate × non-matches) rows; the
+# exact verify join then removes the false positives, making the final
+# answer EXACT — which is what lets a plain IN-subquery oracle check a
+# sketch-pruned plan (same two-pass trick as exact_heavy_hitters).
+# Spark's own runtime row-group filtering (InSubqueryExec/DPP) covers
+# the partition-column case; this operator is the arbitrary-key form,
+# with md5-derived hashes so any engine replays it.
+
+BLOOM_M = 1 << 15  # bits in the filter
+BLOOM_K = 4  # hash functions; fp ≈ (1 - e^(-k·n/m))^k
+
+
+def _bloom_bit(key, i: int, m: int):
+    """i-th bit position of ``key``: md5 over a salted rendering, low
+    bits. One md5 per (key, i) — same universal-hash recipe as the
+    MinHash and sign-LSH operators."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{i}:"), key.cast("string"))), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .bitwiseAND(F.lit(m - 1))
+    )
+
+
+def bloom_bits(
+    keys: DataFrame, key_col: str, m: int = BLOOM_M, k: int = BLOOM_K
+) -> DataFrame:
+    """Build side: the distinct set bits of the filter, as rows
+    (column ``bit``) — ≤ m rows however many keys went in. The exploded
+    form is what makes the filter portable (any engine materializes the
+    same set) and incrementally maintainable (new keys UNION in; the
+    bit set only grows)."""
+    positions = F.array(*[_bloom_bit(F.col(key_col), i, m) for i in range(k)])
+    return keys.select(F.explode(positions).alias("bit")).distinct()
+
+
+def bloom_prune(
+    facts: DataFrame,
+    key_col: str,
+    bits: DataFrame,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+) -> DataFrame:
+    """Map-side probe: keep fact rows whose k bit positions are ALL
+    set. k chained broadcast left-semi joins — one codegen stage, no
+    Exchange of the fact side; survivors are the true matches plus the
+    fp-rate share of the rest. NOT exact alone: follow with an exact
+    verify join (see q_bloom_prune_join)."""
+    out = facts
+    for i in range(k):
+        out = out.join(
+            F.broadcast(bits.select(F.col("bit").alias(f"_b{i}"))),
+            _bloom_bit(F.col(key_col), i, m) == F.col(f"_b{i}"),
+            "left_semi",
+        )
+    return out
+
+
+@register(
+    "q_bloom_prune_join",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           sum(o_totalprice)        AS revenue
+    FROM orders
+    WHERE o_custkey IN (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    GROUP BY o_orderpriority
+    """,
+    tags=("sketch", "bloom", "join", "runtime-filter"),
+)
+def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order count/revenue per priority for BUILDING-segment customers,
+    computed through a Bloom-pruned semi join: build the segment's bit
+    set, prune orders map-side, then exact-verify the survivors. The
+    answer is exact (verify pass), so the oracle is the plain
+    IN-subquery form. At fixture scale the dim would broadcast anyway —
+    the verify join is hinted sort-merge to pin the plan this pattern
+    exists for: a dim too big to broadcast, an Exchange that carries
+    only bloom survivors instead of the whole fact table.
+    """
+    seg = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderpriority", "o_totalprice"
+    )
+    pruned = bloom_prune(orders, "o_custkey", bloom_bits(seg, "c_custkey"))
+    exact = pruned.join(
+        seg.hint("merge").withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey",
+        "left_semi",
+    )
+    return exact.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("o_totalprice").alias("revenue"),
+    )

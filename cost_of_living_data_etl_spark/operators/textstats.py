@@ -562,3 +562,73 @@ def q_bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(PMI_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# unigram language-model surprisal: statistical quality scoring
+# ---------------------------------------------------------------------------
+
+@register(
+    "q_unigram_surprisal",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents WHERE trim(text) <> ''
+    ),
+    lm AS (
+        SELECT word, count(*) AS cnt FROM toks GROUP BY word
+    ),
+    n AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM toks),
+    doc AS (
+        SELECT t.doc_id,
+               max(t.source)               AS source,
+               avg(-ln(lm.cnt / n.total))  AS doc_nats
+        FROM toks t JOIN lm USING (word) CROSS JOIN n
+        GROUP BY t.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           avg(doc_nats)            AS avg_surprisal_nats,
+           max(doc_nats)            AS max_surprisal_nats
+    FROM doc GROUP BY source
+    """,
+    tags=("text", "quality", "language-model"),
+)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mean unigram surprisal (-ln p(w), nats/token): the
+    simplest statistical language-model quality signal. Docs whose
+    tokens are systematically improbable under the corpus's own
+    unigram distribution are boilerplate, noise, or wrong-language —
+    the cheap precursor to KenLM-perplexity filtering in
+    pretraining-data pipelines (the model IS the corpus frequency
+    table, so no external artifact is needed).
+
+    Scale shape: the explode happens after projecting to (doc_id,
+    source, text); the LM is vocab-sized and joins on the token key (a
+    partial-agg shuffle bounded by |vocab| × partitions, and AQE
+    broadcasts it when it fits); the corpus total rides a 1-row
+    broadcast. Text itself never shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", "source", F.trim(F.col("text")).alias("t"))
+        .filter(F.col("t") != "")
+        .select("doc_id", "source", F.explode(F.split("t", r"\s+")).alias("word"))
+    )
+    lm = toks.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = toks.select(F.count(F.lit(1)).cast("double").alias("total"))
+    doc = (
+        toks.join(lm, "word")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.max("source").alias("source"),
+            F.avg(-F.log(F.col("cnt") / F.col("total"))).alias("doc_nats"),
+        )
+    )
+    return doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("doc_nats").alias("avg_surprisal_nats"),
+        F.max("doc_nats").alias("max_surprisal_nats"),
+    )

@@ -238,3 +238,54 @@ def test_det_hll_merge_is_lossless(spark, sf_oracle):
         ).collect()
     }
     assert merged == direct
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter join pruning
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_prune_exact_at_any_filter_size(spark):
+    """The verify pass makes the pruned join exact regardless of the
+    bloom's false-positive rate — m=16 bits over 40 keys is nearly
+    all-ones (fp → 1), yet the result must equal the plain semi join.
+    Mirrors the capacity-independence contract of exact_heavy_hitters."""
+    from cost_of_living_data_etl_spark.operators.sketches import (
+        bloom_bits,
+        bloom_prune,
+    )
+
+    keys = spark.createDataFrame([(i,) for i in range(0, 120, 3)], "k long")
+    facts = spark.createDataFrame([(i, i % 7) for i in range(200)], "k long, v int")
+    expected = sorted(
+        (r["k"], r["v"])
+        for r in facts.join(keys, "k", "left_semi").collect()
+    )
+    for m, k in ((16, 2), (1 << 10, 4)):
+        bits = bloom_bits(keys, "k", m=m, k=k)
+        pruned = bloom_prune(facts, "k", bits, m=m, k=k)
+        got = sorted(
+            (r["k"], r["v"])
+            for r in pruned.join(keys, "k", "left_semi").collect()
+        )
+        assert got == expected, f"m={m},k={k}"
+
+
+def test_bloom_probe_is_map_side(spark):
+    """The probe stage must not exchange the fact side: every bloom
+    join is a broadcast left-semi, so the only Exchanges in the plan
+    belong to the verify join and the final aggregate."""
+    from cost_of_living_data_etl_spark.plans import catalog
+
+    df = catalog()["q_bloom_prune_join"].fn(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 4
+    # fact-side scan of orders flows into the first broadcast semi join
+    # with no Exchange in between: no shuffle node may appear *below*
+    # the last BroadcastHashJoin in the plan text (tree prints top-down,
+    # so the scan-side section is after the last broadcast join line).
+    tail = plan[plan.rindex("BroadcastHashJoin"):]
+    scan_section = "\n".join(
+        ln for ln in tail.splitlines() if "orders" in ln or "Exchange" in ln
+    )
+    assert "Exchange" not in scan_section.split("BroadcastExchange")[0]

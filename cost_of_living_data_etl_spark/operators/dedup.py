@@ -813,3 +813,113 @@ def q_pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("node").cast("long").alias("doc_id"), F.col("pr").alias("pagerank")
     )
+
+
+# ---------------------------------------------------------------------------
+# cross-document substring duplication: chunk-hash approximation of
+# suffix-array exact-substring dedup
+# ---------------------------------------------------------------------------
+
+CHUNK_W = 64  # window length (chars)
+CHUNK_S = 16  # stride (chars): detects duplicated spans at ≥ W+S chars
+
+
+@register(
+    "q_crossdoc_substring_dups",
+    oracle=f"""
+    WITH docs AS (
+        SELECT doc_id, source, text, length(text) AS len
+        FROM documents WHERE length(text) >= {CHUNK_W}
+    ),
+    chunks AS (
+        SELECT DISTINCT doc_id, source,
+               md5(substring(text, 1 + {CHUNK_S} * i, {CHUNK_W})) AS h
+        FROM docs, LATERAL (
+            SELECT unnest(generate_series(0, (len - {CHUNK_W}) // {CHUNK_S})) AS i
+        )
+    ),
+    shared AS (
+        SELECT h FROM chunks GROUP BY h HAVING count(*) >= 2
+    ),
+    per_doc AS (
+        SELECT c.doc_id, max(c.source) AS source,
+               count(*) AS n_chunks,
+               CAST(sum(CASE WHEN s.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup
+        FROM chunks c LEFT JOIN shared s ON c.h = s.h
+        GROUP BY c.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT)                       AS n_docs,
+           avg(n_dup * 1.0 / n_chunks)                    AS avg_dup_ratio,
+           CAST(sum(CASE WHEN n_dup * 2 >= n_chunks THEN 1 ELSE 0 END)
+                AS BIGINT)                                AS n_heavy_dup
+    FROM per_doc
+    GROUP BY source
+    """,
+    tags=("dedup", "substring", "chunks"),
+)
+def q_crossdoc_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level duplication rate per source: the fraction of
+    each doc's 64-char windows (stride 16) whose exact content appears
+    in at least one other window anywhere in the corpus — the
+    chunk-hash approximation of suffix-array exact-substring dedup
+    (which removes verbatim boilerplate MinHash treats as unique when
+    it is embedded in otherwise-distinct pages). Stride-W trade-off: a
+    duplicated span is detected once it spans a full aligned window,
+    i.e. at length ≥ W + S = 80 chars; shrinking S tightens that bound
+    linearly while growing the explode by 1/S.
+
+    Scale shape: windows are hashed to 16-byte md5s in the scan stage
+    and the text column is dropped before any Exchange — the shuffle
+    carries (doc_id, chunk_hash) pairs keyed by hash (~`40/S` bytes per
+    text byte; tune S for the corpus). The shared-chunk set is a
+    hash-keyed partial aggregate, and the per-doc rollup re-shuffles
+    only hashes. Nothing is ever all-pairs.
+    """
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= CHUNK_W)
+        .select("doc_id", "source", "text", F.length("text").alias("len"))
+    )
+    chunks = (
+        docs.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(
+                    F.lit(0), F.expr(f"(len - {CHUNK_W}) div {CHUNK_S}")
+                )
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.md5(
+                F.expr(f"substring(text, 1 + {CHUNK_S} * i, {CHUNK_W})")
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    shared = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") >= 2
+    )
+    per_doc = (
+        chunks.join(shared.select("h", F.lit(1).alias("dup")), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max("source").alias("source"),
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("dup").isNotNull(), 1).otherwise(0)).alias("n_dup"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("n_dup") * F.lit(1.0) / F.col("n_chunks")).alias(
+            "avg_dup_ratio"
+        ),
+        F.sum(
+            F.when(F.col("n_dup") * 2 >= F.col("n_chunks"), 1).otherwise(0)
+        ).alias("n_heavy_dup"),
+    )

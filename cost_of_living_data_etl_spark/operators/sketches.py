@@ -44,7 +44,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.sources.tables import load_table
@@ -541,4 +541,183 @@ def q_bloom_prune_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.groupBy(F.col("o_orderpriority").alias("priority")).agg(
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("o_totalprice").alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic bottom-k quantile sketch: mergeable uniform sample by
+# md5 priority — approximate quantiles with the same persist/merge
+# contract as the HLL rollup
+# ---------------------------------------------------------------------------
+#
+# Fourth portable sketch (distinct → HLL, membership → Bloom, frequency
+# → heavy hitters, rank → this). A bottom-k sample — the k rows with
+# the SMALLEST md5-derived priorities — is a uniform random sample
+# without replacement whose merge is exact: bottom-k of a union equals
+# bottom-k of the merged bottom-ks, so per-day sketch tables roll up
+# losslessly to any coarser grain (same associative-merge argument as
+# the HLL register max). Priorities are md5(row id), so any engine
+# draws the SAME sample — the whole sketch→merge→estimate path is
+# deterministic and oracle-checkable, unlike t-digest/KLL whose merge
+# is implementation-defined.
+
+BOTTOMK_K = 128
+
+
+def _priority(id_col):
+    """Uniform 52-bit priority from the unique row id (13 md5 hex
+    digits — int64-safe, same recipe as the weighted sampler)."""
+    return F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10
+    ).cast("long")
+
+
+def bottomk_sketch(
+    df: DataFrame, group_col: str, value_col: str, id_col: str, k: int = BOTTOMK_K
+) -> DataFrame:
+    """Per-``group_col`` bottom-k sample of ``value_col``: columns
+    (cell, pri, val), ≤ k rows per cell.
+
+    Two-phase, like the heavy-hitter summaries: an Arrow map pass trims
+    each physical partition to its local bottom-k per cell (bounded
+    memory, no shuffle, output ≤ k × cells × partitions), then one
+    window pass over the tiny survivor set takes the exact global
+    bottom-k. The refinement is exact — local bottom-k can never evict
+    a global bottom-k row — so the result is independent of
+    partitioning, which is what the cross-engine oracle replays.
+    """
+    slim = df.select(
+        F.col(group_col).cast("string").alias("cell"),
+        F.col(value_col).cast("double").alias("val"),
+        _priority(id_col).alias("pri"),
+    )
+
+    def trim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        buf: dict[str, pd.DataFrame] = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            for cell, grp in pdf.groupby("cell", sort=False):
+                merged = pd.concat([buf.get(cell, grp.iloc[0:0]), grp])
+                buf[cell] = merged.nsmallest(k, ["pri", "val"], keep="first")
+        if buf:
+            yield pd.concat(buf.values())
+
+    local = slim.mapInPandas(trim, "cell string, val double, pri long")
+    w = Window.partitionBy("cell").orderBy("pri", "val")
+    return (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def bottomk_merge(sketches: DataFrame, k: int = BOTTOMK_K) -> DataFrame:
+    """Union-merge sketch tables: global bottom-k per cell of the
+    union — EXACTLY the sketch of the union (lossless, like the HLL
+    register max)."""
+    w = Window.partitionBy("cell").orderBy("pri", "val")
+    return (
+        sketches.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def bottomk_quantiles(sketches: DataFrame, qs: list[float]) -> DataFrame:
+    """Empirical quantiles of each cell's sample: sorted-sample value
+    at rank ceil(q·m) (floored at 1). The sample is uniform without
+    replacement, so each estimate converges at O(1/√k)."""
+    m = sketches.groupBy("cell").agg(F.count(F.lit(1)).alias("m"))
+    w = Window.partitionBy("cell").orderBy("val")
+    ranked = sketches.withColumn("vr", F.row_number().over(w)).join(m, "cell")
+    aggs = [
+        F.max(
+            F.when(
+                F.col("vr")
+                == F.greatest(F.lit(1), F.ceil(F.lit(q) * F.col("m"))),
+                F.col("val"),
+            )
+        ).alias(f"est_p{int(q * 100)}")
+        for q in qs
+    ]
+    return ranked.groupBy("cell").agg(*aggs)
+
+
+@register(
+    "q_quantile_sketch_rollup",
+    oracle=f"""
+    WITH pr AS (
+        SELECT o_orderpriority AS cell, o_totalprice AS val,
+               CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13)
+                    AS BIGINT) AS pri
+        FROM orders
+    ),
+    samp AS (
+        SELECT cell, val FROM (
+            SELECT cell, val,
+                   row_number() OVER (PARTITION BY cell ORDER BY pri, val) AS rn
+            FROM pr
+        ) WHERE rn <= {BOTTOMK_K}
+    ),
+    m AS (SELECT cell, count(*) AS m FROM samp GROUP BY cell),
+    ranked AS (
+        SELECT s.cell, s.val, m.m,
+               row_number() OVER (PARTITION BY s.cell ORDER BY s.val) AS vr
+        FROM samp s JOIN m USING (cell)
+    ),
+    est AS (
+        SELECT cell,
+               max(CASE WHEN vr = greatest(1, CAST(ceil(0.5 * m) AS BIGINT))
+                        THEN val END) AS est_p50,
+               max(CASE WHEN vr = greatest(1, CAST(ceil(0.9 * m) AS BIGINT))
+                        THEN val END) AS est_p90
+        FROM ranked GROUP BY cell
+    ),
+    n AS (
+        SELECT o_orderpriority AS cell, CAST(count(*) AS BIGINT) AS n_rows
+        FROM orders GROUP BY 1
+    )
+    SELECT cell AS priority, est_p50, est_p90, n_rows
+    FROM est JOIN n USING (cell)
+    """,
+    tags=("sketch", "quantile", "rollup"),
+)
+def q_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median and p90 order value per priority, answered from a
+    per-day bottom-k sample sketch table merged to priority grain —
+    the quantile analog of q_sketch_rollup_customers: persist daily
+    sketches per ingest batch, answer any coarser rollup from ≤ k rows
+    per cell without re-reading raw data. Merge is lossless (bottom-k
+    of union ≡ bottom-k of merged bottom-ks), so the rollup hash-
+    matches the oracle's direct global sample; exact per-cell row
+    counts ride a separate partial-agg shuffle of counts only.
+    Accuracy vs exact percentiles is bounded in tests/test_sketches.py.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        "o_orderpriority",
+        F.to_date("o_orderdate").alias("day"),
+    )
+    daily = bottomk_sketch(
+        orders.withColumn(
+            "day_cell", F.concat_ws("|", "day", "o_orderpriority")
+        ),
+        "day_cell",
+        "o_totalprice",
+        "o_orderkey",
+    )
+    merged = bottomk_merge(
+        daily.withColumn(
+            "cell", F.substring_index(F.col("cell"), "|", -1)
+        )
+    )
+    est = bottomk_quantiles(merged, [0.5, 0.9])
+    n = (
+        orders.groupBy(F.col("o_orderpriority").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+    return est.join(n, "cell").select(
+        F.col("cell").alias("priority"), "est_p50", "est_p90", "n_rows"
     )

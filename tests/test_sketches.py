@@ -289,3 +289,89 @@ def test_bloom_probe_is_map_side(spark):
         ln for ln in tail.splitlines() if "orders" in ln or "Exchange" in ln
     )
     assert "Exchange" not in scan_section.split("BroadcastExchange")[0]
+
+
+def test_bottomk_merge_is_lossless(spark, sf_oracle):
+    """Bottom-k of a union must equal bottom-k of the merged per-part
+    bottom-ks — the property that lets daily sketch tables roll up to
+    any coarser grain without touching raw data."""
+    from cost_of_living_data_etl_spark.operators.sketches import (
+        bottomk_merge,
+        bottomk_sketch,
+    )
+    from cost_of_living_data_etl_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_oracle, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderpriority").alias("cell"),
+        F.to_date("o_orderdate").alias("day"),
+    )
+    k = 64
+    direct = bottomk_sketch(orders, "cell", "o_totalprice", "o_orderkey", k=k)
+    daily = bottomk_sketch(
+        orders.withColumn("day_cell", F.concat_ws("|", "day", "cell")),
+        "day_cell",
+        "o_totalprice",
+        "o_orderkey",
+        k=k,
+    )
+    merged = bottomk_merge(
+        daily.withColumn("cell", F.substring_index("cell", "|", -1)), k=k
+    )
+    a = sorted(map(tuple, direct.collect()))
+    b = sorted(map(tuple, merged.collect()))
+    assert a == b
+
+
+def test_bottomk_partitioning_independent(spark):
+    """The two-phase local-trim + global-window refinement must give
+    the same sample no matter how rows are physically split."""
+    from cost_of_living_data_etl_spark.operators.sketches import bottomk_sketch
+
+    rows = [(i, float((i * 37) % 1000), f"c{i % 3}") for i in range(2000)]
+    base = spark.createDataFrame(rows, "id long, v double, cell string")
+    out = {}
+    for parts in (1, 7, 32):
+        df = bottomk_sketch(base.repartition(parts), "cell", "v", "id", k=50)
+        out[parts] = sorted(map(tuple, df.collect()))
+    assert out[1] == out[7] == out[32]
+    assert all(
+        sum(1 for t in out[1] if t[0] == c) == 50 for c in ("c0", "c1", "c2")
+    )
+
+
+def test_bottomk_quantile_accuracy(spark, sf_oracle):
+    """Sample-quantile error vs exact percentiles bounded: with k=128
+    a uniform sample's p50/p90 estimate lands within ~3/sqrt(k) of the
+    true rank, i.e. well inside ±0.15 quantile units -> compare value
+    at estimated quantile against exact percentile band [q-0.15, q+0.15]."""
+    from cost_of_living_data_etl_spark.operators.sketches import (
+        bottomk_quantiles,
+        bottomk_sketch,
+    )
+    from cost_of_living_data_etl_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_oracle, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.col("o_orderpriority").alias("cell"),
+    )
+    sk = bottomk_sketch(orders, "cell", "o_totalprice", "o_orderkey")
+    est = {r["cell"]: r for r in bottomk_quantiles(sk, [0.5, 0.9]).collect()}
+    bands = {
+        r["cell"]: r
+        for r in orders.groupBy("cell")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.35)").alias("p50_lo"),
+            F.expr("percentile(o_totalprice, 0.65)").alias("p50_hi"),
+            F.expr("percentile(o_totalprice, 0.75)").alias("p90_lo"),
+            F.expr("percentile(o_totalprice, 0.999)").alias("p90_hi"),
+        )
+        .collect()
+    }
+    assert set(est) == set(bands)
+    for cell, e in est.items():
+        b = bands[cell]
+        assert b["p50_lo"] <= e["est_p50"] <= b["p50_hi"], cell
+        assert b["p90_lo"] <= e["est_p90"] <= b["p90_hi"], cell

@@ -127,3 +127,64 @@ def q_pii_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(flag(ssn_pat)).cast("long").alias("n_ssn_docs"),
         F.sum(flag(ip_pat)).cast("long").alias("n_ip_docs"),
     )
+
+
+K_ANON = 5
+BAL_BUCKET_WIDTH = 1000.0
+
+
+@register(
+    "q_k_anonymity_audit",
+    oracle=f"""
+    WITH q AS (
+        SELECT c_mktsegment,
+               c_nationkey,
+               CAST(floor(c_acctbal / {BAL_BUCKET_WIDTH}) AS BIGINT) AS bal_bucket
+        FROM customer
+    ),
+    g AS (
+        SELECT c_mktsegment, c_nationkey, bal_bucket,
+               CAST(count(*) AS BIGINT) AS gsize
+        FROM q GROUP BY 1, 2, 3
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN gsize < {K_ANON} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_risky_groups,
+           CAST(sum(CASE WHEN gsize < {K_ANON} THEN gsize ELSE 0 END) AS BIGINT)
+               AS n_risky_rows,
+           CAST(min(gsize) AS BIGINT) AS min_group_size
+    FROM g GROUP BY c_mktsegment
+    """,
+    tags=("privacy", "agg"),
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (market segment ×
+    nation × fixed-width balance bucket): per segment, how many
+    quasi-identifier equivalence classes exist, how many are smaller
+    than k=5 (re-identification risk), and how many ROWS sit in
+    those risky classes.
+
+    The release-gating companion to the regex PII scan: PII scanning
+    finds direct identifiers, k-anonymity quantifies indirect
+    (linkage) risk. Scale shape: one partial-aggregated shuffle on the
+    quasi-identifier tuple, then a tiny per-segment rollup — the
+    balance bucket is FIXED-WIDTH (not ntile) precisely so no global
+    sort or single-partition window appears at 100 TB.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    q = customer.select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / F.lit(BAL_BUCKET_WIDTH)).alias("bal_bucket"),
+    )
+    g = q.groupBy("c_mktsegment", "c_nationkey", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("gsize")
+    )
+    risky = F.col("gsize") < K_ANON
+    return g.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum(risky.cast("bigint")).alias("n_risky_groups"),
+        F.sum(F.when(risky, F.col("gsize")).otherwise(0)).alias("n_risky_rows"),
+        F.min("gsize").alias("min_group_size"),
+    )

@@ -437,3 +437,111 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_clipped"),
         )
     )
+
+
+@register(
+    "q_running_distinct_customers",
+    oracle="""
+    WITH first_seen AS (
+        SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS month
+        FROM orders GROUP BY o_custkey
+    ),
+    monthly AS (
+        SELECT month, CAST(count(*) AS BIGINT) AS new_customers
+        FROM first_seen GROUP BY month
+    )
+    SELECT month, new_customers,
+           CAST(sum(new_customers) OVER (ORDER BY month
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_distinct_customers
+    FROM monthly
+    """,
+    tags=("agg", "window", "incremental"),
+)
+def q_running_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct customers by order month via the FIRST-SEEN
+    trick — the scalable formulation of running COUNT(DISTINCT).
+
+    The naive `count(distinct) OVER (ORDER BY month)` window has to
+    carry every key through a single-partition ordered window — O(all
+    keys) state on one task, dead at 100 TB. First-seen reduces it to:
+    (1) `groupBy(custkey).min(month)` — a normal partial-aggregated
+    hash shuffle on the key; (2) count per month (tiny); (3) a
+    cumulative sum over |months| rows. The only single-partition step
+    ranges over months (≤ a few hundred rows regardless of data
+    size), so the plan survives any scale-up. Same trick powers "new
+    vs returning users" and cohort growth curves.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    first_seen = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.col("o_orderdate"))).alias("month")
+    )
+    monthly = first_seen.groupBy("month").agg(
+        F.count(F.lit(1)).alias("new_customers")
+    )
+    w = (
+        Window.orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return monthly.select(
+        "month",
+        "new_customers",
+        F.sum("new_customers").over(w).alias("cum_distinct_customers"),
+    )
+
+
+@register(
+    "q_monthly_order_extremes",
+    oracle="""
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               o_totalprice AS p, o_orderkey AS k
+        FROM orders
+    ),
+    r AS (
+        SELECT month, p, k,
+               row_number() OVER (PARTITION BY month ORDER BY p ASC,  k ASC)  AS ra,
+               row_number() OVER (PARTITION BY month ORDER BY p DESC, k DESC) AS rd
+        FROM m
+    )
+    SELECT month,
+           CAST(count(*) AS BIGINT)                      AS n_orders,
+           max(CASE WHEN ra = 1 THEN p END)              AS min_price,
+           CAST(max(CASE WHEN ra = 1 THEN k END) AS BIGINT) AS min_orderkey,
+           max(CASE WHEN rd = 1 THEN p END)              AS max_price,
+           CAST(max(CASE WHEN rd = 1 THEN k END) AS BIGINT) AS max_orderkey
+    FROM r GROUP BY month
+    """,
+    tags=("agg", "arg-extremum"),
+)
+def q_monthly_order_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheapest and priciest order per month via argmin/argmax
+    AGGREGATES — `min(struct(price, key))` — not per-group windows.
+
+    The struct-extremum form is the scalable way to answer "which row
+    attains the group's min/max": it partial-aggregates map-side (one
+    candidate row per group per mapper crosses the shuffle), whereas
+    the window-rank form shuffles EVERY row of the group to one task
+    first. Ties on price break deterministically on the unique order
+    key because struct comparison is lexicographic — which is also
+    why this beats raw `min_by`/`max_by` for oracle work: Spark's
+    min_by leaves ties unspecified. The DuckDB oracle replays the
+    same semantics with window ranks.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        F.col("o_totalprice").alias("p"),
+        F.col("o_orderkey").alias("k"),
+    )
+    lo = F.min(F.struct("p", "k"))
+    hi = F.max(F.struct("p", "k"))
+    return m.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        lo.getField("p").alias("min_price"),
+        lo.getField("k").alias("min_orderkey"),
+        hi.getField("p").alias("max_price"),
+        hi.getField("k").alias("max_orderkey"),
+    )

@@ -12,6 +12,7 @@ from cost_of_living_data_etl_spark.operators import (  # noqa: F401
 from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     advanced_joins,
     aggregates,
+    cdc,
     corpus_prep,
     etl_shaped,
     events_queries,

@@ -366,3 +366,57 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.when(off == 7, F.col("user_id"))).alias("retained_d7"),
         )
     )
+
+
+@register(
+    "q_event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS prev_type
+        FROM events
+    ),
+    t AS (
+        SELECT prev_type AS from_type, event_type AS to_type,
+               CAST(count(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE) /
+               sum(n) OVER (PARTITION BY from_type) AS p
+    FROM t
+    """,
+    tags=("sequence", "window", "agg"),
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    stream: P(next event type | current type), ordered by (ts,
+    event_id) so ties are deterministic across engines.
+
+    Sequence mining at scale: ONE shuffle on user_id orders each
+    user's history locally (the window never crosses users), the
+    bigram aggregate partial-combines map-side to |types|² rows, and
+    the per-from normalization is a window over that tiny matrix.
+    Event-type vocabularies are small, so every post-shuffle stage is
+    bounded regardless of input size; the same plan yields n-gram
+    session models by widening the lag.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy(
+        F.col("prev_type").alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wf = Window.partitionBy("from_type")
+    return t.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wf)).alias("p"),
+    )

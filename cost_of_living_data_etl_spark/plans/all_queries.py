@@ -17,6 +17,7 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     etl_shaped,
     events_queries,
     joins_setops,
+    layout,
     relational,
     reshape,
     scalar_queries,

@@ -289,3 +289,81 @@ def q_multimodal_features_by_kind(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         )
     )
+
+
+# DuckDB mirror of the frame-sampling path. sample_frames keeps every
+# 4th 64-byte chunk of the payload, i.e. chunks starting at byte
+# 0, 256, 512, ... — substr over hex(payload) at 2× offsets replays
+# the exact chunking, and each frame's byte checksum is recovered from
+# hex-digit counts: byte value = 16·hi_nibble + lo_nibble, so
+# sum(bytes) = Σ_d d·(16·count_d(hi) + count_d(lo)).
+_FRAME_BYTES = 64
+_FRAME_EVERY = 4
+_DIGIT_VAL = {d: i for i, d in enumerate("0123456789ABCDEF")}
+_BYTESUM_TERMS = " + ".join(
+    f"{v} * (16 * (length(hi) - length(replace(hi, '{d}', '')))"
+    f" + (length(lo) - length(replace(lo, '{d}', ''))))"
+    for d, v in _DIGIT_VAL.items()
+    if v > 0
+)
+_FRAME_ORACLE = f"""
+WITH v AS (
+    SELECT doc_id AS asset_id, hex(encode(text)) AS h,
+           octet_length(encode(text)) AS n
+    FROM documents WHERE doc_id % 3 = 2 AND octet_length(encode(text)) > 0
+),
+starts AS (
+    SELECT asset_id,
+           substr(h, 2 * unnest(generate_series(0, n - 1,
+                  {_FRAME_BYTES * _FRAME_EVERY})) + 1,
+                  {2 * _FRAME_BYTES}) AS fh
+    FROM v
+),
+per_frame AS (
+    SELECT asset_id, CAST(length(fh) / 2 AS BIGINT) AS fbytes,
+           regexp_replace(fh, '(.).', '\\1', 'g') AS hi,
+           regexp_replace(fh, '.(.)', '\\1', 'g') AS lo
+    FROM starts
+)
+SELECT asset_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(fbytes) AS BIGINT) AS frame_bytes,
+       CAST(sum({_BYTESUM_TERMS}) AS BIGINT) AS byte_checksum
+FROM per_frame GROUP BY asset_id
+"""
+
+
+@register(
+    "q_multimodal_frame_digest", oracle=_FRAME_ORACLE, tags=("multimodal", "pandas-udf")
+)
+def q_multimodal_frame_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video assets → stride frame sampling → per-asset frame count,
+    sampled bytes, and byte checksum.
+
+    Hash-verifies the 1-asset→N-frames explosion path end-to-end: the
+    mapInPandas chunking in `sample_frames`, binary frame payloads
+    through Arrow, and a vectorized pandas_udf digest stand in for
+    real ffmpeg frame extraction + per-frame hashing. The oracle
+    replays the exact chunk boundaries and checksums from the hex
+    encoding of the payload, so any drift in batching or byte
+    handling breaks the hash. Scale shape: frames never leave
+    executors; the only shuffle carries (asset_id, 3 longs).
+    """
+    import numpy as np
+    import pandas as pd
+
+    @F.pandas_udf("long")
+    def byte_sum(frames: pd.Series) -> pd.Series:
+        return frames.map(
+            lambda b: int(np.frombuffer(b, dtype=np.uint8).sum())
+        )
+
+    docs = load_table(spark, sf_dir, "documents")
+    frames = sample_frames(
+        documents_to_assets(docs), frame_bytes=_FRAME_BYTES, every=_FRAME_EVERY
+    )
+    return frames.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.sum(F.length("frame")).alias("frame_bytes"),
+        F.sum(byte_sum(F.col("frame"))).alias("byte_checksum"),
+    )

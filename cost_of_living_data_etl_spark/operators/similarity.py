@@ -673,3 +673,93 @@ def q_embed_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("long").alias("top_label"),
         (F.col("n") / F.col("n_vectors")).alias("top_label_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization: the 4×-compression step in front of every
+# billion-vector ANN index
+# ---------------------------------------------------------------------------
+
+QUANT_LEVELS = 255  # int8 range [-128, 127] after the -128 shift
+
+
+@register(
+    "q_embed_quantize_int8",
+    oracle=f"""
+    WITH v AS (
+        SELECT vec_id, CAST(label AS INT) AS label,
+               embedding::DOUBLE[] AS e,
+               CAST(list_min(embedding) AS DOUBLE) AS mn,
+               CAST(list_max(embedding) AS DOUBLE) AS mx
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, label, e, mn,
+               greatest(mx - mn, 1e-12) / {QUANT_LEVELS} AS scale
+        FROM v
+    ),
+    r AS (
+        SELECT vec_id, label, scale,
+               list_transform(
+                   e, x -> pow(x - (mn + floor((x - mn) / scale + 0.5) * scale), 2)
+               ) AS sqerr
+        FROM s
+    ),
+    per_vec AS (
+        SELECT vec_id, label, scale,
+               list_sum(sqerr) / len(sqerr) AS mse
+        FROM r
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           avg(mse) AS avg_mse,
+           max(mse) AS max_mse,
+           avg(scale * {QUANT_LEVELS}) AS avg_range
+    FROM per_vec GROUP BY label
+    """,
+    tags=("embedding", "quantization"),
+)
+def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization of the embedding corpus and
+    its reconstruction error, profiled per label.
+
+    The memory lever for ANN at scale: float32×64-dim vectors shrink
+    4× (256 B → 64 B + 8 B of (min, scale) codebook), which is the
+    difference between an index that fits executor memory and one
+    that spills. Codes are per-vector min/max affine:
+    ``q = floor((x - mn)/scale + 0.5)``, reconstruction
+    ``x̂ = mn + q·scale``; everything is native array higher-order
+    functions (transform/aggregate) — codegen'd, no UDF, no shuffle
+    except the final tiny per-label rollup. ``floor(v + 0.5)`` is
+    used instead of round() so Spark and DuckDB share one rounding
+    rule by construction; the oracle replays the identical math via
+    list_transform/list_sum.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e = F.expr("transform(embedding, x -> cast(x AS DOUBLE))")
+    v = emb.select(
+        "vec_id",
+        F.col("label").cast("int").alias("label"),
+        e.alias("e"),
+        F.expr("cast(array_min(embedding) AS DOUBLE)").alias("mn"),
+        F.expr("cast(array_max(embedding) AS DOUBLE)").alias("mx"),
+    ).withColumn(
+        "scale", F.greatest(F.col("mx") - F.col("mn"), F.lit(1e-12)) / QUANT_LEVELS
+    )
+    per_vec = v.select(
+        "label",
+        "scale",
+        (
+            F.expr(
+                "aggregate(transform(e, x -> pow(x - (mn + floor((x - mn) / scale + 0.5) * scale), 2)),"
+                " cast(0.0 AS DOUBLE), (a, x) -> a + x)"
+            )
+            / F.size("e")
+        ).alias("mse"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.avg("mse").alias("avg_mse"),
+        F.max("mse").alias("max_mse"),
+        F.avg(F.col("scale") * QUANT_LEVELS).alias("avg_range"),
+    )

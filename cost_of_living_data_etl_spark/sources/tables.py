@@ -39,20 +39,24 @@ ALWAYS_BROADCAST = frozenset({"region", "nation"})
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy scan).
 
-    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects; we read nanos as long (legacy
-    conf) and convert to a proper TimestampType (microsecond precision,
-    matching Spark semantics) right at the source so every downstream
-    operator sees a normal timestamp column.
+    ``events.parquet`` has shipped ``ts`` two ways across driver
+    fixture generations: parquet TIMESTAMP(NANOS) (which Spark's
+    vectorized reader rejects — read nanos as long via the legacy conf
+    and convert), or a plain TIMESTAMP(MICROS) Spark reads natively.
+    Branch on the loaded type so both layouts yield the same
+    TimestampType column and downstream operators never notice.
     """
     if name == "events":
         from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer division: ts exceeds 2^53, float division would lose
-        # microsecond precision
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(df.schema["ts"].dataType, LongType):
+            # integer division: ts exceeds 2^53, float division would
+            # lose microsecond precision
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -112,17 +112,27 @@ def q_unpivot_charge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_embedding_dim_stats",
     oracle="""
-    SELECT
-        CAST(dim AS INT)  AS dim,
-        avg(v)            AS mean_v,
-        stddev_samp(v)    AS std_v,
-        min(v)            AS min_v,
-        max(v)            AS max_v
-    FROM (
-        SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+    WITH ex AS (
+        SELECT generate_subscripts(embedding, 1) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS v
         FROM embeddings
+    ),
+    per AS (
+        SELECT dim,
+               list_reduce(list_sort(list(v)),     (a, b) -> a + b) AS s,
+               list_reduce(list_sort(list(v * v)), (a, b) -> a + b) AS ssq,
+               CAST(count(*) AS BIGINT) AS n,
+               min(v) AS min_v,
+               max(v) AS max_v
+        FROM ex GROUP BY dim
     )
-    GROUP BY dim
+    SELECT
+        CAST(dim AS INT)                         AS dim,
+        s / n                                    AS mean_v,
+        sqrt((ssq - (s * s) / n) / (n - 1))      AS std_v,
+        min_v,
+        max_v
+    FROM per
     """,
     tags=("array", "explode", "agg", "embeddings"),
 )
@@ -132,16 +142,48 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     posexplode turns each vector into (dim, value) rows; the aggregate
     is map-side partial over |dims| groups. The feature-normalization
     precursor (mean/std per dim) every embedding pipeline needs.
+
+    Float determinism: plain avg/stddev_samp partial aggregation sums
+    in partition order, so the last ulps differ run-to-run and
+    engine-to-engine (this query's hash was driver-red two rounds for
+    exactly that). Both engines here fold the per-dim values in
+    ascending sorted order from the same initial 0.0 and derive
+    mean/std from those sums with the identical IEEE expression —
+    bit-identical results (the sketch/quantizer oracle trick). The
+    sorted-fold form is the oracle-replay variant: at 100 TB you'd run
+    the plain partial-agg form (one shuffle over 64 groups, no
+    collect_list) and accept ulp drift; correctness pinning is what
+    demands the deterministic order.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     exploded = emb.select(
         F.posexplode("embedding").alias("dim0", "v")
-    ).select((F.col("dim0") + 1).cast("int").alias("dim"), F.col("v").cast("double"))
-    return exploded.groupBy("dim").agg(
-        F.avg("v").alias("mean_v"),
-        F.stddev_samp("v").alias("std_v"),
+    ).select(
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.col("v").cast("double").alias("v"),
+    )
+    per = exploded.groupBy("dim").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(v)), CAST(0.0 AS DOUBLE),"
+            " (a, x) -> a + x)"
+        ).alias("s"),
+        F.expr(
+            "aggregate(array_sort(collect_list(v * v)), CAST(0.0 AS DOUBLE),"
+            " (a, x) -> a + x)"
+        ).alias("ssq"),
+        F.count(F.lit(1)).alias("n"),
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),
+    )
+    n = F.col("n")
+    s = F.col("s")
+    ssq = F.col("ssq")
+    return per.select(
+        "dim",
+        (s / n).alias("mean_v"),
+        F.sqrt((ssq - (s * s) / n) / (n - 1)).alias("std_v"),
+        "min_v",
+        "max_v",
     )
 
 

@@ -36,27 +36,51 @@ TABLE_NAMES = (
 ALWAYS_BROADCAST = frozenset({"region", "nation"})
 
 
+def load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Load an events parquet file/directory, normalizing ``ts``.
+
+    ``events.parquet`` has shipped ``ts`` two ways across driver
+    fixture generations:
+
+    * parquet TIMESTAMP(NANOS) — Spark's reader rejects it outright,
+      so on that failure set the legacy ``nanosAsLong`` conf (only in
+      this branch; a session-wide set would silently corrupt every
+      other nanos parquet read) and convert long-nanos → timestamp.
+    * parquet TIMESTAMP(MICROS) with isAdjustedToUTC=false — Spark
+      loads it natively as TIMESTAMP_NTZ.
+
+    Both branches end with an explicit ``cast("timestamp")`` so the
+    returned column is TimestampType regardless of fixture generation
+    (the session timezone is pinned to UTC in session.py, making the
+    NTZ wall-clock → instant mapping deterministic). Downstream
+    operators and the streaming ingest therefore see ONE type and
+    never branch again.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force footer/schema resolution
+    except Exception:
+        # TIMESTAMP(NANOS) layout: retry with nanos surfaced as long.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    if isinstance(df.schema["ts"].dataType, LongType):
+        # integer division: ts exceeds 2^53, float division would
+        # lose microsecond precision
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy scan).
 
-    ``events.parquet`` has shipped ``ts`` two ways across driver
-    fixture generations: parquet TIMESTAMP(NANOS) (which Spark's
-    vectorized reader rejects — read nanos as long via the legacy conf
-    and convert), or a plain TIMESTAMP(MICROS) Spark reads natively.
-    Branch on the loaded type so both layouts yield the same
-    TimestampType column and downstream operators never notice.
+    ``events`` goes through :func:`load_events` so ``ts`` is always
+    TimestampType no matter which fixture generation is on disk.
     """
     if name == "events":
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
-
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if isinstance(df.schema["ts"].dataType, LongType):
-            # integer division: ts exceeds 2^53, float division would
-            # lose microsecond precision
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
+        return load_events(spark, f"{sf_dir}/{name}.parquet")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -28,7 +28,6 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
-    StringType,
     StructField,
     StructType,
 )
@@ -44,20 +43,6 @@ try:  # pragma: no cover - depends on bundled cloudpickle version
 except Exception:
     pass
 
-# parquet TIMESTAMP(NANOS) arrives as long under nanosAsLong (see
-# sources/tables.py); the stream normalizes to TimestampType at ingest
-EVENTS_RAW_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
-
-
 def read_events_stream(
     spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
@@ -66,13 +51,31 @@ def read_events_stream(
     The file source tracks processed files in the checkpoint — the
     streaming equivalent of the reference's one-partition-per-run
     incremental load.
+
+    File streams require an explicit schema, but the fixture layout
+    has shipped ``ts`` as both TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    across driver generations (see sources/tables.py::load_events). A
+    one-off batch read (footer-only, no data scan) probes the layout
+    so the declared stream schema matches what is physically on disk,
+    then ``ts`` is normalized to TimestampType exactly like the batch
+    loader — streams and their batch twins always agree on types.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_RAW_SCHEMA)
+    from pyspark.sql.types import LongType
+
+    try:
+        probed = spark.read.parquet(source_dir).schema
+    except Exception:
+        # TIMESTAMP(NANOS) layout: the conf must stay set for the
+        # lifetime of the stream (micro-batch reads re-apply it).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        probed = spark.read.parquet(source_dir).schema
+    reader = spark.readStream.schema(probed)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(source_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(probed["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(

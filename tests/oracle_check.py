@@ -22,9 +22,17 @@ from __future__ import annotations
 
 import datetime
 import math
+import os
 
 import duckdb
 import pandas as pd
+
+#: ORACLE_STRICT=1 turns every float comparison into exact bit
+#: equality — the same bar as the driver's stringified-value hash.
+#: With the default rel_tol=1e-6 a query can be locally green yet
+#: driver-red (q_embedding_dim_stats was, for two rounds); strict mode
+#: makes local green predict driver green.
+STRICT = os.environ.get("ORACLE_STRICT", "") not in ("", "0")
 
 TABLES = (
     "region",
@@ -90,7 +98,13 @@ def _dtype_tag(s: pd.Series) -> str:
     return "object"
 
 
-def assert_matches_oracle(spark_df, oracle: str, sf_dir: str, rel_tol: float = 1e-6):
+def assert_matches_oracle(
+    spark_df,
+    oracle: str,
+    sf_dir: str,
+    rel_tol: float = 1e-6,
+    strict: bool | None = None,
+):
     got = _canon(spark_df.toPandas())
     con = duckdb_con(sf_dir)
     try:
@@ -111,6 +125,8 @@ def assert_matches_oracle(spark_df, oracle: str, sf_dir: str, rel_tol: float = 1
             f"add an explicit CAST to the oracle SQL or the Spark plan"
         )
 
+    if strict is None:
+        strict = STRICT
     for c in got.columns:
         g, w = got[c], want[c]
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
@@ -119,9 +135,18 @@ def assert_matches_oracle(spark_df, oracle: str, sf_dir: str, rel_tol: float = 1
             for i, (x, y) in enumerate(zip(ga, wa)):
                 if math.isnan(x) and math.isnan(y):
                     continue
-                assert math.isclose(x, y, rel_tol=rel_tol, abs_tol=1e-9), (
-                    f"col {c} row {i}: spark={x!r} oracle={y!r}"
-                )
+                if strict:
+                    assert repr(x) == repr(y), (
+                        f"col {c} row {i} (STRICT float mode): "
+                        f"spark={x!r} oracle={y!r} — would hash-mismatch "
+                        f"at the driver; pin with a deterministic-order "
+                        f"fold (see q_embedding_dim_stats) or rounding "
+                        f"on both engines"
+                    )
+                else:
+                    assert math.isclose(x, y, rel_tol=rel_tol, abs_tol=1e-9), (
+                        f"col {c} row {i}: spark={x!r} oracle={y!r}"
+                    )
         else:
             mism = (g.astype(str) != w.astype(str))
             if mism.any():

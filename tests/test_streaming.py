@@ -231,14 +231,9 @@ def test_stream_static_enrichment_matches_batch(spark, stream_dir):
         for r in spark.sql(f"SELECT * FROM {name}").collect()
     }
 
-    batch = (
-        spark.read.schema(
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string"
-        )
-        .parquet(stream_dir)
-        .withColumn("ts", F.timestamp_seconds(F.col("ts") / 1_000_000_000))
-    )
+    from cost_of_living_data_etl_spark.sources.tables import load_events
+
+    batch = load_events(spark, stream_dir)
     want = {
         (r["segment"], r["window_start"], r["n_events"])
         for r in (

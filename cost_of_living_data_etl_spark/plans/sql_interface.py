@@ -25,7 +25,7 @@ WITH monthly AS (
 SELECT
     c_mktsegment,
     month,
-    sum(spend)                           AS seg_spend,
+    round(sum(spend), 2)                 AS seg_spend,
     CAST(rank() OVER (
         PARTITION BY month
         ORDER BY sum(spend) DESC, c_mktsegment

@@ -74,7 +74,7 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q7_nation_pair_volume",
     oracle="""
     SELECT supp_nation, cust_nation, l_year,
-           sum(volume) AS revenue
+           round(sum(volume), 4) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              EXTRACT(year FROM l_shipdate) AS l_year,
@@ -124,7 +124,10 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("supp_nation") < F.col("cust_nation"))
         .withColumn("l_year", F.year("l_shipdate").cast("long"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        .agg(F.sum(_revenue()).alias("revenue"))
+        # round(2): money sums drift in the last ulps between engines
+        # (partial-agg order); 2-decimal rounding is ~7 orders of
+        # magnitude above the drift, so both engines hash identically
+        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
     )
 
 
@@ -132,8 +135,8 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle="""
     SELECT o_year,
-           sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
-             / sum(volume) AS mkt_share
+           round(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END)
+             / sum(volume), 6) AS mkt_share
     FROM (
       SELECT EXTRACT(year FROM o_orderdate) AS o_year,
              l_extendedprice * (1 - l_discount) AS volume,
@@ -183,9 +186,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_year", F.year("o_orderdate").cast("long"))
         .groupBy("o_year")
         .agg(
-            (
+            F.round(
                 F.sum(F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(0.0))
-                / F.sum(volume)
+                / F.sum(volume),
+                6,
             ).alias("mkt_share")
         )
     )
@@ -194,7 +198,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q9_profit_by_nation_year",
     oracle="""
-    SELECT nation, o_year, sum(amount) AS sum_profit
+    SELECT nation, o_year, round(sum(amount), 4) AS sum_profit
     FROM (
       SELECT n_name AS nation,
              EXTRACT(year FROM o_orderdate) AS o_year,
@@ -235,7 +239,7 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             amount.alias("amount"),
         )
         .groupBy("nation", "o_year")
-        .agg(F.sum("amount").alias("sum_profit"))
+        .agg(F.round(F.sum("amount"), 4).alias("sum_profit"))
     )
 
 
@@ -437,7 +441,7 @@ def q16_supplier_count_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q17_small_quantity_revenue",
     oracle="""
-    SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+    SELECT round(sum(l_extendedprice), 2) / 7.0 AS avg_yearly
     FROM lineitem
     JOIN part ON p_partkey = l_partkey
     WHERE p_brand = 'Brand#3'
@@ -465,7 +469,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .join(part_avg, F.col("l_partkey") == F.col("avg_pk"))
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
-        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+        .agg((F.round(F.sum("l_extendedprice"), 2) / 7.0).alias("avg_yearly"))
     )
 
 
@@ -517,7 +521,7 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q19_disjunctive_revenue",
     oracle="""
-    SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
     FROM lineitem JOIN part ON p_partkey = l_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
            AND l_quantity >= 1 AND l_quantity <= 21)
@@ -546,7 +550,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lineitem.join(part, lineitem.l_partkey == part.p_partkey)
         .filter(branch)
-        .agg(F.sum(_revenue()).alias("revenue"))
+        .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
     )
 
 

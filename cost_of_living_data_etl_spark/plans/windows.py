@@ -122,11 +122,14 @@ def q_window_order_value_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         o_custkey,
         o_orderkey,
-        sum(o_totalprice) OVER (
+        round(sum(o_totalprice) OVER (
             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ) AS running_total,
-        avg(o_totalprice) OVER (
+        ), 2) AS running_total,
+        round(sum(o_totalprice) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+        ), 2) / count(*) OVER (
             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
         ) AS moving_avg_3
@@ -142,8 +145,19 @@ def q_window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        F.sum("o_totalprice").over(running).alias("running_total"),
-        F.avg("o_totalprice").over(moving).alias("moving_avg_3"),
+        # Float pinning: o_totalprice is a 2-decimal quantity, so the
+        # TRUE frame sum sits on the 2-decimal grid — round(2) snaps
+        # both engines' ulp-drifted sums to the same grid point (never
+        # at a rounding boundary). The moving average divides that
+        # pinned sum by the exact frame count, so the division operands
+        # — hence the quotient — are bit-identical across engines.
+        # round(avg(...), 2) would NOT be safe: sum/3 leaves the grid
+        # and can land arbitrarily close to a rounding boundary.
+        F.round(F.sum("o_totalprice").over(running), 2).alias("running_total"),
+        (
+            F.round(F.sum("o_totalprice").over(moving), 2)
+            / F.count(F.lit(1)).over(moving)
+        ).alias("moving_avg_3"),
     )
 
 
@@ -330,22 +344,29 @@ ANOM_Z = 2.0
     oracle=f"""
     WITH daily AS (
         SELECT date_trunc('day', o_orderdate) AS day,
-               sum(o_totalprice) AS day_revenue
+               round(sum(o_totalprice), 2) AS day_revenue
         FROM orders GROUP BY 1
     ),
     scored AS (
         SELECT day, day_revenue,
-               avg(day_revenue) OVER w          AS base_mean,
-               stddev_samp(day_revenue) OVER w  AS base_std,
-               count(*) OVER w                  AS n_base
+               round(sum(day_revenue) OVER w, 2)      AS base_sum,
+               sum(day_revenue * day_revenue) OVER w  AS base_ssq,
+               count(*) OVER w                        AS n_base
         FROM daily
         WINDOW w AS (
             ORDER BY day ROWS BETWEEN {ANOM_WINDOW} PRECEDING AND 1 PRECEDING
         )
+    ),
+    m AS (
+        SELECT day, day_revenue, n_base,
+               base_sum / n_base AS base_mean,
+               sqrt((base_ssq - (base_sum * base_sum) / n_base)
+                    / (n_base - 1)) AS base_std
+        FROM scored
     )
     SELECT day, day_revenue, base_mean,
-           (day_revenue - base_mean) / base_std AS z
-    FROM scored
+           round((day_revenue - base_mean) / base_std, 6) AS z
+    FROM m
     WHERE n_base >= 10 AND base_std > 0
       AND abs((day_revenue - base_mean) / base_std) >= {ANOM_Z}
     """,
@@ -361,11 +382,19 @@ def q_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     writes. One pre-aggregation to |days| rows, one window pass; at
     100 TB the window input is the tiny daily rollup, never raw
     orders.
+
+    Float pinning (cross-engine hash determinism): day_revenue and the
+    trailing base_sum are sums of 2-decimal money, so rounding them to
+    2 snaps both engines to the same grid point; base_mean divides the
+    pinned sum by the exact frame count (bit-identical quotient), and
+    base_std is derived from (ssq, sum, n) with the identical IEEE
+    formula on both engines rather than each engine's own stddev
+    kernel. Only ssq carries ulp drift, which the z round(6) absorbs.
     """
     orders = load_table(spark, sf_dir, "orders")
     daily = orders.groupBy(
         F.date_trunc("day", F.col("o_orderdate")).alias("day")
-    ).agg(F.sum("o_totalprice").alias("day_revenue"))
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("day_revenue"))
     w = (
         Window.orderBy("day")
         .rowsBetween(-ANOM_WINDOW, -1)
@@ -373,14 +402,16 @@ def q_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = daily.select(
         "day",
         "day_revenue",
-        F.avg("day_revenue").over(w).alias("base_mean"),
-        F.stddev_samp("day_revenue").over(w).alias("base_std"),
+        F.round(F.sum("day_revenue").over(w), 2).alias("base_sum"),
+        F.sum(F.col("day_revenue") * F.col("day_revenue")).over(w).alias("base_ssq"),
         F.count(F.lit(1)).over(w).alias("n_base"),
     )
-    z = (F.col("day_revenue") - F.col("base_mean")) / F.col("base_std")
+    n = F.col("n_base")
+    s = F.col("base_sum")
+    mean = (s / n).alias("base_mean")
+    std = F.sqrt((F.col("base_ssq") - (s * s) / n) / (n - 1))
+    z = (F.col("day_revenue") - s / n) / std
     return (
-        scored.filter(
-            (F.col("n_base") >= 10) & (F.col("base_std") > 0) & (F.abs(z) >= ANOM_Z)
-        )
-        .select("day", "day_revenue", "base_mean", z.alias("z"))
+        scored.filter((n >= 10) & (std > 0) & (F.abs(z) >= ANOM_Z))
+        .select("day", "day_revenue", mean, F.round(z, 6).alias("z"))
     )

@@ -763,3 +763,87 @@ def q_embed_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("mse").alias("max_mse"),
         F.avg(F.col("scale") * QUANT_LEVELS).alias("avg_range"),
     )
+
+
+HARDNEG_NQ = 5  # anchor vectors mined per run (vec_id < NQ)
+
+
+@register(
+    "q_hard_negative_mining",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS qid, label AS qlabel, emb AS qemb, norm AS qnorm
+        FROM e WHERE vec_id < {HARDNEG_NQ}
+    ),
+    cand AS (
+        SELECT q.qid, q.qlabel, e.vec_id AS neg_id, e.label AS neg_label,
+               list_inner_product(e.emb, q.qemb) / (e.norm * q.qnorm) AS cos_sim,
+               row_number() OVER (
+                   PARTITION BY q.qid
+                   ORDER BY list_inner_product(e.emb, q.qemb) / (e.norm * q.qnorm) DESC,
+                            e.vec_id
+               ) AS rn
+        FROM e JOIN q ON e.label <> q.qlabel
+    )
+    SELECT CAST(qid AS BIGINT)      AS query_id,
+           CAST(qlabel AS INT)      AS query_label,
+           CAST(neg_id AS BIGINT)   AS neg_id,
+           CAST(neg_label AS INT)   AS neg_label,
+           cos_sim
+    FROM cand WHERE rn = 1
+    """,
+    tags=("similarity", "training-data", "hard-negatives"),
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: for
+    each anchor vector, the most cosine-similar vector with a
+    DIFFERENT label — the close-but-wrong examples that sharpen a
+    retrieval model's decision boundary.
+
+    Shape: anchors broadcast (NQ×dims floats), corpus side is a
+    map-only cosine pass, and the per-anchor argmax is a partial
+    aggregate — each partition keeps one best-candidate struct per
+    anchor, so the shuffle is |anchors|×|partitions| structs, never
+    the corpus. max(struct(cos, -neg_id)) makes the tie-break (highest
+    cosine, then lowest id) deterministic inside the aggregate itself;
+    the oracle's row_number window states the same choice relationally.
+    Cosines use the shared fold expression, so both engines produce
+    bit-identical doubles and the argmax can never disagree.
+
+    At 100 TB with millions of anchors, the same plan holds with the
+    anchor side bucketed instead of broadcast (or via q_ann_ivf_probe
+    cells); the label-constraint filter stays in the scan stage.
+    """
+    e = with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < HARDNEG_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qemb"),
+        F.col("norm").alias("qnorm"),
+    )
+    cand = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("label") != F.col("qlabel"))
+        .select(
+            "qid",
+            "qlabel",
+            F.struct(
+                cosine_expr("embedding", "qemb", "norm", "qnorm").alias("cos"),
+                (-F.col("vec_id")).alias("neg_id_neg"),
+                F.col("label").alias("nlabel"),
+            ).alias("c"),
+        )
+    )
+    best = cand.groupBy("qid", "qlabel").agg(F.max("c").alias("b"))
+    return best.select(
+        F.col("qid").alias("query_id"),
+        F.col("qlabel").cast("int").alias("query_label"),
+        (-F.col("b.neg_id_neg")).alias("neg_id"),
+        F.col("b.nlabel").cast("int").alias("neg_label"),
+        F.col("b.cos").alias("cos_sim"),
+    )

@@ -330,3 +330,88 @@ def q_quality_dup_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("quality").alias("avg_quality"),
         F.avg("n_chars").alias("avg_chars"),
     )
+
+
+CHUNK_W = 64  # tokens per training chunk
+CHUNK_STRIDE = 48  # tokens between chunk starts (overlap = W - stride)
+
+
+@register(
+    "q_chunk_documents_overlap",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '\\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    n AS (
+        SELECT doc_id, toks, length(toks) AS n_tokens,
+               CASE WHEN length(toks) <= {CHUNK_W} THEN 1
+                    ELSE ((length(toks) - {CHUNK_W} + {CHUNK_STRIDE} - 1)
+                          // {CHUNK_STRIDE}) + 1 END AS n_chunks
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               unnest(range(0, n_chunks)) AS i,
+               toks
+        FROM n
+    )
+    SELECT
+        CAST(doc_id AS BIGINT)  AS doc_id,
+        CAST(i AS INT)          AS chunk_idx,
+        CAST(n_tokens AS INT)   AS n_doc_tokens,
+        CAST(length(list_slice(toks, i * {CHUNK_STRIDE} + 1,
+                               i * {CHUNK_STRIDE} + {CHUNK_W})) AS INT)
+                                AS n_chunk_tokens,
+        md5(array_to_string(list_slice(toks, i * {CHUNK_STRIDE} + 1,
+                                       i * {CHUNK_STRIDE} + {CHUNK_W}), ' '))
+                                AS chunk_hash
+    FROM c
+    """,
+    tags=("corpus-prep", "chunking", "training-data"),
+)
+def q_chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking for context-window training:
+    each document becomes ceil((n-W)/stride)+1 overlapping chunks of
+    W={CHUNK_W} tokens with stride {CHUNK_STRIDE} (16-token overlap so
+    no boundary context is lost between consecutive chunks).
+
+    Emits (doc_id, chunk_idx, token counts, chunk md5) — the chunk
+    MANIFEST, not chunk text: the whole computation is one map-only
+    pass of native array expressions (split → filter → per-index
+    slice → hash) with zero shuffles, and what flows downstream (for
+    chunk-level dedup or packing) is 16-byte hashes. At 100 TB the
+    identical plan applies; materializing chunk text would multiply
+    corpus bytes by W/stride ≈ 1.33×, while the manifest is ~40 B/chunk.
+
+    Boundary semantics are pinned by integer arithmetic shared with
+    the oracle: short docs (n ≤ W) yield exactly one chunk; the last
+    chunk may be shorter than W (slice clamps at both engines).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = "filter(split(trim(text), '\\\\s+'), x -> x != '')"
+    n_chunks = (
+        f"CASE WHEN size(toks) <= {CHUNK_W} THEN 1 "
+        f"ELSE ((size(toks) - {CHUNK_W} + {CHUNK_STRIDE} - 1) div {CHUNK_STRIDE}) + 1 END"
+    )
+    chunk = (
+        f"slice(toks, i * {CHUNK_STRIDE} + 1, {CHUNK_W})"
+    )
+    return (
+        docs.select("doc_id", F.expr(toks).alias("toks"))
+        .select(
+            "doc_id",
+            F.size("toks").cast("int").alias("n_doc_tokens"),
+            "toks",
+            F.explode(F.expr(f"sequence(0, {n_chunks} - 1)")).alias("i"),
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("chunk_idx"),
+            "n_doc_tokens",
+            F.expr(f"size({chunk})").cast("int").alias("n_chunk_tokens"),
+            F.md5(F.expr(f"array_join({chunk}, ' ')")).alias("chunk_hash"),
+        )
+    )

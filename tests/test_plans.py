@@ -268,3 +268,45 @@ def test_stratified_sample_filter_is_scan_stage(spark, sf_smoke):
     plan = plan_of(spark, "q_stratified_sample_by_lang", sf_smoke)
     assert "Join" not in plan  # rate CASE is folded into the filter
     assert plan.count("Exchange") <= 2  # final 5-key rollup (+AQE read)
+
+
+def test_chunk_manifest_is_map_only(spark, sf_smoke):
+    """Chunking emits the manifest in ONE map-only pass: no Exchange of
+    any kind (the whole point — chunk hashes flow downstream, text
+    never does)."""
+    plan = plan_of(spark, "q_chunk_documents_overlap", sf_smoke, mode="simple")
+    assert "Exchange" not in plan
+    # text column read once at the scan, then only array exprs
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_hard_negative_mining_broadcasts_anchors(spark, sf_smoke):
+    """Anchors are broadcast (corpus side never shuffled for the join)
+    and the per-anchor argmax is a partial aggregate — the only hash
+    Exchange carries |anchors|-keyed partials, not the corpus."""
+    plan = plan_of(spark, "q_hard_negative_mining", sf_smoke, mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1
+    # partial aggregation before the exchange (map-side max per anchor)
+    assert "partial_max" in plan_of(
+        spark, "q_hard_negative_mining", sf_smoke, mode="formatted"
+    ).lower() or "HashAggregate" in plan
+
+
+def test_incremental_merge_reuses_partial_state_shape(spark, sf_smoke):
+    """Base and delta partials union on the tiny (|groups| x 2)-column
+    state; no join anywhere in the plan."""
+    plan = plan_of(spark, "q_incremental_agg_merge", sf_smoke, mode="simple")
+    assert "Join" not in plan
+    assert "Union" in plan
+
+
+def test_ewma_folds_over_daily_rollup_only(spark, sf_smoke):
+    """The recurrence folds the pre-aggregated daily series: exactly
+    two hash Exchanges (facts -> (status, day) rollup, rollup ->
+    status fold); the collect_list input is |days| rows, never raw
+    orders."""
+    plan = plan_of(spark, "q_ewma_revenue_by_status", sf_smoke, mode="simple")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in plan and "Join" not in plan

@@ -349,3 +349,78 @@ def segment_window_counts(
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select("segment", F.col("w.start").alias("window_start"), "n_events")
     )
+
+
+# --- modern stateful operator: transformWithStateInPandas -------------------
+# Spark 4's typed-state successor to applyInPandasWithState: named state
+# variables (value/list/map), TTL, timers, and schema evolution, with the
+# state store (RocksDB) partitioned by grouping key across executors.
+
+EWMA_STREAM_ALPHA = 0.3  # matches plans/incremental.py::EWMA_ALPHA
+
+
+class _EwmaValueProcessor:
+    """Per-user EWMA of event values — a recurrence, so it genuinely
+    needs ordered per-key state (no commutative aggregate expresses
+    it; see plans/incremental.py::q_ewma_revenue_by_status for the
+    batch form of the same recurrence class).
+
+    Rows inside a micro-batch are sorted by (ts, event_id) before
+    folding, so replaying the same files yields the same fold order
+    and the result is reproducible run-to-run.
+    """
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("ewma", "n_events BIGINT, ewma DOUBLE")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, ewma = (0, 0.0)
+        if self._state.exists():
+            n, ewma = self._state.get()
+        batch = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+        for v in batch["value"].astype("float64"):
+            ewma = EWMA_STREAM_ALPHA * float(v) + (1.0 - EWMA_STREAM_ALPHA) * ewma
+            n += 1
+        self._state.update((int(n), float(ewma)))
+        yield pd.DataFrame(
+            {"user_id": [int(key[0])], "n_events": [int(n)], "ewma_value": [ewma]}
+        )
+
+    def close(self) -> None:
+        pass
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+
+def ewma_user_value(events: DataFrame) -> DataFrame:
+    """Lifetime per-user EWMA of ``value`` via transformWithStateInPandas.
+
+    Each micro-batch folds the user's new events (ts-ordered) into one
+    (n, ewma) ValueState double — state is O(1) per user regardless of
+    history length, the property that makes recurrences streamable at
+    all. Emits the updated running EWMA per user per batch.
+
+    Runtime requirements: the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``) and
+    ``google.protobuf`` (the TWS Python worker's state-server
+    protocol). The kernel's fold logic is unit-tested directly
+    (tests/test_streaming.py::test_tws_ewma_kernel_fold_logic); the
+    end-to-end test auto-skips where protobuf is absent.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # build the concrete processor class lazily so module import never
+    # requires the streaming-state machinery
+    proc = type(
+        "EwmaValueProcessor", (_EwmaValueProcessor, StatefulProcessor), {}
+    )()
+    return events.groupBy("user_id").transformWithStateInPandas(
+        proc,
+        outputStructType="user_id BIGINT, n_events BIGINT, ewma_value DOUBLE",
+        outputMode="update",
+        timeMode="none",
+    )

@@ -545,3 +545,74 @@ def q_monthly_order_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         hi.getField("p").alias("max_price"),
         hi.getField("k").alias("max_orderkey"),
     )
+
+
+@register(
+    "q_join_key_skew_profile",
+    oracle="""
+    WITH freqs AS (
+        SELECT 'l_orderkey' AS key_name, l_orderkey AS k, count(*) AS freq
+        FROM lineitem GROUP BY l_orderkey
+        UNION ALL
+        SELECT 'o_custkey' AS key_name, o_custkey AS k, count(*) AS freq
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT key_name,
+           CASE WHEN freq = 1 THEN '1'
+                WHEN freq <= 3 THEN '2-3'
+                WHEN freq <= 7 THEN '4-7'
+                WHEN freq <= 15 THEN '8-15'
+                ELSE '16+' END          AS freq_class,
+           CAST(count(*) AS BIGINT)    AS n_keys,
+           CAST(sum(freq) AS BIGINT)   AS n_rows,
+           CAST(max(freq) AS BIGINT)   AS max_freq
+    FROM freqs
+    GROUP BY key_name, freq_class
+    """,
+    tags=("diagnostics", "skew", "agg"),
+)
+def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key frequency-distribution profile — the diagnostic you run
+    BEFORE choosing a skew strategy: a heavy '16+' class on a join key
+    means AQE skew-split or salting (q_salted_agg_customer_spend) is
+    warranted; a flat profile means plain hash partitioning is fine.
+
+    Two-level aggregation, both partial map-side: facts → per-key
+    freq (shuffle on the key being profiled — the same shuffle the
+    real join would do, so the profile measures exactly what the join
+    will see), then freq → integer-boundary class histogram (|classes|
+    groups). All outputs are integers: no float drift surface at all.
+
+    At 100 TB, profile a deterministic id-range sample of the fact
+    table instead (the md5-bucket predicate of q_deterministic_sample
+    composes in the scan stage); class boundaries and semantics are
+    unchanged.
+    """
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    freqs = (
+        lineitem.groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.lit("l_orderkey").alias("key_name"), "k", "freq")
+        .unionByName(
+            orders.groupBy(F.col("o_custkey").alias("k"))
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .select(F.lit("o_custkey").alias("key_name"), "k", "freq")
+        )
+    )
+    f = F.col("freq")
+    freq_class = (
+        F.when(f == 1, "1")
+        .when(f <= 3, "2-3")
+        .when(f <= 7, "4-7")
+        .when(f <= 15, "8-15")
+        .otherwise("16+")
+        .alias("freq_class")
+    )
+    return freqs.select("key_name", freq_class, "freq").groupBy(
+        "key_name", "freq_class"
+    ).agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("freq").alias("n_rows"),
+        F.max("freq").alias("max_freq"),
+    )

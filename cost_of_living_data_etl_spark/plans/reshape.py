@@ -514,3 +514,53 @@ def q_weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("sample_key"), F.asc("doc_id"))
         .limit(WSAMPLE_K)
     )
+
+
+@register(
+    "q_leakage_safe_split_by_source",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT
+            CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+            source, n_chars
+        FROM (SELECT source, n_chars, {_BUCKET_SQL.format(k="source")} AS b
+              FROM documents)
+    )
+    SELECT split,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(*) AS BIGINT)               AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)           AS total_chars
+    FROM assigned
+    GROUP BY split
+    """,
+    tags=("sampling", "split", "leakage", "group-aware"),
+)
+def q_leakage_safe_split_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware train/val/test split: the split is a function of
+    ``source``, not doc_id, so every document from one acquisition
+    source lands in the SAME split — the GroupShuffleSplit discipline
+    that prevents near-duplicate leakage across splits (two crawls of
+    one site straddling train and test inflates eval scores; a
+    doc-keyed split like q_train_val_test_split cannot prevent that).
+
+    Disjointness is by construction (same key ⇒ same bucket ⇒ same
+    split), not by checking: no shuffle is spent proving it. The audit
+    output (sources/docs/chars per split) is what a curation review
+    needs to see the group-split's size skew — group splits trade
+    exact 80/10/10 proportions for leakage safety, and the skew grows
+    with per-source volume variance.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.expr(_BUCKET_SPARK.format(k="source"))
+    split = (
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test").alias("split")
+    )
+    return (
+        docs.select(split, "source", "n_chars")
+        .groupBy("split")
+        .agg(
+            F.count_distinct("source").alias("n_sources"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -367,3 +367,127 @@ def q_multimodal_frame_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("frame")).alias("frame_bytes"),
         F.sum(byte_sum(F.col("frame"))).alias("byte_checksum"),
     )
+
+
+# --- resize (thumbnail) stage ----------------------------------------------
+
+THUMB_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("n_thumb_bytes", LongType()),
+        StructField("thumb_checksum", LongType()),
+    ]
+)
+
+
+def resize_thumbnails(assets: DataFrame) -> DataFrame:
+    """Image resize stage: interpret each image payload as a row-major
+    ``height x width`` byte grid (width from metadata, height =
+    n_bytes div width) and 2x-downsample it by nearest-neighbor stride
+    (``grid[::2, ::2]``) — the thumbnail pass of an image-curation
+    pipeline.
+
+    Real decode-and-resize (PIL.Image.thumbnail) drops into ``kernel``
+    unchanged; what Spark owns — and what this verifies — is the
+    plumbing: binary payloads as Arrow columns, metadata-driven per-row
+    geometry, bounded-memory batch iteration, fixed-schema manifest
+    out. Emits dims + byte checksum, NOT thumbnail bytes: downstream
+    dedup/quality passes consume the manifest, and at 100 TB the
+    resized payloads would be written straight to an object store from
+    the executors, never shuffled.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ows, ohs, nbs, cks = [], [], [], [], []
+            for aid, payload, meta in zip(
+                pdf["asset_id"], pdf["payload"], pdf["meta"]
+            ):
+                w = int(meta["width"])
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                h = len(arr) // w
+                if h < 1:
+                    continue  # payload smaller than one pixel row
+                thumb = arr[: h * w].reshape(h, w)[::2, ::2]
+                ids.append(aid)
+                ows.append(thumb.shape[1])
+                ohs.append(thumb.shape[0])
+                nbs.append(int(thumb.size))
+                cks.append(int(thumb.astype(np.int64).sum()))
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids,
+                    "out_w": pd.array(ows, dtype="int32"),
+                    "out_h": pd.array(ohs, dtype="int32"),
+                    "n_thumb_bytes": pd.array(nbs, dtype="int64"),
+                    "thumb_checksum": pd.array(cks, dtype="int64"),
+                }
+            )
+
+    return assets.filter(F.col("kind") == "image").mapInPandas(
+        kernel, schema=THUMB_SCHEMA
+    )
+
+
+# DuckDB replay of the thumbnail pass from hex(payload): selected rows
+# r = 0, 2, ... are 2w-hex-char slices; within a row, even columns are
+# kept by collapsing every 4-hex-char group to its first 2 chars (the
+# trailing 2-char remainder of an odd-width row is an even column and
+# survives verbatim); the byte checksum is recovered from hex-digit
+# counts exactly as in _FRAME_ORACLE.
+_THUMB_ORACLE = f"""
+WITH g AS (
+    SELECT doc_id AS asset_id,
+           hex(encode(text)) AS hx,
+           CAST(doc_id % 640 + 1 AS BIGINT) AS w,
+           octet_length(encode(text)) // (doc_id % 640 + 1) AS h
+    FROM documents
+    WHERE doc_id % 3 = 0 AND octet_length(encode(text)) >= doc_id % 640 + 1
+),
+rows_ AS (
+    SELECT asset_id, w, h,
+           substr(hx, 2 * unnest(range(0, h, 2)) * w + 1, 2 * w) AS rowhex
+    FROM g
+),
+sub AS (
+    SELECT asset_id, w, h,
+           regexp_replace(rowhex, '(..)..', '\\1', 'g') AS evenhex
+    FROM rows_
+),
+per_row AS (
+    SELECT asset_id, w, h,
+           length(evenhex) // 2 AS n_px,
+           regexp_replace(evenhex, '(.).', '\\1', 'g') AS hi,
+           regexp_replace(evenhex, '.(.)', '\\1', 'g') AS lo
+    FROM sub
+)
+SELECT asset_id,
+       CAST((w + 1) // 2 AS INT)      AS out_w,
+       CAST((h + 1) // 2 AS INT)      AS out_h,
+       CAST(sum(n_px) AS BIGINT)      AS n_thumb_bytes,
+       CAST(sum({_BYTESUM_TERMS}) AS BIGINT) AS thumb_checksum
+FROM per_row
+GROUP BY asset_id, w, h
+"""
+
+
+@register(
+    "q_multimodal_thumbnail_manifest",
+    oracle=_THUMB_ORACLE,
+    tags=("multimodal", "pandas-udf", "resize"),
+)
+def q_multimodal_thumbnail_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image assets → mapInPandas 2x nearest-neighbor resize →
+    per-asset thumbnail manifest (dims, byte count, checksum).
+
+    Completes the multimodal stage set (decode, featurize, frame
+    sampling, RESIZE). The metadata-driven geometry (width from meta,
+    height derived from payload length) and the row-major grid
+    subsample are replayed positionally from hex(payload) in the
+    oracle, so the whole Arrow-batched kernel is hash-verified, not
+    rows-only.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return resize_thumbnails(documents_to_assets(docs))

@@ -564,3 +564,73 @@ def q_leakage_safe_split_by_source(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+TARGET_TOKENS = 1_000_000_000  # training-run token budget the mixture fills
+
+
+@register(
+    "q_mixture_token_budget",
+    oracle=f"""
+    WITH c AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) // 4 AS tokens_available
+        FROM documents GROUP BY lang
+    ),
+    t AS (SELECT sum(n_docs) AS total FROM c),
+    s AS (
+        SELECT lang, n_docs, tokens_available,
+               pow(n_docs / CAST(total AS DOUBLE), {MIX_ALPHA}) AS pa
+        FROM c, t
+    ),
+    d AS (SELECT sum(pa) AS denom FROM s)
+    SELECT lang,
+           CAST(n_docs AS BIGINT)                          AS n_docs,
+           tokens_available,
+           pa / denom                                      AS mix_weight,
+           round((pa / denom) * {TARGET_TOKENS}, 0)        AS tokens_assigned,
+           round((pa / denom) * {TARGET_TOKENS}, 0)
+             / tokens_available                            AS epochs
+    FROM s, d
+    """,
+    tags=("sampling", "mixture", "training-data", "planner"),
+)
+def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget allocation table for a training run: distribute a
+    TARGET_TOKENS budget across languages by the temperature-scaled
+    mixture (same p^α rebalancing as q_lang_mixture_weights) and report
+    per-language epochs = assigned / available — epochs > 1 means that
+    language repeats during training, the number a data-mixture review
+    actually signs off on.
+
+    Two tiny aggregations (per-lang rollup, 1-row totals broadcast
+    back); the char→token proxy (4 chars/token) stays integer via
+    shared integer division. tokens_assigned is pinned to the integer
+    grid with round(..., 0) so the epochs quotient divides identical
+    operands on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("n_chars").cast("long") / F.lit(4)).cast("long").alias(
+            "tokens_available"
+        ),
+    )
+    total = c.agg(F.sum("n_docs").alias("total"))
+    s = c.crossJoin(F.broadcast(total)).select(
+        "lang",
+        "n_docs",
+        "tokens_available",
+        F.pow(F.col("n_docs") / F.col("total").cast("double"), MIX_ALPHA).alias("pa"),
+    )
+    denom = s.agg(F.sum("pa").alias("denom"))
+    w = F.col("pa") / F.col("denom")
+    assigned = F.round(w * TARGET_TOKENS, 0)
+    return s.crossJoin(F.broadcast(denom)).select(
+        "lang",
+        "n_docs",
+        "tokens_available",
+        w.alias("mix_weight"),
+        assigned.alias("tokens_assigned"),
+        (assigned / F.col("tokens_available")).alias("epochs"),
+    )

@@ -182,3 +182,100 @@ def test_histogram_bins_partition_all_rows(spark, values):
     rows = df.select(bin_id.alias("b")).groupBy("b").count().collect()
     assert sum(r["count"] for r in rows) == len(values)
     assert all(0 <= r["b"] < nbins for r in rows)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("ab cd"), min_size=0, max_size=400
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_chunking_covers_every_token_with_correct_overlap(spark, texts):
+    """Sliding-window chunking invariants for arbitrary texts:
+    (1) chunk count matches the shared integer formula,
+    (2) token coverage: chunk token counts sum to n + (n_chunks-1)*overlap
+        for docs longer than one window (full chunks overlap by W-S), and
+    (3) every chunk except the last has exactly W tokens when n > W
+        ... verified against a pure-Python re-implementation."""
+    from cost_of_living_data_etl_spark.plans.corpus_prep import (
+        CHUNK_STRIDE,
+        CHUNK_W,
+        q_chunk_documents_overlap,
+    )
+
+    rows = [(i, t, "en", "src", len(t)) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = q_chunk_documents_overlap(spark, d).collect()
+
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_chunk_tokens"], r["chunk_hash"])
+        )
+    for i, t in enumerate(texts):
+        toks = [x for x in t.strip().split() if x] if t.strip() else []
+        n = len(toks)
+        n_chunks = 1 if n <= CHUNK_W else (n - CHUNK_W + CHUNK_STRIDE - 1) // CHUNK_STRIDE + 1
+        chunks = sorted(got.get(i, []))
+        assert len(chunks) == n_chunks, (i, n, len(chunks), n_chunks)
+        # python reference of every chunk
+        import hashlib
+
+        for idx, (cidx, ntok, chash) in enumerate(chunks):
+            ref = toks[idx * CHUNK_STRIDE : idx * CHUNK_STRIDE + CHUNK_W]
+            assert cidx == idx
+            assert ntok == len(ref)
+            assert chash == hashlib.md5(" ".join(ref).encode()).hexdigest()
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B", "C"]),
+            st.integers(min_value=0, max_value=10**6),
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    st.integers(min_value=0, max_value=80),
+)
+def test_incremental_merge_equals_one_pass_for_any_split_point(spark, rows, cut):
+    """Partial-aggregate maintenance must be split-point-invariant:
+    merging (sum, count) partials of ANY base/delta partition of the
+    input equals the one-pass aggregate."""
+    df = spark.createDataFrame(
+        [(g, float(v) / 100.0, i) for i, (g, v) in enumerate(rows)],
+        "grp string, val double, seq long",
+    )
+
+    def partial(d):
+        return d.groupBy("grp").agg(
+            F.sum("val").alias("s"), F.count(F.lit(1)).alias("c")
+        )
+
+    merged = (
+        partial(df.filter(F.col("seq") < cut))
+        .unionByName(partial(df.filter(F.col("seq") >= cut)))
+        .groupBy("grp")
+        .agg(F.round(F.sum("s"), 6).alias("s"), F.sum("c").alias("c"))
+    )
+    direct = df.groupBy("grp").agg(
+        F.round(F.sum("val"), 6).alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    got = {r["grp"]: (r["s"], r["c"]) for r in merged.collect()}
+    want = {r["grp"]: (r["s"], r["c"]) for r in direct.collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][1] == want[k][1]
+        assert abs(got[k][0] - want[k][0]) < 1e-6

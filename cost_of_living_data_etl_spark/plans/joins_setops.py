@@ -245,3 +245,96 @@ def q_distinct_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# snapshot-diff version buckets (md5(o_orderkey) % 100):
+#   < 5        deleted  (in v1 only)
+#   5 ≤ b < 10 changed  (price restated in v2)
+#   ≥ 95       added    (in v2 only)
+_DIFF_BUCKET = (
+    "cast(conv(substring(md5(cast(o_orderkey AS STRING)), 1, 15), 16, 10)"
+    " AS BIGINT) % 100"
+)
+_DIFF_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+)
+
+
+@register(
+    "q_snapshot_diff_orders",
+    oracle=f"""
+    WITH b AS (SELECT o_orderkey, o_totalprice, {_DIFF_BUCKET_SQL} AS bk FROM orders),
+    v1 AS (SELECT o_orderkey, o_totalprice FROM b WHERE bk < 95),
+    v2 AS (
+        SELECT o_orderkey,
+               CASE WHEN bk >= 5 AND bk < 10
+                    THEN round(o_totalprice * 1.1, 2) ELSE o_totalprice END
+                   AS o_totalprice
+        FROM b WHERE bk >= 5
+    ),
+    d AS (
+        SELECT
+            CASE WHEN v2.o_orderkey IS NULL THEN 'deleted'
+                 WHEN v1.o_orderkey IS NULL THEN 'added'
+                 WHEN v1.o_totalprice IS DISTINCT FROM v2.o_totalprice THEN 'changed'
+                 ELSE 'unchanged' END AS status,
+            COALESCE(v1.o_orderkey, v2.o_orderkey) AS k,
+            COALESCE(v2.o_totalprice, v1.o_totalprice) AS price
+        FROM v1 FULL OUTER JOIN v2 ON v1.o_orderkey = v2.o_orderkey
+    )
+    SELECT status,
+           CAST(count(*) AS BIGINT)  AS n_rows,
+           CAST(min(k) AS BIGINT)    AS min_key,
+           CAST(max(k) AS BIGINT)    AS max_key,
+           round(sum(price), 2)      AS total_price
+    FROM d GROUP BY status
+    """,
+    tags=("diff", "full-outer-join", "versioning"),
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two table versions — the change-feed a
+    lakehouse computes when no CDC log exists: FULL OUTER JOIN on the
+    key, then classify each row added / deleted / changed / unchanged
+    (null-safe value comparison). The versions are synthesized
+    deterministically from one fixture scan (disjoint md5 buckets for
+    deletes/adds, a price restatement for changes), so expected class
+    sizes are fixed by construction and the whole diff is
+    oracle-replayable.
+
+    Scale shape: one shuffle per side on the join key (the minimum any
+    keyed diff needs), classification and the per-class rollup are
+    map-side; the output is |classes| rows. At 100 TB both snapshot
+    scans are partition-pruned to the compared slice, and bucketed
+    layouts (sources/warehouse.py::save_bucketed) make the diff
+    exchange-free.
+    """
+    b = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.expr(_DIFF_BUCKET).alias("bk")
+    )
+    v1 = b.filter(F.col("bk") < 95).select(
+        F.col("o_orderkey").alias("k1"), F.col("o_totalprice").alias("p1")
+    )
+    v2 = b.filter(F.col("bk") >= 5).select(
+        F.col("o_orderkey").alias("k2"),
+        F.when(
+            (F.col("bk") >= 5) & (F.col("bk") < 10),
+            F.round(F.col("o_totalprice") * 1.1, 2),
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("p2"),
+    )
+    d = v1.join(v2, v1.k1 == v2.k2, "full_outer").select(
+        F.when(F.col("k2").isNull(), "deleted")
+        .when(F.col("k1").isNull(), "added")
+        .when(~F.col("p1").eqNullSafe(F.col("p2")), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+        F.coalesce(F.col("k1"), F.col("k2")).alias("k"),
+        F.coalesce(F.col("p2"), F.col("p1")).alias("price"),
+    )
+    return d.groupBy("status").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("k").alias("min_key"),
+        F.max("k").alias("max_key"),
+        F.round(F.sum("price"), 2).alias("total_price"),
+    )

@@ -152,3 +152,51 @@ def q_pandas_udf_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "documents").select(
         "doc_id", quality_udf(F.col("text")).alias("quality_udf")
     )
+
+
+@register(
+    "q_warehouse_roundtrip_facts",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT)    AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderstatus
+    """,
+    tags=("sink", "warehouse", "roundtrip", "partitioned"),
+)
+def q_warehouse_roundtrip_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 sink verification INSIDE the oracle gate: write a fact slice
+    to a partitioned parquet warehouse layout, read it back through a
+    partition-pruned scan, aggregate — and match the oracle computed
+    straight from the SOURCE table. Equality proves the write→layout→
+    read path loses and corrupts nothing (the reference's append sink,
+    app.py:195-197, has no such check).
+
+    Idempotent by construction: mode("overwrite") with a deterministic
+    path keyed by the sf_dir, so driver cold/warm re-runs replace
+    rather than accumulate. The read-back filter hits the partition
+    column ⇒ only the o_orderstatus=F directory is listed (the same
+    PartitionFilters mechanics tests/test_warehouse_layout.py asserts);
+    at 100 TB this is the difference between scanning one partition
+    and the whole table.
+    """
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/spark_graft_roundtrip_{tag}"
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )

@@ -95,3 +95,18 @@ def test_ivf_scans_fraction_of_corpus(spark):
     )
     assert cells <= IVF_NPROBE
     assert n_scanned <= n_total  # sanity
+
+
+def test_pq_adc_recall_floor(spark, sf_smoke):
+    """PQ with 4x8 codebooks (12-bit codes) is deliberately coarse;
+    still, ADC top-10 must overlap exact cosine top-10 meaningfully.
+    Measured 5/10 at sf0.01 (L2-ADC vs cosine adds inherent metric
+    slack for unnormalized vectors); floor at 2 to stay robust across
+    fixture regenerations while catching a broken encode (overlap ~0
+    under random codes)."""
+    sf = "/root/testdata/sf0.01"
+    exact = {
+        r["vec_id"] for r in catalog()["q_ann_bruteforce_topk"].fn(spark, sf).collect()
+    }
+    pq = {r["vec_id"] for r in catalog()["q_pq_adc_topk"].fn(spark, sf).collect()}
+    assert len(exact & pq) >= 2, (sorted(exact), sorted(pq))

@@ -310,3 +310,23 @@ def test_ewma_folds_over_daily_rollup_only(spark, sf_smoke):
     plan = plan_of(spark, "q_ewma_revenue_by_status", sf_smoke, mode="simple")
     assert plan.count("Exchange hashpartitioning") <= 2
     assert "SortMergeJoin" not in plan and "Join" not in plan
+
+
+def test_pq_encode_is_join_free_map_pass(spark, sf_smoke):
+    """PQ encode ranks against LITERAL codebook arrays: the scoring
+    plan must contain no join of any kind and no shuffle beyond the
+    final top-k — vectors are never exchanged."""
+    plan = plan_of(spark, "q_pq_adc_topk", sf_smoke, mode="simple")
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_snapshot_diff_single_keyed_join(spark, sf_smoke):
+    """The keyed diff is one join (full outer on the key) plus the
+    tiny per-class rollup — no nested loop, no extra joins."""
+    plan = plan_of(spark, "q_snapshot_diff_orders", sf_smoke, mode="simple")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Join") == 1 or plan.count("SortMergeJoin") + plan.count(
+        "ShuffledHashJoin"
+    ) + plan.count("BroadcastHashJoin") == 1

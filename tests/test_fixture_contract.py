@@ -96,3 +96,41 @@ def test_events_ts_values_are_modern(spark, sf_dir):
     )
     assert 2000 <= row["lo"].year <= 2100, row["lo"]
     assert 2000 <= row["hi"].year <= 2100, row["hi"]
+
+
+def test_loader_and_stream_absorb_nanos_generation(spark, tmp_path):
+    """Round-1 fixtures shipped events.ts as parquet TIMESTAMP(NANOS).
+    Both the batch loader and the stream ingest must absorb that
+    generation and yield the same TimestampType values as the current
+    MICROS layout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cost_of_living_data_etl_spark.sources.tables import load_events
+    from cost_of_living_data_etl_spark.streaming.events import read_events_stream
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    t = pq.read_table(src)
+    ts_ns = t.column("ts").cast(pa.timestamp("ns"))
+    t2 = t.set_column(t.schema.get_field_index("ts"), "ts", ts_ns)
+    d = tmp_path / "nanos"
+    d.mkdir()
+    pq.write_table(
+        t2, str(d / "events.parquet"), coerce_timestamps=None,
+        store_schema=False, version="2.6",
+    )
+    assert pq.read_schema(str(d / "events.parquet")).field("ts").type == pa.timestamp("ns")
+
+    # batch loader: same type and values as the micros generation
+    nanos_df = load_events(spark, str(d / "events.parquet"))
+    micros_df = load_events(spark, src)
+    assert nanos_df.schema["ts"].dataType.typeName() == "timestamp"
+    got = sorted((r["event_id"], r["ts"]) for r in nanos_df.limit(50).collect())
+    want = sorted((r["event_id"], r["ts"]) for r in micros_df.limit(50).collect())
+    assert got == want
+
+    # stream ingest: schema probe must pick the long branch and
+    # produce TimestampType
+    stream = read_events_stream(spark, str(d))
+    assert stream.schema["ts"].dataType.typeName() == "timestamp"
+    assert stream.isStreaming

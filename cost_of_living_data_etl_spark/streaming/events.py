@@ -424,3 +424,60 @@ def ewma_user_value(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+def click_purchase_attribution_outer(
+    events: DataFrame,
+    horizon_min: int = 30,
+    watermark: str = "60 minutes",
+) -> DataFrame:
+    """LEFT OUTER stream-stream join: like click_purchase_attribution,
+    but purchases with NO qualifying click still emit (null click
+    columns) — the attribution report that accounts for every
+    purchase, organic ones included.
+
+    Outer stream-stream is the subtle variant: a null-padded result
+    for a purchase can only be emitted once the watermark proves no
+    matching click can still arrive (purchase_ts + horizon <
+    watermark), so unmatched rows surface with watermark delay, and
+    BOTH the watermark and the event-time range bound are mandatory —
+    without them the engine could neither bound the join state nor
+    ever conclude "no match". Spark emits the null rows during
+    no-data/state-cleanup micro-batches after the watermark advances.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_min} MINUTES")
+        ),
+        "left_outer",
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "purchase_ts",
+        "purchase_value",
+        "click_id",
+        "click_ts",
+    )

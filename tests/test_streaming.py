@@ -431,3 +431,72 @@ def test_tws_ewma_kernel_fold_logic():
     out2 = list(proc.handleInputRows((7,), iter([b2]), None))[0]
     assert out2["n_events"][0] == 3
     assert abs(out2["ewma_value"][0] - (0.3 * 40.0 + 0.7 * 7.2)) < 1e-12
+
+
+def test_stream_stream_left_outer_matches_batch(spark, stream_dir):
+    """Outer stream-stream join: matched pairs identical to the inner
+    twin, PLUS exactly one null-click row for every purchase with no
+    qualifying click (emitted on watermark-driven state cleanup)."""
+    from cost_of_living_data_etl_spark.streaming.events import (
+        click_purchase_attribution_outer,
+    )
+
+    stream = click_purchase_attribution_outer(read_events_stream(spark, stream_dir))
+    name = f"ssjo_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table(name)
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    batch = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "left_outer",
+    )
+    got = {(r["purchase_id"], r["click_id"]) for r in out.collect()}
+    want_rows = batch.collect()
+    want = {(r["purchase_id"], r["click_id"]) for r in want_rows}
+
+    # matched pairs must agree exactly
+    assert {p for p in got if p[1] is not None} == {
+        p for p in want if p[1] is not None
+    }
+    # null rows: the stream may only emit "no match" once the click
+    # watermark passes the purchase — tail purchases inside the final
+    # watermark horizon legitimately stay pending in state
+    import datetime as dt
+
+    # the GLOBAL watermark is min over both branches' (max event time
+    # − 60m); the click branch lags, so it governs. A purchase's
+    # no-match verdict is final only below global_wm minus the 30m
+    # join range — use that, conservatively, as "provably concluded"
+    max_click_ts = (
+        ev.filter(F.col("event_type") == "click").agg(F.max("ts")).collect()[0][0]
+    )
+    horizon = max_click_ts - dt.timedelta(minutes=90)
+    concluded = {
+        (r["purchase_id"], None)
+        for r in want_rows
+        if r["click_id"] is None and r["purchase_ts"] < horizon
+    }
+    got_nulls = {p for p in got if p[1] is None}
+    assert concluded <= got_nulls <= {p for p in want if p[1] is None}
+    assert len(got_nulls) > 0  # outer join genuinely adds null rows

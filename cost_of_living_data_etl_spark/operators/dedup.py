@@ -923,3 +923,67 @@ def q_crossdoc_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("n_dup") * 2 >= F.col("n_chunks"), 1).otherwise(0)
         ).alias("n_heavy_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+_TRIANGLE_ORACLE = f"""
+WITH pairs AS MATERIALIZED (
+    SELECT doc_id_1, doc_id_2 FROM ( {_MINHASH_ORACLE} )
+),
+tri AS (
+    SELECT ab.doc_id_1 AS a, ab.doc_id_2 AS b, bc.doc_id_2 AS c
+    FROM pairs ab
+    JOIN pairs bc ON bc.doc_id_1 = ab.doc_id_2
+    JOIN pairs ac ON ac.doc_id_1 = ab.doc_id_1 AND ac.doc_id_2 = bc.doc_id_2
+),
+members AS (
+    SELECT a AS doc_id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_triangles
+FROM members GROUP BY doc_id
+"""
+
+
+@register(
+    "q_triangle_count_neardup",
+    oracle=_TRIANGLE_ORACLE,
+    tags=("graph", "triangles", "dedup"),
+)
+def q_triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle membership in the near-dup pair graph —
+    the local-density signal pairwise dedup under-reports: a document
+    in many triangles sits inside a mutually-similar TEMPLATE FAMILY
+    (every member near-dups every other), where the right fix is one
+    template rule, not O(family²) pairwise removals. Complements
+    PageRank (hubness) and connected components (reach) as the third
+    graph lens on the same pair plan.
+
+    Triangles enumerate once each via the ordered two-path + closing
+    edge (a<b<c by pair construction): two self-joins of the slim
+    (id, id) edge list. Scale: the pair graph is orders of magnitude
+    smaller than the corpus (it EXISTS only where near-dups do), joins
+    are on 8-byte keys, and skew (one giant clique) is exactly what
+    the LSH bucket cap already bounds upstream.
+    """
+    pairs = (
+        minhash_pair_plan(spark, sf_dir).select("doc_id_1", "doc_id_2").persist()
+    )
+    ab = pairs.select(F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b"))
+    bc = pairs.select(F.col("doc_id_1").alias("b"), F.col("doc_id_2").alias("c"))
+    ac = pairs.select(F.col("doc_id_1").alias("a2"), F.col("doc_id_2").alias("c2"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
+        .select("a", "b", "c")
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -616,3 +616,62 @@ def q_join_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("freq").alias("n_rows"),
         F.max("freq").alias("max_freq"),
     )
+
+
+@register(
+    "q_join_cardinality_estimate",
+    oracle="""
+    WITH fe AS (SELECT user_id AS k, count(*) AS f FROM events GROUP BY user_id),
+    fo AS (SELECT o_custkey AS k, count(*) AS f FROM orders GROUP BY o_custkey),
+    est AS (
+        SELECT CAST(sum(fe.f * fo.f) AS BIGINT) AS estimated_rows,
+               CAST(count(*) AS BIGINT)         AS n_shared_keys
+        FROM fe JOIN fo USING (k)
+    ),
+    act AS (
+        SELECT CAST(count(*) AS BIGINT) AS actual_rows
+        FROM events e JOIN orders o ON e.user_id = o.o_custkey
+    )
+    SELECT est.estimated_rows, est.n_shared_keys, act.actual_rows,
+           CAST(est.estimated_rows = act.actual_rows AS BOOLEAN) AS exact_match
+    FROM est, act
+    """,
+    tags=("diagnostics", "planner", "cardinality"),
+)
+def q_join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join-cardinality estimation from per-key frequency
+    tables: |A ⋈ B| = Σ_k f_A(k)·f_B(k). The query computes the
+    estimate from the (tiny) frequency rollups, then the actual join
+    count, and asserts the identity — demonstrating that the estimate
+    a planner would use BEFORE launching a 100 TB join (to size
+    shuffle partitions, pick broadcast vs shuffle, or refuse a
+    blow-up) is exact when derived from full frequency tables, and
+    that its cost is two per-key rollups + a key-only join, never the
+    join itself.
+
+    At 100 TB the same identity runs over SAMPLED or sketched (CMS)
+    frequency tables for an approximate pre-flight answer; the
+    frequency-join shape is unchanged.
+    """
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    fe = events.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).alias("fe")
+    )
+    fo = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("fo")
+    )
+    est = fe.join(fo, "k").agg(
+        F.sum(F.col("fe") * F.col("fo")).alias("estimated_rows"),
+        F.count(F.lit(1)).alias("n_shared_keys"),
+    )
+    act = (
+        events.join(orders, events.user_id == orders.o_custkey)
+        .agg(F.count(F.lit(1)).alias("actual_rows"))
+    )
+    return est.crossJoin(act).select(
+        "estimated_rows",
+        "n_shared_keys",
+        "actual_rows",
+        (F.col("estimated_rows") == F.col("actual_rows")).alias("exact_match"),
+    )

@@ -420,3 +420,86 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(wf)).alias("p"),
     )
+
+
+PATH_TOPK = 20
+
+
+@register(
+    "q_session_path_topk",
+    oracle=f"""
+    WITH marked AS (
+        SELECT
+            user_id, ts, event_id, event_type,
+            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                      > INTERVAL {SESSION_GAP_MIN} MINUTE
+                 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                 THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT
+            user_id, ts, event_id, event_type,
+            sum(new_session) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_seq
+        FROM marked
+    ),
+    paths AS (
+        SELECT user_id, session_seq,
+               array_to_string(list(event_type ORDER BY ts, event_id), '>') AS path
+        FROM sessions
+        GROUP BY user_id, session_seq
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+    FROM paths
+    GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {PATH_TOPK}
+    """,
+    tags=("events", "session", "path-mining", "topk"),
+)
+def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top user-journey paths: sessionize (same 30-min gap rule as
+    q_events_sessionization), express each session as its ordered
+    event-type sequence ('view>click>purchase'), rank paths by
+    frequency — the source table for every product-analytics Sankey /
+    funnel-discovery view.
+
+    Scale shape: one shuffle on user_id for sessionization, one on
+    (user_id, session_seq) collapsing each session to ONE path string
+    (collect_list is per-session, bounded by session length — never a
+    per-user or global collect), then a path-keyed count whose
+    cardinality is the path vocabulary, and a global top-k via
+    TakeOrdered. Paths longer than any real session would indicate a
+    broken gap rule, not a bigger shuffle.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prev_ts = F.lag("ts").over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | (F.col("ts").cast("long") - prev_ts.cast("long") > SESSION_GAP_MIN * 60),
+        1,
+    ).otherwise(0)
+    paths = (
+        load_table(spark, sf_dir, "events")
+        .withColumn("new_session", new_session)
+        .withColumn("session_seq", F.sum("new_session").over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(ts, event_id, event_type))), s -> s.event_type), '>')"
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(PATH_TOPK)
+    )

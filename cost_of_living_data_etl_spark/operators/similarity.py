@@ -998,24 +998,16 @@ def _pq_oracle() -> str:
     s{s}c{t} AS (
         SELECT code, list(av ORDER BY dim) AS c
         FROM (
-            SELECT a.code, generate_subscripts(x.v, 1) AS dim, unnest(x.v) AS xv
-            FROM s{s}a{t} a JOIN s{s} x USING (vec_id)
-        ) sub_exploded
-        -- DuckDB names the unnest column xv; avg per (code, dim)
-        GROUP BY code, dim
+            SELECT code, dim, avg(xv) AS av FROM (
+                SELECT a.code, generate_subscripts(x.v, 1) AS dim,
+                       unnest(x.v) AS xv
+                FROM s{s}a{t} a JOIN s{s} x USING (vec_id)
+            ) raw GROUP BY code, dim
+        ) per_dim
+        GROUP BY code
     )"""
                 )
-        # fix the aggregate: the inner select exposes xv; wrap avg
-    # assemble: replace the c{t} bodies' missing avg with a corrected form
     chain = "".join(sql)
-    chain = chain.replace(
-        "SELECT code, list(av ORDER BY dim) AS c\n        FROM (\n",
-        "SELECT code, list(av ORDER BY dim) AS c\n        FROM (\n"
-        "            SELECT code, dim, avg(xv) AS av FROM (\n",
-    ).replace(
-        ") sub_exploded\n        -- DuckDB names the unnest column xv; avg per (code, dim)\n        GROUP BY code, dim\n    )",
-        ") raw GROUP BY code, dim\n        ) per_dim\n        GROUP BY code\n    )",
-    )
     final_codes = " , ".join(
         f"s{s}a{PQ_ITERS + 1}.code AS code{s}" for s in range(PQ_M)
     )

@@ -971,6 +971,10 @@ def q_triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are on 8-byte keys, and skew (one giant clique) is exactly what
     the LSH bucket cap already bounds upstream.
     """
+    # persisted for the three self-join consumers below; like the
+    # pagerank edge cache, the blocks live until session end — at
+    # 100 TB this is a parquet checkpoint of the (tiny) pair graph,
+    # not an in-memory cache
     pairs = (
         minhash_pair_plan(spark, sf_dir).select("doc_id_1", "doc_id_2").persist()
     )

@@ -914,16 +914,19 @@ def _fit_pq_codebooks(e: DataFrame, cache_key: str | None = None) -> list[list[l
         sub = e.selectExpr("vec_id", f"{_sub_spark('embedding', s)} AS v").persist(
             StorageLevel.MEMORY_AND_DISK
         )
+        # centroids carry their ORIGINAL code ids throughout (same
+        # discipline as _fit_ivf_centroids): if a cluster empties
+        # during a round, its id simply disappears — renumbering here
+        # would diverge from the oracle's CTE chain, which keeps
+        # original ids with a hole.
         cents = [
-            [float(x) for x in r["v"]]
+            (int(r["vec_id"]), [float(x) for x in r["v"]])
             for r in sub.filter(F.col("vec_id") < PQ_K)
             .orderBy("vec_id")
             .collect()
         ]
         for _ in range(PQ_ITERS):
-            cdf = spark.createDataFrame(
-                [(i, c) for i, c in enumerate(cents)], "code int, c array<double>"
-            )
+            cdf = spark.createDataFrame(cents, "code int, c array<double>")
             d = F.expr(_SQDIST_SPARK.format(a="v", b="c"))
             assigned = (
                 sub.crossJoin(F.broadcast(cdf))
@@ -949,7 +952,7 @@ def _fit_pq_codebooks(e: DataFrame, cache_key: str | None = None) -> list[list[l
                 .collect()
             )
             by_code = {int(r["code"]): [float(x) for x in r["c"]] for r in newc}
-            cents = [by_code[i] for i in sorted(by_code)]
+            cents = sorted(by_code.items())
         sub.unpersist()
         books.append(cents)
     if cache_key is not None:
@@ -1077,12 +1080,18 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     code_exprs = []
     adc_terms = []
     for s in range(PQ_M):
-        cb = "array(" + ", ".join(_pq_lit(c) for c in books[s]) + ")"
+        codes = [code for code, _ in books[s]]
+        cb = "array(" + ", ".join(_pq_lit(c) for _, c in books[s]) + ")"
+        code_ids = "array(" + ", ".join(str(code) for code in codes) + ")"
         sub = _sub_spark("embedding", s)
-        dist_k = _SQDIST_SPARK.format(a=sub, b=f"element_at({cb}, k + 1)")
+        # argmin over the SURVIVING codebook entries (a Lloyd cluster
+        # can empty out), tie-broken by code id; i indexes the literal
+        # arrays, element_at maps back to the original code id
+        dist_k = _SQDIST_SPARK.format(a=sub, b=f"element_at({cb}, i + 1)")
         code_exprs.append(
-            f"element_at(array_sort(transform(sequence(0, {PQ_K - 1}),"
-            f" k -> named_struct('d', {dist_k}, 'k', k))), 1).k AS code{s}"
+            f"element_at(array_sort(transform(sequence(0, {len(codes) - 1}),"
+            f" i -> named_struct('d', {dist_k},"
+            f" 'k', element_at({code_ids}, i + 1)))), 1).k AS code{s}"
         )
     enc = e.filter(F.col("vec_id") != 0).selectExpr("vec_id", *code_exprs)
     qrow = (
@@ -1091,11 +1100,13 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]
     )
     for s in range(PQ_M):
-        cb = "array(" + ", ".join(_pq_lit(c) for c in books[s]) + ")"
         qlit = _pq_lit([float(x) for x in qrow[f"q{s}"]])
-        adc_terms.append(
-            _SQDIST_SPARK.format(a=qlit, b=f"element_at({cb}, code{s} + 1)")
-        )
+        # look the centroid up by CODE ID via a literal map-style CASE
+        # (codes need not be dense after cluster die-off)
+        lookup = "CASE code{s} ".format(s=s) + " ".join(
+            f"WHEN {code} THEN {_pq_lit(c)}" for code, c in books[s]
+        ) + " END"
+        adc_terms.append(_SQDIST_SPARK.format(a=qlit, b=f"({lookup})"))
     packed = " + ".join(
         f"code{s} * {PQ_K ** (PQ_M - 1 - s)}" for s in range(PQ_M)
     )

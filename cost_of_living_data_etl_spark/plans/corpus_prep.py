@@ -344,6 +344,7 @@ CHUNK_STRIDE = 48  # tokens between chunk starts (overlap = W - stride)
                list_filter(string_split_regex(trim(text), '\\s+'),
                            x -> x <> '') AS toks
         FROM documents
+        WHERE text IS NOT NULL
     ),
     n AS (
         SELECT doc_id, toks, length(toks) AS n_tokens,
@@ -390,7 +391,10 @@ def q_chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle: short docs (n ≤ W) yield exactly one chunk; the last
     chunk may be shorter than W (slice clamps at both engines).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # NULL text is dropped on BOTH engines (Spark's legacy size(NULL)
+    # = -1 would otherwise fabricate a bogus single chunk while DuckDB
+    # emits no rows — a silent oracle divergence)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
     toks = "filter(split(trim(text), '\\\\s+'), x -> x != '')"
     n_chunks = (
         f"CASE WHEN size(toks) <= {CHUNK_W} THEN 1 "

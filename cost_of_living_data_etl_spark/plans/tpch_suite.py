@@ -124,9 +124,11 @@ def q7_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("supp_nation") < F.col("cust_nation"))
         .withColumn("l_year", F.year("l_shipdate").cast("long"))
         .groupBy("supp_nation", "cust_nation", "l_year")
-        # round(2): money sums drift in the last ulps between engines
-        # (partial-agg order); 2-decimal rounding is ~7 orders of
-        # magnitude above the drift, so both engines hash identically
+        # round(4): revenue lives on the 4-decimal grid (2-dec price
+        # x 2-dec discount), so the TRUE sum is never at a 4-decimal
+        # rounding boundary and both engines snap their ulp-drifted
+        # sums to the same grid point (round(2) would put on-grid
+        # values exactly at boundaries)
         .agg(F.round(F.sum(_revenue()), 4).alias("revenue"))
     )
 

@@ -62,7 +62,10 @@ def load_events(spark: SparkSession, path: str) -> DataFrame:
     try:
         df = spark.read.parquet(path)
         df.schema  # force footer/schema resolution
-    except Exception:
+    except Exception as exc:
+        msg = str(exc)
+        if "PARQUET_TYPE_ILLEGAL" not in msg and "Illegal Parquet type" not in msg:
+            raise  # missing path, corrupt file, ... — not a layout issue
         # TIMESTAMP(NANOS) layout: retry with nanos surfaced as long.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)

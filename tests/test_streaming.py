@@ -485,13 +485,16 @@ def test_stream_stream_left_outer_matches_batch(spark, stream_dir):
     import datetime as dt
 
     # the GLOBAL watermark is min over both branches' (max event time
-    # − 60m); the click branch lags, so it governs. A purchase's
-    # no-match verdict is final only below global_wm minus the 30m
-    # join range — use that, conservatively, as "provably concluded"
+    # − 60m) — whichever branch lags governs. A purchase's no-match
+    # verdict is final only below global_wm minus the 30m join range —
+    # use that, conservatively, as "provably concluded"
     max_click_ts = (
         ev.filter(F.col("event_type") == "click").agg(F.max("ts")).collect()[0][0]
     )
-    horizon = max_click_ts - dt.timedelta(minutes=90)
+    max_purchase_ts = (
+        ev.filter(F.col("event_type") == "purchase").agg(F.max("ts")).collect()[0][0]
+    )
+    horizon = min(max_click_ts, max_purchase_ts) - dt.timedelta(minutes=90)
     concluded = {
         (r["purchase_id"], None)
         for r in want_rows

@@ -88,6 +88,11 @@ def main(
         raise ValueError(
             'event must carry {"extractDate": "YYYY-MM-DD"} (reference README.md:29)'
         ) from None
+    if not isinstance(extract_date, str):
+        raise ValueError(
+            'event["extractDate"] must be a "YYYY-MM-DD" string, '
+            f"got {type(extract_date).__name__}"
+        )
     dt.date.fromisoformat(extract_date)  # fail fast on malformed dates
 
     cfg = config if config is not None else AppConfig.from_env()

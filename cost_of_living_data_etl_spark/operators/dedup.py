@@ -88,23 +88,17 @@ MINHASH_P = 2_147_483_647
 _PERM_A = [(j * 2_654_435_761 + 1_013_904_223) % MINHASH_P or 1 for j in range(NUM_PERM)]
 _PERM_B = [(j * 1_597_334_677 + 2_246_822_519) % MINHASH_P for j in range(NUM_PERM)]
 
-_SHINGLE_H_SPARK = (
-    "cast(conv(substring(md5(shingle), 1, 15), 16, 10) AS BIGINT) % " + str(MINHASH_P)
-)
-# same hash as a lambda body over variable `s` (array-native form)
+# shingle hash as a lambda body over variable `s` (array-native Spark
+# form) and over the exploded `shingle` column (DuckDB oracle form).
+# NOTE: the Spark side is array-native ONLY (transform/array_min in
+# minhash_signatures) — there is deliberately no explode+groupBy Spark
+# twin to drift from.
 _SHINGLE_H_LAMBDA = (
     "cast(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) % " + str(MINHASH_P)
 )
 _SHINGLE_H_SQL = (
     "CAST(('0x' || substr(md5(shingle), 1, 15)) AS BIGINT) % " + str(MINHASH_P)
 )
-
-
-def _minhash_agg_spark() -> list[str]:
-    return [
-        f"min(({_PERM_A[j]} * h + {_PERM_B[j]}) % {MINHASH_P}) AS mh{j}"
-        for j in range(NUM_PERM)
-    ]
 
 
 def _minhash_agg_sql() -> str:

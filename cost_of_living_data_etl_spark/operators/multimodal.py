@@ -105,8 +105,11 @@ def read_binary_assets(spark: SparkSession, path: str, kind: str) -> DataFrame:
     source reads each object as one row (path, modificationTime,
     length, content) with the bytes staying on executors. asset_id is
     the digits in the filename (upload convention `<id>.<ext>`);
-    decode-time metadata (width/height/...) is NULL until
-    ``extract_features`` fills it — ingest never opens the payload.
+    decode-time metadata (width/height/...) is NULL at ingest — a real
+    decode stage (the production replacement for the _decode_payload
+    stub) is what would populate it; geometry-dependent stages
+    (resize_thumbnails) skip NULL-geometry assets. Ingest never opens
+    the payload.
     At 100 TB, parallelism is per-object; pair with
     ``pathGlobFilter`` and partitioned prefixes for pruning.
     """
@@ -405,6 +408,10 @@ def resize_thumbnails(assets: DataFrame) -> DataFrame:
             for aid, payload, meta in zip(
                 pdf["asset_id"], pdf["payload"], pdf["meta"]
             ):
+                if meta["width"] is None:
+                    # decode-time geometry absent (e.g. raw binaryFile
+                    # ingest before a real decode stage) — cannot grid
+                    continue
                 w = int(meta["width"])
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 h = len(arr) // w

@@ -130,11 +130,13 @@ def q_embed_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = with_norm(load_table(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding", "norm"
     )
-    n = e.count()
+    # bounded guard action: scans at most MAX+1 rows (a full count()
+    # here would double-scan the table on every plan construction)
+    n = e.limit(MAX_EXACT_PAIRS_ROWS + 1).count()
     if n > MAX_EXACT_PAIRS_ROWS:
         raise ValueError(
             f"q_embed_neardup_pairs is an O(n²) validation baseline and the "
-            f"input has {n} > {MAX_EXACT_PAIRS_ROWS} vectors — use "
+            f"input has > {MAX_EXACT_PAIRS_ROWS} vectors — use "
             f"q_embed_neardup_lsh (sign-LSH blocked, same cosine predicate) "
             f"at this scale."
         )

@@ -244,7 +244,13 @@ def q_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         mu = pdf["c_acctbal"].mean()
         sd = pdf["c_acctbal"].std(ddof=1)
         out = pdf[["c_custkey", "c_nationkey"]].copy()
-        out["balance_z"] = (pdf["c_acctbal"] - mu) / sd
+        if pdf["c_acctbal"].size < 2 or not sd == sd:  # NaN-safe
+            # single-row group: stddev_samp undefined — emit NULL like
+            # the oracle's SQL stddev_samp, not pandas' NaN (NaN would
+            # hash-diverge from NULL)
+            out["balance_z"] = None
+        else:
+            out["balance_z"] = (pdf["c_acctbal"] - mu) / sd
         return out
 
     return customer.groupBy("c_nationkey").applyInPandas(

@@ -140,9 +140,12 @@ def q_events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     prev_ts = F.lag("ts").over(w)
+    # full-precision gap test (ts carries microseconds): cast("long")
+    # would truncate to whole seconds and disagree with the oracle's
+    # INTERVAL comparison for gaps within 1s of exactly 30min
     new_session = F.when(
         prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > SESSION_GAP_MIN * 60),
+        | (F.col("ts") > prev_ts + F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")),
         1,
     ).otherwise(0)
     return (
@@ -480,9 +483,12 @@ def q_session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, Window.currentRow
     )
     prev_ts = F.lag("ts").over(w)
+    # full-precision gap test (ts carries microseconds): cast("long")
+    # would truncate to whole seconds and disagree with the oracle's
+    # INTERVAL comparison for gaps within 1s of exactly 30min
     new_session = F.when(
         prev_ts.isNull()
-        | (F.col("ts").cast("long") - prev_ts.cast("long") > SESSION_GAP_MIN * 60),
+        | (F.col("ts") > prev_ts + F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")),
         1,
     ).otherwise(0)
     paths = (

@@ -43,9 +43,14 @@ def load_events(spark: SparkSession, path: str) -> DataFrame:
     fixture generations:
 
     * parquet TIMESTAMP(NANOS) — Spark's reader rejects it outright,
-      so on that failure set the legacy ``nanosAsLong`` conf (only in
-      this branch; a session-wide set would silently corrupt every
-      other nanos parquet read) and convert long-nanos → timestamp.
+      so on that failure set the legacy ``nanosAsLong`` conf and
+      convert long-nanos → timestamp. The conf is only set when a
+      nanos-era file is actually encountered, and then stays on for
+      the session: the events scan is lazy, so the flag must hold at
+      action time, and SQLConf cannot be scoped per-read. In a
+      nanos-generation session, any OTHER table with TIMESTAMP(NANOS)
+      columns would then load as raw longs — none of the fixture
+      tables do, and the fixture-contract test would catch it.
     * parquet TIMESTAMP(MICROS) with isAdjustedToUTC=false — Spark
       loads it natively as TIMESTAMP_NTZ.
 

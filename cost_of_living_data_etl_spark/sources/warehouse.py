@@ -19,6 +19,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 
+
+def _read_target_or_none(spark: SparkSession, target_path: str):
+    """Read an upsert target, returning None ONLY when the table truly
+    does not exist yet. Any other failure (permissions, a corrupt
+    footer, transient FS errors) re-raises: treating it as
+    "first write" would OVERWRITE the table with just the incoming
+    batch and silently destroy history."""
+    import os
+
+    if not os.path.exists(target_path):
+        return None
+    try:
+        return spark.read.parquet(target_path)
+    except Exception as exc:
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return None
+        raise
+
+
 class Warehouse:
     """A directory-of-parquet-tables warehouse with append semantics."""
 
@@ -137,9 +156,8 @@ class Warehouse:
 
         target_path = self.path(table)
         staged = updates.select(*updates.columns)
-        try:
-            target = spark.read.parquet(target_path)
-        except Exception:
+        target = _read_target_or_none(spark, target_path)
+        if target is None:
             staged.write.mode("overwrite").parquet(target_path)
             return
         merged = target.join(
@@ -217,9 +235,8 @@ class Warehouse:
             .withColumn("valid_to", F.lit(None).cast("date"))
             .withColumn("is_current", F.lit(True))
         )
-        try:
-            target = spark.read.parquet(target_path)
-        except Exception:
+        target = _read_target_or_none(spark, target_path)
+        if target is None:
             open_updates.write.mode("overwrite").parquet(target_path)
             return
 

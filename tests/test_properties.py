@@ -279,3 +279,96 @@ def test_incremental_merge_equals_one_pass_for_any_split_point(spark, rows, cut)
     for k in want:
         assert got[k][1] == want[k][1]
         assert abs(got[k][0] - want[k][0]) < 1e-6
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["F", "O", "P"]),
+            st.integers(min_value=0, max_value=3650),
+            st.integers(min_value=0, max_value=10**7),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_ewma_fold_is_bounded_and_order_correct(spark, rows):
+    """EWMA invariants for arbitrary daily series: the fold result is
+    (a) within [min, max] of the inputs... after the initial-zero
+    transient decays — so instead assert the EXACT value against a
+    pure-Python fold in day order, which subsumes boundedness."""
+    import datetime as dt
+
+    data = [
+        (s, dt.datetime(2020, 1, 1) + dt.timedelta(days=d), float(v) / 100.0)
+        for s, d, v in rows
+    ]
+    df = spark.createDataFrame(data, "st string, day timestamp, rev double")
+    got = {
+        r["st"]: (r["n_days"], r["ewma"])
+        for r in df.groupBy("st")
+        .agg(
+            F.count_distinct("day").alias("n_days"),
+            F.expr(
+                "aggregate(transform(array_sort(collect_list(struct(day, rev)))"
+                ", s -> s.rev), CAST(0.0 AS DOUBLE),"
+                " (acc, x) -> 0.3 * x + 0.7 * acc)"
+            ).alias("ewma"),
+        )
+        .collect()
+    }
+    # python reference: same fold over day-ordered values; duplicate
+    # (st, day) rows fold in (day, rev) struct-sort order like Spark
+    ref = {}
+    for s in {r[0] for r in data}:
+        vals = sorted(((d, v) for g, d, v in data if g == s))
+        acc = 0.0
+        for _, v in vals:
+            acc = 0.3 * v + 0.7 * acc
+        ref[s] = (len({d for d, _ in vals}), acc)
+    for s in ref:
+        assert got[s][0] == ref[s][0]
+        assert abs(got[s][1] - ref[s][1]) < 1e-12
+
+
+@settings(**_SETTINGS)
+@given(st.data())
+def test_snapshot_diff_classification_is_exhaustive_and_disjoint(spark, data):
+    """For ANY pair of keyed snapshots: every key appears in exactly
+    one diff class, and class counts reconstruct both snapshot sizes
+    (|v1| = deleted + changed + unchanged; |v2| = added + changed +
+    unchanged)."""
+    keys = data.draw(st.lists(st.integers(0, 40), min_size=1, max_size=40, unique=True))
+    v1_keys = data.draw(st.sets(st.sampled_from(keys)))
+    v2_keys = data.draw(st.sets(st.sampled_from(keys)))
+    changed = data.draw(st.sets(st.sampled_from(sorted(v1_keys & v2_keys))) if v1_keys & v2_keys else st.just(set()))
+    v1 = spark.createDataFrame([(k, 1.0) for k in sorted(v1_keys)] or [(None, None)], "k long, p double").filter("k IS NOT NULL")
+    v2 = spark.createDataFrame(
+        [(k, 2.0 if k in changed else 1.0) for k in sorted(v2_keys)] or [(None, None)],
+        "k long, p double",
+    ).filter("k IS NOT NULL")
+    d = (
+        v1.withColumnRenamed("k", "k1").withColumnRenamed("p", "p1")
+        .join(
+            v2.withColumnRenamed("k", "k2").withColumnRenamed("p", "p2"),
+            F.col("k1") == F.col("k2"),
+            "full_outer",
+        )
+        .select(
+            F.when(F.col("k2").isNull(), "deleted")
+            .when(F.col("k1").isNull(), "added")
+            .when(~F.col("p1").eqNullSafe(F.col("p2")), "changed")
+            .otherwise("unchanged")
+            .alias("status")
+        )
+        .groupBy("status")
+        .count()
+    )
+    got = {r["status"]: r["count"] for r in d.collect()}
+    n = lambda s: got.get(s, 0)
+    assert n("deleted") == len(v1_keys - v2_keys)
+    assert n("added") == len(v2_keys - v1_keys)
+    assert n("changed") == len(changed)
+    assert n("deleted") + n("changed") + n("unchanged") == len(v1_keys)
+    assert n("added") + n("changed") + n("unchanged") == len(v2_keys)

@@ -503,3 +503,64 @@ def test_stream_stream_left_outer_matches_batch(spark, stream_dir):
     got_nulls = {p for p in got if p[1] is None}
     assert concluded <= got_nulls <= {p for p in want if p[1] is None}
     assert len(got_nulls) > 0  # outer join genuinely adds null rows
+
+
+def test_stateful_totals_survive_restart(spark, tmp_path):
+    """applyInPandasWithState state must persist across query
+    lifetimes: run totals over batch 1, stop, land batch 2, restart
+    from the same checkpoint — the final emitted totals must equal a
+    batch aggregate over BOTH batches (state carried, nothing
+    recounted)."""
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "in"
+    src.mkdir()
+    table = pq.read_table(f"{SF}/events.parquet")
+    n = table.num_rows
+    pq.write_table(table.slice(0, n // 2), str(src / "batch1.parquet"))
+    ckpt = str(tmp_path / "ckpt")
+    wh = str(tmp_path / "wh")
+
+    def run_once():
+        # memory sinks can't recover from a checkpoint; the
+        # foreachBatch parquet sink (batch_id-partitioned) can
+        stream = stateful_user_totals(read_events_stream(spark, str(src)))
+        q = (
+            write_stream_to_warehouse(stream, wh, "user_totals", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    pq.write_table(table.slice(n // 2), str(src / "batch2.parquet"))
+    run_once()  # restart from checkpoint; only batch2 is processed
+
+    # final state per user = the row from that user's LATEST batch
+    from pyspark.sql import Window
+
+    out = spark.read.parquet(f"{wh}/user_totals")
+    w = Window.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    latest = (
+        out.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    )
+    out_rows = {
+        r["user_id"]: (r["n_events"], r["total_value"]) for r in latest.collect()
+    }
+
+    want = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in (
+            spark.read.parquet(f"{SF}/events.parquet")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum("value").alias("total_value"),
+            )
+            .collect()
+        )
+    }
+    assert set(out_rows) == set(want)
+    for k in want:
+        assert out_rows[k][0] == want[k][0], k
+        assert abs(out_rows[k][1] - want[k][1]) < 1e-6, k

@@ -83,7 +83,10 @@ def documents_to_assets(docs: DataFrame) -> DataFrame:
     metadata synthesized from byte length. The downstream pipeline is
     agnostic to where the bytes came from.
     """
-    n_bytes = F.length(F.col("text")).cast("long")
+    # octet_length, not length: the payload is the utf-8 ENCODING of
+    # the text, so byte metadata must count bytes (length() counts
+    # characters and diverges on any non-ASCII text)
+    n_bytes = F.octet_length(F.col("text")).cast("long")
     return docs.select(
         F.col("doc_id").alias("asset_id"),
         F.element_at(F.array(*[F.lit(k) for k in _KINDS]), (F.col("doc_id") % 3 + 1).cast("int")).alias("kind"),

@@ -78,7 +78,13 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
     """Sort columns by name, canonicalize temporal representations
     (object-of-date and any datetime64 unit → datetime64[us]) and
     list values (→ tuples), sort rows. Integer/float widths are NOT
-    normalized — see module docstring."""
+    normalized — see module docstring.
+
+    Row ordering: non-float columns sort first, float columns last and
+    ROUNDED for sorting only — otherwise permitted cross-engine float
+    drift in a leading sort key could pair row i of one engine with a
+    different logical row of the other, turning in-tolerance drift
+    into a spurious mismatch on the exact-compared columns."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
@@ -89,7 +95,17 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
                 lambda v: tuple(v) if isinstance(v, (list, tuple)) else v,
                 na_action="ignore",
             )
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    float_cols = [c for c in df.columns if pd.api.types.is_float_dtype(df[c])]
+    other_cols = [c for c in df.columns if c not in float_cols]
+    sort_keys = list(other_cols)
+    tmp = []
+    for c in float_cols:
+        k = f"__sort_{c}"
+        df[k] = df[c].round(6)
+        sort_keys.append(k)
+        tmp.append(k)
+    out = df.sort_values(by=sort_keys, kind="mergesort").reset_index(drop=True)
+    return out.drop(columns=tmp)
 
 
 def _dtype_tag(s: pd.Series) -> str:

@@ -74,9 +74,9 @@ def test_loaded_dtypes_match_contract(spark, sf_dir):
             f"sources/tables.py, not downstream"
         )
     for table, col in TEMPORALISH:
-        got = cache.setdefault(table, load_table(spark, sf_dir, table).schema)[
-            col
-        ].dataType
+        if table not in cache:
+            cache[table] = load_table(spark, sf_dir, table).schema
+        got = cache[table][col].dataType
         assert got.typeName() in ("timestamp", "timestamp_ntz", "date"), (
             f"{sf_dir}/{table}.{col}: loaded as {got}, expected a temporal type"
         )

@@ -25,7 +25,10 @@ def test_asset_schema_and_payload(spark):
     row = assets.filter(F.col("asset_id") == 1).collect()[0]
     doc = docs.filter(F.col("doc_id") == 1).collect()[0]
     assert bytes(row["payload"]).decode("utf-8") == doc["text"]
-    assert row["meta"]["n_bytes"] == len(doc["text"])
+    # byte length of the utf-8 payload, NOT character count — these
+    # differ on non-ASCII text and the metadata must track the payload
+    assert row["meta"]["n_bytes"] == len(doc["text"].encode("utf-8"))
+    assert row["meta"]["n_bytes"] == len(bytes(row["payload"]))
     assert row["kind"] in ("image", "audio", "video")
 
 

@@ -74,27 +74,38 @@ def test_ivf_recall_at_10_floor(spark):
 
 def test_ivf_scans_fraction_of_corpus(spark):
     """The point of IVF: the probed cells hold a strict fraction of
-    the corpus (here ≤ nprobe/k + skew slack), so per-query work drops
-    proportionally."""
+    the corpus, so per-query work drops proportionally. Measured
+    directly: assign EVERY corpus vector with the same quantizer, count
+    the members of the cells the probe touched, and bound that against
+    n_total × nprobe/k × skew slack."""
     import pyspark.sql.functions as F
 
-    from cost_of_living_data_etl_spark.operators.similarity import IVF_K, IVF_NPROBE
+    from cost_of_living_data_etl_spark.operators.similarity import (
+        IVF_K,
+        IVF_NPROBE,
+        _assign_cells,
+        _fit_ivf_centroids,
+        with_norm,
+    )
     from cost_of_living_data_etl_spark.sources.tables import load_table
 
-    n_total = load_table(spark, SF_MED, "embeddings").count()
-    n_scanned = catalog()["q_ann_ivf_probe"].fn(spark, SF_MED).count()
-    # scanned rows surface only top-k, so count cells another way:
-    # candidates = rows in probed cells; bound it via the result's
-    # distinct cells being ≤ nprobe and the corpus being ~balanced
-    cells = (
-        catalog()["q_ann_ivf_probe"]
-        .fn(spark, SF_MED)
-        .select("cell")
-        .distinct()
-        .count()
-    )
-    assert cells <= IVF_NPROBE
-    assert n_scanned <= n_total  # sanity
+    e = with_norm(load_table(spark, SF_MED, "embeddings"))
+    n_total = e.count()
+    result = catalog()["q_ann_ivf_probe"].fn(spark, SF_MED)
+    probed_cells = {r["cell"] for r in result.select("cell").distinct().collect()}
+    assert len(probed_cells) <= IVF_NPROBE
+
+    # the actual candidate-set size the probe scanned
+    cents = _fit_ivf_centroids(e)
+    cdf = spark.createDataFrame(cents, "cell int, c array<double>")
+    assigned = _assign_cells(e, cdf)
+    n_candidates = assigned.filter(
+        F.col("cell").isin(list(probed_cells))
+    ).count()
+    # balanced cells ⇒ ≈ n*nprobe/k; allow 3x skew slack, and require
+    # a real reduction (NOT the whole corpus)
+    assert n_candidates <= n_total * (IVF_NPROBE / IVF_K) * 3
+    assert n_candidates < n_total
 
 
 def test_pq_adc_recall_floor(spark, sf_smoke):

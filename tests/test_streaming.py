@@ -35,6 +35,13 @@ def stream_dir(tmp_path_factory):
     return str(d)
 
 
+def _await(q, timeout: int = 120) -> None:
+    """awaitTermination returns False on timeout WITHOUT raising —
+    assert it so a slow run fails as a clear timeout, not as a
+    confusing partial-state data mismatch downstream."""
+    assert q.awaitTermination(timeout), "streaming query did not finish in time"
+
+
 def _run_to_memory(stream, name: str):
     q = (
         stream.writeStream.format("memory")
@@ -43,7 +50,7 @@ def _run_to_memory(stream, name: str):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await(q)
     return q
 
 
@@ -105,7 +112,7 @@ def test_stream_stream_join_matches_batch(spark, stream_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await(q)
     got = {
         (r["purchase_id"], r["click_id"]) for r in spark.table(name).collect()
     }
@@ -132,7 +139,7 @@ def test_dedup_within_watermark(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await(q)
     n_distinct = spark.read.parquet(f"{SF}/events.parquet").count()
     assert spark.table(name).count() == n_distinct
 
@@ -147,7 +154,7 @@ def test_stateful_user_totals(spark, stream_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await(q)
     # last emitted row per user = lifetime totals
     got = {
         r["user_id"]: (r["n_events"], r["total_value"])
@@ -179,7 +186,7 @@ def test_foreachbatch_warehouse_sink(spark, stream_dir, tmp_path):
         "events_clean",
         str(tmp_path / "ckpt"),
     ).trigger(availableNow=True).start()
-    q.awaitTermination(120)
+    _await(q)
     out = spark.read.parquet(str(tmp_path / "wh" / "events_clean"))
     assert out.count() == spark.read.parquet(f"{SF}/events.parquet").count()
     assert "ts" in out.columns and "event_id" in out.columns
@@ -225,7 +232,7 @@ def test_stream_static_enrichment_matches_batch(spark, stream_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await(q)
     got = {
         (r["segment"], r["window_start"], r["n_events"])
         for r in spark.sql(f"SELECT * FROM {name}").collect()
@@ -267,7 +274,7 @@ def test_stream_static_join_is_broadcast_and_stateless(spark, stream_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await(q)
     jplan = q._jsq.explainInternal(True)
     assert "BroadcastHashJoin" in jplan
     assert "StateStore" not in jplan
@@ -298,7 +305,7 @@ def test_checkpoint_recovery_exactly_once(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _await(q)
         out = spark.read.parquet(f"{wh}/events_sink")
         return out.count(), out.select("event_id").distinct().count()
 
@@ -353,7 +360,7 @@ def test_transform_with_state_ewma(spark, stream_dir):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _await(q)
         got = {
             r["user_id"]: (r["n_events"], r["ewma_value"])
             for r in spark.table(name).collect()
@@ -450,7 +457,7 @@ def test_stream_stream_left_outer_matches_batch(spark, stream_dir):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    _await(q)
     out = spark.table(name)
 
     ev = spark.read.parquet(f"{SF}/events.parquet")
@@ -530,7 +537,7 @@ def test_stateful_totals_survive_restart(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        _await(q)
 
     run_once()
     pq.write_table(table.slice(n // 2), str(src / "batch2.parquet"))

@@ -271,13 +271,22 @@ def test_sorted_layout_skips_row_groups(spark, tmp_path):
         .withColumn("k", F.pmod(F.col("id") * 7919, F.lit(n)))  # shuffle keys
         .withColumn("payload", F.md5(F.col("id").cast("string")))
     )
-    # force small row groups so sf-scale data has >1 group per file
-    spark.conf.set("spark.hadoop.parquet.block.size", 64 * 1024)
+    # force small row groups so sf-scale data has >1 group per file.
+    # NOTE: runtime spark.conf.set("spark.hadoop.*") does NOT reach
+    # the parquet writer (spark.hadoop.* is only lifted into the
+    # Hadoop conf at context startup) — set the Hadoop configuration
+    # directly, which writers consult at write time.
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    prev = hconf.get("parquet.block.size")
+    hconf.setInt("parquet.block.size", 64 * 1024)
     try:
         wh.save_sorted(base, "fact_sorted", ["k"], n_files=8)
         base.repartition(8).write.mode("overwrite").parquet(wh.path("fact_random"))
     finally:
-        spark.conf.unset("spark.hadoop.parquet.block.size")
+        if prev is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", prev)
 
     pred = (F.col("k") >= 1000) & (F.col("k") < 1100)  # 0.05% of keys
     sorted_rows = _scan_output_rows(

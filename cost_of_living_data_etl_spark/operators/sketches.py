@@ -16,10 +16,12 @@ SPACE itself is too large to shuffle, broadcast, or hold exactly:
   re-scans with a broadcast semi-join on the candidates and counts
   them EXACTLY — so the final answer is exact and oracle-checkable,
   while the shuffle never carries more than |candidates| keys.
-  (SpaceSaving/Misra-Gries summaries have the same (est, err) merge
-  contract and swap in when even a partition's distinct set exceeds
-  memory; the fixtures' partitions fit, so the summary here is
-  exact-then-truncate, which gives the tightest bound.)
+  (The in-flight per-partition dict is itself bounded — lossy-counting
+  pruning caps it at a fixed working size and folds the pruning loss
+  into the (cnt, err) upper bounds — so a partition whose distinct set
+  exceeds memory degrades the bound's tightness, never correctness or
+  memory safety. At fixture scale the cap is never hit and the summary
+  is exact-then-truncate, the tightest bound.)
 
 - **HLL sketch rollup**: ``hll_sketch_agg`` (Datasketches HLL)
   produces a fixed-size binary sketch per group that is *mergeable*:
@@ -75,10 +77,25 @@ def partition_summaries(keys: DataFrame, capacity: int) -> DataFrame:
     ``capacity × num_partitions`` rows regardless of key cardinality.
     """
 
+    # Bounded working set (lossy counting): the in-flight dict is
+    # pruned to WORK_FACTOR×capacity entries whenever it doubles past
+    # that, recording delta = the largest count ever pruned. A pruned
+    # key that reappears restarts from 0 having missed ≤ delta
+    # occurrences, so cnt+delta upper-bounds every kept key and delta
+    # upper-bounds every absent key — exactly the bounds
+    # heavy_hitter_candidates' superset formula needs. Without the cap,
+    # working memory would be O(per-partition distinct keys): an OOM on
+    # the web-scale vocabularies this operator exists for. At fixture
+    # scale the cap is never hit and the summary is the exact
+    # truncated-top form.
+    WORK_FACTOR = 64
+    work_cap = max(capacity * WORK_FACTOR, 4096)
+
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counts: dict[str, int] = {}
         pid = -1
         total = 0
+        delta = 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
@@ -86,6 +103,10 @@ def partition_summaries(keys: DataFrame, capacity: int) -> DataFrame:
             total += len(pdf)
             for k, c in pdf["key"].value_counts().items():
                 counts[k] = counts.get(k, 0) + int(c)
+            if len(counts) > 2 * work_cap:
+                top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+                delta = max(delta, top[work_cap][1])
+                counts = dict(top[:work_cap])
         if not counts:
             return
         top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
@@ -94,9 +115,12 @@ def partition_summaries(keys: DataFrame, capacity: int) -> DataFrame:
         yield pd.DataFrame(
             {
                 "key": [k for k, _ in kept],
-                "cnt": [c for _, c in kept],
+                # + delta: upper bound on the true in-partition count
+                # (occurrences possibly lost to pruning); 0 when the
+                # working cap was never hit, i.e. exact
+                "cnt": [c + delta for _, c in kept],
                 "part_total": total,
-                "part_err": err,
+                "part_err": err + delta,
                 "pid": pid,
             }
         )
@@ -173,7 +197,16 @@ def exact_heavy_hitters(
     the result is independent of ``capacity`` and oracle-checkable
     against plain GROUP BY/HAVING.
     """
-    summaries = partition_summaries(keys, max(capacity, safe_capacity(min_share)))
+    from pyspark import StorageLevel
+
+    # persist the TINY summaries frame (capacity × partitions rows):
+    # without it, pass 2's two broadcast subtrees and the totals join
+    # each re-derive it, re-scanning the raw input — measured 4 full
+    # input passes instead of the advertised 2. At 100 TB the cache is
+    # a few MB; the saved scans are the whole input.
+    summaries = partition_summaries(
+        keys, max(capacity, safe_capacity(min_share))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     cand = heavy_hitter_candidates(summaries, min_share)
     return (
         keys.join(F.broadcast(cand.select("key")), "key", "left_semi")

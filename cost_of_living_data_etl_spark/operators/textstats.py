@@ -130,17 +130,22 @@ def predicted_lang(text: Column) -> Column:
     return expr
 
 
-def fingerprint(text: Column, n: int = 8, stride: int = 4) -> Column:
+def fingerprint(text_col: str = "text", n: int = 8, stride: int = 4) -> Column:
     """Rolling-hash document fingerprint: min md5 over stride-sampled
     character n-grams (winnowing-lite). Identical docs → identical
     fingerprint; near-identical docs collide with high probability.
-    Pure SQL expression — array ops stay JVM-side."""
+    Pure SQL expression — array ops stay JVM-side.
+
+    Takes the column NAME (not a Column): the body is an F.expr
+    template, so a Column object could not be spliced in — a previous
+    signature accepted one and silently fingerprinted the hardcoded
+    `text` column regardless of what was passed."""
     return F.expr(
         f"""
         array_min(
             transform(
-                sequence(1, greatest(length(text) - {n - 1}, 1), {stride}),
-                i -> md5(substring(text, i, {n}))
+                sequence(1, greatest(length({text_col}) - {n - 1}, 1), {stride}),
+                i -> md5(substring({text_col}, i, {n}))
             )
         )
         """
@@ -160,7 +165,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         mean_word_length(t).alias("mean_word_len"),
         quality_score(t).alias("quality"),
         predicted_lang(t).alias("lang_pred"),
-        fingerprint(t).alias("fingerprint"),
+        fingerprint(text_col).alias("fingerprint"),
     )
 
 
@@ -355,7 +360,7 @@ def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash fingerprint (min-md5 over stride-4 char 8-grams)."""
     return load_table(spark, sf_dir, "documents").select(
-        "doc_id", fingerprint(F.col("text")).alias("fp")
+        "doc_id", fingerprint("text").alias("fp")
     )
 
 

@@ -129,7 +129,8 @@ def q_unpivot_charge_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         CAST(dim AS INT)                         AS dim,
         s / n                                    AS mean_v,
-        sqrt((ssq - (s * s) / n) / (n - 1))      AS std_v,
+        sqrt(greatest(ssq - (s * s) / n, CAST(0.0 AS DOUBLE))
+             / (n - 1))                          AS std_v,
         min_v,
         max_v
     FROM per
@@ -181,7 +182,12 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per.select(
         "dim",
         (s / n).alias("mean_v"),
-        F.sqrt((ssq - (s * s) / n) / (n - 1)).alias("std_v"),
+        # greatest(·, 0): cancellation in ssq - s²/n can dip negative
+        # for near-constant dims — NaN on Spark, a hard ERROR on
+        # DuckDB's sqrt; identical clamp both engines
+        F.sqrt(F.greatest(ssq - (s * s) / n, F.lit(0.0)) / (n - 1)).alias(
+            "std_v"
+        ),
         "min_v",
         "max_v",
     )

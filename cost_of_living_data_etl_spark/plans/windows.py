@@ -360,7 +360,8 @@ ANOM_Z = 2.0
     m AS (
         SELECT day, day_revenue, n_base,
                base_sum / n_base AS base_mean,
-               sqrt((base_ssq - (base_sum * base_sum) / n_base)
+               sqrt(greatest(base_ssq - (base_sum * base_sum) / n_base,
+                             CAST(0.0 AS DOUBLE))
                     / (n_base - 1)) AS base_std
         FROM scored
     )
@@ -409,7 +410,14 @@ def q_revenue_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n_base")
     s = F.col("base_sum")
     mean = (s / n).alias("base_mean")
-    std = F.sqrt((F.col("base_ssq") - (s * s) / n) / (n - 1))
+    # greatest(·, 0): the textbook ssq - s²/n form can go slightly
+    # NEGATIVE under float cancellation when variance is tiny relative
+    # to the mean — Spark's sqrt would yield NaN (which passes > and
+    # >= filters!) and DuckDB's sqrt ERRORS on negatives; the clamp is
+    # identical on both engines
+    std = F.sqrt(
+        F.greatest(F.col("base_ssq") - (s * s) / n, F.lit(0.0)) / (n - 1)
+    )
     z = (F.col("day_revenue") - s / n) / std
     return (
         scored.filter((n >= 10) & (std > 0) & (F.abs(z) >= ANOM_Z))

@@ -197,29 +197,33 @@ def exact_heavy_hitters(
     the result is independent of ``capacity`` and oracle-checkable
     against plain GROUP BY/HAVING.
     """
-    from pyspark import StorageLevel
-
-    # persist the TINY summaries frame (capacity × partitions rows):
-    # without it, pass 2's two broadcast subtrees and the totals join
-    # each re-derive it, re-scanning the raw input — measured 4 full
-    # input passes instead of the advertised 2. At 100 TB the cache is
-    # a few MB; the saved scans are the whole input.
-    summaries = partition_summaries(
-        keys, max(capacity, safe_capacity(min_share))
-    ).persist(StorageLevel.MEMORY_AND_DISK)
-    cand = heavy_hitter_candidates(summaries, min_share)
+    summaries = partition_summaries(keys, max(capacity, safe_capacity(min_share)))
+    # Materialize the candidate superset ONCE to driver-side literals
+    # (bounded: ≤ capacity × partitions keys, and in practice the
+    # handful of near-hitters). Leaving it lazy makes pass 2's two
+    # broadcast subtrees and the totals join each re-derive the
+    # summaries, re-scanning the raw input — measured 4 full passes
+    # instead of the advertised 2. A driver collect of a bounded tiny
+    # set is the same discipline as the k-means centroid fetch.
+    cand_rows = heavy_hitter_candidates(summaries, min_share).collect()
+    if not cand_rows:
+        return (
+            keys.limit(0)
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select("key", "cnt", (F.col("cnt") * 0.0).alias("share"))
+        )
+    cand_keys = [r["key"] for r in cand_rows]
+    n_total = int(cand_rows[0]["n_total"])
     return (
-        keys.join(F.broadcast(cand.select("key")), "key", "left_semi")
+        keys.filter(F.col("key").isin(cand_keys))
         .groupBy("key")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .crossJoin(
-            F.broadcast(cand.select("n_total").distinct())
-        )
-        .filter(F.col("cnt") >= F.col("n_total") * F.lit(min_share))
+        .filter(F.col("cnt") >= F.lit(n_total) * F.lit(min_share))
         .select(
             "key",
             "cnt",
-            (F.col("cnt") / F.col("n_total")).alias("share"),
+            (F.col("cnt") / F.lit(n_total).cast("double")).alias("share"),
         )
     )
 

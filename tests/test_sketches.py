@@ -161,8 +161,10 @@ def test_sketch_table_survives_parquet_roundtrip(spark, sf_oracle, tmp_path):
 
 
 def test_heavy_hitter_plan_shape(spark, sf_oracle):
-    """Pass 2 probes candidates via broadcast (no vocabulary shuffle);
-    Python appears only on the Arrow path."""
+    """Pass 2 probes the driver-collected candidate set via a literal
+    IN filter in the SCAN stage — no join at all, and the only shuffle
+    carries candidate-key partial counts; Python appears only on the
+    Arrow path."""
     from cost_of_living_data_etl_spark.plans.catalog import catalog
 
     plan = (
@@ -172,7 +174,9 @@ def test_heavy_hitter_plan_shape(spark, sf_oracle):
         .executedPlan()
         .toString()
     )
-    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    # candidates as a literal membership predicate, not a join
+    assert "Join" not in plan
+    assert ("INSET" in plan) or (" IN (" in plan) or ("key#" in plan and "IN" in plan)
     assert "BatchEvalPython" not in plan
 
 

@@ -32,22 +32,29 @@ from cost_of_living_data_etl_spark.sources.tables import load_table
     ),
     purchases AS (
         SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    best AS (
+        SELECT
+            c.event_id, c.user_id, c.ts AS click_ts,
+            p.ts AS purchase_ts, p.value AS purchase_value,
+            row_number() OVER (
+                PARTITION BY c.event_id
+                ORDER BY p.ts DESC, p.value DESC
+            ) AS rn
+        FROM clicks c
+        JOIN purchases p ON c.user_id = p.user_id AND p.ts <= c.ts
     )
-    SELECT
-        c.event_id,
-        c.user_id,
-        c.ts    AS click_ts,
-        p.ts    AS purchase_ts,
-        p.value AS purchase_value
-    FROM clicks c
-    ASOF JOIN purchases p
-      ON c.user_id = p.user_id AND c.ts >= p.ts
+    SELECT event_id, user_id, click_ts, purchase_ts, purchase_value
+    FROM best WHERE rn = 1
     """,
     tags=("join", "asof", "events"),
 )
 def q_asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each click matched to the user's most recent
-    purchase at-or-before the click (DuckDB ASOF JOIN semantics).
+    purchase at-or-before the click (DuckDB ASOF JOIN semantics, with
+    the equal-timestamp tie pinned to the largest purchase value —
+    ASOF itself leaves that tie engine-dependent, so the oracle states
+    the choice explicitly via row_number).
 
     Spark has no ASOF JOIN; the naive translation is an inequality
     join (quadratic per user) or a per-key aggregate subquery (two
@@ -74,10 +81,14 @@ def q_asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("p_value"),
     )
     # at equal ts the build row must sort before the probe so ">="
-    # (inclusive) as-of semantics hold — hence orderBy(ts, is_probe)
+    # (inclusive) as-of semantics hold — hence orderBy(ts, is_probe);
+    # p_value breaks build-vs-build ties deterministically (last() then
+    # picks the LARGEST value, mirroring the oracle's ORDER BY
+    # p.value DESC) — without it, two same-ts purchases would make the
+    # match shuffle-order-dependent
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "is_probe")
+        .orderBy("ts", "is_probe", "p_value")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     build_ts = F.when(F.col("is_probe") == 0, F.col("ts"))
@@ -244,10 +255,11 @@ def q_grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         mu = pdf["c_acctbal"].mean()
         sd = pdf["c_acctbal"].std(ddof=1)
         out = pdf[["c_custkey", "c_nationkey"]].copy()
-        if pdf["c_acctbal"].size < 2 or not sd == sd:  # NaN-safe
-            # single-row group: stddev_samp undefined — emit NULL like
-            # the oracle's SQL stddev_samp, not pandas' NaN (NaN would
-            # hash-diverge from NULL)
+        if pdf["c_acctbal"].size < 2 or not sd == sd or sd == 0:  # NaN-safe
+            # single-row group (stddev undefined) OR zero variance
+            # (all balances identical): SQL division by NULL/0 yields
+            # NULL in the oracle, while pandas would yield NaN — emit
+            # NULL to match
             out["balance_z"] = None
         else:
             out["balance_z"] = (pdf["c_acctbal"] - mu) / sd

@@ -39,6 +39,12 @@ _UPD_NIBBLES = ("0", "1", "2", "3", "4", "5", "6", "7")  # P(update)=1/2
 _DEL_NIBBLES = ("0", "1", "2", "3")  # P(delete)=1/4, independent nibble
 
 
+def _in_list(nibbles: tuple[str, ...]) -> str:
+    """SQL IN-list from the nibble tuple (a Python tuple repr is only
+    accidentally valid SQL — a 1-tuple's trailing comma would break)."""
+    return "(" + ", ".join(f"'{n}'" for n in nibbles) + ")"
+
+
 def synthetic_changelog(orders: DataFrame) -> DataFrame:
     """Deterministic I/U/D changelog derived from the orders table.
 
@@ -99,10 +105,10 @@ log AS (
     SELECT k, price, priority, 1 AS seq, 'I' AS op FROM base
     UNION ALL
     SELECT k, price * CAST(1.1 AS DOUBLE), priority, 2, 'U' FROM base
-    WHERE n1 IN {_UPD_NIBBLES!r}
+    WHERE n1 IN {_in_list(_UPD_NIBBLES)}
     UNION ALL
     SELECT k, price, priority, 3, 'D' FROM base
-    WHERE n2 IN {_DEL_NIBBLES!r}
+    WHERE n2 IN {_in_list(_DEL_NIBBLES)}
 ),
 snap AS (
     SELECT k, price, priority, op FROM (

@@ -37,7 +37,10 @@ from cost_of_living_data_etl_spark.operators.decontam import (
     _HASH_SQL,
     _word_ngrams_sql,
 )
-from cost_of_living_data_etl_spark.operators.textstats import quality_score
+from cost_of_living_data_etl_spark.operators.textstats import (
+    STOPWORDS_EN,
+    quality_score,
+)
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.sources.tables import load_table
 
@@ -48,7 +51,10 @@ PACK_BUDGET = 2048  # characters per packed bin (token stand-in)
 # IEEE arithmetic is bit-identical and the >= threshold cannot flip
 # between engines.
 _WORDS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
-_STOPS = "('the','a','of','to','and','in','is','for','on','with')"
+# single-sourced from textstats.STOPWORDS_EN — a hand-copied list here
+# would drift silently on the Python side (the oracle gate only
+# catches it after the fact)
+_STOPS = "(" + ",".join(f"'{w}'" for w in STOPWORDS_EN) + ")"
 _QUALITY_SQL = f"""
     least(length(text) / 500.0, 1.0) * 0.4
     + least((length(list_filter({_WORDS_SQL}, w -> w IN {_STOPS})) * 1.0
@@ -255,7 +261,17 @@ def q_corpus_prep_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrong side, dedup after decontam, packing pre-filter docs — are
     caught, not just per-stage math.
     """
-    ann = annotate_docs(load_table(spark, sf_dir, "documents"))
+    from pyspark import StorageLevel
+
+    # persist the annotated frame: BOTH funnel branches (stage counts
+    # and the pack/final rollup) consume it, and only the upstream
+    # doc_signals is cached — without this the keeper window and the
+    # decontamination probe re-execute once per branch. Slim rows
+    # (signals only, no text); lives until session end like the other
+    # multi-consumer caches (at 100 TB: a parquet checkpoint).
+    ann = annotate_docs(load_table(spark, sf_dir, "documents")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     train = F.col("is_keeper") & ~F.col("is_eval")
     stage_counts = ann.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_input"),

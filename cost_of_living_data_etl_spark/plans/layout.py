@@ -74,14 +74,24 @@ def zorder_files(orders: DataFrame, file_rows: int = FILE_ROWS) -> DataFrame:
     b = orders.crossJoin(F.broadcast(bounds))
     d = F.datediff(F.to_date("o_orderdate"), F.col("dmin"))
     dspan = F.datediff(F.col("dmax"), F.col("dmin"))
-    xb = F.least(
-        F.lit((1 << ZBITS) - 1),
-        F.floor(
-            (F.col("o_totalprice") - F.col("pmin"))
-            * float(1 << ZBITS)
-            / (F.col("pmax") - F.col("pmin"))
-        ),
-    ).cast("bigint")
+    # degenerate span (all prices equal) maps every row to bucket 0 —
+    # the raw division would be DIVIDE_BY_ZERO under Spark 4's ANSI
+    # default and NULL on DuckDB; the CASE is identical on both engines
+    pspan = F.col("pmax") - F.col("pmin")
+    xb = (
+        F.when(pspan == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit((1 << ZBITS) - 1),
+                F.floor(
+                    (F.col("o_totalprice") - F.col("pmin"))
+                    * float(1 << ZBITS)
+                    / pspan
+                ),
+            )
+        )
+        .cast("bigint")
+    )
     yb = F.floor(d * float(1 << ZBITS) / (dspan + F.lit(1))).cast("bigint")
     coded = b.select(
         F.col("o_orderkey").alias("k"), xb.alias("xb"), yb.alias("yb")
@@ -108,9 +118,10 @@ WITH bounds AS (
 ),
 coded AS (
     SELECT o_orderkey AS k,
-           least({(1 << ZBITS) - 1}, CAST(floor(
-               (o_totalprice - pmin) * {float(1 << ZBITS)} / (pmax - pmin)
-           ) AS BIGINT)) AS xb,
+           CASE WHEN pmax = pmin THEN 0
+                ELSE least({(1 << ZBITS) - 1}, CAST(floor(
+                    (o_totalprice - pmin) * {float(1 << ZBITS)} / (pmax - pmin)
+                ) AS BIGINT)) END AS xb,
            CAST(floor(
                date_diff('day', dmin, CAST(o_orderdate AS DATE))
                * {float(1 << ZBITS)} / (date_diff('day', dmin, dmax) + 1)

@@ -16,6 +16,7 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     corpus_prep,
     etl_shaped,
     events_queries,
+    feature_prep,
     incremental,
     joins_setops,
     layout,

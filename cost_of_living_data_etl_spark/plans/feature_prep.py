@@ -1,0 +1,437 @@
+"""Feature-preparation and monitoring operators for training-data
+pipelines: retrieval ranking (BM25), distribution-drift monitoring
+(PSI), leakage-safe target encoding, and time-series resampling
+(weekly OHLC).
+
+These extend the reference's snapshot ETL (reference app.py:106-199)
+with the ML-adjacent relational work a 100 TB corpus pipeline runs
+daily: score documents against a query for retrieval-based curation,
+watch a metric's distribution drift month over month, turn a
+categorical column into a numeric feature without target leakage, and
+downsample an event/price series to a fixed calendar grain.
+
+Cross-engine float determinism (driver hash gate): every fractional
+aggregate here either (a) derives from exact integer counts with an
+identical IEEE expression on both engines, or (b) folds a sorted
+collect_list from 0.0 — the repo's established deterministic-sum
+trick (see plans/reshape.py::q_embedding_dim_stats). The sorted-fold
+form is the oracle-replay variant; at 100 TB you'd run the plain
+partial-agg sum (map-side combine, one shuffle row per group per
+mapper) and accept last-ulp drift.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.sources.tables import load_table
+
+# Deterministic-order double sum: fold the sorted value list from 0.0.
+# DuckDB twin: list_reduce(list_sort(list(x)), (a, b) -> a + b)
+# (left fold whose seed is the first element; 0.0 + x0 == x0 exactly,
+# so both folds add the same values in the same order).
+def _det_sum(col: str):
+    return F.expr(
+        f"aggregate(array_sort(collect_list({col})), CAST(0.0 AS DOUBLE),"
+        " (a, x) -> a + x)"
+    )
+
+
+# --- BM25 document ranking --------------------------------------------------
+
+BM25_TERMS = ("spark", "join", "window")  # fixture-vocabulary query
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOPK = 15
+
+_BM25_ORACLE = f"""
+WITH d AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+    FROM documents
+),
+corpus AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(length(ws)) AS DOUBLE) / count(*) AS avgdl
+    FROM d
+),
+tf AS (
+    SELECT doc_id, CAST(length(ws) AS BIGINT) AS dl, word,
+           CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, ws, unnest(ws) AS word FROM d)
+    WHERE word IN ('{BM25_TERMS[0]}', '{BM25_TERMS[1]}', '{BM25_TERMS[2]}')
+    GROUP BY doc_id, length(ws), word
+),
+df AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY word
+),
+scored AS (
+    SELECT tf.doc_id, tf.word,
+           ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+             * ((tf * {BM25_K1 + 1.0}) / (tf + {BM25_K1} * ({1.0 - BM25_B}
+                + {BM25_B} * (dl / avgdl)))) AS s
+    FROM tf JOIN df USING (word) CROSS JOIN corpus
+),
+per_doc AS (
+    SELECT doc_id,
+           coalesce(max(CASE WHEN word = '{BM25_TERMS[0]}' THEN s END), 0.0)
+             + coalesce(max(CASE WHEN word = '{BM25_TERMS[1]}' THEN s END), 0.0)
+             + coalesce(max(CASE WHEN word = '{BM25_TERMS[2]}' THEN s END), 0.0)
+             AS bm25
+    FROM scored GROUP BY doc_id
+)
+SELECT doc_id, bm25 FROM per_doc
+ORDER BY bm25 DESC, doc_id
+LIMIT {BM25_TOPK}
+"""
+
+
+@register(
+    "q_bm25_doc_ranking",
+    oracle=_BM25_ORACLE,
+    tags=("text", "bm25", "retrieval", "training-data"),
+)
+def q_bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 documents by BM25 score for a fixed 3-term query — the
+    retrieval-quality ranking behind query-based corpus curation
+    (choose training documents relevant to a target domain) and the
+    lexical half of hybrid (BM25 + embedding) search. TF-IDF
+    (q_tfidf_top_terms) ranks TERMS per slice; BM25 ranks DOCUMENTS
+    per query, with term-frequency saturation (k1) and length
+    normalization (b) that plain TF-IDF lacks.
+
+    Scale shape: one pass over text tokenizes; doc length rides the
+    GROUP BY key (functionally dependent on doc_id), so tf needs no
+    join back to a lengths table. The shuffle after the query-term
+    filter carries only docs containing a query term — at 100 TB with
+    a selective query that is a tiny fraction of the corpus, and the
+    filter applies pre-aggregation in the scan stage. Corpus stats (2
+    scalars) and per-term df (|terms| rows) broadcast onto the scored
+    rows; the final top-k is TakeOrderedAndProject (k rows per
+    partition, no global sort). The per-doc score pivots ≤1 row per
+    (doc, term) and adds the three term scores in fixed written order
+    — bit-identical to the oracle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("ws"),
+    )
+    corpus = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.sum(F.size("ws")).cast("double") / F.count(F.lit(1))
+        ).alias("avgdl"),
+    )
+    tf = (
+        d.select("doc_id", F.size("ws").cast("long").alias("dl"),
+                 F.explode("ws").alias("word"))
+        .filter(F.col("word").isin(*BM25_TERMS))
+        .groupBy("doc_id", "dl", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    norm = F.col("tf") + F.lit(BM25_K1) * (
+        F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "word")
+        .crossJoin(F.broadcast(corpus))
+        .select(
+            "doc_id",
+            "word",
+            (idf * ((F.col("tf") * F.lit(BM25_K1 + 1.0)) / norm)).alias("s"),
+        )
+    )
+    term_score = [
+        F.coalesce(
+            F.max(F.when(F.col("word") == t, F.col("s"))), F.lit(0.0)
+        )
+        for t in BM25_TERMS
+    ]
+    return (
+        scored.groupBy("doc_id")
+        .agg((term_score[0] + term_score[1] + term_score[2]).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+# --- PSI distribution drift -------------------------------------------------
+
+PSI_BUCKETS = 20
+PSI_BUCKET_WIDTH = 25_000.0  # o_totalprice spans ~[1.3k, 500k]
+PSI_BASE_YEAR = 1995
+
+_PSI_ORACLE = f"""
+WITH b AS (
+    SELECT date_trunc('month', o_orderdate) AS month,
+           CAST(least(floor(o_totalprice / {PSI_BUCKET_WIDTH}),
+                      {PSI_BUCKETS - 1}) AS INT) AS bucket
+    FROM orders
+),
+base AS (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_base
+    FROM b WHERE year(month) = {PSI_BASE_YEAR} GROUP BY bucket
+),
+base_tot AS (SELECT CAST(sum(n_base) AS BIGINT) AS tot_base FROM base),
+cur AS (
+    SELECT month, bucket, CAST(count(*) AS BIGINT) AS n_cur
+    FROM b GROUP BY month, bucket
+),
+cur_tot AS (
+    SELECT month, CAST(sum(n_cur) AS BIGINT) AS tot_cur FROM cur GROUP BY month
+),
+grid AS (
+    SELECT month, CAST(r.range AS INT) AS bucket
+    FROM (SELECT DISTINCT month FROM b) m, range({PSI_BUCKETS}) r
+),
+terms AS (
+    SELECT g.month,
+           ((coalesce(c.n_cur, 0) + 1.0) / (t.tot_cur + {PSI_BUCKETS}.0)
+            - (coalesce(ba.n_base, 0) + 1.0) / (bt.tot_base + {PSI_BUCKETS}.0))
+           * ln(((coalesce(c.n_cur, 0) + 1.0) / (t.tot_cur + {PSI_BUCKETS}.0))
+                / ((coalesce(ba.n_base, 0) + 1.0)
+                   / (bt.tot_base + {PSI_BUCKETS}.0))) AS term
+    FROM grid g
+    LEFT JOIN cur c USING (month, bucket)
+    LEFT JOIN base ba USING (bucket)
+    JOIN cur_tot t USING (month)
+    CROSS JOIN base_tot bt
+)
+SELECT month,
+       list_reduce(list_sort(list(term)), (a, x) -> a + x) AS psi
+FROM terms GROUP BY month
+"""
+
+
+@register(
+    "q_psi_price_drift_by_month",
+    oracle=_PSI_ORACLE,
+    tags=("drift", "monitoring", "quality", "training-data"),
+)
+def q_psi_price_drift_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the order-value distribution,
+    per month vs the {PSI_BASE_YEAR} baseline — the standard drift
+    monitor a data pipeline runs on every refresh (feature drift,
+    source-mix shift, upstream schema accidents show up here first).
+    PSI = Σ_buckets (p_cur − p_base)·ln(p_cur/p_base) over fixed-width
+    value buckets with Laplace smoothing (so empty buckets are
+    defined); > 0.25 conventionally flags a shift worth blocking on.
+
+    Scale shape: one scan bucketizes (bucket id is arithmetic on the
+    scanned column — no UDF); counts partial-aggregate map-side on
+    (month, bucket) — the shuffle is bounded by |months|×|buckets|
+    regardless of row count. The dense month×bucket grid is built by
+    exploding a 20-element literal sequence against the distinct
+    months (tiny), and the baseline histogram (≤20 rows) broadcasts.
+    The 20-term PSI sum folds in sorted order on both engines —
+    bit-identical; at 100 TB the same plan holds because everything
+    after the first aggregate operates on |months|×20 rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.select(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month"),
+        F.least(
+            F.floor(F.col("o_totalprice") / F.lit(PSI_BUCKET_WIDTH)),
+            F.lit(PSI_BUCKETS - 1),
+        ).cast("int").alias("bucket"),
+    )
+    base = (
+        b.filter(F.year("month") == PSI_BASE_YEAR)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_base"))
+    )
+    base_tot = base.agg(F.sum("n_base").cast("long").alias("tot_base"))
+    cur = b.groupBy("month", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cur")
+    )
+    cur_tot = cur.groupBy("month").agg(
+        F.sum("n_cur").cast("long").alias("tot_cur")
+    )
+    grid = (
+        b.select("month").distinct()
+        .select(
+            "month",
+            F.explode(F.sequence(F.lit(0), F.lit(PSI_BUCKETS - 1))).alias("bucket0"),
+        )
+        .select("month", F.col("bucket0").cast("int").alias("bucket"))
+    )
+    smooth = F.lit(float(PSI_BUCKETS))
+    p_cur = (F.coalesce(F.col("n_cur"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("tot_cur") + smooth
+    )
+    p_base = (F.coalesce(F.col("n_base"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("tot_base") + smooth
+    )
+    terms = (
+        grid.join(cur, ["month", "bucket"], "left")
+        .join(F.broadcast(base), ["bucket"], "left")
+        .join(cur_tot, ["month"])
+        .crossJoin(F.broadcast(base_tot))
+        .select("month", ((p_cur - p_base) * F.log(p_cur / p_base)).alias("term"))
+    )
+    return terms.groupBy("month").agg(_det_sum("term").alias("psi"))
+
+
+# --- leakage-safe target encoding -------------------------------------------
+
+TE_MONTH = "1995-03"
+TE_SMOOTH = 10.0
+
+_TE_ORACLE = f"""
+WITH rows_in AS (
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '{TE_MONTH}-01'
+      AND o_orderdate < TIMESTAMP '1995-04-01'
+),
+cat AS (
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_c,
+           list_reduce(list_sort(list(o_totalprice)), (a, x) -> a + x) AS s_c
+    FROM rows_in GROUP BY o_orderpriority
+),
+g_all AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_all,
+           list_reduce(list_sort(list(o_totalprice)), (a, x) -> a + x) AS s_all
+    FROM rows_in
+)
+SELECT r.o_orderkey, r.o_orderpriority, r.o_totalprice,
+       CASE WHEN c.n_c > 1
+            THEN (c.s_c - r.o_totalprice) / (c.n_c - 1)
+            ELSE ga.s_all / ga.n_all END AS loo_enc,
+       (c.s_c - r.o_totalprice + {TE_SMOOTH} * (ga.s_all / ga.n_all))
+         / (c.n_c - 1 + {TE_SMOOTH}) AS smooth_enc
+FROM rows_in r
+JOIN cat c USING (o_orderpriority)
+CROSS JOIN g_all ga
+"""
+
+
+@register(
+    "q_target_encoding_loo",
+    oracle=_TE_ORACLE,
+    tags=("feature-prep", "encoding", "leakage", "training-data"),
+)
+def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    value (one month of orders): each row's categorical feature
+    becomes the mean target of OTHER rows in its category —
+    `(S_c − own) / (n_c − 1)` — plus a prior-smoothed variant
+    `(S_c − own + m·μ) / (n_c − 1 + m)`. Excluding the row's own
+    target is the leakage control (naive category means let the model
+    read its own label through the feature; the same concern
+    q_leakage_safe_split_by_source handles at split grain, handled
+    here at row grain).
+
+    Scale shape: per-category sums partial-aggregate to |categories|
+    rows, which broadcast back onto the row stream along with the two
+    global scalars — encoding is then a map-side expression; no
+    shuffle of the fact rows at any point, so the plan is unchanged at
+    100 TB. The month filter is pushed to the parquet scan
+    (PushedFilters). Sums fold sorted (bit-identical to the oracle);
+    the production form is a plain partial-agg sum.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    rows_in = orders.filter(
+        (F.col("o_orderdate") >= F.lit(f"{TE_MONTH}-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderpriority", "o_totalprice")
+    cat = rows_in.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+        _det_sum("o_totalprice").alias("s_c"),
+    )
+    glob = rows_in.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        _det_sum("o_totalprice").alias("s_all"),
+    )
+    mu = F.col("s_all") / F.col("n_all")
+    loo = F.when(
+        F.col("n_c") > 1,
+        (F.col("s_c") - F.col("o_totalprice")) / (F.col("n_c") - 1),
+    ).otherwise(mu)
+    smooth = (
+        F.col("s_c") - F.col("o_totalprice") + F.lit(TE_SMOOTH) * mu
+    ) / (F.col("n_c") - 1 + F.lit(TE_SMOOTH))
+    return (
+        rows_in.join(F.broadcast(cat), "o_orderpriority")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            loo.alias("loo_enc"),
+            smooth.alias("smooth_enc"),
+        )
+    )
+
+
+# --- weekly OHLC resample ---------------------------------------------------
+
+_OHLC_ORACLE = """
+WITH w AS (
+    SELECT date_trunc('week', o_orderdate) AS week,
+           o_totalprice AS p, o_orderdate AS d, o_orderkey AS k
+    FROM orders
+),
+r AS (
+    SELECT week, p,
+           row_number() OVER (PARTITION BY week ORDER BY d ASC,  k ASC)  AS rf,
+           row_number() OVER (PARTITION BY week ORDER BY d DESC, k DESC) AS rl
+    FROM w
+)
+SELECT week,
+       CAST(count(*) AS BIGINT)          AS n_orders,
+       max(CASE WHEN rf = 1 THEN p END)  AS open_price,
+       max(p)                            AS high_price,
+       min(p)                            AS low_price,
+       max(CASE WHEN rl = 1 THEN p END)  AS close_price
+FROM r GROUP BY week
+"""
+
+
+@register(
+    "q_ohlc_weekly_orders",
+    oracle=_OHLC_ORACLE,
+    tags=("time-series", "resample", "ohlc", "agg"),
+)
+def q_ohlc_weekly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly OHLC resample of the order-value series: per ISO week,
+    the first/highest/lowest/last order value plus count — the
+    classic downsample-to-calendar-grain operator (metrics dashboards,
+    financial bars, telemetry rollups). The reference has no temporal
+    rollup at all (its snapshots are point-in-time, app.py:57); this
+    is the generalization of q_monthly_order_extremes from
+    value-extremes to SEQUENCE-extremes (first/last by event time).
+
+    Scale shape: open/close are `min/max(struct(event_time, key,
+    value))` ARG-EXTREMUM AGGREGATES, not window ranks — partial
+    aggregation keeps one candidate per week per mapper, so a hot week
+    costs one shuffle row per mapper instead of shuffling every row to
+    one task (same rationale as q_monthly_order_extremes; the oracle
+    replays the semantics with window ranks). Ties on timestamp break
+    deterministically on the unique order key via lexicographic struct
+    comparison. Shuffle cardinality: |weeks| × partitions.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = orders.select(
+        F.date_trunc("week", F.col("o_orderdate")).alias("week"),
+        F.col("o_totalprice").alias("p"),
+        F.col("o_orderdate").alias("d"),
+        F.col("o_orderkey").alias("k"),
+    )
+    first = F.min(F.struct("d", "k", "p"))
+    last = F.max(F.struct("d", "k", "p"))
+    return w.groupBy("week").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        first.getField("p").alias("open_price"),
+        F.max("p").alias("high_price"),
+        F.min("p").alias("low_price"),
+        last.getField("p").alias("close_price"),
+    )

@@ -90,6 +90,10 @@ HEADLINE = [
     "q_heavy_hitter_words",
     "q_sketch_rollup_customers",
     "q_corpus_prep_funnel",
+    "q_bm25_doc_ranking",
+    "q_psi_price_drift_by_month",
+    "q_target_encoding_loo",
+    "q_ohlc_weekly_orders",
 ]
 
 

@@ -94,6 +94,7 @@ HEADLINE = [
     "q_psi_price_drift_by_month",
     "q_target_encoding_loo",
     "q_ohlc_weekly_orders",
+    "q_hybrid_rrf_retrieval",
 ]
 
 

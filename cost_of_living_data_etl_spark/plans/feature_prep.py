@@ -46,8 +46,9 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 BM25_TOPK = 15
 
-_BM25_ORACLE = f"""
-WITH d AS (
+# Per-doc BM25 score CTE chain, shared by the ranking query and the
+# hybrid-RRF fusion query (oracle side).
+_BM25_PERDOC_CTES = f"""d AS (
     SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
     FROM documents
 ),
@@ -80,39 +81,19 @@ per_doc AS (
              + coalesce(max(CASE WHEN word = '{BM25_TERMS[2]}' THEN s END), 0.0)
              AS bm25
     FROM scored GROUP BY doc_id
-)
+)"""
+
+_BM25_ORACLE = f"""
+WITH {_BM25_PERDOC_CTES}
 SELECT doc_id, bm25 FROM per_doc
 ORDER BY bm25 DESC, doc_id
 LIMIT {BM25_TOPK}
 """
 
 
-@register(
-    "q_bm25_doc_ranking",
-    oracle=_BM25_ORACLE,
-    tags=("text", "bm25", "retrieval", "training-data"),
-)
-def q_bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-15 documents by BM25 score for a fixed 3-term query — the
-    retrieval-quality ranking behind query-based corpus curation
-    (choose training documents relevant to a target domain) and the
-    lexical half of hybrid (BM25 + embedding) search. TF-IDF
-    (q_tfidf_top_terms) ranks TERMS per slice; BM25 ranks DOCUMENTS
-    per query, with term-frequency saturation (k1) and length
-    normalization (b) that plain TF-IDF lacks.
-
-    Scale shape: one pass over text tokenizes; doc length rides the
-    GROUP BY key (functionally dependent on doc_id), so tf needs no
-    join back to a lengths table. The shuffle after the query-term
-    filter carries only docs containing a query term — at 100 TB with
-    a selective query that is a tiny fraction of the corpus, and the
-    filter applies pre-aggregation in the scan stage. Corpus stats (2
-    scalars) and per-term df (|terms| rows) broadcast onto the scored
-    rows; the final top-k is TakeOrderedAndProject (k rows per
-    partition, no global sort). The per-doc score pivots ≤1 row per
-    (doc, term) and adds the three term scores in fixed written order
-    — bit-identical to the oracle.
-    """
+def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document BM25 score (doc_id, bm25) for the fixed query —
+    shared by q_bm25_doc_ranking and q_hybrid_rrf_retrieval."""
     docs = load_table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id",
@@ -154,9 +135,39 @@ def q_bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for t in BM25_TERMS
     ]
+    return scored.groupBy("doc_id").agg(
+        (term_score[0] + term_score[1] + term_score[2]).alias("bm25")
+    )
+
+
+@register(
+    "q_bm25_doc_ranking",
+    oracle=_BM25_ORACLE,
+    tags=("text", "bm25", "retrieval", "training-data"),
+)
+def q_bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-15 documents by BM25 score for a fixed 3-term query — the
+    retrieval-quality ranking behind query-based corpus curation
+    (choose training documents relevant to a target domain) and the
+    lexical half of hybrid (BM25 + embedding) search. TF-IDF
+    (q_tfidf_top_terms) ranks TERMS per slice; BM25 ranks DOCUMENTS
+    per query, with term-frequency saturation (k1) and length
+    normalization (b) that plain TF-IDF lacks.
+
+    Scale shape: one pass over text tokenizes; doc length rides the
+    GROUP BY key (functionally dependent on doc_id), so tf needs no
+    join back to a lengths table. The shuffle after the query-term
+    filter carries only docs containing a query term — at 100 TB with
+    a selective query that is a tiny fraction of the corpus, and the
+    filter applies pre-aggregation in the scan stage. Corpus stats (2
+    scalars) and per-term df (|terms| rows) broadcast onto the scored
+    rows; the final top-k is TakeOrderedAndProject (k rows per
+    partition, no global sort). The per-doc score pivots ≤1 row per
+    (doc, term) and adds the three term scores in fixed written order
+    — bit-identical to the oracle.
+    """
     return (
-        scored.groupBy("doc_id")
-        .agg((term_score[0] + term_score[1] + term_score[2]).alias("bm25"))
+        _bm25_per_doc(spark, sf_dir)
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(BM25_TOPK)
     )
@@ -434,4 +445,127 @@ def q_ohlc_weekly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("p").alias("high_price"),
         F.min("p").alias("low_price"),
         last.getField("p").alias("close_price"),
+    )
+
+
+# --- hybrid retrieval: reciprocal-rank fusion -------------------------------
+
+RRF_K = 60          # standard RRF damping constant
+RRF_CAND = 50       # per-ranker candidate depth
+RRF_TOPK = 20
+RRF_QUERY_VEC = 0   # query = embedding of vec_id 0 (ANN-suite convention)
+
+_RRF_ORACLE = f"""
+WITH {_BM25_PERDOC_CTES},
+bm25_top AS (
+    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_bm25
+    FROM (
+        SELECT doc_id, bm25 FROM per_doc
+        WHERE doc_id <> {RRF_QUERY_VEC}
+        ORDER BY bm25 DESC, doc_id LIMIT {RRF_CAND}
+    )
+),
+e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+             AS norm
+    FROM embeddings
+),
+q AS (SELECT emb AS qemb, norm AS qnorm FROM e WHERE vec_id = {RRF_QUERY_VEC}),
+cos_top AS (
+    SELECT vec_id AS doc_id,
+           row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS r_cos
+    FROM (
+        SELECT e.vec_id,
+               list_inner_product(e.emb, q.qemb) / (e.norm * q.qnorm) AS cos_sim
+        FROM e, q WHERE e.vec_id <> {RRF_QUERY_VEC}
+        ORDER BY cos_sim DESC, e.vec_id LIMIT {RRF_CAND}
+    )
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       coalesce(1.0 / ({RRF_K} + r_bm25), 0.0)
+         + coalesce(1.0 / ({RRF_K} + r_cos), 0.0) AS rrf_score
+FROM bm25_top FULL OUTER JOIN cos_top USING (doc_id)
+ORDER BY rrf_score DESC, doc_id
+LIMIT {RRF_TOPK}
+"""
+
+
+@register(
+    "q_hybrid_rrf_retrieval",
+    oracle=_RRF_ORACLE,
+    tags=("retrieval", "hybrid", "rrf", "similarity", "training-data"),
+)
+def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion: fuse the BM25
+    lexical ranking (fixed 3-term query) with the embedding-cosine
+    ranking (query = vector {RRF_QUERY_VEC}, the ANN-suite convention)
+    as RRF(d) = Σ_rankers 1/(60 + rank_r(d)) over each ranker's top-50
+    — the standard zero-tuning fusion behind hybrid search and
+    retrieval-based corpus curation (lexical catches exact
+    terminology, dense catches paraphrase; RRF needs no score
+    calibration because it only consumes RANKS).
+
+    Scale shape: each ranker independently reduces the corpus to a
+    50-row candidate list via TakeOrderedAndProject (k rows per
+    partition — no global sort of the corpus); ranks are then assigned
+    by a window over ≤50 rows (bounded by the literal candidate depth,
+    not data size), the fusion join is 50×50 broadcast, and fused
+    scores are 1/(k+rank) from integer ranks added in fixed order —
+    bit-identical cross-engine. The cosine side is the map-only
+    broadcast-query pattern of q_ann_bruteforce_topk; at 100 TB both
+    candidate generators would be index-backed (IVF / posting lists)
+    with this exact fusion tail unchanged.
+    """
+    from pyspark.sql import Window
+
+    from cost_of_living_data_etl_spark.operators.similarity import (
+        cosine_expr,
+        with_norm,
+    )
+
+    bm25_cand = (
+        _bm25_per_doc(spark, sf_dir)
+        .filter(F.col("doc_id") != RRF_QUERY_VEC)
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(RRF_CAND)
+    )
+    bm25_top = bm25_cand.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), "doc_id"))
+        .alias("r_bm25"),
+    )
+
+    e = with_norm(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    q = e.filter(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("embedding").alias("qemb"), F.col("norm").alias("qnorm")
+    )
+    cos_cand = (
+        e.filter(F.col("vec_id") != RRF_QUERY_VEC)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            cosine_expr("embedding", "qemb", "norm", "qnorm").alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), "doc_id")
+        .limit(RRF_CAND)
+    )
+    cos_top = cos_cand.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), "doc_id"))
+        .alias("r_cos"),
+    )
+
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(RRF_K) + F.col("r_bm25")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("r_cos")), F.lit(0.0))
+    return (
+        bm25_top.join(cos_top, "doc_id", "full_outer")
+        .select(F.col("doc_id").cast("long").alias("doc_id"), rrf.alias("rrf_score"))
+        .orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(RRF_TOPK)
     )

@@ -332,3 +332,47 @@ def test_snapshot_diff_single_keyed_join(spark, sf_smoke):
     assert plan.count("Join") == 1 or plan.count("SortMergeJoin") + plan.count(
         "ShuffledHashJoin"
     ) + plan.count("BroadcastHashJoin") == 1
+
+
+def test_target_encoding_pushes_month_filter_to_scan(spark, sf_smoke):
+    """The one-month window reaches the orders parquet scan
+    (PushedFilters) and the category stats come back via broadcast —
+    the fact rows are never hash-shuffled for the encode join."""
+    plan = plan_of(spark, "q_target_encoding_loo", sf_smoke)
+    assert re.search(r"PushedFilters: \[[^\]]*o_orderdate[^\]]*\]", plan)
+    simple = plan_of(spark, "q_target_encoding_loo", sf_smoke, mode="simple")
+    assert "SortMergeJoin" not in simple
+    assert "BroadcastHashJoin" in simple
+
+
+def test_ohlc_is_single_aggregate_shuffle(spark, sf_smoke):
+    """Weekly OHLC is ONE partial-aggregated hash shuffle on the week
+    key (arg-extremum structs combine map-side) — no window rank, no
+    join, no sort."""
+    plan = plan_of(spark, "q_ohlc_weekly_orders", sf_smoke, mode="simple")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_bm25_filters_query_terms_before_shuffle(spark, sf_smoke):
+    """The query-term IN-filter applies in the scan/explode stage —
+    before the (doc, term) aggregate's Exchange — so only documents
+    containing a query term are ever shuffled, and the final top-k is
+    a TakeOrderedAndProject, not a global sort."""
+    plan = plan_of(spark, "q_bm25_doc_ranking", sf_smoke, mode="simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+    # the term filter sits in the explode stage, upstream of the first
+    # hash Exchange: simple mode prints root-first, so the scan-side
+    # Filter on word must appear AFTER (deeper than) the last Exchange
+    assert "Filter" in plan
+    assert plan.rindex("Filter") > plan.rindex("Exchange hashpartitioning")
+
+
+def test_rrf_candidate_lists_avoid_global_sort(spark, sf_smoke):
+    """Both rankers reduce to 50-row candidate lists via
+    TakeOrderedAndProject before any rank window; the fusion join is
+    over two bounded lists (no shuffle of the corpus for ranking)."""
+    plan = plan_of(spark, "q_hybrid_rrf_retrieval", sf_smoke, mode="simple")
+    assert plan.count("TakeOrderedAndProject") >= 2

@@ -37,3 +37,23 @@ def uppercase_columns(df: DataFrame) -> DataFrame:
     contract (SURVEY.md §1.2) explicit and testable.
     """
     return df.withColumnsRenamed({c: c.upper() for c in df.columns})
+
+
+def det_sum(expr: str) -> Column:
+    """Deterministic-order double sum of a SQL expression: fold the
+    sorted value list from 0.0.
+
+    Plain ``sum(double)`` adds in partition order, so the last ulps
+    differ run-to-run and engine-to-engine — fatal for the driver's
+    exact-hash oracle gate. This form collects, sorts, then left-folds
+    from ``CAST(0.0 AS DOUBLE)``; its DuckDB twin is
+    ``list_reduce(list_sort(list(x)), (a, b) -> a + b)`` (a left fold
+    seeded with the first element — ``0.0 + x0 == x0`` exactly, so
+    both folds add the same values in the same order). Oracle-replay
+    variant only: at 100 TB run the plain partial-agg sum (map-side
+    combine) and accept last-ulp drift.
+    """
+    return F.expr(
+        f"aggregate(array_sort(collect_list({expr})), CAST(0.0 AS DOUBLE),"
+        " (a, x) -> a + x)"
+    )

@@ -25,18 +25,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from cost_of_living_data_etl_spark.functions.columns import det_sum
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.sources.tables import load_table
-
-# Deterministic-order double sum: fold the sorted value list from 0.0.
-# DuckDB twin: list_reduce(list_sort(list(x)), (a, b) -> a + b)
-# (left fold whose seed is the first element; 0.0 + x0 == x0 exactly,
-# so both folds add the same values in the same order).
-def _det_sum(col: str):
-    return F.expr(
-        f"aggregate(array_sort(collect_list({col})), CAST(0.0 AS DOUBLE),"
-        " (a, x) -> a + x)"
-    )
 
 
 # --- BM25 document ranking --------------------------------------------------
@@ -154,17 +145,22 @@ def q_bm25_doc_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query, with term-frequency saturation (k1) and length
     normalization (b) that plain TF-IDF lacks.
 
-    Scale shape: one pass over text tokenizes; doc length rides the
-    GROUP BY key (functionally dependent on doc_id), so tf needs no
-    join back to a lengths table. The shuffle after the query-term
-    filter carries only docs containing a query term — at 100 TB with
-    a selective query that is a tiny fraction of the corpus, and the
-    filter applies pre-aggregation in the scan stage. Corpus stats (2
-    scalars) and per-term df (|terms| rows) broadcast onto the scored
-    rows; the final top-k is TakeOrderedAndProject (k rows per
-    partition, no global sort). The per-doc score pivots ≤1 row per
-    (doc, term) and adds the three term scores in fixed written order
-    — bit-identical to the oracle.
+    Scale shape: doc length rides the GROUP BY key (functionally
+    dependent on doc_id), so tf needs no join back to a lengths
+    table. The shuffle after the query-term filter carries only docs
+    containing a query term — at 100 TB with a selective query that
+    is a tiny fraction of the corpus, and the filter applies
+    pre-aggregation in the scan stage. Corpus stats (2 scalars) and
+    per-term df (|terms| rows) broadcast onto the scored rows; the
+    final top-k is TakeOrderedAndProject (k rows per partition, no
+    global sort). Honest plan audit: ad hoc, the tokenize projection
+    executes THREE times (tf branch, the df branch's re-expanded
+    lineage, and the corpus-stats scan — Catalyst does not reuse
+    uncached subtrees); at 100 TB you'd cache the tokenized
+    projection or, better, keep (N, avgdl, df) as maintained corpus
+    statistics so queries cost ONE tf pass. The per-doc score pivots
+    ≤1 row per (doc, term) and adds the three term scores in fixed
+    written order — bit-identical to the oracle.
     """
     return (
         _bm25_per_doc(spark, sf_dir)
@@ -287,7 +283,7 @@ def q_psi_price_drift_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(base_tot))
         .select("month", ((p_cur - p_base) * F.log(p_cur / p_base)).alias("term"))
     )
-    return terms.groupBy("month").agg(_det_sum("term").alias("psi"))
+    return terms.groupBy("month").agg(det_sum("term").alias("psi"))
 
 
 # --- leakage-safe target encoding -------------------------------------------
@@ -295,12 +291,25 @@ def q_psi_price_drift_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
 TE_MONTH = "1995-03"
 TE_SMOOTH = 10.0
 
+
+def _te_bounds() -> tuple[str, str]:
+    """[start, end) timestamps of TE_MONTH — derived in ONE place so
+    changing TE_MONTH can never leave a stale end bound."""
+    import datetime as _dt
+
+    start = _dt.date.fromisoformat(f"{TE_MONTH}-01")
+    end = (start.replace(day=28) + _dt.timedelta(days=4)).replace(day=1)
+    return start.isoformat(), end.isoformat()
+
+
+TE_START, TE_END = _te_bounds()
+
 _TE_ORACLE = f"""
 WITH rows_in AS (
     SELECT o_orderkey, o_orderpriority, o_totalprice
     FROM orders
-    WHERE o_orderdate >= TIMESTAMP '{TE_MONTH}-01'
-      AND o_orderdate < TIMESTAMP '1995-04-01'
+    WHERE o_orderdate >= TIMESTAMP '{TE_START}'
+      AND o_orderdate < TIMESTAMP '{TE_END}'
 ),
 cat AS (
     SELECT o_orderpriority,
@@ -351,16 +360,16 @@ def q_target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     orders = load_table(spark, sf_dir, "orders")
     rows_in = orders.filter(
-        (F.col("o_orderdate") >= F.lit(f"{TE_MONTH}-01").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp"))
+        (F.col("o_orderdate") >= F.lit(TE_START).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(TE_END).cast("timestamp"))
     ).select("o_orderkey", "o_orderpriority", "o_totalprice")
     cat = rows_in.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).cast("long").alias("n_c"),
-        _det_sum("o_totalprice").alias("s_c"),
+        det_sum("o_totalprice").alias("s_c"),
     )
     glob = rows_in.agg(
         F.count(F.lit(1)).cast("long").alias("n_all"),
-        _det_sum("o_totalprice").alias("s_all"),
+        det_sum("o_totalprice").alias("s_all"),
     )
     mu = F.col("s_all") / F.col("n_all")
     loo = F.when(
@@ -510,8 +519,10 @@ def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     50-row candidate list via TakeOrderedAndProject (k rows per
     partition — no global sort of the corpus); ranks are then assigned
     by a window over ≤50 rows (bounded by the literal candidate depth,
-    not data size), the fusion join is 50×50 broadcast, and fused
-    scores are 1/(k+rank) from integer ranks added in fixed order —
+    not data size), the fusion join is a full-outer sort-merge over
+    the two 50-row lists (Spark cannot broadcast-hash a keyed full
+    outer join; sorting 50 rows is free), and fused scores are
+    1/(k+rank) from integer ranks added in fixed order —
     bit-identical cross-engine. The cosine side is the map-only
     broadcast-query pattern of q_ann_bruteforce_topk; at 100 TB both
     candidate generators would be index-backed (IVF / posting lists)

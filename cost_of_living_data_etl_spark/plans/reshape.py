@@ -14,6 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from cost_of_living_data_etl_spark.functions.columns import det_sum
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.sources.tables import load_table
 
@@ -164,14 +165,8 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").cast("double").alias("v"),
     )
     per = exploded.groupBy("dim").agg(
-        F.expr(
-            "aggregate(array_sort(collect_list(v)), CAST(0.0 AS DOUBLE),"
-            " (a, x) -> a + x)"
-        ).alias("s"),
-        F.expr(
-            "aggregate(array_sort(collect_list(v * v)), CAST(0.0 AS DOUBLE),"
-            " (a, x) -> a + x)"
-        ).alias("ssq"),
+        det_sum("v").alias("s"),
+        det_sum("v * v").alias("ssq"),
         F.count(F.lit(1)).alias("n"),
         F.min("v").alias("min_v"),
         F.max("v").alias("max_v"),

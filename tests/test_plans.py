@@ -363,11 +363,24 @@ def test_bm25_filters_query_terms_before_shuffle(spark, sf_smoke):
     plan = plan_of(spark, "q_bm25_doc_ranking", sf_smoke, mode="simple")
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
-    # the term filter sits in the explode stage, upstream of the first
-    # hash Exchange: simple mode prints root-first, so the scan-side
-    # Filter on word must appear AFTER (deeper than) the last Exchange
-    assert "Filter" in plan
-    assert plan.rindex("Filter") > plan.rindex("Exchange hashpartitioning")
+    # The word-IN filter must be fused with the explode inside ONE
+    # WholeStageCodegen span (exchanges break spans) — proving it
+    # applies map-side, upstream of the (doc_id, dl, word) shuffle.
+    # Matching the operator text guards against the 'PushedFilters:'
+    # scan-line noise that a bare "Filter" substring check matches.
+    lines = plan.splitlines()
+    in_filters = [
+        (i, re.search(r"\*\((\d+)\) Filter \(word#\d+ IN \(spark,join,window\)", ln))
+        for i, ln in enumerate(lines)
+        if "IN (spark,join,window)" in ln
+    ]
+    assert in_filters, "query-term IN filter operator not found in plan"
+    for i, m in in_filters:
+        assert m, f"term filter not inside a codegen span: {lines[i]}"
+        span = m.group(1)
+        assert f"*({span}) Generate explode" in lines[i + 1], (
+            f"term filter not fused directly onto the explode: {lines[i + 1]}"
+        )
 
 
 def test_rrf_candidate_lists_avoid_global_sort(spark, sf_smoke):

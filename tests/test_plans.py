@@ -363,23 +363,22 @@ def test_bm25_filters_query_terms_before_shuffle(spark, sf_smoke):
     plan = plan_of(spark, "q_bm25_doc_ranking", sf_smoke, mode="simple")
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
-    # The word-IN filter must be fused with the explode inside ONE
-    # WholeStageCodegen span (exchanges break spans) — proving it
-    # applies map-side, upstream of the (doc_id, dl, word) shuffle.
+    # The word-IN Filter operator's CHILD must be the explode itself —
+    # i.e. the filter applies map-side, directly on the generated rows,
+    # upstream of the (doc_id, dl, word) aggregate's Exchange. Tree
+    # adjacency (next printed line) proves the parent-child edge.
     # Matching the operator text guards against the 'PushedFilters:'
     # scan-line noise that a bare "Filter" substring check matches.
     lines = plan.splitlines()
     in_filters = [
-        (i, re.search(r"\*\((\d+)\) Filter \(word#\d+ IN \(spark,join,window\)", ln))
+        i
         for i, ln in enumerate(lines)
-        if "IN (spark,join,window)" in ln
+        if re.search(r"Filter \(word#\d+ IN \(spark,join,window\)", ln)
     ]
     assert in_filters, "query-term IN filter operator not found in plan"
-    for i, m in in_filters:
-        assert m, f"term filter not inside a codegen span: {lines[i]}"
-        span = m.group(1)
-        assert f"*({span}) Generate explode" in lines[i + 1], (
-            f"term filter not fused directly onto the explode: {lines[i + 1]}"
+    for i in in_filters:
+        assert "Generate explode" in lines[i + 1], (
+            f"term filter not applied directly onto the explode: {lines[i + 1]}"
         )
 
 

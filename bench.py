@@ -95,6 +95,7 @@ HEADLINE = [
     "q_target_encoding_loo",
     "q_ohlc_weekly_orders",
     "q_hybrid_rrf_retrieval",
+    "q_column_profile_orders",
 ]
 
 

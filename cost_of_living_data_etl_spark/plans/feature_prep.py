@@ -580,3 +580,76 @@ def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_score").desc(), "doc_id")
         .limit(RRF_TOPK)
     )
+
+
+# --- column profiling --------------------------------------------------------
+
+PROFILE_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderpriority",
+)
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS column_name,
+       (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_rows,
+       CAST(count(*) FILTER (WHERE {c} IS NULL) AS BIGINT) AS n_nulls,
+       CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+       CAST(count(*) FILTER (WHERE {c} IS NULL) AS DOUBLE)
+         / (SELECT count(*) FROM orders) AS null_frac
+FROM orders"""
+    for c in PROFILE_COLS
+)
+
+
+@register(
+    "q_column_profile_orders",
+    oracle=_PROFILE_ORACLE,
+    tags=("quality", "profiling", "diagnostics"),
+)
+def q_column_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data profile of the orders table: row count, null
+    count, exact distinct count, null fraction — the Deequ /
+    Great-Expectations-style profiling pass a pipeline runs on every
+    new partition before trusting it (null-rate spikes and distinct
+    collapses are the two loudest upstream-breakage signals;
+    q_dq_violations_report checks declared CONSTRAINTS, this measures
+    the undeclared shape).
+
+    Scale shape: ONE scan — all per-column null counts are conditional
+    sums in a single aggregate, and the multi-column exact distincts
+    compile to Spark's Expand strategy (|cols|× row expansion, then
+    one partial-aggregated shuffle); the output unpivots |cols| rows
+    driver-side from a 1-row aggregate. The oracle's 5-scan UNION ALL
+    shows what the single-pass form replaces. At 100 TB you'd swap
+    exact count_distinct for approx_count_distinct (HLL, one pass, no
+    Expand) — the profile consumer tolerates ±2%; exact is the
+    oracle-pinnable variant.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for c in PROFILE_COLS:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias(f"nulls_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).cast("long").alias(f"nd_{c}"))
+    one = orders.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', nulls_{c}, nd_{c}" for c in PROFILE_COLS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(PROFILE_COLS)}, {stack}) AS (column_name, n_nulls, n_distinct)"
+        ),
+        "n_rows",
+    ).select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        (F.col("n_nulls").cast("double") / F.col("n_rows")).alias("null_frac"),
+    )

@@ -1,14 +1,16 @@
 """Feature-preparation and monitoring operators for training-data
-pipelines: retrieval ranking (BM25), distribution-drift monitoring
-(PSI), leakage-safe target encoding, and time-series resampling
-(weekly OHLC).
+pipelines: retrieval ranking (BM25 + hybrid RRF fusion),
+distribution-drift monitoring (PSI), leakage-safe target encoding,
+time-series resampling (weekly OHLC), and column data profiling.
 
 These extend the reference's snapshot ETL (reference app.py:106-199)
 with the ML-adjacent relational work a 100 TB corpus pipeline runs
-daily: score documents against a query for retrieval-based curation,
-watch a metric's distribution drift month over month, turn a
-categorical column into a numeric feature without target leakage, and
-downsample an event/price series to a fixed calendar grain.
+daily: score documents against a query for retrieval-based curation
+(lexically, and fused with the dense ranking), watch a metric's
+distribution drift month over month, turn a categorical column into a
+numeric feature without target leakage, downsample an event/price
+series to a fixed calendar grain, and profile every column's shape
+before trusting a new partition.
 
 Cross-engine float determinism (driver hash gate): every fractional
 aggregate here either (a) derives from exact integer counts with an

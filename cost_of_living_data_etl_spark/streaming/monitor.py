@@ -1,0 +1,126 @@
+"""Streaming drift monitoring: per-micro-batch Population Stability
+Index against a static baseline histogram.
+
+The streaming twin of ``plans/feature_prep.py::q_psi_price_drift_by_month``:
+the batch form asks "did this month's distribution drift from the
+baseline year"; this form asks the same question of every arriving
+micro-batch, which is how a production ingest actually catches an
+upstream breakage — BEFORE the broken partition lands in the lake.
+
+Pattern note: PSI is a two-level computation (bucket counts, then a
+fold across buckets). Chaining two streaming aggregations is the
+restricted/fragile path, so this uses the standard
+``foreachBatch`` escape hatch instead: within a micro-batch the frame
+is a plain batch DataFrame, the full PSI expression runs on it (bucket
+counts partial-aggregate map-side; everything after is ≤ n_buckets
+rows), and one (batch_id, n_rows, psi) row lands per batch via the
+same idempotent batch_id-keyed overwrite as the warehouse sink
+(streaming/events.py::_batch_sink) — replays after a crash replace,
+never duplicate. State: NONE kept by the engine (each batch is scored
+independently against the broadcast ≤ n_buckets-row baseline), so the
+monitor survives any retention horizon at 100 TB ingest rates.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def histogram_baseline(
+    df: DataFrame, value_col: str, bucket_width: float, n_buckets: int
+) -> DataFrame:
+    """Static (bucket, n_base) histogram over fixed-width buckets —
+    compute once on the trusted reference slice, reuse for every
+    micro-batch (and persist it as the monitoring contract)."""
+    return (
+        df.select(
+            F.least(
+                F.floor(F.col(value_col) / F.lit(bucket_width)),
+                F.lit(n_buckets - 1),
+            )
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_base"))
+    )
+
+
+def batch_psi(
+    batch_df: DataFrame,
+    baseline: DataFrame,
+    value_col: str,
+    bucket_width: float,
+    n_buckets: int,
+) -> DataFrame:
+    """One-row (n_rows, psi) frame: Laplace-smoothed PSI of
+    ``batch_df[value_col]`` vs the baseline histogram. Shared by the
+    streaming sink and its batch-twin test."""
+    cur = (
+        batch_df.select(
+            F.least(
+                F.floor(F.col(value_col) / F.lit(bucket_width)),
+                F.lit(n_buckets - 1),
+            )
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cur"))
+    )
+    grid = (
+        baseline.sparkSession.range(n_buckets)
+        .select(F.col("id").cast("int").alias("bucket"))
+        .join(F.broadcast(baseline), "bucket", "left")
+        .join(F.broadcast(cur), "bucket", "left")
+    )
+    smooth = F.lit(float(n_buckets))
+    # totals as scalar aggregates folded back in (grid is ≤ n_buckets rows)
+    totals = grid.agg(
+        F.sum(F.coalesce(F.col("n_base"), F.lit(0))).cast("long").alias("tot_base"),
+        F.sum(F.coalesce(F.col("n_cur"), F.lit(0))).cast("long").alias("tot_cur"),
+    )
+    p_cur = (F.coalesce(F.col("n_cur"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("tot_cur") + smooth
+    )
+    p_base = (F.coalesce(F.col("n_base"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("tot_base") + smooth
+    )
+    return (
+        grid.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("tot_cur"),
+            ((p_cur - p_base) * F.log(p_cur / p_base)).alias("term"),
+        )
+        .agg(
+            F.max("tot_cur").cast("long").alias("n_rows"),
+            F.sum("term").alias("psi"),
+        )
+    )
+
+
+def psi_drift_monitor(
+    stream: DataFrame,
+    baseline: DataFrame,
+    out_dir: str,
+    checkpoint: str,
+    value_col: str = "value",
+    bucket_width: float = 50.0,
+    n_buckets: int = 20,
+):
+    """writeStream query scoring every micro-batch's PSI vs the
+    baseline; one (batch_id=N)/part parquet row per batch, idempotent
+    under replay (overwrite-by-batch_id, same contract as the
+    warehouse sink)."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_psi(
+            batch_df, baseline, value_col, bucket_width, n_buckets
+        ).write.mode("overwrite").parquet(f"{out_dir}/batch_id={batch_id}")
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("update")
+    )

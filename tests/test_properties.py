@@ -372,3 +372,82 @@ def test_snapshot_diff_classification_is_exhaustive_and_disjoint(spark, data):
     assert n("changed") == len(changed)
     assert n("deleted") + n("changed") + n("unchanged") == len(v1_keys)
     assert n("added") + n("changed") + n("unchanged") == len(v2_keys)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_det_sum_equals_sorted_left_fold(spark, values):
+    """functions.columns.det_sum must equal the plain Python left fold
+    over the SORTED values — the exact contract the DuckDB oracle twin
+    (list_reduce(list_sort(...))) relies on, bit-for-bit, for any
+    input order."""
+    import functools
+
+    from cost_of_living_data_etl_spark.functions.columns import det_sum
+
+    df = spark.createDataFrame([(float(v),) for v in values], "v double")
+    got = df.agg(det_sum("v").alias("s")).collect()[0]["s"]
+    want = functools.reduce(lambda a, x: a + x, sorted(values), 0.0)
+    assert got == want  # EXACT: same fold order, same IEEE ops
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["A", "B", "C"]),
+            st.floats(min_value=0.0, max_value=1e5, allow_nan=False,
+                      allow_infinity=False),
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_loo_encoding_excludes_own_row(spark, rows):
+    """Leave-one-out identity: for every row, loo_enc equals the mean
+    target of the OTHER rows in its category (Python reference) — the
+    property that makes the encoding leakage-safe. Categories of size
+    1 fall back to the global mean."""
+    import math
+
+    from cost_of_living_data_etl_spark.plans.feature_prep import TE_SMOOTH
+
+    df = spark.createDataFrame(rows, "cat string, y double")
+    cat = df.groupBy("cat").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+        F.sum("y").alias("s_c"),
+    )
+    glob = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"), F.sum("y").alias("s_all")
+    )
+    mu = F.col("s_all") / F.col("n_all")
+    loo = F.when(
+        F.col("n_c") > 1, (F.col("s_c") - F.col("y")) / (F.col("n_c") - 1)
+    ).otherwise(mu)
+    got = (
+        df.join(F.broadcast(cat), "cat")
+        .crossJoin(F.broadcast(glob))
+        .select("cat", "y", loo.alias("loo"))
+        .collect()
+    )
+    ys = [y for _, y in rows]
+    by_cat: dict[str, list[float]] = {}
+    for c, y in rows:
+        by_cat.setdefault(c, []).append(y)
+    global_mean = sum(ys) / len(ys)
+    # collect() may reorder duplicate rows within a category; LOO of a
+    # (cat, y) pair depends only on (cat, y), so compare per pair
+    for r in got:
+        others = [v for v in by_cat[r["cat"]]]
+        others.remove(r["y"])  # drop ONE occurrence of own target
+        want = sum(others) / len(others) if others else global_mean
+        assert math.isclose(r["loo"], want, rel_tol=1e-9, abs_tol=1e-9)
+    assert TE_SMOOTH > 0  # smoothing constant stays a positive prior

@@ -94,3 +94,93 @@ def test_empty_listing_yields_empty_frame(registered, lake_root):
         .load()
     )
     assert df.count() == 0
+
+
+# ---------------------------------------------------------------- streaming
+
+
+def _write_wage_csv(root, extract_date, name, rows):
+    from pathlib import Path
+
+    d = Path(root) / LAKE_PREFIX / extract_date
+    d.mkdir(parents=True, exist_ok=True)
+    header = "wage_level,num_adults,num_children,num_working,county,usd_amount\n"
+    (d / name).write_text(header + "".join(rows))
+
+
+def test_stream_offset_model_is_set_difference(tmp_path):
+    """Driver-side unit contract, no Spark: offsets are seen-file sets,
+    a micro-batch is exactly the newly landed objects, replaying the
+    same offset pair yields the same partitions."""
+    from cost_of_living_data_etl_spark.sources.lake_datasource import (
+        LakeObjectsStreamReader,
+    )
+
+    root = str(tmp_path)
+    _write_wage_csv(root, "2024-06-01", "living_wage_a.csv", ["LIVING WAGE,2,2,1,Kent,21.34\n"])
+    reader = LakeObjectsStreamReader(
+        LAKE_SCHEMAS["living_wage"], {"root": root, "category": "living_wage"}
+    )
+    assert reader.initialOffset() == {"files": []}
+    first = reader.latestOffset()
+    assert len(first["files"]) == 1
+
+    _write_wage_csv(root, "2024-06-02", "living_wage_b.csv", ["LIVING WAGE,1,0,1,Sussex,15.50\n"])
+    second = reader.latestOffset()
+    assert len(second["files"]) == 2
+
+    delta = reader.partitions(first, second)
+    assert [p.value for p in delta] == [
+        f for f in second["files"] if f not in first["files"]
+    ]
+    # deterministic replay: same offsets -> same partitions
+    assert [p.value for p in reader.partitions(first, second)] == [
+        p.value for p in delta
+    ]
+    # batch 0 covers the pre-existing file
+    assert len(reader.partitions(reader.initialOffset(), first)) == 1
+
+
+def test_stream_discovers_new_objects_exactly_once(registered, tmp_path):
+    """Two query lifetimes over one checkpoint: lifetime 1 ingests the
+    initial objects, an object lands between lifetimes, lifetime 2
+    ingests ONLY the delta — output equals the full multiset, nothing
+    doubled, nothing lost (the incremental semantics the reference gets
+    by manually re-invoking its batch job per extract date)."""
+    root = str(tmp_path / "lake")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _write_wage_csv(root, "2024-06-01", "living_wage_a.csv", [
+        "LIVING WAGE,2,2,1,Kent,21.34\n",
+        "POVERTY WAGE,2,2,1,Kent,10.00\n",
+    ])
+
+    def run_one_lifetime():
+        q = (
+            registered.readStream.format("lake_objects")
+            .schema(LAKE_SCHEMAS["living_wage"])
+            .option("root", root)
+            .option("category", "living_wage")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    run_one_lifetime()
+    first = registered.read.parquet(out)
+    assert first.count() == 2
+
+    _write_wage_csv(root, "2024-06-02", "living_wage_b.csv", [
+        "LIVING WAGE,1,0,1,Sussex,15.50\n",
+    ])
+    run_one_lifetime()
+    final = registered.read.parquet(out)
+    got = sorted((r["county"], r["usd_amount"]) for r in final.collect())
+    assert got == [("Kent", 10.00), ("Kent", 21.34), ("Sussex", 15.50)]

@@ -298,3 +298,96 @@ def q_decontam_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_flagged",
         )
     )
+
+
+# --- semantic (embedding-space) decontamination ----------------------------
+# n-gram overlap misses paraphrased benchmark leakage; the embedding
+# check catches semantic near-copies: a train doc whose vector sits too
+# close to ANY eval vector is flagged. Threshold calibrated to the
+# fixture corpus (random-ish embeddings: best cross-slice cosine ≈0.49,
+# p99 ≈0.43 — 0.40 flags the suspicious tail); production tunes it on a
+# labeled contamination sample.
+
+SEM_TAU = 0.40  # flag train vectors with best eval-cosine ≥ this
+
+
+@register(
+    "q_semantic_decontam",
+    oracle=f"""
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+               sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+        FROM embeddings
+    ),
+    ev AS (SELECT vec_id AS eval_id, emb AS eemb, norm AS enorm
+           FROM e WHERE vec_id % {EVAL_MOD} = 0),
+    tr AS (SELECT vec_id AS train_id, label, emb, norm
+           FROM e WHERE vec_id % {EVAL_MOD} <> 0),
+    cand AS (
+        SELECT tr.train_id, tr.label, ev.eval_id,
+               list_inner_product(tr.emb, ev.eemb) / (tr.norm * ev.enorm) AS c,
+               row_number() OVER (
+                   PARTITION BY tr.train_id
+                   ORDER BY list_inner_product(tr.emb, ev.eemb) / (tr.norm * ev.enorm) DESC,
+                            ev.eval_id
+               ) AS rn
+        FROM tr, ev
+    )
+    SELECT CAST(train_id AS BIGINT) AS train_id,
+           CAST(label AS INT)       AS train_label,
+           CAST(eval_id AS BIGINT)  AS eval_id,
+           c                        AS cos_sim
+    FROM cand WHERE rn = 1 AND c >= {SEM_TAU}
+    """,
+    tags=("decontam", "similarity", "training-data"),
+)
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: train vectors whose
+    best cosine against the eval slice crosses SEM_TAU, with the eval
+    doc that matched. The semantic complement of q_decontaminate_ngram
+    / q_decontam_containment — paraphrased leakage shares no 5-grams
+    but still embeds next to its source.
+
+    Shape (same discipline as q_hard_negative_mining): the eval side is
+    tiny by construction (benchmarks are MBs) and broadcasts; the train
+    corpus is a map-only cosine pass; the per-train-vector best match
+    is a partial aggregate (max over a (cos, -eval_id) struct — ties
+    break to the smallest eval_id inside the aggregate, the oracle's
+    row_number states the same choice), so the shuffle carries one
+    struct per train vector per partition, never raw vectors. The
+    SEM_TAU filter then bounds output to the contaminated tail. At
+    100 TB: identical plan; if the benchmark suite itself grows past
+    broadcast size, route the probe through q_ann_ivf_probe cells
+    instead of the flat broadcast.
+
+    Cosines use the shared left-fold dot product (operators/similarity
+    _DOT ≡ DuckDB list_inner_product), so both engines rank and filter
+    on bit-identical doubles.
+    """
+    from cost_of_living_data_etl_spark.operators.similarity import (
+        cosine_expr,
+        with_norm,
+    )
+
+    e = with_norm(load_table(spark, sf_dir, "embeddings"))
+    ev = e.filter(F.col("vec_id") % EVAL_MOD == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("eemb"),
+        F.col("norm").alias("enorm"),
+    )
+    tr = e.filter(F.col("vec_id") % EVAL_MOD != 0)
+    cand = tr.crossJoin(F.broadcast(ev)).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("label"),
+        F.struct(
+            cosine_expr("embedding", "eemb", "norm", "enorm").alias("cos"),
+            (-F.col("eval_id")).alias("eval_id_neg"),
+        ).alias("c"),
+    )
+    best = cand.groupBy("train_id", "label").agg(F.max("c").alias("b"))
+    return best.filter(F.col("b.cos") >= SEM_TAU).select(
+        F.col("train_id").cast("long").alias("train_id"),
+        F.col("label").cast("int").alias("train_label"),
+        (-F.col("b.eval_id_neg")).cast("long").alias("eval_id"),
+        F.col("b.cos").alias("cos_sim"),
+    )

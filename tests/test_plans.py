@@ -388,3 +388,14 @@ def test_rrf_candidate_lists_avoid_global_sort(spark, sf_smoke):
     over two bounded lists (no shuffle of the corpus for ranking)."""
     plan = plan_of(spark, "q_hybrid_rrf_retrieval", sf_smoke, mode="simple")
     assert plan.count("TakeOrderedAndProject") >= 2
+
+
+def test_semantic_decontam_broadcasts_eval_side(spark, sf_smoke):
+    """The eval slice broadcasts (train corpus never shuffled for the
+    probe), the per-train argmax partial-aggregates map-side, and the
+    SEM_TAU filter rides the aggregate — one hash Exchange total,
+    carrying per-train best-match structs."""
+    plan = plan_of(spark, "q_semantic_decontam", sf_smoke, mode="simple")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 1

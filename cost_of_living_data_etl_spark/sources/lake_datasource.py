@@ -36,6 +36,15 @@ Usage::
         .option("category", category)
         .load())
 
+    # streaming sink: land micro-batches as manifest-committed CSV
+    # objects (two-phase staging commit, replay-idempotent)
+    (df.writeStream.format("lake_objects")
+        .option("root", lake_root)
+        .option("category", category)
+        .option("extract_date", extract_date)
+        .option("checkpointLocation", ckpt)
+        .start())
+
 Deployment note (why ``register`` exists): Spark ships the DataSource
 class to Python workers via cloudpickle, which by default pickles
 classes BY REFERENCE — workers then try to import this module and
@@ -59,7 +68,9 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import (
     DoubleType,
@@ -106,6 +117,11 @@ class LakeObjectsDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> "LakeObjectsStreamReader":
         return LakeObjectsStreamReader(schema, self.options)
+
+    def streamWriter(
+        self, schema: StructType, overwrite: bool
+    ) -> "LakeObjectsStreamWriter":
+        return LakeObjectsStreamWriter(schema, self.options)
 
 
 def _list_objects(root: str, category: str, extract_date: str | None) -> list[str]:
@@ -217,3 +233,100 @@ class LakeObjectsStreamReader(DataSourceStreamReader):
         # progress lives in the streaming checkpoint; nothing to
         # acknowledge lake-side (objects are immutable)
         pass
+
+
+class LakeCommitMessage(WriterCommitMessage):
+    """Per-task commit message: the staged object path + row count."""
+
+    def __init__(self, staged: str, rows: int):
+        self.staged = staged
+        self.rows = rows
+
+
+class LakeObjectsStreamWriter(DataSourceStreamWriter):
+    """Streaming half of the lake SINK contract: land each micro-batch
+    as CSV objects with an atomic, replay-idempotent commit — the
+    reference's append-only warehouse write (app.py:195-197) upgraded
+    to exactly-once.
+
+    Protocol (the classic two-phase object-store commit):
+
+    1. ``write`` (executors, one call per partition): rows stream to a
+       uuid-named object under ``{root}/_staging/`` — OUTSIDE the lake
+       prefix, so concurrent readers never see half-written batches.
+       The task returns the staged path in its commit message.
+    2. ``commit`` (driver, once per micro-batch, AFTER every task
+       succeeded): staged objects move to DETERMINISTIC batch-keyed
+       names ``{category}_b{batchId}_{i}.csv`` under the extract-date
+       partition, then a manifest lands at
+       ``{root}/_commits/{batchId}.json``. A replayed batch (restart
+       between commit and checkpoint advance) re-stages and re-commits
+       onto the SAME names — overwrite, not duplicate — and a batch
+       whose manifest already exists skips publication entirely and
+       just discards its staged files. Either way output is
+       exactly-once per batch id, same discipline as the repo's
+       foreachBatch warehouse sink.
+    3. ``abort``: staged objects are deleted; the lake prefix was
+       never touched.
+
+    On a real object store ``os.replace`` becomes copy+delete (or a
+    multipart-complete) and the manifest write must be the
+    last-writer-wins atomic PUT; the protocol is unchanged — only
+    rename atomicity moves from POSIX to the store's PUT semantics.
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.fields = [f.name for f in schema.fields]
+        self.root = options["root"]
+        self.category = options["category"]
+        self.extract_date = options["extract_date"]
+
+    def write(self, iterator) -> LakeCommitMessage:
+        import uuid
+
+        staging = os.path.join(self.root, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        path = os.path.join(staging, f"{self.category}_{uuid.uuid4().hex}.csv")
+        n = 0
+        with open(path, "w", newline="") as f:
+            w = csv.writer(f)
+            w.writerow(self.fields)
+            for row in iterator:
+                w.writerow([row[name] for name in self.fields])
+                n += 1
+        return LakeCommitMessage(path, n)
+
+    def _manifest_path(self, batch_id: int) -> str:
+        return os.path.join(self.root, "_commits", f"{batch_id}.json")
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+
+        staged = [m.staged for m in messages if m is not None]
+        manifest = self._manifest_path(batchId)
+        if os.path.exists(manifest):
+            # replayed batch already published: drop the re-staged copies
+            for p in staged:
+                if os.path.exists(p):
+                    os.remove(p)
+            return
+        dest_dir = os.path.join(self.root, LAKE_PREFIX, self.extract_date)
+        os.makedirs(dest_dir, exist_ok=True)
+        os.makedirs(os.path.dirname(manifest), exist_ok=True)
+        published = []
+        for i, p in enumerate(sorted(staged)):
+            dest = os.path.join(
+                dest_dir, f"{self.category}_b{batchId:010d}_{i:05d}.csv"
+            )
+            os.replace(p, dest)  # object store: copy + delete / atomic PUT
+            published.append(dest)
+        rows = sum(m.rows for m in messages if m is not None)
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_id": batchId, "rows": rows, "objects": published}, f)
+        os.replace(tmp, manifest)  # manifest PUT is the commit point
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.staged):
+                os.remove(m.staged)

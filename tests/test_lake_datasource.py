@@ -184,3 +184,96 @@ def test_stream_discovers_new_objects_exactly_once(registered, tmp_path):
     final = registered.read.parquet(out)
     got = sorted((r["county"], r["usd_amount"]) for r in final.collect())
     assert got == [("Kent", 10.00), ("Kent", 21.34), ("Sussex", 15.50)]
+
+
+def test_stream_writer_commit_protocol_is_replay_idempotent(tmp_path):
+    """Unit contract, no Spark: staged objects live outside the lake
+    prefix, commit publishes deterministic batch-keyed names + a
+    manifest, re-committing the same batch id discards the re-staged
+    copies, abort leaves the lake untouched."""
+    import json
+    from pathlib import Path
+
+    from cost_of_living_data_etl_spark.sources.lake_datasource import (
+        LakeObjectsStreamWriter,
+    )
+    from pyspark.sql import Row
+
+    root = str(tmp_path)
+    w = LakeObjectsStreamWriter(
+        LAKE_SCHEMAS["living_wage"],
+        {"root": root, "category": "living_wage", "extract_date": "2024-06-01"},
+    )
+    rows = [
+        Row(wage_level="LIVING WAGE", num_adults=2, num_children=2,
+            num_working=1, county="Kent", usd_amount=21.34),
+    ]
+    m1 = w.write(iter(rows))
+    assert "_staging" in m1.staged and m1.rows == 1
+    # nothing visible to readers before commit
+    assert LAKE_PREFIX not in m1.staged
+    w.commit([m1], batchId=0)
+    lake_dir = Path(root) / LAKE_PREFIX / "2024-06-01"
+    published = sorted(p.name for p in lake_dir.iterdir())
+    assert published == ["living_wage_b0000000000_00000.csv"]
+    manifest = json.loads((Path(root) / "_commits" / "0.json").read_text())
+    assert manifest["rows"] == 1 and len(manifest["objects"]) == 1
+
+    # replay: the same batch id re-staged then re-committed — no dup
+    m1b = w.write(iter(rows))
+    w.commit([m1b], batchId=0)
+    assert sorted(p.name for p in lake_dir.iterdir()) == published
+    assert not any((Path(root) / "_staging").iterdir())
+
+    # abort: staged file removed, lake unchanged
+    m2 = w.write(iter(rows))
+    w.abort([m2], batchId=1)
+    assert not Path(m2.staged).exists()
+    assert sorted(p.name for p in lake_dir.iterdir()) == published
+
+
+def test_stream_lake_to_lake_roundtrip(registered, tmp_path):
+    """End-to-end: stream-read one lake root, stream-write a second —
+    the written lake batch-reads back with identical rows, and only
+    manifest-committed objects exist in the destination."""
+    import json
+    from pathlib import Path
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+    ckpt = str(tmp_path / "ckpt")
+    _write_wage_csv(src, "2024-06-01", "living_wage_a.csv", [
+        "LIVING WAGE,2,2,1,Kent,21.34\n",
+        "POVERTY WAGE,2,2,1,Kent,10.00\n",
+    ])
+    q = (
+        registered.readStream.format("lake_objects")
+        .schema(LAKE_SCHEMAS["living_wage"])
+        .option("root", src)
+        .option("category", "living_wage")
+        .load()
+        .writeStream.format("lake_objects")
+        .option("root", dst)
+        .option("category", "living_wage")
+        .option("extract_date", "2024-06-01")
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    back = read_lake_csv(registered, dst, "living_wage", "2024-06-01")
+    got = sorted((r["county"], r["usd_amount"]) for r in back.collect())
+    assert got == [("Kent", 10.00), ("Kent", 21.34)]
+    manifests = sorted((Path(dst) / "_commits").glob("*.json"))
+    assert manifests, "commit manifests must exist"
+    listed = {
+        o for m in manifests for o in json.loads(m.read_text())["objects"]
+    }
+    on_disk = {
+        str(p) for p in (Path(dst) / LAKE_PREFIX).rglob("*") if p.is_file()
+    }
+    assert on_disk == listed

@@ -64,12 +64,14 @@ import os
 import sys
 from collections.abc import Iterator, Sequence
 
+from pyspark.errors import PySparkNotImplementedError
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
     DataSourceStreamWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 from pyspark.sql.types import (
@@ -116,7 +118,23 @@ class LakeObjectsDataSource(DataSource):
         return LakeObjectsReader(schema, self.options)
 
     def streamReader(self, schema: StructType) -> "LakeObjectsStreamReader":
+        if "max_objects_per_batch" in self.options:
+            # throttled mode needs the start-aware simple-reader
+            # protocol; raising here makes Spark fall back to
+            # simpleStreamReader (pyspark datasource_internal
+            # _streamReader contract)
+            raise PySparkNotImplementedError(
+                errorClass="NOT_IMPLEMENTED",
+                messageParameters={
+                    "feature": "streamReader with max_objects_per_batch"
+                },
+            )
         return LakeObjectsStreamReader(schema, self.options)
+
+    def simpleStreamReader(
+        self, schema: StructType
+    ) -> "LakeObjectsSimpleStreamReader":
+        return LakeObjectsSimpleStreamReader(schema, self.options)
 
     def streamWriter(
         self, schema: StructType, overwrite: bool
@@ -194,6 +212,12 @@ class LakeObjectsStreamReader(DataSourceStreamReader):
     checkpoint recomputes the same difference → the same files → the
     same rows (objects are immutable once landed; the lake contract).
 
+    Backlog throttle: setting ``max_objects_per_batch`` switches the
+    stream to :class:`LakeObjectsSimpleStreamReader` (see its
+    docstring for why the throttle lives there) so a trigger takes at
+    most that many new objects; without it, this reader's first
+    trigger after an outage takes the entire backlog in one batch.
+
     Scale note: the offset grows O(seen objects) and is rewritten to
     the checkpoint each batch. That is the correct *contract* but the
     wrong *encoding* for a 100 TB lake with millions of objects —
@@ -211,7 +235,12 @@ class LakeObjectsStreamReader(DataSourceStreamReader):
         # unlike the batch reader, extract_date is optional: a stream
         # normally watches every date partition as it lands
         self.extract_date = options.get("extract_date")
-
+        # backlog throttle (the file source's maxFilesPerTrigger):
+        # without it, the first micro-batch after an outage swallows
+        # the whole backlog — one giant batch, one giant commit, and a
+        # failure retries ALL of it. Bounding the per-batch object
+        # count turns catch-up into steady, individually-committed
+        # micro-batches.
     def initialOffset(self) -> dict:
         return {"files": []}
 
@@ -233,6 +262,74 @@ class LakeObjectsStreamReader(DataSourceStreamReader):
         # progress lives in the streaming checkpoint; nothing to
         # acknowledge lake-side (objects are immutable)
         pass
+
+
+class LakeObjectsSimpleStreamReader(SimpleDataSourceStreamReader):
+    """Throttled variant of the stream reader, selected by setting
+    ``max_objects_per_batch`` (the file source's ``maxFilesPerTrigger``).
+
+    Why a second reader: bounding a micro-batch needs the batch's
+    START offset — "take at most N objects the stream has not yet
+    processed". The full ``DataSourceStreamReader`` protocol never
+    shows ``latestOffset`` the start offset (and driver-side reader
+    instances are not guaranteed to persist across engine calls, so
+    remembering it is unsound — empirically the engine constructs
+    several instances and calls ``latestOffset`` before
+    ``initialOffset``). ``SimpleDataSourceStreamReader.read(start)``
+    IS start-aware: each trigger takes the sorted backlog beyond
+    ``start``, caps it at ``max_objects_per_batch``, and returns
+    (rows, end) — stateless, so fresh starts, in-run catch-up, and
+    restarts all throttle identically, and ``readBetweenOffsets``
+    replays any offset pair deterministically from the immutable lake.
+
+    Tradeoff (why the unthrottled reader stays the default): Spark
+    wraps simple readers in a driver-side prefetch — rows are parsed
+    in the runner process, not fanned out one-InputPartition-per-
+    object across executors. Bounded catch-up batches are exactly the
+    case where that is acceptable; for full-parallel backfill
+    throughput, use the default reader (or the batch reader per
+    extract date).
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.root = options["root"]
+        self.category = options["category"]
+        self.extract_date = options.get("extract_date")
+        self.max_per_batch = int(options["max_objects_per_batch"])
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def _backlog(self, start: dict) -> list[str]:
+        listed = _list_objects(self.root, self.category, self.extract_date)
+        done = set(start.get("files", []))
+        return [p for p in listed if p not in done]
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        take = self._backlog(start)[: self.max_per_batch]
+        if not take:
+            return iter(()), start  # no progress: offset must not move
+        end = {"files": sorted(set(start.get("files", [])) | set(take))}
+        return self._rows(take), end
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        # uncommitted-batch replay after restart: the same offset pair
+        # re-derives the same object set from the immutable lake
+        replay = sorted(
+            set(end.get("files", [])) - set(start.get("files", []))
+        )
+        return self._rows(replay)
+
+    def _rows(self, paths: list[str]) -> Iterator[tuple]:
+        # materialized: the engine's prefetch cache copy.copy()s this
+        # iterator for replay, which list iterators support and
+        # generators don't; the batch is bounded by max_objects_per_
+        # batch, so the list is bounded too
+        rows: list[tuple] = []
+        for p in paths:
+            rows.extend(_parse_object(p, self.schema))
+        return iter(rows)
 
 
 class LakeCommitMessage(WriterCommitMessage):

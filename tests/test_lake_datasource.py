@@ -277,3 +277,79 @@ def test_stream_lake_to_lake_roundtrip(registered, tmp_path):
         str(p) for p in (Path(dst) / LAKE_PREFIX).rglob("*") if p.is_file()
     }
     assert on_disk == listed
+
+
+def test_simple_stream_reader_backlog_throttle(tmp_path):
+    """read(start) takes at most max_objects_per_batch new objects and
+    advances the offset by exactly those; an exhausted backlog returns
+    the start offset unchanged with no rows; readBetweenOffsets replays
+    any planned pair deterministically — all stateless, so a 'restart'
+    (fresh instance) behaves identically from the same offset."""
+    from cost_of_living_data_etl_spark.sources.lake_datasource import (
+        LakeObjectsSimpleStreamReader,
+    )
+
+    root = str(tmp_path)
+    for i in range(3):
+        _write_wage_csv(root, "2024-06-01", f"living_wage_{i}.csv",
+                        [f"LIVING WAGE,1,0,1,C{i},1.0\n"])
+    opts = {"root": root, "category": "living_wage",
+            "max_objects_per_batch": "1"}
+    r = LakeObjectsSimpleStreamReader(LAKE_SCHEMAS["living_wage"], opts)
+
+    off = r.initialOffset()
+    counties = []
+    for expected in (1, 2, 3):
+        rows, off = r.read(off)
+        rows = list(rows)
+        assert len(rows) == 1
+        counties.append(rows[0][4])
+        assert len(off["files"]) == expected
+    assert counties == ["C0", "C1", "C2"]
+
+    # exhausted backlog: offset must NOT advance, no rows
+    rows, same = r.read(off)
+    assert list(rows) == [] and same == off
+
+    # stateless restart: a fresh instance resumes mid-backlog
+    r2 = LakeObjectsSimpleStreamReader(LAKE_SCHEMAS["living_wage"], opts)
+    mid = {"files": off["files"][:2]}
+    rows, nxt = r2.read(mid)
+    assert len(list(rows)) == 1 and len(nxt["files"]) == 3
+
+    # replay of a planned pair returns the same rows
+    assert [t[4] for t in r2.readBetweenOffsets(mid, nxt)] == ["C2"]
+
+
+def test_stream_throttle_end_to_end_batches(registered, tmp_path):
+    """E2E with max_objects_per_batch=1: three pre-landed objects are
+    ingested completely, across >= 3 committed micro-batches."""
+    from pathlib import Path
+
+    root = str(tmp_path / "lake")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(3):
+        _write_wage_csv(root, "2024-06-01", f"living_wage_{i}.csv",
+                        [f"LIVING WAGE,1,0,1,C{i},1.0\n"])
+    q = (
+        registered.readStream.format("lake_objects")
+        .schema(LAKE_SCHEMAS["living_wage"])
+        .option("root", root)
+        .option("category", "living_wage")
+        .option("max_objects_per_batch", "1")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    rows = registered.read.parquet(out).collect()
+    assert sorted(r["county"] for r in rows) == ["C0", "C1", "C2"]
+    n_batches = len(list((Path(ckpt) / "offsets").glob("[0-9]*")))
+    assert n_batches >= 3

@@ -451,3 +451,82 @@ def test_loo_encoding_excludes_own_row(spark, rows):
         want = sum(others) / len(others) if others else global_mean
         assert math.isclose(r["loo"], want, rel_tol=1e-9, abs_tol=1e-9)
     assert TE_SMOOTH > 0  # smoothing constant stays a positive prior
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # objects landing now
+            st.integers(min_value=1, max_value=4),  # reads before next landing
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=1, max_value=3),  # max_objects_per_batch
+)
+@settings(deadline=None, max_examples=40)
+def test_throttled_stream_reader_exactly_once_coverage(tmp_path_factory, plan, cap):
+    """Property: for ANY interleaving of object landings and throttled
+    reads, (a) every batch takes ≤ cap new objects, (b) each object's
+    rows appear in exactly one batch, (c) after the backlog drains the
+    union of batches equals the full lake, (d) the offset chain is
+    monotone and replayable (readBetweenOffsets of each planned pair
+    reproduces that batch's rows) — driver-level contract, no Spark."""
+    from cost_of_living_data_etl_spark.plans.schemas import LAKE_SCHEMAS
+    from cost_of_living_data_etl_spark.sources.lake import LAKE_PREFIX
+    from cost_of_living_data_etl_spark.sources.lake_datasource import (
+        LakeObjectsSimpleStreamReader,
+    )
+
+    root = tmp_path_factory.mktemp("throttle_prop")
+    schema = LAKE_SCHEMAS["living_wage"]
+    header = "wage_level,num_adults,num_children,num_working,county,usd_amount\n"
+    d = root / LAKE_PREFIX / "2024-06-01"
+    d.mkdir(parents=True)
+    reader = LakeObjectsSimpleStreamReader(
+        schema,
+        {"root": str(root), "category": "living_wage",
+         "max_objects_per_batch": str(cap)},
+    )
+
+    landed = 0
+    seen_rows: list[tuple] = []
+    batches: list[tuple[dict, dict, list[tuple]]] = []
+    off = reader.initialOffset()
+    for n_land, n_reads in plan:
+        for _ in range(n_land):
+            (d / f"living_wage_{landed:03d}.csv").write_text(
+                header + f"LIVING WAGE,1,0,1,C{landed:03d},1.0\n"
+            )
+            landed += 1
+        for _ in range(n_reads):
+            rows, end = reader.read(off)
+            rows = list(rows)
+            new = set(end["files"]) - set(off["files"])
+            assert len(new) <= cap  # (a) throttle bound
+            assert set(off["files"]) <= set(end["files"])  # (d) monotone
+            if not new:
+                assert rows == [] and end == off
+            else:
+                batches.append((off, end, rows))
+            seen_rows.extend(rows)
+            off = end
+
+    # drain whatever backlog remains
+    while True:
+        rows, end = reader.read(off)
+        rows = list(rows)
+        if end == off:
+            break
+        batches.append((off, end, rows))
+        seen_rows.extend(rows)
+        off = end
+
+    # (b)+(c): every object exactly once, nothing missing
+    got = sorted(r[4] for r in seen_rows)
+    assert got == [f"C{i:03d}" for i in range(landed)]
+
+    # (d) replay: every planned offset pair reproduces its batch
+    for start, end, rows in batches:
+        replay = list(reader.readBetweenOffsets(start, end))
+        assert sorted(replay) == sorted(rows)

@@ -288,6 +288,100 @@ class Warehouse:
         shutil.rmtree(target_path)
         shutil.move(tmp_path, target_path)
 
+    def append_evolve(
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        table: str,
+        policy: str = "strict",
+    ) -> None:
+        """Append with an explicit schema-drift policy.
+
+        The reference's append-load (app.py:195-197) writes whatever
+        columns the day's CSVs happened to have; on upstream drift the
+        warehouse table silently becomes a mix of incompatible files
+        that breaks (or worse, half-reads) later. Plain
+        ``mode("append").parquet`` has the same hole: parquet footers
+        are per-file, so nothing checks the incoming batch against the
+        table. This method closes it at the ONLY cheap place — write
+        time, against the table's current schema (one footer read, no
+        data scan):
+
+        - ``policy="strict"``: the incoming schema must equal the
+          table's (names, types, order-insensitive). Any drift raises
+          before a single row lands.
+        - ``policy="add_nullable"``: the batch may ADD new columns
+          (readers see null for old files) and may OMIT existing
+          columns (written as typed nulls). The batch is aligned to
+          the UNION schema so every new file carries the full, current
+          schema — drift is absorbed forward, never backward.
+        - A TYPE change for an existing column is rejected under every
+          policy: that is a rewrite migration, not an append
+          (silently mixing int32/int64 files is how tables die at
+          100 TB — the error names the column instead).
+
+        Read evolved tables with :meth:`read_evolved` (footer-merged
+        union schema; old files surface null for later columns).
+        """
+        from pyspark.sql.types import NullType
+
+        if policy not in ("strict", "add_nullable"):
+            raise ValueError(f"unknown schema policy: {policy!r}")
+        target = _read_target_or_none(spark, self.path(table))
+        if target is None:
+            self.append(df, table)
+            return
+        have = {f.name: f.dataType for f in target.schema.fields}
+        incoming = {f.name: f.dataType for f in df.schema.fields}
+        changed = sorted(
+            n for n in have.keys() & incoming.keys() if have[n] != incoming[n]
+        )
+        if changed:
+            details = ", ".join(
+                f"{n}: {have[n].simpleString()} -> {incoming[n].simpleString()}"
+                for n in changed
+            )
+            raise ValueError(
+                f"type change on append to '{table}' ({details}); "
+                "appends never change a column's type - run a rewrite "
+                "migration instead"
+            )
+        added = sorted(incoming.keys() - have.keys())
+        missing = sorted(have.keys() - incoming.keys())
+        if policy == "strict" and (added or missing):
+            raise ValueError(
+                f"schema drift on append to '{table}' "
+                f"(added={added}, missing={missing}) rejected by "
+                "policy='strict'; use policy='add_nullable' to evolve"
+            )
+        if any(isinstance(incoming[n], NullType) for n in added):
+            raise ValueError(
+                "new columns must carry a real type (got NullType); "
+                "cast the column before appending"
+            )
+        # align to union schema: table columns first (missing ones as
+        # typed nulls), genuinely new columns after
+        aligned = df.select(
+            *[
+                F.col(f.name)
+                if f.name in incoming
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in target.schema.fields
+            ],
+            *[F.col(n) for n in added],
+        )
+        self.append(aligned, table)
+
+    def read_evolved(self, spark: SparkSession, table: str) -> DataFrame:
+        """Read a table whose files may span schema generations:
+        footer-merged union schema, null-filled for columns a file
+        predates. Footer merging scans metadata only, but at millions
+        of files it is real planning cost — evolved tables at scale
+        should pin the latest schema via ``read(schema=...)`` instead
+        (parquet fills absent columns with null when given an explicit
+        schema)."""
+        return spark.read.option("mergeSchema", "true").parquet(self.path(table))
+
     def save_sorted(
         self,
         df: DataFrame,

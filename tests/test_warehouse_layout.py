@@ -337,3 +337,47 @@ def test_read_lake_jsonl(spark, tmp_path):
     )
     got = {(r["county"], r["usd_amount"]) for r in df.collect()}
     assert got == {("Kent", "1,234.56"), ("Sussex", "99.50")}  # glob excluded expenses
+
+
+def test_append_evolve_policies(spark, tmp_path):
+    """Write-time schema-drift gate: strict rejects drift before any
+    row lands; add_nullable absorbs added AND omitted columns by
+    aligning each batch to the union schema; a type change is rejected
+    under every policy with the column named."""
+    wh = Warehouse(str(tmp_path / "whse"))
+    v1 = spark.createDataFrame([(1, "a")], "k int, name string")
+    wh.append_evolve(spark, v1, "facts")  # first write = table create
+
+    drifted = spark.createDataFrame(
+        [(2, "b", 9.5)], "k int, name string, score double"
+    )
+    with pytest.raises(ValueError, match="strict"):
+        wh.append_evolve(spark, drifted, "facts")  # default strict
+    # nothing landed on the failed append
+    assert spark.read.parquet(wh.path("facts")).count() == 1
+
+    wh.append_evolve(spark, drifted, "facts", policy="add_nullable")
+    # batch OMITTING an existing column: written as typed nulls
+    omitting = spark.createDataFrame([(3, 1.5)], "k int, score double")
+    wh.append_evolve(spark, omitting, "facts", policy="add_nullable")
+
+    got = {
+        r["k"]: (r["name"], r["score"])
+        for r in wh.read_evolved(spark, "facts").collect()
+    }
+    assert got == {1: ("a", None), 2: ("b", 9.5), 3: (None, 1.5)}
+
+    # type change: rejected under BOTH policies, column named
+    retyped = spark.createDataFrame([("4", "d")], "k string, name string")
+    for pol in ("strict", "add_nullable"):
+        with pytest.raises(ValueError, match="k: int -> string"):
+            wh.append_evolve(spark, retyped, "facts", policy=pol)
+
+    # post-evolution batches carry the FULL union schema: reading the
+    # newest file with the plain (non-merge) reader still shows every
+    # column — drift absorbed forward
+    newest = spark.createDataFrame(
+        [(5, "e", 0.0)], "k int, name string, score double"
+    )
+    wh.append_evolve(spark, newest, "facts", policy="add_nullable")
+    assert set(wh.read_evolved(spark, "facts").columns) == {"k", "name", "score"}

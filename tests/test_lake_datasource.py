@@ -353,3 +353,28 @@ def test_stream_throttle_end_to_end_batches(registered, tmp_path):
     assert sorted(r["county"] for r in rows) == ["C0", "C1", "C2"]
     n_batches = len(list((Path(ckpt) / "offsets").glob("[0-9]*")))
     assert n_batches >= 3
+
+
+def test_stream_available_now_drains_and_terminates(registered, tmp_path):
+    """Trigger.AvailableNow — the standard bounded-backfill invocation —
+    must drain the current listing and terminate on its own."""
+    root = str(tmp_path / "lake")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    for i in range(2):
+        _write_wage_csv(root, "2024-06-01", f"living_wage_{i}.csv",
+                        [f"LIVING WAGE,1,0,1,C{i},1.0\n"])
+    q = (
+        registered.readStream.format("lake_objects")
+        .schema(LAKE_SCHEMAS["living_wage"])
+        .option("root", root)
+        .option("category", "living_wage")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "availableNow query must self-terminate"
+    assert registered.read.parquet(out).count() == 2

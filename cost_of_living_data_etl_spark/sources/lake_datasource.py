@@ -139,6 +139,17 @@ class LakeObjectsDataSource(DataSource):
     def streamWriter(
         self, schema: StructType, overwrite: bool
     ) -> "LakeObjectsStreamWriter":
+        if overwrite:
+            # complete/truncate output mode asks each batch to REPLACE
+            # the sink; this sink is append-only by contract (landed
+            # objects are immutable) — appending full snapshots would
+            # silently duplicate every row per micro-batch
+            raise ValueError(
+                "lake_objects sink is append-only (immutable landed "
+                "objects); outputMode('complete') is not supported - "
+                "use append/update, or a keyed sink (foreachBatch "
+                "overwrite) for full-snapshot output"
+            )
         return LakeObjectsStreamWriter(schema, self.options)
 
 
@@ -297,6 +308,13 @@ class LakeObjectsSimpleStreamReader(SimpleDataSourceStreamReader):
         self.category = options["category"]
         self.extract_date = options.get("extract_date")
         self.max_per_batch = int(options["max_objects_per_batch"])
+        if self.max_per_batch < 1:
+            # 0 would stall the stream forever (healthy-looking query,
+            # nothing ingested); negatives would silently slice off
+            # the end of every backlog
+            raise ValueError(
+                f"max_objects_per_batch must be >= 1, got {self.max_per_batch}"
+            )
 
     def initialOffset(self) -> dict:
         return {"files": []}
@@ -363,8 +381,27 @@ class LakeObjectsStreamWriter(DataSourceStreamWriter):
        just discards its staged files. Either way output is
        exactly-once per batch id, same discipline as the repo's
        foreachBatch warehouse sink.
-    3. ``abort``: staged objects are deleted; the lake prefix was
-       never touched.
+    3. ``abort``: the run's staging dir is cleared; the lake prefix
+       was never touched.
+
+    Consistency fine print: UNCOMMITTED batches are never visible (all
+    staging happens outside the lake prefix), but a plain
+    listing-based reader can observe a commit IN PROGRESS (objects of
+    a batch appearing one PUT at a time, or a crashed-then-replayed
+    batch being swept and republished). The ``_commits/`` manifests
+    are the authority — exact consumers should read the object set
+    from the manifests; listing readers get eventual append-only
+    consistency, which is the usual lake contract. A run that dies
+    also leaves its ``_staging/<run_id>/`` dir behind; a TTL sweep of
+    ``_staging`` older than the checkpoint horizon reclaims it —
+    standard object-store housekeeping, same as Spark's own
+    ``_temporary`` dirs.
+
+    Dialect note: CSV cannot represent NULL distinctly from the empty
+    string — both land as an empty field and read back as NULL (the
+    native Spark CSV default and the reference's pandas ``read_csv``
+    behave the same). Pipelines that must preserve empty-vs-null
+    round-trips belong on the parquet warehouse sink, not a CSV lake.
 
     On a real object store ``os.replace`` becomes copy+delete (or a
     multipart-complete) and the manifest write must be the
@@ -373,15 +410,23 @@ class LakeObjectsStreamWriter(DataSourceStreamWriter):
     """
 
     def __init__(self, schema: StructType, options: dict):
+        import uuid
+
         self.fields = [f.name for f in schema.fields]
         self.root = options["root"]
         self.category = options["category"]
         self.extract_date = options["extract_date"]
+        # one staging dir per query run: batches within a run are
+        # sequential, so after each commit/abort the run's staging dir
+        # holds only orphans of THAT batch's failed task attempts and
+        # can be cleared wholesale; concurrent queries (distinct run
+        # ids) never see each other's staging
+        self.run_id = uuid.uuid4().hex
 
     def write(self, iterator) -> LakeCommitMessage:
         import uuid
 
-        staging = os.path.join(self.root, "_staging")
+        staging = os.path.join(self.root, "_staging", self.run_id)
         os.makedirs(staging, exist_ok=True)
         path = os.path.join(staging, f"{self.category}_{uuid.uuid4().hex}.csv")
         n = 0
@@ -396,20 +441,40 @@ class LakeObjectsStreamWriter(DataSourceStreamWriter):
     def _manifest_path(self, batch_id: int) -> str:
         return os.path.join(self.root, "_commits", f"{batch_id}.json")
 
+    def _clear_staging(self) -> None:
+        """Remove every object in this run's staging dir — after a
+        commit/abort anything left there is an orphan of a failed or
+        superseded task attempt of the just-finished batch (batches
+        within a run are sequential), so clearing wholesale is the
+        leak-proof cleanup message-list iteration alone is not."""
+        import shutil
+
+        staging = os.path.join(self.root, "_staging", self.run_id)
+        shutil.rmtree(staging, ignore_errors=True)
+
     def commit(self, messages, batchId: int) -> None:
+        import glob as _glob
         import json
 
         staged = [m.staged for m in messages if m is not None]
         manifest = self._manifest_path(batchId)
         if os.path.exists(manifest):
             # replayed batch already published: drop the re-staged copies
-            for p in staged:
-                if os.path.exists(p):
-                    os.remove(p)
+            self._clear_staging()
             return
         dest_dir = os.path.join(self.root, LAKE_PREFIX, self.extract_date)
         os.makedirs(dest_dir, exist_ok=True)
         os.makedirs(os.path.dirname(manifest), exist_ok=True)
+        # a previous attempt may have crashed BETWEEN publishing
+        # objects and writing the manifest; this attempt may publish
+        # fewer files (different partitioning after restart), so any
+        # object of this batch id beyond what we now publish would
+        # survive as duplicated rows — remove the batch's objects
+        # before republishing
+        for stale in _glob.glob(
+            os.path.join(dest_dir, f"{self.category}_b{batchId:010d}_*.csv")
+        ):
+            os.remove(stale)
         published = []
         for i, p in enumerate(sorted(staged)):
             dest = os.path.join(
@@ -422,8 +487,7 @@ class LakeObjectsStreamWriter(DataSourceStreamWriter):
         with open(tmp, "w") as f:
             json.dump({"batch_id": batchId, "rows": rows, "objects": published}, f)
         os.replace(tmp, manifest)  # manifest PUT is the commit point
+        self._clear_staging()
 
     def abort(self, messages, batchId: int) -> None:
-        for m in messages:
-            if m is not None and os.path.exists(m.staged):
-                os.remove(m.staged)
+        self._clear_staging()

@@ -331,6 +331,11 @@ class Warehouse:
         if target is None:
             self.append(df, table)
             return
+        # the gate must compare against the table's UNION schema: after
+        # a prior evolution the files span generations, and a plain
+        # read samples an arbitrary footer — a nondeterministic gate
+        # that could also align a batch against a stale column set
+        target = self.read_evolved(spark, table)
         have = {f.name: f.dataType for f in target.schema.fields}
         incoming = {f.name: f.dataType for f in df.schema.fields}
         changed = sorted(

@@ -378,3 +378,99 @@ def test_stream_available_now_drains_and_terminates(registered, tmp_path):
     )
     assert q.awaitTermination(120), "availableNow query must self-terminate"
     assert registered.read.parquet(out).count() == 2
+
+
+def test_stream_writer_commit_sweeps_crashed_partial_publish(tmp_path):
+    """Crash window: a prior attempt published objects but died before
+    the manifest. The replay may publish FEWER files (different
+    partitioning after restart) — commit must sweep the batch's stale
+    objects so no orphan survives with duplicated rows."""
+    import json
+    from pathlib import Path
+
+    from cost_of_living_data_etl_spark.sources.lake_datasource import (
+        LakeObjectsStreamWriter,
+    )
+    from pyspark.sql import Row
+
+    root = str(tmp_path)
+    dest = Path(root) / LAKE_PREFIX / "2024-06-01"
+    dest.mkdir(parents=True)
+    # the crashed attempt's 3 published objects, no manifest
+    for i in range(3):
+        (dest / f"living_wage_b0000000007_{i:05d}.csv").write_text("crashed\n")
+
+    w = LakeObjectsStreamWriter(
+        LAKE_SCHEMAS["living_wage"],
+        {"root": root, "category": "living_wage", "extract_date": "2024-06-01"},
+    )
+    row = Row(wage_level="LIVING WAGE", num_adults=1, num_children=0,
+              num_working=1, county="Kent", usd_amount=1.0)
+    m = w.write(iter([row]))  # replay stages ONE file this time
+    w.commit([m], batchId=7)
+
+    names = sorted(p.name for p in dest.iterdir())
+    assert names == ["living_wage_b0000000007_00000.csv"]
+    manifest = json.loads((Path(root) / "_commits" / "7.json").read_text())
+    assert len(manifest["objects"]) == 1
+
+
+def test_stream_writer_clears_staging_orphans(tmp_path):
+    """A failed task attempt's staged file (never reported in a commit
+    message) must not leak: commit and abort clear the run's staging
+    dir wholesale."""
+    from pathlib import Path
+
+    from cost_of_living_data_etl_spark.sources.lake_datasource import (
+        LakeObjectsStreamWriter,
+    )
+    from pyspark.sql import Row
+
+    root = str(tmp_path)
+    w = LakeObjectsStreamWriter(
+        LAKE_SCHEMAS["living_wage"],
+        {"root": root, "category": "living_wage", "extract_date": "2024-06-01"},
+    )
+    row = Row(wage_level="LIVING WAGE", num_adults=1, num_children=0,
+              num_working=1, county="Kent", usd_amount=1.0)
+    m = w.write(iter([row]))
+    # orphan from a task attempt that died before returning its message
+    orphan = Path(root) / "_staging" / w.run_id / "living_wage_orphan.csv"
+    orphan.write_text("partial\n")
+    w.commit([m], batchId=0)
+    assert not (Path(root) / "_staging" / w.run_id).exists()
+
+    m2 = w.write(iter([row]))
+    orphan2 = Path(root) / "_staging" / w.run_id / "living_wage_orphan2.csv"
+    orphan2.write_text("partial\n")
+    w.abort([m2], batchId=1)
+    assert not (Path(root) / "_staging" / w.run_id).exists()
+
+
+def test_stream_writer_rejects_complete_mode(tmp_path):
+    """outputMode('complete') passes overwrite=True; the append-only
+    sink must refuse rather than silently duplicate snapshots."""
+    from cost_of_living_data_etl_spark.sources.lake_datasource import (
+        LakeObjectsDataSource,
+    )
+
+    ds = LakeObjectsDataSource(
+        options={"root": str(tmp_path), "category": "living_wage",
+                 "extract_date": "2024-06-01"}
+    )
+    with pytest.raises(ValueError, match="append-only"):
+        ds.streamWriter(LAKE_SCHEMAS["living_wage"], overwrite=True)
+
+
+def test_simple_stream_reader_rejects_non_positive_cap(tmp_path):
+    from cost_of_living_data_etl_spark.sources.lake_datasource import (
+        LakeObjectsSimpleStreamReader,
+    )
+
+    for bad in ("0", "-1"):
+        with pytest.raises(ValueError, match="must be >= 1"):
+            LakeObjectsSimpleStreamReader(
+                LAKE_SCHEMAS["living_wage"],
+                {"root": str(tmp_path), "category": "living_wage",
+                 "max_objects_per_batch": bad},
+            )

@@ -381,3 +381,14 @@ def test_append_evolve_policies(spark, tmp_path):
     )
     wh.append_evolve(spark, newest, "facts", policy="add_nullable")
     assert set(wh.read_evolved(spark, "facts").columns) == {"k", "name", "score"}
+
+    # the gate compares against the UNION schema, not an arbitrary
+    # file's footer: on this multi-generation table a batch matching
+    # the full union must pass strict deterministically
+    wh.append_evolve(
+        spark,
+        spark.createDataFrame([(6, "f", 1.0)], "k int, name string, score double"),
+        "facts",
+        policy="strict",
+    )
+    assert wh.read_evolved(spark, "facts").count() == 5

@@ -1,0 +1,451 @@
+"""Advanced analytics: association rules, seasonal decomposition,
+CUSUM changepoint scan, and ranking-quality evaluation.
+
+Four families the reference's warehouse consumers would ask for next
+(reference app.py stops at append-loading facts; these are the
+decision-support passes OVER those facts), each with a bit-identical
+DuckDB oracle:
+
+- market-basket association rules over order baskets (support /
+  confidence / lift) — the co-purchase signal behind "frequently
+  bought together";
+- trend / day-of-week seasonality / residual decomposition of the
+  daily revenue series — the classical additive decomposition on a
+  moving-average trend;
+- one-sided CUSUM scan over daily revenue — the sequential drift
+  detector that flags WHEN a level shift started, complementing
+  q_revenue_anomaly_days' pointwise z-scores and q_psi_price_drift's
+  distribution drift;
+- nDCG@k evaluation of the embedding cosine ranker against label
+  relevance — the retrieval-quality metric for curation rankers
+  (BM25 / cosine / RRF in plans/feature_prep.py produce rankings;
+  this measures one).
+
+Float discipline (same toolkit as the rest of the catalog): counts
+stay integral as long as possible; money sums snap to the 2-decimal
+grid; unordered double sums use the sorted-fold ``det_sum``;
+sequential recurrences (CUSUM) fold day-ordered arrays with
+structurally identical lambdas on both engines.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from cost_of_living_data_etl_spark.functions.columns import det_sum
+from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.sources.tables import load_table
+
+MIN_CO = 3  # association rules: minimum co-occurrence count
+BASKET_TOPK = 20  # association rules: result size
+TREND_HALF = 3  # seasonal decomposition: +-3 observed days (7-day MA)
+NDCG_NQ = 5  # ranking eval: queries vec_id 0..NQ-1
+NDCG_K = 10  # ranking eval: cutoff
+
+
+# --- market-basket association rules ---------------------------------------
+
+_BASKET_ORACLE = f"""
+WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM b),
+c AS (SELECT l_partkey, count(*) AS cnt FROM b GROUP BY l_partkey),
+p AS (
+    SELECT a.l_partkey AS p1, d.l_partkey AS p2, count(*) AS co
+    FROM b a JOIN b d
+      ON a.l_orderkey = d.l_orderkey AND a.l_partkey < d.l_partkey
+    GROUP BY a.l_partkey, d.l_partkey
+)
+SELECT CAST(p1 AS BIGINT) AS p1,
+       CAST(p2 AS BIGINT) AS p2,
+       CAST(co AS BIGINT) AS co_count,
+       CAST(co AS DOUBLE) / n.n_orders                    AS support,
+       CAST(co AS DOUBLE) / c1.cnt                        AS confidence,
+       CAST(co * n.n_orders AS DOUBLE) / (c1.cnt * c2.cnt) AS lift
+FROM p
+JOIN c c1 ON c1.l_partkey = p.p1
+JOIN c c2 ON c2.l_partkey = p.p2
+CROSS JOIN n
+WHERE co >= {MIN_CO}
+ORDER BY lift DESC, p1, p2
+LIMIT {BASKET_TOPK}
+"""
+
+
+@register(
+    "q_market_basket_lift",
+    oracle=_BASKET_ORACLE,
+    tags=("association-rules", "basket", "agg"),
+)
+def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top part pairs by lift over order baskets, with support and
+    confidence — classic association-rule mining.
+
+    Shape: baskets come from ONE groupBy on l_orderkey
+    (``sort_array(collect_set)``), and ordered pairs are generated
+    inside the row by a nested ``transform`` — no self-join of the
+    basket table, so the pair stage shuffles |orders| basket arrays
+    (bounded: TPC-H baskets are <= ~13 parts → <= 78 pairs each), not
+    |baskets|² join candidates. Per-part counts broadcast onto the
+    pair aggregate. All metrics derive from exact integers with one
+    final double division each, so the oracle (which states the same
+    pairs relationally via self-join) hash-matches bit-for-bit.
+
+    At 100 TB: identical plan; the pair aggregate's key space is
+    bounded by observed co-occurrence (sparse), and a MIN_CO
+    pre-filter on partial counts drops the long tail map-side.
+    """
+    b = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = b.groupBy().agg(
+        F.count_distinct("l_orderkey").alias("n_orders")
+    )
+    part_counts = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    baskets = b.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) ->"
+                " transform(slice(ps, i + 2, size(ps) - i - 1),"
+                "           y -> struct(x AS p1, y AS p2))))"
+            )
+        ).alias("pr")
+    ).select("pr.p1", "pr.p2")
+    co = (
+        pairs.groupBy("p1", "p2")
+        .agg(F.count(F.lit(1)).alias("co_count"))
+        .filter(F.col("co_count") >= MIN_CO)
+    )
+    scored = (
+        co.join(
+            F.broadcast(part_counts.withColumnsRenamed({"l_partkey": "p1", "cnt": "c1"})),
+            "p1",
+        )
+        .join(
+            F.broadcast(part_counts.withColumnsRenamed({"l_partkey": "p2", "cnt": "c2"})),
+            "p2",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("p1").cast("long").alias("p1"),
+            F.col("p2").cast("long").alias("p2"),
+            F.col("co_count").cast("long").alias("co_count"),
+            (F.col("co_count").cast("double") / F.col("n_orders")).alias("support"),
+            (F.col("co_count").cast("double") / F.col("c1")).alias("confidence"),
+            (
+                (F.col("co_count") * F.col("n_orders")).cast("double")
+                / (F.col("c1") * F.col("c2"))
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), "p1", "p2").limit(BASKET_TOPK)
+
+
+# --- additive seasonal decomposition ---------------------------------------
+
+_SEASONAL_ORACLE = f"""
+WITH daily AS (
+    SELECT date_trunc('day', o_orderdate) AS day,
+           CAST(dayofweek(o_orderdate) AS INT) AS dow,
+           round(sum(o_totalprice), 2)    AS revenue
+    FROM orders GROUP BY 1, 2
+),
+t AS (
+    SELECT day, dow, revenue,
+           round(
+               sum(revenue) OVER w / count(*) OVER w, 4
+           ) AS trend
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN {TREND_HALF} PRECEDING
+                                       AND {TREND_HALF} FOLLOWING)
+),
+s AS (
+    SELECT dow,
+           list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list_sort(list(revenue - trend))),
+               (a, x) -> a + x
+           ) / count(*) AS seasonal
+    FROM t GROUP BY dow
+)
+SELECT t.day, t.revenue, t.trend,
+       s.seasonal                         AS seasonal,
+       t.revenue - t.trend - s.seasonal   AS residual
+FROM t JOIN s ON t.dow = s.dow
+"""
+
+
+@register(
+    "q_seasonal_decompose_revenue",
+    oracle=_SEASONAL_ORACLE,
+    tags=("timeseries", "seasonality", "window"),
+)
+def q_seasonal_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive decomposition of daily revenue: centered 7-observed-day
+    moving-average trend, day-of-week seasonal index from the
+    detrended series, residual = revenue - trend - seasonal.
+
+    Float pinning: daily revenue snaps to the money grid (round 2);
+    the trend divides a windowed sum by the windowed count and snaps
+    to 4 decimals — the window sum's ulp drift (engines may associate
+    frame sums differently) is ~1e-9 on these magnitudes, 5 orders
+    inside the snap; the per-DOW seasonal mean uses the sorted-fold
+    det_sum so both engines add identical values in identical order.
+    Downstream arithmetic is then identical-input identical-op.
+
+    Scale: one shuffle to |days| rows, a |days|-row window, a
+    |dow|-group aggregate — post-rollup cost is calendar-bounded, not
+    data-bounded. The trend frame is over OBSERVED days (ROWS frame):
+    on a gappy series densify first (q_timeseries_gapfill_ffill).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day"),
+        # dayofweek: Sunday=1 in both engines
+        F.dayofweek("o_orderdate").cast("int").alias("dow"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(-TREND_HALF, TREND_HALF)
+    )
+    t = daily.select(
+        "day",
+        "dow",
+        "revenue",
+        F.round(
+            F.sum("revenue").over(w) / F.count(F.lit(1)).over(w), 4
+        ).alias("trend"),
+    )
+    s = t.groupBy("dow").agg(
+        (det_sum("revenue - trend") / F.count(F.lit(1))).alias("seasonal")
+    )
+    return t.join(s, "dow").select(
+        "day",
+        "revenue",
+        "trend",
+        "seasonal",
+        (F.col("revenue") - F.col("trend") - F.col("seasonal")).alias("residual"),
+    )
+
+
+# --- CUSUM changepoint scan ------------------------------------------------
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+    SELECT date_trunc('day', o_orderdate) AS day,
+           round(sum(o_totalprice), 2)    AS revenue
+    FROM orders GROUP BY 1
+),
+m AS (
+    SELECT list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list_sort(list(revenue))),
+               (a, x) -> a + x
+           ) / count(*) AS mu
+    FROM daily
+),
+p AS (
+    SELECT day, revenue,
+           round(sum(revenue - mu) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 4) AS pref
+    FROM daily CROSS JOIN m
+),
+c AS (
+    SELECT day, revenue,
+           pref - least(CAST(0.0 AS DOUBLE), min(pref) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )) AS cusum
+    FROM p
+)
+SELECT day, revenue, cusum FROM c WHERE cusum > 0
+"""
+
+
+@register(
+    "q_cusum_changepoint_revenue",
+    oracle=_CUSUM_ORACLE,
+    tags=("timeseries", "changepoint", "drift"),
+)
+def q_cusum_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM scan over daily revenue: S_t = max(0,
+    S_{t-1} + (x_t - mu)), emitting the days where the accumulated
+    upward drift is positive. Where q_revenue_anomaly_days flags
+    single outlier days, CUSUM accumulates small persistent shifts —
+    the sequential changepoint detector (Page 1954).
+
+    Instead of folding the recurrence (single-task, like the EWMA),
+    this uses the reflected-walk identity
+    ``S_t = P_t - min(0, min_{j<=t} P_j)`` with ``P`` the prefix sum
+    of deviations — two ordinary running windows, the form that stays
+    DISTRIBUTED (range-partitioned window) when the series is long or
+    there are many parallel series. Float pinning: mu is the
+    sorted-fold mean (det_sum); the prefix sum snaps to 4 decimals
+    (engines may associate running sums differently; the ulp drift is
+    ~1e-9 on these magnitudes, far inside the snap); the running min
+    and subtraction are then identical-input identical-op.
+
+    Scale: one shuffle to the |days| rollup, then |days|-row windows.
+    A single global series means one window partition — for real
+    deployments scan per segment (status, region, source) so the
+    window partitions by key; the per-key plan is unchanged.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    mu = daily.groupBy().agg(
+        (det_sum("revenue") / F.count(F.lit(1))).alias("mu")
+    )
+    run = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    p = daily.crossJoin(F.broadcast(mu)).select(
+        "day",
+        "revenue",
+        F.round(F.sum(F.col("revenue") - F.col("mu")).over(run), 4).alias("pref"),
+    )
+    c = p.select(
+        "day",
+        "revenue",
+        (
+            F.col("pref")
+            - F.least(F.lit(0.0), F.min("pref").over(run))
+        ).alias("cusum"),
+    )
+    return c.filter(F.col("cusum") > 0)
+
+
+# --- ranking-quality evaluation (nDCG@k) -----------------------------------
+
+_NDCG_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+           sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm
+    FROM embeddings
+),
+q AS (SELECT vec_id AS qid, label AS qlabel, emb AS qemb, norm AS qnorm
+      FROM e WHERE vec_id < {NDCG_NQ}),
+ranked AS (
+    SELECT q.qid, q.qlabel,
+           CASE WHEN e.label = q.qlabel THEN 1 ELSE 0 END AS rel,
+           row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_inner_product(e.emb, q.qemb) / (e.norm * q.qnorm) DESC,
+                        e.vec_id
+           ) AS rk
+    FROM e JOIN q ON e.vec_id <> q.qid
+),
+rel_counts AS (
+    SELECT qid, CAST(sum(rel) AS BIGINT) AS n_relevant FROM ranked GROUP BY qid
+),
+dcg AS (
+    SELECT qid, qlabel,
+           list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list_sort(list(rel / (ln(rk + 1) / ln(2.0))))),
+               (a, x) -> a + x
+           ) AS dcg
+    FROM ranked WHERE rk <= {NDCG_K}
+    GROUP BY qid, qlabel
+),
+idcg AS (
+    SELECT qid,
+           list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                            list_sort(list_transform(
+                                range(1, CAST(least(n_relevant, {NDCG_K}) AS BIGINT) + 1),
+                                i -> 1.0 / (ln(i + 1) / ln(2.0))))),
+               (a, x) -> a + x
+           ) AS idcg
+    FROM rel_counts
+)
+SELECT CAST(d.qid AS BIGINT) AS query_id,
+       CAST(d.qlabel AS INT) AS query_label,
+       r.n_relevant          AS n_relevant,
+       d.dcg                 AS dcg,
+       i.idcg                AS idcg,
+       d.dcg / i.idcg        AS ndcg
+FROM dcg d JOIN idcg i ON d.qid = i.qid JOIN rel_counts r ON d.qid = r.qid
+"""
+
+
+@register(
+    "q_ndcg_ranker_eval",
+    oracle=_NDCG_ORACLE,
+    tags=("similarity", "ranking", "evaluation"),
+)
+def q_ndcg_ranker_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@{k} of the embedding-cosine ranker with same-label
+    relevance: per query, rank the corpus by cosine, score the top-k
+    by graded position discount, normalize by the ideal ordering.
+    The measurement half of retrieval-based curation — BM25 / cosine /
+    RRF produce rankings, this says how good one is.
+
+    Shape: queries broadcast, corpus map-only cosine (shared fold),
+    per-query rank via a |queries|-partition window over top-k
+    candidates only after a per-query TakeOrdered-style pre-filter is
+    unnecessary at |q|=5 — the window partitions by qid over the
+    scored stream. DCG/IDCG are <=k-term double sums computed with
+    sorted folds (det_sum discipline) so both engines add the same
+    terms in the same order; log2 is ln(x)/ln(2) on both.
+
+    At 100 TB / many queries: per-query top-k first (q_ann_batch_topk
+    shape) so the rank window sees k rows per query, not the corpus.
+    """
+    from cost_of_living_data_etl_spark.operators.similarity import (
+        cosine_expr,
+        with_norm,
+    )
+
+    e = with_norm(load_table(spark, sf_dir, "embeddings"))
+    q = e.filter(F.col("vec_id") < NDCG_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qemb"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "qlabel",
+            "vec_id",
+            F.when(F.col("label") == F.col("qlabel"), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("rel"),
+            cosine_expr("embedding", "qemb", "norm", "qnorm").alias("cos"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("vec_id"))
+    ranked = scored.withColumn("rk", F.row_number().over(wr))
+    rel_counts = ranked.groupBy("qid").agg(
+        F.sum("rel").cast("long").alias("n_relevant")
+    )
+    dcg = (
+        ranked.filter(F.col("rk") <= NDCG_K)
+        .groupBy("qid", "qlabel")
+        .agg(det_sum("rel / (ln(rk + 1) / ln(2.0))").alias("dcg"))
+    )
+    idcg = rel_counts.select(
+        "qid",
+        "n_relevant",
+        F.expr(
+            f"aggregate("
+            f"  array_sort(transform(sequence(1, int(least(n_relevant, {NDCG_K}))),"
+            "             i -> 1.0 / (ln(i + 1) / ln(2.0)))),"
+            "  CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("idcg"),
+    )
+    return dcg.join(idcg, "qid").select(
+        F.col("qid").cast("long").alias("query_id"),
+        F.col("qlabel").cast("int").alias("query_label"),
+        "n_relevant",
+        "dcg",
+        "idcg",
+        (F.col("dcg") / F.col("idcg")).alias("ndcg"),
+    )

@@ -449,3 +449,241 @@ def q_ndcg_ranker_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "idcg",
         (F.col("dcg") / F.col("idcg")).alias("ndcg"),
     )
+
+
+# --- peak session concurrency (interval sweep) -----------------------------
+
+CONCURRENCY_GAP_MIN = 30  # session gap, same rule as q_events_sessionization
+
+_CONCURRENCY_ORACLE = f"""
+WITH marked AS (
+    SELECT user_id, ts, event_id,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL {CONCURRENCY_GAP_MIN} MINUTE
+             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT user_id,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq,
+           ts
+    FROM marked
+),
+intervals AS (
+    SELECT user_id, session_seq, min(ts) AS s, max(ts) AS e
+    FROM sessions GROUP BY user_id, session_seq
+),
+bounds AS (
+    SELECT s AS ts, 1 AS delta FROM intervals
+    UNION ALL
+    SELECT e AS ts, -1 AS delta FROM intervals
+),
+sweep AS (
+    SELECT ts, delta,
+           sum(delta) OVER (
+               ORDER BY ts, delta DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS concurrency
+    FROM bounds
+)
+SELECT date_trunc('day', ts)                  AS day,
+       CAST(max(concurrency) AS BIGINT)       AS peak_concurrency
+FROM sweep
+GROUP BY date_trunc('day', ts)
+"""
+
+
+@register(
+    "q_concurrent_sessions_peak",
+    oracle=_CONCURRENCY_ORACLE,
+    tags=("events", "session", "interval", "window"),
+)
+def q_concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak simultaneous user sessions per day — the capacity-planning
+    number — via the classic interval sweep: sessions (same 30-min gap
+    rule as q_events_sessionization) become +1/-1 boundary events, a
+    running sum over the time-ordered boundaries is the live
+    concurrency, and the daily max is the peak.
+
+    All-integer end to end — no float surface at all. Tie policy:
+    boundaries at the same instant order starts (+1) before ends (-1)
+    (``delta DESC``), so a session ending exactly when another starts
+    counts as overlapping; within a tie group the running values form
+    a deterministic multiset whatever the row permutation, and only
+    per-day MAX is emitted, so the result is order-unambiguous.
+
+    Scale: sessionization shuffles on user_id (as the session query
+    does); the sweep is a single time-ordered window over 2x|sessions|
+    boundary rows. A single global sweep means one window partition —
+    the standard scale-out is per-day (or per-shard) sweeps with
+    carry-in correction, or here simply: the boundary table is tiny
+    relative to events (2 rows per SESSION, not per event).
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_ts = F.lag("ts").over(w)
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            prev_ts.isNull()
+            | (F.col("ts") > prev_ts + F.expr(f"INTERVAL {CONCURRENCY_GAP_MIN} MINUTES")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    ).withColumn("session_seq", F.sum("new_session").over(run))
+    intervals = marked.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("s"), F.max("ts").alias("e")
+    )
+    bounds = intervals.select(
+        F.col("s").alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(
+        intervals.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
+    )
+    sweep = bounds.withColumn(
+        "concurrency",
+        F.sum("delta").over(
+            Window.orderBy(F.col("ts"), F.col("delta").desc()).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ),
+    )
+    return sweep.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.max("concurrency").cast("long").alias("peak_concurrency"))
+
+
+# --- Matryoshka truncation recall ------------------------------------------
+
+MRL_DIMS = 16  # truncated prefix width (of 64)
+MRL_K = 10  # recall cutoff
+
+
+_MRL_ORACLE = f"""
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           embedding[1:{MRL_DIMS}]::DOUBLE[] AS emb_t,
+           sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS norm,
+           sqrt(list_inner_product(embedding[1:{MRL_DIMS}]::DOUBLE[],
+                                   embedding[1:{MRL_DIMS}]::DOUBLE[])) AS norm_t
+    FROM embeddings
+),
+q AS (SELECT vec_id AS qid, emb AS qemb, emb_t AS qemb_t,
+             norm AS qnorm, norm_t AS qnorm_t
+      FROM e WHERE vec_id < {NDCG_NQ}),
+full_rank AS (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_inner_product(e.emb, q.qemb) / (e.norm * q.qnorm) DESC,
+                        e.vec_id
+           ) AS rk
+    FROM e JOIN q ON e.vec_id <> q.qid
+),
+trunc_rank AS (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (
+               PARTITION BY q.qid
+               ORDER BY list_inner_product(e.emb_t, q.qemb_t) / (e.norm_t * q.qnorm_t) DESC,
+                        e.vec_id
+           ) AS rk
+    FROM e JOIN q ON e.vec_id <> q.qid
+)
+SELECT CAST(f.qid AS BIGINT) AS query_id,
+       CAST(count(t.vec_id) AS BIGINT) AS n_overlap,
+       CAST(count(t.vec_id) AS DOUBLE) / {MRL_K} AS recall_at_k
+FROM full_rank f
+LEFT JOIN trunc_rank t
+  ON f.qid = t.qid AND f.vec_id = t.vec_id AND t.rk <= {MRL_K}
+WHERE f.rk <= {MRL_K}
+GROUP BY f.qid
+"""
+
+
+@register(
+    "q_matryoshka_recall",
+    oracle=_MRL_ORACLE,
+    tags=("similarity", "ann", "evaluation"),
+)
+def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of a dimension-truncated (Matryoshka-style) cosine
+    ranking against the full-dimension ranking: rank the corpus per
+    query by 16-dim-prefix cosine and by full 64-dim cosine, count the
+    top-k overlap. THE measurement behind shipping truncated
+    embeddings: 4x less memory/bandwidth for how much retrieval loss.
+
+    Shape: both rankings share one broadcast-query scored pass (the
+    prefix dot is computed on a slice of the same row — no second
+    corpus scan), per-query rank windows, and an integer overlap
+    count; only the final recall ratio divides. Cosines use the
+    shared fold; ranks tie-break on vec_id, so both engines rank
+    identically and the overlap is exact.
+
+    At 100 TB: per-query top-k pre-selection first (q_ann_batch_topk
+    shape), then the same overlap join on (qid, vec_id).
+    """
+    from cost_of_living_data_etl_spark.operators.similarity import (
+        dot_expr,
+        with_norm,
+    )
+
+    e = with_norm(load_table(spark, sf_dir, "embeddings")).withColumn(
+        "emb_t", F.expr(f"slice(embedding, 1, {MRL_DIMS})")
+    )
+    e = e.withColumn("norm_t", F.sqrt(dot_expr("emb_t", "emb_t")))
+    q = e.filter(F.col("vec_id") < NDCG_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        F.col("emb_t").alias("qemb_t"),
+        F.col("norm").alias("qnorm"),
+        F.col("norm_t").alias("qnorm_t"),
+    )
+    scored = (
+        e.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (dot_expr("embedding", "qemb") / (F.col("norm") * F.col("qnorm"))).alias(
+                "cos_full"
+            ),
+            (dot_expr("emb_t", "qemb_t") / (F.col("norm_t") * F.col("qnorm_t"))).alias(
+                "cos_trunc"
+            ),
+        )
+    )
+    wf = Window.partitionBy("qid").orderBy(F.desc("cos_full"), F.asc("vec_id"))
+    wt = Window.partitionBy("qid").orderBy(F.desc("cos_trunc"), F.asc("vec_id"))
+    ranked = scored.select(
+        "qid",
+        "vec_id",
+        F.row_number().over(wf).alias("rk_full"),
+        F.row_number().over(wt).alias("rk_trunc"),
+    )
+    return (
+        ranked.filter(F.col("rk_full") <= MRL_K)
+        .groupBy("qid")
+        .agg(
+            F.sum(
+                F.when(F.col("rk_trunc") <= MRL_K, F.lit(1)).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("n_overlap")
+        )
+        .select(
+            F.col("qid").cast("long").alias("query_id"),
+            "n_overlap",
+            (F.col("n_overlap").cast("double") / MRL_K).alias("recall_at_k"),
+        )
+    )

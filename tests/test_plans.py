@@ -399,3 +399,46 @@ def test_semantic_decontam_broadcasts_eval_side(spark, sf_smoke):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_market_basket_has_no_basket_self_join(spark, sf_smoke):
+    """Pairs are generated in-row from basket arrays: the only joins in
+    the plan are the broadcast count/total attachments — no sort-merge
+    (basket-table self-join) anywhere, and exactly one top-k sort."""
+    plan = plan_of(spark, "q_market_basket_lift", sf_smoke, mode="simple")
+    assert "SortMergeJoin" not in plan
+    assert "Generate explode" in plan or "Generate" in plan  # in-row pairs
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+
+
+def test_cusum_is_windowed_not_folded(spark, sf_smoke):
+    """The reflected-walk form runs as running windows over the daily
+    rollup — no collect_list fold for the path (only mu's det_sum
+    aggregates an array), so the series stage stays distributed."""
+    plan = plan_of(spark, "q_cusum_changepoint_revenue", sf_smoke, mode="simple")
+    assert "Window" in plan
+    # broadcast of the 1-row mu, never a shuffle join
+    assert "SortMergeJoin" not in plan
+
+
+def test_matryoshka_single_scored_pass(spark, sf_smoke):
+    """Both rankings must come from ONE broadcast-join scored pass:
+    exactly one scan of the embeddings table feeds the query side and
+    one the corpus side — no third scan for the truncated ranking."""
+    import re
+
+    plan = plan_of(spark, "q_matryoshka_recall", sf_smoke, mode="formatted")
+    # formatted mode prints each node in the tree AND a detail section;
+    # count the numbered detail entries for true scan count
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) <= 2
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_concurrency_sweep_input_is_sessions_not_events(spark, sf_smoke):
+    """The ±1 boundary union must be built from the session-interval
+    aggregate (2 rows per session), not raw events — the aggregate
+    sits between the events scan and the union."""
+    plan = plan_of(spark, "q_concurrent_sessions_peak", sf_smoke, mode="simple")
+    assert "Union" in plan
+    # session intervals: min/max aggregate over (user_id, session_seq)
+    assert "partial_min" in plan or "HashAggregate" in plan

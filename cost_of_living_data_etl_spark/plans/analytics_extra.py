@@ -95,17 +95,19 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by observed co-occurrence (sparse), and a MIN_CO
     pre-filter on partial counts drops the long tail map-side.
     """
-    b = (
+    # collect_set dedupes in the SAME aggregate that builds the basket,
+    # so no separate distinct() pass over (order, part) — one shuffle
+    # builds the basket table and everything else derives from it
+    baskets = (
         load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
     )
-    n_orders = b.groupBy().agg(
-        F.count_distinct("l_orderkey").alias("n_orders")
-    )
-    part_counts = b.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
-    baskets = b.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    n_orders = baskets.groupBy().agg(F.count(F.lit(1)).alias("n_orders"))
+    part_counts = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     pairs = baskets.select(
         F.explode(
@@ -441,7 +443,7 @@ def q_ndcg_ranker_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "  CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
         ).alias("idcg"),
     )
-    return dcg.join(idcg, "qid").select(
+    return dcg.join(F.broadcast(idcg), "qid").select(
         F.col("qid").cast("long").alias("query_id"),
         F.col("qlabel").cast("int").alias("query_label"),
         "n_relevant",

@@ -689,3 +689,280 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_overlap").cast("double") / MRL_K).alias("recall_at_k"),
         )
     )
+
+
+# --- Theil-Sen robust trend ------------------------------------------------
+
+_THEILSEN_ORACLE = """
+WITH daily AS (
+    SELECT date_trunc('day', o_orderdate) AS day,
+           round(sum(o_totalprice), 2)    AS revenue
+    FROM orders GROUP BY 1
+),
+idx AS (
+    SELECT datediff('day', (SELECT min(day) FROM daily), day) AS d, revenue
+    FROM daily
+),
+slopes AS (
+    SELECT a.d AS d1, b.d AS d2,
+           (b.revenue - a.revenue) / (b.d - a.d) AS slope
+    FROM idx a JOIN idx b ON a.d < b.d
+),
+ranked AS (
+    SELECT slope,
+           row_number() OVER (ORDER BY slope, d1, d2) AS rk,
+           count(*) OVER () AS n
+    FROM slopes
+)
+SELECT CAST(n AS BIGINT)  AS n_pairs,
+       slope              AS slope_per_day
+FROM ranked
+WHERE rk = (n + 1) // 2
+"""
+
+
+@register(
+    "q_theilsen_revenue_trend",
+    oracle=_THEILSEN_ORACLE,
+    tags=("timeseries", "robust", "regression"),
+)
+def q_theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope of daily revenue: the median of all
+    pairwise day-to-day slopes — a trend estimate a handful of
+    outlier days cannot move (least-squares breaks at one bad day;
+    Theil-Sen tolerates ~29% corruption).
+
+    The median is the EXACT lower-median element selected by a total
+    order (slope, d1, d2) — an order statistic, not an interpolated
+    quantile, so no float averaging and both engines pick the same
+    element bit-for-bit. Each slope is one subtraction and one
+    division of grid-snapped values — identical cross-engine.
+
+    Scale honesty: pairwise slopes are O(|days|²) — but |days| is
+    calendar-bounded (7 years ≈ 2.4k days ⇒ ≈3M pairs over the
+    ROLLUP, invariant in corpus size), so the quadratic never touches
+    row-scale data. For per-segment trends, the same plan partitions
+    by key; for long series, Theil-Sen estimators switch to the
+    randomized-pair or median-of-medians variants.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    base = daily.groupBy().agg(F.min("day").alias("day0"))
+    idx = daily.crossJoin(F.broadcast(base)).select(
+        F.datediff("day", "day0").alias("d"), "revenue"
+    )
+    a = idx.select(F.col("d").alias("d1"), F.col("revenue").alias("r1"))
+    b = idx.select(F.col("d").alias("d2"), F.col("revenue").alias("r2"))
+    slopes = (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            ((F.col("r2") - F.col("r1")) / (F.col("d2") - F.col("d1"))).alias(
+                "slope"
+            ),
+        )
+    )
+    w = Window.orderBy("slope", "d1", "d2")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rk") == F.floor((F.col("n") + 1) / 2)
+    ).select(
+        F.col("n").cast("long").alias("n_pairs"),
+        F.col("slope").alias("slope_per_day"),
+    )
+
+
+# --- Zipf exponent ---------------------------------------------------------
+
+ZIPF_TOP = 500  # fit over the top-N vocabulary ranks
+
+
+_ZIPF_ORACLE = f"""
+WITH words AS (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+    FROM documents WHERE trim(text) <> ''
+),
+freq AS (
+    SELECT word, count(*) AS cnt FROM words GROUP BY word
+),
+ranked AS (
+    SELECT cnt, row_number() OVER (ORDER BY cnt DESC, word) AS rk
+    FROM freq
+    ORDER BY cnt DESC, word
+    LIMIT {ZIPF_TOP}
+),
+pts AS (SELECT ln(rk) AS x, ln(cnt) AS y FROM ranked),
+m AS (
+    SELECT
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(x))),
+                    (a, b) -> a + b) / count(*) AS mx,
+        list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(y))),
+                    (a, b) -> a + b) / count(*) AS my,
+        CAST(count(*) AS BIGINT) AS n
+    FROM pts
+)
+SELECT n AS n_words,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list_sort(list((x - mx) * (y - my)))),
+                   (a, b) -> a + b)
+       /
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                list_sort(list((x - mx) * (x - mx)))),
+                   (a, b) -> a + b)                        AS zipf_slope
+FROM pts CROSS JOIN m
+GROUP BY n, mx, my
+"""
+
+
+@register(
+    "q_zipf_exponent",
+    oracle=_ZIPF_ORACLE,
+    tags=("text", "vocabulary", "quality"),
+)
+def q_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent of the corpus word-frequency curve: the
+    least-squares slope of ln(freq) on ln(rank) over the top-N
+    vocabulary. Natural corpora sit near -1; a flat slope flags
+    templated/synthetic text, a cliff flags boilerplate domination —
+    a one-number corpus-health signal for acquisition triage
+    (complements q_text_repetition and q_unigram_surprisal).
+
+    Same whitespace tokenizer as q_word_frequency_topk; the rank cut
+    is deterministic under ties (cnt DESC, word). The regression
+    moments fold with det_sum (sorted order, identical on both
+    engines), over exactly ZIPF_TOP points — the post-vocab stage
+    costs O(N), and the vocab aggregate is the same bounded
+    (word, partial_count) shuffle as every wordcount query.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.trim(F.col("text")).alias("t"))
+        .filter(F.col("t") != "")
+        .select(F.explode(F.split("t", r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = (
+        freq.orderBy(F.desc("cnt"), "word")
+        .limit(ZIPF_TOP)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.desc("cnt"), "word"))
+            .alias("rk"),
+            "cnt",
+        )
+    )
+    pts = ranked.select(
+        F.log(F.col("rk").cast("double")).alias("x"),
+        F.log(F.col("cnt").cast("double")).alias("y"),
+    )
+    m = pts.groupBy().agg(
+        (det_sum("x") / F.count(F.lit(1))).alias("mx"),
+        (det_sum("y") / F.count(F.lit(1))).alias("my"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    return (
+        pts.crossJoin(F.broadcast(m))
+        .groupBy("n", "mx", "my")
+        .agg(
+            (
+                det_sum("(x - mx) * (y - my)") / det_sum("(x - mx) * (x - mx)")
+            ).alias("zipf_slope")
+        )
+        .select(F.col("n").alias("n_words"), "zipf_slope")
+    )
+
+
+# --- session bounce rate ---------------------------------------------------
+
+_BOUNCE_ORACLE = f"""
+WITH marked AS (
+    SELECT user_id, ts, event_id,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL {CONCURRENCY_GAP_MIN} MINUTE
+             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT user_id,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq,
+           ts
+    FROM marked
+),
+per_session AS (
+    SELECT user_id, session_seq, min(ts) AS session_start,
+           count(*) AS n_events
+    FROM sessions GROUP BY user_id, session_seq
+)
+SELECT date_trunc('day', session_start)                           AS day,
+       CAST(count(*) AS BIGINT)                                   AS n_sessions,
+       CAST(count(*) FILTER (WHERE n_events = 1) AS BIGINT)       AS n_bounces,
+       CAST(count(*) FILTER (WHERE n_events = 1) AS DOUBLE)
+           / count(*)                                             AS bounce_rate
+FROM per_session
+GROUP BY date_trunc('day', session_start)
+"""
+
+
+@register(
+    "q_session_bounce_rate",
+    oracle=_BOUNCE_ORACLE,
+    tags=("events", "session", "agg"),
+)
+def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily bounce rate: fraction of sessions (same 30-min gap rule)
+    containing exactly one event — the engagement-quality headline
+    every product dashboard carries.
+
+    Integer counts with one final division per day; the session pass
+    shares the sessionization shuffle shape (user_id window → per-
+    session aggregate), and the daily rollup is |days| rows.
+    """
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_ts = F.lag("ts").over(w)
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            prev_ts.isNull()
+            | (
+                F.col("ts")
+                > prev_ts + F.expr(f"INTERVAL {CONCURRENCY_GAP_MIN} MINUTES")
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    ).withColumn("session_seq", F.sum("new_session").over(run))
+    per_session = marked.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events")
+    )
+    day = F.date_trunc("day", F.col("session_start")).alias("day")
+    return per_session.groupBy(day).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.count_if(F.col("n_events") == 1).cast("long").alias("n_bounces"),
+        (
+            F.count_if(F.col("n_events") == 1).cast("double")
+            / F.count(F.lit(1))
+        ).alias("bounce_rate"),
+    )

@@ -96,6 +96,17 @@ HEADLINE = [
     "q_ohlc_weekly_orders",
     "q_hybrid_rrf_retrieval",
     "q_column_profile_orders",
+    # round-3 additions (semantic decontam + advanced analytics)
+    "q_semantic_decontam",
+    "q_market_basket_lift",
+    "q_seasonal_decompose_revenue",
+    "q_cusum_changepoint_revenue",
+    "q_ndcg_ranker_eval",
+    "q_concurrent_sessions_peak",
+    "q_matryoshka_recall",
+    "q_theilsen_revenue_trend",
+    "q_zipf_exponent",
+    "q_session_bounce_rate",
 ]
 
 

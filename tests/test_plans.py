@@ -442,3 +442,30 @@ def test_concurrency_sweep_input_is_sessions_not_events(spark, sf_smoke):
     assert "Union" in plan
     # session intervals: min/max aggregate over (user_id, session_seq)
     assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_theilsen_pair_stage_is_rollup_bounded(spark, sf_smoke):
+    """The O(n²) pair join must consume the DAILY ROLLUP (aggregate
+    before the join), never raw orders — one orders scan per side,
+    each feeding a date-grouped aggregate first."""
+    plan = plan_of(spark, "q_theilsen_revenue_trend", sf_smoke, mode="simple")
+    # the self-join sides are aggregates, so a hash/NLJ join over
+    # aggregated inputs; raw-order self-join would show two bare scans
+    # joined without intermediate HashAggregate
+    assert plan.count("HashAggregate") >= 2
+    assert "TakeOrderedAndProject" not in plan  # order statistic, not top-k
+
+
+def test_zipf_fit_is_bounded_to_top_vocab(spark, sf_smoke):
+    """The regression stage must sit behind a GlobalLimit of ZIPF_TOP —
+    the O(N) fit never sees the unbounded vocabulary."""
+    plan = plan_of(spark, "q_zipf_exponent", sf_smoke, mode="simple")
+    assert "TakeOrderedAndProject" in plan or "GlobalLimit" in plan
+
+
+def test_bounce_rate_reuses_sessionization_shape(spark, sf_smoke):
+    """Sessionization shuffles on user_id once (window), then the
+    per-session aggregate and daily rollup — no extra exchanges."""
+    plan = plan_of(spark, "q_session_bounce_rate", sf_smoke, mode="simple")
+    assert "Window" in plan
+    assert plan.count("Exchange hashpartitioning") <= 3

@@ -44,6 +44,25 @@ NDCG_NQ = 5  # ranking eval: queries vec_id 0..NQ-1
 NDCG_K = 10  # ranking eval: cutoff
 
 
+# shared daily-revenue rollup: ONE definition of the series every
+# time-series query below consumes (money-grid snap included), oracle
+# fragment and Spark helper in lockstep
+_DAILY_CTE = """daily AS (
+    SELECT date_trunc('day', o_orderdate) AS day,
+           round(sum(o_totalprice), 2)    AS revenue
+    FROM orders GROUP BY 1
+)"""
+
+
+def _daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(day, revenue) rollup — the Spark twin of ``_DAILY_CTE``."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+
+
 # --- market-basket association rules ---------------------------------------
 
 _BASKET_ORACLE = f"""
@@ -151,18 +170,16 @@ def q_market_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- additive seasonal decomposition ---------------------------------------
 
 _SEASONAL_ORACLE = f"""
-WITH daily AS (
-    SELECT date_trunc('day', o_orderdate) AS day,
-           CAST(dayofweek(o_orderdate) AS INT) AS dow,
-           round(sum(o_totalprice), 2)    AS revenue
-    FROM orders GROUP BY 1, 2
+WITH {_DAILY_CTE},
+d2 AS (
+    SELECT day, CAST(dayofweek(day) AS INT) AS dow, revenue FROM daily
 ),
 t AS (
     SELECT day, dow, revenue,
            round(
                sum(revenue) OVER w / count(*) OVER w, 4
            ) AS trend
-    FROM daily
+    FROM d2
     WINDOW w AS (ORDER BY day ROWS BETWEEN {TREND_HALF} PRECEDING
                                        AND {TREND_HALF} FOLLOWING)
 ),
@@ -205,12 +222,13 @@ def q_seasonal_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     data-bounded. The trend frame is over OBSERVED days (ROWS frame):
     on a gappy series densify first (q_timeseries_gapfill_ffill).
     """
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.date_trunc("day", F.col("o_orderdate")).alias("day"),
-        # dayofweek: Sunday=1 in both engines
-        F.dayofweek("o_orderdate").cast("int").alias("dow"),
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    # dow is an INTERNAL grouping/join key only, never emitted: Spark's
+    # dayofweek is Sunday=1 while DuckDB's is Sunday=0, but any
+    # per-engine consistent day-of-week labeling groups identically
+    # (the mapping is a bijection), so the decomposition matches
+    daily = _daily_revenue(spark, sf_dir).withColumn(
+        "dow", F.dayofweek("day").cast("int")
+    )
     w = (
         Window.orderBy("day")
         .rowsBetween(-TREND_HALF, TREND_HALF)
@@ -237,12 +255,8 @@ def q_seasonal_decompose_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- CUSUM changepoint scan ------------------------------------------------
 
-_CUSUM_ORACLE = """
-WITH daily AS (
-    SELECT date_trunc('day', o_orderdate) AS day,
-           round(sum(o_totalprice), 2)    AS revenue
-    FROM orders GROUP BY 1
-),
+_CUSUM_ORACLE = f"""
+WITH {_DAILY_CTE},
 m AS (
     SELECT list_reduce(
                list_prepend(CAST(0.0 AS DOUBLE),
@@ -297,10 +311,7 @@ def q_cusum_changepoint_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     deployments scan per segment (status, region, source) so the
     window partitions by key; the per-key plan is unchanged.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.date_trunc("day", F.col("o_orderdate")).alias("day")
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    daily = _daily_revenue(spark, sf_dir)
     mu = daily.groupBy().agg(
         (det_sum("revenue") / F.count(F.lit(1))).alias("mu")
     )
@@ -355,6 +366,9 @@ dcg AS (
     GROUP BY qid, qlabel
 ),
 idcg AS (
+    -- zero-relevance queries are excluded (nDCG is undefined: no
+    -- ideal ordering exists); the filter also keeps the term
+    -- sequence non-empty on both engines
     SELECT qid,
            list_reduce(
                list_prepend(CAST(0.0 AS DOUBLE),
@@ -364,6 +378,7 @@ idcg AS (
                (a, x) -> a + x
            ) AS idcg
     FROM rel_counts
+    WHERE n_relevant >= 1
 )
 SELECT CAST(d.qid AS BIGINT) AS query_id,
        CAST(d.qlabel AS INT) AS query_label,
@@ -433,7 +448,11 @@ def q_ndcg_ranker_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("qid", "qlabel")
         .agg(det_sum("rel / (ln(rk + 1) / ln(2.0))").alias("dcg"))
     )
-    idcg = rel_counts.select(
+    # zero-relevance queries are excluded (nDCG undefined — no ideal
+    # ordering), which also keeps sequence() ascending and non-empty:
+    # Spark's sequence(1, 0) yields the DESCENDING [1, 0], whose i=0
+    # term divides by ln(1)=0 and throws under ANSI mode
+    idcg = rel_counts.filter(F.col("n_relevant") >= 1).select(
         "qid",
         "n_relevant",
         F.expr(
@@ -453,15 +472,18 @@ def q_ndcg_ranker_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- peak session concurrency (interval sweep) -----------------------------
+# --- shared session-interval building block --------------------------------
+# ONE definition of the gap rule's application here (constant imported
+# from events_queries so the catalog has a single source of truth);
+# both session-derived queries below consume it, oracle and Spark side.
 
-CONCURRENCY_GAP_MIN = 30  # session gap, same rule as q_events_sessionization
+from cost_of_living_data_etl_spark.plans.events_queries import SESSION_GAP_MIN
 
-_CONCURRENCY_ORACLE = f"""
-WITH marked AS (
+_SESSIONS_CTE = f"""
+marked AS (
     SELECT user_id, ts, event_id,
         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                  > INTERVAL {CONCURRENCY_GAP_MIN} MINUTE
+                  > INTERVAL {SESSION_GAP_MIN} MINUTE
              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              THEN 1 ELSE 0 END AS new_session
     FROM events
@@ -475,14 +497,64 @@ sessions AS (
            ts
     FROM marked
 ),
-intervals AS (
-    SELECT user_id, session_seq, min(ts) AS s, max(ts) AS e
+per_session AS (
+    SELECT user_id, session_seq, min(ts) AS s, max(ts) AS e,
+           count(*) AS n_events
     FROM sessions GROUP BY user_id, session_seq
-),
+)"""
+
+
+def _session_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session (user_id, session_seq, s, e, n_events) under the
+    shared 30-min gap rule — the Spark twin of ``_SESSIONS_CTE``."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_ts = F.lag("ts").over(w)
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            prev_ts.isNull()
+            | (
+                F.col("ts")
+                > prev_ts + F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    ).withColumn("session_seq", F.sum("new_session").over(run))
+    return marked.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("s"),
+        F.max("ts").alias("e"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# --- peak session concurrency (interval sweep) -----------------------------
+
+_CONCURRENCY_ORACLE = f"""
+WITH {_SESSIONS_CTE},
 bounds AS (
-    SELECT s AS ts, 1 AS delta FROM intervals
+    SELECT s AS ts, 1 AS delta FROM per_session
     UNION ALL
-    SELECT e AS ts, -1 AS delta FROM intervals
+    SELECT e AS ts, -1 AS delta FROM per_session
+    UNION ALL
+    -- day-opening probe rows (delta 0): without them, a day whose
+    -- peak is CARRIED IN from sessions that started the previous day
+    -- would only sample post-decrement values, and a day fully inside
+    -- a long session would have no row at all
+    SELECT unnest(generate_series(
+               (SELECT date_trunc('day', min(s)) FROM per_session),
+               (SELECT date_trunc('day', max(e)) FROM per_session),
+               INTERVAL 1 DAY)) AS ts,
+           0 AS delta
 ),
 sweep AS (
     SELECT ts, delta,
@@ -512,11 +584,17 @@ def q_concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     concurrency, and the daily max is the peak.
 
     All-integer end to end — no float surface at all. Tie policy:
-    boundaries at the same instant order starts (+1) before ends (-1)
-    (``delta DESC``), so a session ending exactly when another starts
-    counts as overlapping; within a tie group the running values form
-    a deterministic multiset whatever the row permutation, and only
-    per-day MAX is emitted, so the result is order-unambiguous.
+    boundaries at the same instant order starts (+1), then midnight
+    probes (0), then ends (-1) (``delta DESC``), so a session ending
+    exactly when another starts counts as overlapping; within a tie
+    group the running values form a deterministic multiset whatever
+    the row permutation, and only per-day MAX is emitted, so the
+    result is order-unambiguous. Every calendar day between the first
+    session start and the last session end is reported: midnight
+    probe rows sample the carried-in concurrency, so a peak reached
+    by sessions begun the previous day — or a day sitting entirely
+    inside one long session — is never under-counted (a zero-probe
+    day reports its true peak of 0).
 
     Scale: sessionization shuffles on user_id (as the session query
     does); the sweep is a single time-ordered window over 2x|sessions|
@@ -525,33 +603,30 @@ def q_concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry-in correction, or here simply: the boundary table is tiny
     relative to events (2 rows per SESSION, not per event).
     """
-    events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    prev_ts = F.lag("ts").over(w)
-    marked = events.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(
-            prev_ts.isNull()
-            | (F.col("ts") > prev_ts + F.expr(f"INTERVAL {CONCURRENCY_GAP_MIN} MINUTES")),
-            F.lit(1),
+    intervals = _session_intervals(spark, sf_dir)
+    # day-opening probe rows (delta 0): sample the carried-in
+    # concurrency at each midnight, so a day whose peak arrives from
+    # sessions begun the previous day (or that sits entirely inside a
+    # long session) reports the true value
+    grid = (
+        intervals.groupBy()
+        .agg(
+            F.date_trunc("day", F.min("s")).alias("d0"),
+            F.date_trunc("day", F.max("e")).alias("d1"),
         )
-        .otherwise(F.lit(0))
-        .alias("new_session"),
-    ).withColumn("session_seq", F.sum("new_session").over(run))
-    intervals = marked.groupBy("user_id", "session_seq").agg(
-        F.min("ts").alias("s"), F.max("ts").alias("e")
+        .select(
+            F.explode(
+                F.expr("sequence(d0, d1, interval 1 day)")
+            ).alias("ts"),
+            F.lit(0).alias("delta"),
+        )
     )
-    bounds = intervals.select(
-        F.col("s").alias("ts"), F.lit(1).alias("delta")
-    ).unionAll(
-        intervals.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
+    bounds = (
+        intervals.select(F.col("s").alias("ts"), F.lit(1).alias("delta"))
+        .unionAll(
+            intervals.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
+        )
+        .unionAll(grid)
     )
     sweep = bounds.withColumn(
         "concurrency",
@@ -594,10 +669,15 @@ full_rank AS (
     FROM e JOIN q ON e.vec_id <> q.qid
 ),
 trunc_rank AS (
+    -- a zero 16-dim prefix (possible with sparse/quantized vectors)
+    -- would divide by zero: rank such vectors as never-similar (-2,
+    -- below any real cosine) instead — identical rule both engines
     SELECT q.qid, e.vec_id,
            row_number() OVER (
                PARTITION BY q.qid
-               ORDER BY list_inner_product(e.emb_t, q.qemb_t) / (e.norm_t * q.qnorm_t) DESC,
+               ORDER BY CASE WHEN e.norm_t * q.qnorm_t = 0 THEN -2.0
+                             ELSE list_inner_product(e.emb_t, q.qemb_t)
+                                  / (e.norm_t * q.qnorm_t) END DESC,
                         e.vec_id
            ) AS rk
     FROM e JOIN q ON e.vec_id <> q.qid
@@ -660,9 +740,13 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dot_expr("embedding", "qemb") / (F.col("norm") * F.col("qnorm"))).alias(
                 "cos_full"
             ),
-            (dot_expr("emb_t", "qemb_t") / (F.col("norm_t") * F.col("qnorm_t"))).alias(
-                "cos_trunc"
-            ),
+            # zero 16-dim prefix ⇒ never-similar (-2.0, below any real
+            # cosine) instead of an ANSI divide-by-zero
+            F.when(F.col("norm_t") * F.col("qnorm_t") == 0, F.lit(-2.0))
+            .otherwise(
+                dot_expr("emb_t", "qemb_t") / (F.col("norm_t") * F.col("qnorm_t"))
+            )
+            .alias("cos_trunc"),
         )
     )
     wf = Window.partitionBy("qid").orderBy(F.desc("cos_full"), F.asc("vec_id"))
@@ -693,12 +777,8 @@ def q_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Theil-Sen robust trend ------------------------------------------------
 
-_THEILSEN_ORACLE = """
-WITH daily AS (
-    SELECT date_trunc('day', o_orderdate) AS day,
-           round(sum(o_totalprice), 2)    AS revenue
-    FROM orders GROUP BY 1
-),
+_THEILSEN_ORACLE = f"""
+WITH {_DAILY_CTE},
 idx AS (
     SELECT datediff('day', (SELECT min(day) FROM daily), day) AS d, revenue
     FROM daily
@@ -745,10 +825,7 @@ def q_theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     by key; for long series, Theil-Sen estimators switch to the
     randomized-pair or median-of-medians variants.
     """
-    orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.date_trunc("day", F.col("o_orderdate")).alias("day")
-    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    daily = _daily_revenue(spark, sf_dir)
     base = daily.groupBy().agg(F.min("day").alias("day0"))
     idx = daily.crossJoin(F.broadcast(base)).select(
         F.datediff("day", "day0").alias("d"), "revenue"
@@ -885,35 +962,14 @@ def q_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- session bounce rate ---------------------------------------------------
 
 _BOUNCE_ORACLE = f"""
-WITH marked AS (
-    SELECT user_id, ts, event_id,
-        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                  > INTERVAL {CONCURRENCY_GAP_MIN} MINUTE
-             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-             THEN 1 ELSE 0 END AS new_session
-    FROM events
-),
-sessions AS (
-    SELECT user_id,
-           sum(new_session) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS session_seq,
-           ts
-    FROM marked
-),
-per_session AS (
-    SELECT user_id, session_seq, min(ts) AS session_start,
-           count(*) AS n_events
-    FROM sessions GROUP BY user_id, session_seq
-)
-SELECT date_trunc('day', session_start)                           AS day,
+WITH {_SESSIONS_CTE}
+SELECT date_trunc('day', s)                                       AS day,
        CAST(count(*) AS BIGINT)                                   AS n_sessions,
        CAST(count(*) FILTER (WHERE n_events = 1) AS BIGINT)       AS n_bounces,
        CAST(count(*) FILTER (WHERE n_events = 1) AS DOUBLE)
            / count(*)                                             AS bounce_rate
 FROM per_session
-GROUP BY date_trunc('day', session_start)
+GROUP BY date_trunc('day', s)
 """
 
 
@@ -929,35 +985,11 @@ def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Integer counts with one final division per day; the session pass
     shares the sessionization shuffle shape (user_id window → per-
-    session aggregate), and the daily rollup is |days| rows.
+    session aggregate via _session_intervals), and the daily rollup is
+    |days| rows.
     """
-    events = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    prev_ts = F.lag("ts").over(w)
-    marked = events.select(
-        "user_id",
-        "ts",
-        "event_id",
-        F.when(
-            prev_ts.isNull()
-            | (
-                F.col("ts")
-                > prev_ts + F.expr(f"INTERVAL {CONCURRENCY_GAP_MIN} MINUTES")
-            ),
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .alias("new_session"),
-    ).withColumn("session_seq", F.sum("new_session").over(run))
-    per_session = marked.groupBy("user_id", "session_seq").agg(
-        F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events")
-    )
-    day = F.date_trunc("day", F.col("session_start")).alias("day")
+    per_session = _session_intervals(spark, sf_dir)
+    day = F.date_trunc("day", F.col("s")).alias("day")
     return per_session.groupBy(day).agg(
         F.count(F.lit(1)).cast("long").alias("n_sessions"),
         F.count_if(F.col("n_events") == 1).cast("long").alias("n_bounces"),

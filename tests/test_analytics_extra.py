@@ -1,0 +1,94 @@
+"""Semantic regression tests for the advanced-analytics family —
+cases the oracle hash gate cannot catch because oracle and engine
+share the spec (a shared-spec bug would hash-match on both sides).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyspark.sql.functions as F
+
+
+def _write_events(spark, path, rows):
+    """rows: [(event_id, ts, user_id)] -> events.parquet with the
+    fixture schema (extra columns nulled)."""
+    df = spark.createDataFrame(
+        [(i, ts, uid, "view", 1.0, "{}") for (i, ts, uid) in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    df.write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_concurrency_peak_carries_across_midnight(spark, tmp_path):
+    """Five sessions run 23:00 day1 -> 01:00 day2 (events every 25 min
+    keep each session alive across midnight). Day2's peak is CARRIED IN
+    — no +1 boundary occurs on day2 — and must still report 5; a
+    boundary-only sweep reports 4 (the value after the first -1)."""
+    from cost_of_living_data_etl_spark.plans.analytics_extra import (
+        q_concurrent_sessions_peak,
+    )
+
+    base = datetime.datetime(2024, 6, 1, 23, 0, 0)
+    rows = []
+    eid = 0
+    for uid in range(5):
+        for k in range(5):  # 23:00, 23:25, 23:50, 00:15, 00:40
+            rows.append((eid, base + datetime.timedelta(minutes=25 * k), uid))
+            eid += 1
+    _write_events(spark, str(tmp_path), rows)
+
+    got = {
+        r["day"].date().isoformat(): r["peak_concurrency"]
+        for r in q_concurrent_sessions_peak(spark, str(tmp_path)).collect()
+    }
+    assert got == {"2024-06-01": 5, "2024-06-02": 5}
+
+
+def test_concurrency_day_inside_long_session_is_reported(spark, tmp_path):
+    """A calendar day that sits entirely inside one long-running
+    session has no boundary rows of its own; the midnight probe must
+    still report its peak of 1 (and the covered middle day must not be
+    missing from the output)."""
+    from cost_of_living_data_etl_spark.plans.analytics_extra import (
+        q_concurrent_sessions_peak,
+    )
+
+    start = datetime.datetime(2024, 6, 1, 12, 0, 0)
+    end = datetime.datetime(2024, 6, 3, 12, 0, 0)
+    rows = []
+    eid = 0
+    t = start
+    while t <= end:  # one session: events every 25 minutes for 2 days
+        rows.append((eid, t, 1))
+        eid += 1
+        t += datetime.timedelta(minutes=25)
+    _write_events(spark, str(tmp_path), rows)
+
+    got = {
+        r["day"].date().isoformat(): r["peak_concurrency"]
+        for r in q_concurrent_sessions_peak(spark, str(tmp_path)).collect()
+    }
+    assert got == {"2024-06-01": 1, "2024-06-02": 1, "2024-06-03": 1}
+
+
+def test_bounce_rate_counts_single_event_sessions(spark, tmp_path):
+    """Two sessions for user 1 (one bounce, one 2-event) on one day:
+    bounce rate must be 1/2."""
+    from cost_of_living_data_etl_spark.plans.analytics_extra import (
+        q_session_bounce_rate,
+    )
+
+    d = datetime.datetime(2024, 6, 1, 10, 0, 0)
+    rows = [
+        (0, d, 1),  # bounce (next event > 30 min away)
+        (1, d + datetime.timedelta(hours=2), 1),
+        (2, d + datetime.timedelta(hours=2, minutes=10), 1),
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    out = q_session_bounce_rate(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["n_sessions"], r["n_bounces"]) == (2, 1)
+    assert r["bounce_rate"] == 0.5

@@ -28,6 +28,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -242,6 +243,70 @@ def dedup_within_watermark(events: DataFrame, watermark: str = "60 minutes") -> 
     """
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["event_id"]
+    )
+
+
+# --- custom stateful operator: per-key CUSUM drift monitor ------------------
+
+_CUSUM_SCHEMA = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("n_events", LongType()),
+        StructField("cusum", DoubleType()),
+    ]
+)
+
+_CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("s", DoubleType()),
+    ]
+)
+
+
+def cusum_value_monitor(events: DataFrame, target: float) -> DataFrame:
+    """Per-event-type one-sided CUSUM over the value stream:
+    S := max(0, S + (value - target)), carried ACROSS micro-batches in
+    the state store — the streaming form of
+    q_cusum_changepoint_revenue's changepoint scan (Page's detector).
+    Where the PSI monitor (streaming/monitor.py) is stateless
+    per-batch distribution drift, CUSUM accumulates small persistent
+    LEVEL shifts that no single batch makes visible; `target` is the
+    in-control mean from the reference period.
+
+    Each batch's rows fold in (ts, event_id) order on top of the
+    carried S, so the emitted statistic equals the batch fold over the
+    concatenated arrival order (pinned by the test's batch twin).
+    State is one (count, double) per key — O(|event types|) total,
+    no watermark needed because nothing is ever evicted by design.
+    Ordering caveat (same as every per-key recurrence): cross-batch
+    correctness assumes a key's events arrive in event-time order
+    across batches; out-of-order arrival needs a watermark-buffered
+    re-sort upstream.
+    """
+
+    def _update(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, s = (state.get if state.exists else (0, 0.0))
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "event_id"])
+            for v in pdf["value"].astype(float):
+                s = max(0.0, s + (v - target))
+            n += len(pdf)
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"event_type": [key[0]], "n_events": [n], "cusum": [s]}
+        )
+
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update,
+        outputStructType=_CUSUM_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

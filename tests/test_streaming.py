@@ -634,3 +634,62 @@ def test_batch_psi_out_of_domain_values_register_not_vanish(spark):
     healthy = batch_psi(ref, baseline, "value", 50.0, 20).collect()[0]
     assert healthy["psi"] == pytest.approx(0.0, abs=1e-12)
     assert row["psi"] > 1.0               # sign-flip screams, not whispers
+
+
+def test_cusum_monitor_carries_state_across_batches(spark, tmp_path):
+    """Two micro-batches (maxFilesPerTrigger=1 over two landed files):
+    the final CUSUM per event type must equal the single fold over the
+    concatenated arrival order — proving S carries through the state
+    store between batches, not just within one."""
+    import shutil as _shutil
+
+    from cost_of_living_data_etl_spark.streaming.events import (
+        cusum_value_monitor,
+        read_events_stream,
+    )
+
+    d = tmp_path / "cusum_stream"
+    d.mkdir()
+    _shutil.copy(f"{SF}/events.parquet", d / "events_0.parquet")
+    _shutil.copy(f"{SF}/events.parquet", d / "events_1.parquet")
+
+    target = 5.0
+    stream = cusum_value_monitor(
+        read_events_stream(spark, str(d), max_files_per_trigger=1), target
+    )
+    name = f"cusum_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+    got = {
+        r["event_type"]: (r["n_events"], r["cusum"])
+        for r in spark.table(name).collect()
+    }
+
+    # batch twin: fold each file's rows in (ts, event_id) order, file
+    # after file — the arrival order the stream saw
+    import pandas as _pd
+
+    pdf = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("event_type", "ts", "event_id", "value")
+        .toPandas()
+    )
+    want = {}
+    for et, grp in pdf.groupby("event_type"):
+        ordered = grp.sort_values(["ts", "event_id"])["value"].astype(float)
+        s = 0.0
+        for _pass in range(2):  # two identical files = two batches
+            for v in ordered:
+                s = max(0.0, s + (v - target))
+        want[et] = (2 * len(ordered), s)
+
+    assert set(got) == set(want)
+    for et in want:
+        assert got[et][0] == want[et][0]
+        assert abs(got[et][1] - want[et][1]) < 1e-9

@@ -27,8 +27,10 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     tpch_suite,
     udtf_queries,
     windows,
-    analytics_extra,  # keep LAST: registration order feeds the
-    # driver's unverified-first sampling — new queries must sort after
-    # the already-pending ones so they never displace them from the
+    # keep NEW modules LAST: registration order feeds the driver's
+    # unverified-first sampling — new queries must sort after the
+    # already-pending ones so they never displace them from the
     # per-round verification sample
+    analytics_extra,
+    customer_analytics,
 )

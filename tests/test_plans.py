@@ -469,3 +469,21 @@ def test_bounce_rate_reuses_sessionization_shape(spark, sf_smoke):
     plan = plan_of(spark, "q_session_bounce_rate", sf_smoke, mode="simple")
     assert "Window" in plan
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_class_separation_has_no_pairwise_pass(spark, sf_smoke):
+    """Centroid-based separation must stay map-only against broadcast
+    centroids: no sort-merge join, no O(n²) nested-loop over vectors
+    (the only NLJ allowed is the 1-row global-centroid broadcast)."""
+    plan = plan_of(spark, "q_embed_class_separation", sf_smoke, mode="simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_cohort_ltv_windows_over_cells_not_orders(spark, sf_smoke):
+    """The cumulative-LTV window must consume the (cohort x age) cell
+    aggregate, not raw orders: a HashAggregate sits below the Window."""
+    plan = plan_of(spark, "q_cohort_ltv", sf_smoke, mode="simple")
+    i_window = plan.find("Window")
+    assert i_window != -1
+    assert "HashAggregate" in plan[i_window:]

@@ -33,4 +33,5 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     # per-round verification sample
     analytics_extra,
     customer_analytics,
+    stats_analytics,
 )

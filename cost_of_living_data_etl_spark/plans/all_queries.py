@@ -34,4 +34,5 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     analytics_extra,
     customer_analytics,
     stats_analytics,
+    behavior_analytics,
 )

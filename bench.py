@@ -114,6 +114,10 @@ HEADLINE = [
     "q_ab_test_welch",
     "q_seasonal_naive_mase",
     "q_price_quantity_corr",
+    "q_user_activity_gini",
+    "q_funnel_latency_histogram",
+    "q_decay_attribution",
+    "q_dup_cluster_size_histogram",
 ]
 
 

@@ -171,7 +171,7 @@ def q_funnel_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ATTRIBUTION_ORACLE = f"""
 WITH views AS (
-    SELECT user_id, ts AS v_ts, event_id AS v_id
+    SELECT user_id, ts AS v_ts
     FROM events WHERE event_type = 'view'
 ),
 purchases AS (
@@ -186,10 +186,17 @@ touch AS (
      AND v.v_ts <= p.p_ts
      AND v.v_ts >= p.p_ts - INTERVAL {ATTR_WINDOW_DAYS} DAY
 ),
+wsum AS (
+    SELECT p_id,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                    list_sort(list(w))),
+                       (a, b) -> a + b) AS sw
+    FROM touch GROUP BY p_id
+),
 shared AS (
-    SELECT date_trunc('day', v_ts) AS day,
-           value * w / sum(w) OVER (PARTITION BY p_id) AS attributed
-    FROM touch
+    SELECT date_trunc('day', t.v_ts) AS day,
+           t.value * t.w / s.sw AS attributed
+    FROM touch t JOIN wsum s ON t.p_id = s.p_id
 )
 SELECT day,
        CAST(count(*) AS BIGINT) AS n_touches,
@@ -213,10 +220,9 @@ def q_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     that last-touch attribution (q_events_click_attribution) distorts.
 
     Determinism: weights are exp of integer second-differences
-    (libm-identical both engines), the per-purchase normalization is a
-    window sum over that purchase's own touches folded in one task's
-    frame on both engines — and the one cross-touch aggregation (per
-    day) folds sorted (det_sum) and snaps to 6 decimals.
+    (libm-identical both engines); BOTH float aggregations — the
+    per-purchase weight total and the per-day rollup — fold sorted
+    (det_sum), and the day totals snap to 6 decimals.
 
     Scale: the time-bounded join shuffles both sides on user_id with
     the range predicate applied in the join — state bounded by the
@@ -225,7 +231,7 @@ def q_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     events = load_table(spark, sf_dir, "events")
     views = events.filter(F.col("event_type") == "view").select(
-        "user_id", F.col("ts").alias("v_ts"), F.col("event_id").alias("v_id")
+        "user_id", F.col("ts").alias("v_ts")
     )
     purchases = events.filter(F.col("event_type") == "purchase").select(
         "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id"), "value"
@@ -247,12 +253,15 @@ def q_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(ATTR_TAU_SEC)
         ).alias("w"),
     )
-    wsum = Window.partitionBy("p_id")
-    shared = touch.select(
+    # per-purchase weight total via a SORTED fold, not an unordered
+    # window sum: sum(w) over an unordered partition accumulates in
+    # shuffle-fetch order — last-ulp drift run-to-run and
+    # engine-to-engine, exactly what the driver's exact-hash gate
+    # cannot tolerate (det_sum docstring)
+    wsum = touch.groupBy("p_id").agg(det_sum("w").alias("sw"))
+    shared = touch.join(wsum, "p_id").select(
         F.date_trunc("day", F.col("v_ts")).alias("day"),
-        (F.col("value") * F.col("w") / F.sum("w").over(wsum)).alias(
-            "attributed"
-        ),
+        (F.col("value") * F.col("w") / F.col("sw")).alias("attributed"),
     )
     return shared.groupBy("day").agg(
         F.count(F.lit(1)).cast("long").alias("n_touches"),

@@ -133,8 +133,8 @@ cell AS (
            round(sum(o_totalprice), 2)               AS revenue
     FROM aged GROUP BY cohort_m, age_months
 )
-SELECT CAST(cohort_m // 12 AS INT)      AS cohort_year,
-       CAST(cohort_m % 12 + 1 AS INT)   AS cohort_month,
+SELECT CAST((cohort_m - 1) // 12 AS INT)    AS cohort_year,
+       CAST((cohort_m - 1) % 12 + 1 AS INT) AS cohort_month,
        CAST(age_months AS INT)          AS age_months,
        n_active, revenue,
        round(sum(revenue) OVER (
@@ -184,9 +184,12 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = Window.partitionBy("cohort_m").orderBy("age_months").rowsBetween(
         Window.unboundedPreceding, 0
     )
+    # decode year*12+month: month 12 encodes to m ≡ 0 (mod 12), so the
+    # naive m//12, m%12+1 would label December cohorts as January of
+    # the NEXT year — subtract 1 first
     return cell.select(
-        F.floor(F.col("cohort_m") / 12).cast("int").alias("cohort_year"),
-        (F.col("cohort_m") % 12 + 1).cast("int").alias("cohort_month"),
+        F.floor((F.col("cohort_m") - 1) / 12).cast("int").alias("cohort_year"),
+        ((F.col("cohort_m") - 1) % 12 + 1).cast("int").alias("cohort_month"),
         F.col("age_months").cast("int").alias("age_months"),
         "n_active",
         "revenue",

@@ -23,10 +23,17 @@ from cost_of_living_data_etl_spark.plans.analytics_extra import (
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.sources.tables import load_table
 
-# md5-derived 2-arm assignment (reshape.py's bucket trick, mod 2):
-# deterministic on any cluster, reproducible, oracle-replayable
-_ARM_SPARK = "cast(conv(substring(md5(cast({k} AS STRING)), 1, 15), 16, 10) AS BIGINT) % 2"
-_ARM_SQL = "CAST(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT) % 2"
+# md5-derived 2-arm assignment: the SHARED reshape.py bucket pair with
+# parity on top (100 is even, so bucket%2 ≡ key-hash%2 — and reusing
+# the one definition keeps every module's two-engine hash expression
+# in lock-step)
+from cost_of_living_data_etl_spark.plans.reshape import (  # noqa: E402
+    _BUCKET_SPARK,
+    _BUCKET_SQL,
+)
+
+_ARM_SPARK = f"({_BUCKET_SPARK}) % 2"
+_ARM_SQL = f"({_BUCKET_SQL}) % 2"
 
 T_CRIT = 1.96  # ~95% two-sided normal approximation
 

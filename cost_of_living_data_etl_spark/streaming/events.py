@@ -291,11 +291,19 @@ def cusum_value_monitor(events: DataFrame, target: float) -> DataFrame:
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         n, s = (state.get if state.exists else (0, 0.0))
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for v in pdf["value"].astype(float):
+        # concatenate BEFORE sorting: a key whose batch exceeds the
+        # Arrow chunk size arrives as several pdfs in arbitrary order,
+        # and the fold is order-dependent (same pattern as the EWMA
+        # kernel below)
+        chunks = list(pdfs)
+        batch = (
+            pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+        )
+        if len(batch):
+            batch = batch.sort_values(["ts", "event_id"])
+            for v in batch["value"].astype(float):
                 s = max(0.0, s + (v - target))
-            n += len(pdf)
+            n += len(batch)
         state.update((n, s))
         yield pd.DataFrame(
             {"event_type": [key[0]], "n_events": [n], "cusum": [s]}

@@ -673,8 +673,6 @@ def test_cusum_monitor_carries_state_across_batches(spark, tmp_path):
 
     # batch twin: fold each file's rows in (ts, event_id) order, file
     # after file — the arrival order the stream saw
-    import pandas as _pd
-
     pdf = (
         spark.read.parquet(f"{SF}/events.parquet")
         .select("event_type", "ts", "event_id", "value")

@@ -92,3 +92,43 @@ def test_bounce_rate_counts_single_event_sessions(spark, tmp_path):
     r = out[0]
     assert (r["n_sessions"], r["n_bounces"]) == (2, 1)
     assert r["bounce_rate"] == 0.5
+
+
+def test_cohort_ltv_december_cohort_label(spark, tmp_path):
+    """Shared-spec regression: year*12+month decoding must label a
+    December cohort as (year, 12) — the naive %12+1 decode calls it
+    January of the NEXT year on both engines, so only a semantic test
+    catches it."""
+    import datetime
+
+    from cost_of_living_data_etl_spark.plans.customer_analytics import (
+        q_cohort_ltv,
+    )
+
+    rows = [
+        # customer 1: first order December 1995, second order Feb 1996
+        (1, 1, "F", 100.0, datetime.datetime(1995, 12, 15), "1-URGENT"),
+        (2, 1, "F", 50.0, datetime.datetime(1996, 2, 10), "1-URGENT"),
+        # customer 2: single order January 1996
+        (3, 2, "F", 70.0, datetime.datetime(1996, 1, 5), "1-URGENT"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+
+    got = {
+        (r["cohort_year"], r["cohort_month"], r["age_months"]): (
+            r["n_active"],
+            r["revenue"],
+            r["cum_revenue"],
+        )
+        for r in q_cohort_ltv(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        (1995, 12, 0): (1, 100.0, 100.0),
+        (1995, 12, 2): (1, 50.0, 150.0),
+        (1996, 1, 0): (1, 70.0, 70.0),
+    }

@@ -118,6 +118,10 @@ HEADLINE = [
     "q_funnel_latency_histogram",
     "q_decay_attribution",
     "q_dup_cluster_size_histogram",
+    "q_rolling_active_users",
+    "q_order_backlog_aging",
+    "q_market_concentration_hhi",
+    "q_readability_by_source",
 ]
 
 

@@ -35,4 +35,5 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     customer_analytics,
     stats_analytics,
     behavior_analytics,
+    ops_analytics,
 )

@@ -122,6 +122,9 @@ HEADLINE = [
     "q_order_backlog_aging",
     "q_market_concentration_hhi",
     "q_readability_by_source",
+    "q_session_entry_conversion",
+    "q_effective_tokens_by_source",
+    "q_event_burstiness",
 ]
 
 

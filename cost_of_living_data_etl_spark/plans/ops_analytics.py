@@ -12,7 +12,7 @@ sorted folds for float sums).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from cost_of_living_data_etl_spark.functions.columns import det_sum
 from cost_of_living_data_etl_spark.plans.catalog import register
@@ -273,4 +273,231 @@ def q_readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.round(det_sum("flesch") / F.count(F.lit(1)), 4).alias("mean_flesch"),
+    )
+
+
+# --- session entry-point conversion ----------------------------------------
+
+_ENTRY_CONV_ORACLE = """
+WITH marked AS (
+    SELECT user_id, ts, event_id, event_type,
+        CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  > INTERVAL 30 MINUTE
+             OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sessions AS (
+    SELECT user_id, event_type, ts, event_id,
+           sum(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq
+    FROM marked
+),
+per_session AS (
+    SELECT user_id, session_seq,
+           first(event_type ORDER BY ts, event_id)                  AS entry_type,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+    FROM sessions GROUP BY user_id, session_seq
+)
+SELECT entry_type,
+       CAST(count(*) AS BIGINT)        AS n_sessions,
+       CAST(sum(converted) AS BIGINT)  AS n_converted,
+       CAST(sum(converted) AS DOUBLE) / count(*) AS conversion_rate
+FROM per_session
+GROUP BY entry_type
+"""
+
+
+@register(
+    "q_session_entry_conversion",
+    oracle=_ENTRY_CONV_ORACLE,
+    tags=("events", "session", "funnel"),
+)
+def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate by session ENTRY point: sessions labeled by
+    their first event type (same 30-min gap rule), converted if the
+    session contains a purchase. The landing-page-effectiveness
+    table — which entry experiences actually lead anywhere.
+
+    The entry label is an argmin aggregate (min of an
+    ((ts, event_id), type) struct — in-aggregate deterministic
+    tie-break, the q_monthly_order_extremes discipline), conversion a
+    conditional max; both partial-aggregate map-side. Integer counts,
+    one final division.
+    """
+    from cost_of_living_data_etl_spark.plans.events_queries import (
+        SESSION_GAP_MIN,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_ts = F.lag("ts").over(w)
+    marked = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            prev_ts.isNull()
+            | (
+                F.col("ts")
+                > prev_ts + F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+    ).withColumn("session_seq", F.sum("new_session").over(run))
+    per_session = marked.groupBy("user_id", "session_seq").agg(
+        F.min(
+            F.struct(F.struct("ts", "event_id").alias("o"), F.col("event_type"))
+        )["event_type"].alias("entry_type"),
+        F.max(
+            F.when(F.col("event_type") == "purchase", F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("converted"),
+    )
+    return per_session.groupBy("entry_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        (F.sum("converted").cast("double") / F.count(F.lit(1))).alias(
+            "conversion_rate"
+        ),
+    )
+
+
+# --- effective tokens after dedup ------------------------------------------
+
+_EFFECTIVE_TOKENS_ORACLE = r"""
+WITH toks AS (
+    SELECT doc_id, source, md5(text) AS h,
+           CAST(CASE WHEN trim(text) = '' THEN 0
+                ELSE length(string_split_regex(trim(text), '\s+')) END
+                AS BIGINT) AS n_tokens
+    FROM documents
+),
+keepers AS (
+    SELECT h, min(doc_id) AS keep_id FROM toks GROUP BY h
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT)        AS n_docs,
+       CAST(sum(t.n_tokens) AS BIGINT) AS raw_tokens,
+       CAST(sum(CASE WHEN t.doc_id = k.keep_id THEN t.n_tokens ELSE 0 END)
+            AS BIGINT)                 AS effective_tokens,
+       CAST(sum(CASE WHEN t.doc_id = k.keep_id THEN t.n_tokens ELSE 0 END)
+            AS DOUBLE) / sum(t.n_tokens) AS retention
+FROM toks t JOIN keepers k ON t.h = k.h
+GROUP BY t.source
+"""
+
+
+@register(
+    "q_effective_tokens_by_source",
+    oracle=_EFFECTIVE_TOKENS_ORACLE,
+    tags=("text", "dedup", "curation", "tokens"),
+)
+def q_effective_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Effective (post-exact-dedup) token budget per source: raw
+    whitespace tokens vs tokens surviving the keep-min-doc_id policy,
+    and the retention ratio. THE number a pretraining-data plan is
+    built on — raw corpus size overstates what dedup leaves, and
+    per-source retention shows which feeds are mostly copies
+    (complements q_dedup_rate_by_source's doc counts with the token
+    weight that actually prices training).
+
+    Token counts and the md5 keeper rule reuse the established
+    conventions (whitespace tokenizer; md5(text) + min(doc_id) from
+    q_dedup_exact_groups). Integer sums end to end, one final ratio.
+    Text never shuffles: hashes and counts are computed in the scan
+    projection, the join key is the 32-char hash.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.when(F.trim(F.col("text")) == "", F.lit(0))
+        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    keepers = toks.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    joined = toks.join(keepers, "h")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").alias("raw_tokens"),
+        F.sum(
+            F.when(F.col("doc_id") == F.col("keep_id"), F.col("n_tokens"))
+            .otherwise(F.lit(0))
+        ).alias("effective_tokens"),
+        (
+            F.sum(
+                F.when(F.col("doc_id") == F.col("keep_id"), F.col("n_tokens"))
+                .otherwise(F.lit(0))
+            ).cast("double")
+            / F.sum("n_tokens")
+        ).alias("retention"),
+    )
+
+
+# --- event burstiness (Fano factor) ----------------------------------------
+
+_BURSTINESS_ORACLE = """
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts) AS day, count(*) AS c
+    FROM events GROUP BY event_type, date_trunc('day', ts)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_days,
+       CAST(sum(c) AS DOUBLE) / count(*) AS mean_daily,
+       (CAST(sum(c * c) AS DOUBLE)
+        - CAST(sum(c) AS DOUBLE) * sum(c) / count(*)) / (count(*) - 1)
+           AS var_daily,
+       ((CAST(sum(c * c) AS DOUBLE)
+         - CAST(sum(c) AS DOUBLE) * sum(c) / count(*)) / (count(*) - 1))
+       / (CAST(sum(c) AS DOUBLE) / count(*)) AS fano
+FROM daily
+GROUP BY event_type
+"""
+
+
+@register(
+    "q_event_burstiness",
+    oracle=_BURSTINESS_ORACLE,
+    tags=("events", "dispersion", "agg"),
+)
+def q_event_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance/mean of daily counts) per event type — the
+    dispersion index separating steady Poisson-like traffic (≈1) from
+    bursty/campaign-driven load (≫1) and throttled/quota'd flows (<1).
+    The shape statistic capacity planning reads next to
+    q_concurrent_sessions_peak's level.
+
+    Daily counts are INTEGERS, so Σc and Σc² are exact integer sums —
+    the moments need no sorted fold; the double arithmetic at the end
+    is identical-input identical-op on both engines. Two bounded
+    aggregates: |types|×|days| then |types|.
+    """
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    n = F.count(F.lit(1))
+    sc = F.sum("c")
+    scc = F.sum(F.col("c") * F.col("c"))
+    mean = sc.cast("double") / n
+    var = (scc.cast("double") - sc.cast("double") * sc / n) / (n - 1)
+    return daily.groupBy("event_type").agg(
+        n.cast("long").alias("n_days"),
+        mean.alias("mean_daily"),
+        var.alias("var_daily"),
+        (var / mean).alias("fano"),
     )

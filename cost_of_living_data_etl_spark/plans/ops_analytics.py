@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from cost_of_living_data_etl_spark.functions.columns import det_sum
 from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.plans.events_queries import SESSION_GAP_MIN
 from cost_of_living_data_etl_spark.sources.tables import load_table
 
 ROLLING_DAYS = 7  # trailing active-user window
@@ -46,27 +47,37 @@ def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing {ROLLING_DAYS}-day active users per day — the WAU-style
     reach metric. A windowed COUNT(DISTINCT) cannot partial-aggregate,
     so the plan collapses events to DISTINCT (day, user) rows FIRST
-    (the one event-scale shuffle), then range-joins that slim rollup
-    to the day grid and counts distinct per day — the trailing-window
-    distinct pattern that scales as |days| x window x daily-actives,
-    not as raw events (cf. q_running_distinct_customers for the
-    CUMULATIVE variant's first-seen trick; a trailing window has no
-    such trick because users age OUT of it).
+    (the one event-scale shuffle), then EXPLODES each (day, user) row
+    into the {ROLLING_DAYS} grid days it covers — turning the band
+    join into an EQUI hash join/aggregate that genuinely scales as
+    |days| x window x daily-actives (a raw non-equi band join compiles
+    to a nested-loop over |day_user| x |all days|, ~350x more
+    comparisons on a 7-year calendar). Grid days beyond the observed
+    range are clipped by a broadcast semi join. (Cf.
+    q_running_distinct_customers for the CUMULATIVE variant's
+    first-seen trick; a trailing window has no such trick because
+    users age OUT of it.)
 
-    All-integer. The range join is day-grid x day-user on a bounded
-    7-day band.
+    All-integer.
     """
     events = load_table(spark, sf_dir, "events")
     day_user = events.select(
         F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
     ).distinct()
     grid = day_user.select("day").distinct().withColumnRenamed("day", "gday")
-    joined = grid.join(
-        day_user,
-        (F.col("day") <= F.col("gday"))
-        & (F.col("day") > F.col("gday") - F.expr(f"INTERVAL {ROLLING_DAYS} DAYS")),
+    covered = day_user.select(
+        "user_id",
+        F.explode(
+            F.expr(
+                f"sequence(day, day + interval {ROLLING_DAYS - 1} days,"
+                " interval 1 day)"
+            )
+        ).alias("gday"),
     )
-    return joined.groupBy(F.col("gday").alias("day")).agg(
+    # clip to observed days (a user's coverage extends past the last
+    # day with data), then the distinct count is an equi aggregate
+    observed = covered.join(F.broadcast(grid), "gday", "left_semi")
+    return observed.groupBy(F.col("gday").alias("day")).agg(
         F.count_distinct("user_id").cast("long").alias("active_users_7d")
     )
 
@@ -278,11 +289,11 @@ def q_readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- session entry-point conversion ----------------------------------------
 
-_ENTRY_CONV_ORACLE = """
+_ENTRY_CONV_ORACLE = f"""
 WITH marked AS (
     SELECT user_id, ts, event_id, event_type,
         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                  > INTERVAL 30 MINUTE
+                  > INTERVAL {SESSION_GAP_MIN} MINUTE
              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
              THEN 1 ELSE 0 END AS new_session
     FROM events
@@ -327,10 +338,6 @@ def q_session_entry_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     conditional max; both partial-aggregate map-side. Integer counts,
     one final division.
     """
-    from cost_of_living_data_etl_spark.plans.events_queries import (
-        SESSION_GAP_MIN,
-    )
-
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = (
@@ -429,8 +436,12 @@ def q_effective_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_tokens"),
     )
-    keepers = toks.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
-    joined = toks.join(keepers, "h")
+    # keeper via window-min over the hash partition — ONE shuffle of
+    # the slim frame (the corpus_prep keeper discipline), not a
+    # groupBy + join-back that exchanges it twice
+    joined = toks.withColumn(
+        "keep_id", F.min("doc_id").over(Window.partitionBy("h"))
+    )
     return joined.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").alias("raw_tokens"),

@@ -125,6 +125,9 @@ HEADLINE = [
     "q_session_entry_conversion",
     "q_effective_tokens_by_source",
     "q_event_burstiness",
+    "q_monthly_value_percentile_bands",
+    "q_neyman_allocation",
+    "q_seasonal_adjusted_anomalies",
 ]
 
 

@@ -1018,3 +1018,40 @@ def q_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("bounce_rate"),
     )
+
+
+# --- seasonal-adjusted anomalies -------------------------------------------
+
+ANOMALY_TOPK = 10
+
+
+@register(
+    "q_seasonal_adjusted_anomalies",
+    oracle=f"""
+    WITH decomp AS ({_SEASONAL_ORACLE})
+    SELECT day, revenue, residual
+    FROM decomp
+    ORDER BY abs(residual) DESC, day
+    LIMIT {ANOMALY_TOPK}
+    """,
+    tags=("timeseries", "anomaly", "composition"),
+)
+def q_seasonal_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{ANOMALY_TOPK} days by |seasonal-adjusted residual|: the
+    anomaly read AFTER trend and day-of-week effects are removed —
+    q_revenue_anomaly_days flags raw spikes, which on a weekly-
+    patterned series mostly flags Sundays; this flags days that are
+    odd FOR their weekday and trend position.
+
+    Pure composition: the decomposition query's own plan (oracle
+    embeds _SEASONAL_ORACLE verbatim — the two cannot drift) ranked by
+    |residual| with a day tie-break, cut by TakeOrderedAndProject.
+    Residuals are bit-identical from the parent query, so the top-k
+    set is exact.
+    """
+    decomp = q_seasonal_decompose_revenue(spark, sf_dir)
+    return (
+        decomp.select("day", "revenue", "residual")
+        .orderBy(F.abs(F.col("residual")).desc(), F.col("day"))
+        .limit(ANOMALY_TOPK)
+    )

@@ -296,3 +296,167 @@ def q_price_quantity_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         (n < 2) | (vx <= 0) | (vy <= 0), F.lit(None).cast("double")
     ).otherwise(F.round((n * sxy - sx * sy) / F.sqrt(vx * vy), 6))
     return m.select("p_brand", "n", corr.alias("quantity_price_corr"))
+
+
+# --- monthly percentile bands ----------------------------------------------
+
+_BANDS_ORACLE = """
+WITH ranked AS (
+    SELECT date_trunc('month', o_orderdate) AS month,
+           o_totalprice,
+           row_number() OVER (
+               PARTITION BY date_trunc('month', o_orderdate)
+               ORDER BY o_totalprice, o_orderkey
+           ) AS rk,
+           count(*) OVER (
+               PARTITION BY date_trunc('month', o_orderdate)
+           ) AS n
+    FROM orders
+)
+SELECT month,
+       CAST(n AS BIGINT) AS n_orders,
+       max(CASE WHEN rk = CAST(ceil(0.10 * n) AS BIGINT)
+                THEN o_totalprice END) AS p10,
+       max(CASE WHEN rk = CAST(ceil(0.50 * n) AS BIGINT)
+                THEN o_totalprice END) AS p50,
+       max(CASE WHEN rk = CAST(ceil(0.90 * n) AS BIGINT)
+                THEN o_totalprice END) AS p90
+FROM ranked
+GROUP BY month, n
+"""
+
+
+@register(
+    "q_monthly_value_percentile_bands",
+    oracle=_BANDS_ORACLE,
+    tags=("orders", "percentiles", "window"),
+)
+def q_monthly_value_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/P50/P90 order-value bands per month — the control-chart
+    band that spots mix drift (medians moving without means moving).
+    Unlike q_percentiles_order_value's engine-native approximations,
+    these are EXACT order statistics: rank r = ceil(p·n) under the
+    total order (price, orderkey) — no interpolation, so both engines
+    select the identical stored double and the hash gate is exact by
+    construction.
+
+    One rank window per month partition over that month's orders; the
+    band pivot is a conditional max over three ranks. Output is
+    |months| rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    wr = Window.partitionBy(F.date_trunc("month", F.col("o_orderdate"))).orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    wn = Window.partitionBy(F.date_trunc("month", F.col("o_orderdate")))
+    ranked = orders.select(
+        month,
+        "o_totalprice",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def band(p: float):
+        return F.max(
+            F.when(
+                F.col("rk") == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                F.col("o_totalprice"),
+            )
+        )
+
+    return ranked.groupBy("month", "n").agg(
+        band(0.10).alias("p10"),
+        band(0.50).alias("p50"),
+        band(0.90).alias("p90"),
+    ).select(
+        "month",
+        F.col("n").cast("long").alias("n_orders"),
+        "p10",
+        "p50",
+        "p90",
+    )
+
+
+# --- Neyman sampling allocation --------------------------------------------
+
+SAMPLE_BUDGET = 1000  # total sample size to allocate
+
+
+_NEYMAN_ORACLE = f"""
+WITH m AS (
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_h,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                    list_sort(list(c_acctbal))),
+                       (a, b) -> a + b) AS s,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                    list_sort(list(c_acctbal * c_acctbal))),
+                       (a, b) -> a + b) AS ssq
+    FROM customer GROUP BY c_mktsegment
+),
+w AS (
+    SELECT c_mktsegment, n_h,
+           n_h * sqrt(greatest(ssq - s * s / n_h, CAST(0.0 AS DOUBLE))
+                      / (n_h - 1)) AS weight
+    FROM m
+),
+t AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                      list_sort(list(weight))),
+                         (a, b) -> a + b) AS tot FROM w)
+SELECT w.c_mktsegment,
+       w.n_h                                    AS n_population,
+       w.weight / t.tot                         AS alloc_share,
+       CAST(floor({SAMPLE_BUDGET} * w.weight / t.tot) AS BIGINT)
+           AS alloc_n
+FROM w CROSS JOIN t
+"""
+
+
+@register(
+    "q_neyman_allocation",
+    oracle=_NEYMAN_ORACLE,
+    tags=("statistics", "sampling", "design"),
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal sample allocation across customer segments for a
+    {SAMPLE_BUDGET}-unit budget: n_h ∝ N_h·S_h (stratum size × stratum
+    std of account balance) — minimum-variance stratified sampling,
+    the design step BEFORE q_stratified_sample_by_lang's execution
+    step (which takes rates as given; this computes them).
+
+    Per-stratum moments fold sorted (det_sum) with the standard
+    cancellation clamp; the weight total folds sorted again; shares
+    divide identical doubles and the integer allocation floors them.
+    Everything after the one |customers|→|segments| aggregate is
+    |segments|-row arithmetic.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    m = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).cast("long").alias("n_h"),
+        det_sum("c_acctbal").alias("s"),
+        det_sum("c_acctbal * c_acctbal").alias("ssq"),
+    )
+    w = m.select(
+        "c_mktsegment",
+        "n_h",
+        (
+            F.col("n_h")
+            * F.sqrt(
+                F.greatest(
+                    F.col("ssq") - F.col("s") * F.col("s") / F.col("n_h"),
+                    F.lit(0.0),
+                )
+                / (F.col("n_h") - 1)
+            )
+        ).alias("weight"),
+    )
+    tot = w.groupBy().agg(det_sum("weight").alias("tot"))
+    return w.crossJoin(F.broadcast(tot)).select(
+        "c_mktsegment",
+        F.col("n_h").alias("n_population"),
+        (F.col("weight") / F.col("tot")).alias("alloc_share"),
+        F.floor(SAMPLE_BUDGET * F.col("weight") / F.col("tot"))
+        .cast("long")
+        .alias("alloc_n"),
+    )

@@ -128,6 +128,12 @@ HEADLINE = [
     "q_monthly_value_percentile_bands",
     "q_neyman_allocation",
     "q_seasonal_adjusted_anomalies",
+    # mllite family (distributed ML primitives)
+    "q_ridge_gram_regression",
+    "q_naive_bayes_langid",
+    "q_chi2_term_selection",
+    "q_bucketed_colocated_join",
+    "q_countmin_word_frequency",
 ]
 
 

@@ -36,4 +36,5 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     stats_analytics,
     behavior_analytics,
     ops_analytics,
+    mllite,
 )

@@ -1,0 +1,682 @@
+"""Distributed ML primitives as oracle-checkable aggregate plans.
+
+The training-adjacent computations a 100 TB data platform runs IN the
+engine rather than exporting to a single machine: closed-form ridge
+regression from a Gram matrix (one aggregate pass, O(d²) driver-side
+state), a multinomial Naive Bayes text classifier trained and
+evaluated wholly as joins/aggregates, chi-squared term-label feature
+selection, and a Count-Min sketch with point-query estimates validated
+against exact counts.
+
+Design rules shared with the rest of the catalog:
+
+* Every float reduction that feeds the driver's exact-hash gate goes
+  through the sorted-fold ``det_sum`` (functions/columns.py) so Spark
+  and DuckDB add in the same order; post-aggregate arithmetic is
+  generated ONCE as SQL text and executed verbatim by both engines, so
+  identical IEEE operations produce identical doubles.
+* Determinism without RNG: splits reuse the md5-bucket idiom of
+  plans/reshape.py; sketch hashes reuse the same md5→hex→int replay.
+* Scale shape: the Gram pass ships 9 scalars per partition (partial
+  agg), NB ships |vocab|×|labels| likelihood rows (broadcast-sized),
+  the CMS ships depth×width cells — none of them scale with corpus
+  row count, which is the whole point of these formulations.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from cost_of_living_data_etl_spark.functions.columns import det_sum
+from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.plans.reshape import (
+    _BUCKET_SPARK,
+    _BUCKET_SQL,
+)
+from cost_of_living_data_etl_spark.sources.tables import load_table
+
+# --- ridge regression via Gram matrix --------------------------------------
+
+RIDGE_LAMBDA = "1.0"  # SQL literal so both engines see the same token
+
+
+def _det3(c0, c1, c2) -> str:
+    """SQL text for the determinant of the 3×3 matrix whose COLUMNS are
+    c0, c1, c2 (each a tuple of 3 SQL expressions, top to bottom).
+    Cofactor expansion along the first row — one fixed expression tree,
+    so both engines evaluate the same IEEE operations in the same
+    order."""
+    a, b, c = c0
+    d, e, f = c1
+    g, h, i = c2
+    return (
+        f"({a} * ({e} * {i} - {f} * {h})"
+        f" - {d} * ({b} * {i} - {c} * {h})"
+        f" + {g} * ({b} * {f} - {c} * {e}))"
+    )
+
+
+_G_C0 = (f"(nd + {RIDGE_LAMBDA})", "s1", "s2")
+_G_C1 = ("s1", f"(s11 + {RIDGE_LAMBDA})", "s12")
+_G_C2 = ("s2", "s12", f"(s22 + {RIDGE_LAMBDA})")
+_G_B = ("sy", "s1y", "s2y")
+
+_RIDGE_DET = _det3(_G_C0, _G_C1, _G_C2)
+_RIDGE_BETA = {
+    "beta0": _det3(_G_B, _G_C1, _G_C2),
+    "beta1": _det3(_G_C0, _G_B, _G_C2),
+    "beta2": _det3(_G_C0, _G_C1, _G_B),
+}
+
+_DSUM_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list({x}))),"
+    " (a, b) -> a + b)"
+)
+
+_RIDGE_ORACLE = f"""
+WITH feats AS (
+    SELECT o.o_totalprice AS y,
+           CAST(f.x1 AS DOUBLE) AS x1,
+           CAST(f.x2 AS DOUBLE) AS x2
+    FROM (SELECT l_orderkey,
+                 sum(l_quantity) AS x1,
+                 count(*)        AS x2
+          FROM lineitem GROUP BY l_orderkey) f
+    JOIN orders o ON o.o_orderkey = f.l_orderkey
+),
+gram AS (
+    SELECT CAST(count(*) AS DOUBLE)          AS nd,
+           {_DSUM_SQL.format(x="x1")}        AS s1,
+           {_DSUM_SQL.format(x="x2")}        AS s2,
+           {_DSUM_SQL.format(x="x1 * x1")}   AS s11,
+           {_DSUM_SQL.format(x="x1 * x2")}   AS s12,
+           {_DSUM_SQL.format(x="x2 * x2")}   AS s22,
+           {_DSUM_SQL.format(x="y")}         AS sy,
+           {_DSUM_SQL.format(x="x1 * y")}    AS s1y,
+           {_DSUM_SQL.format(x="x2 * y")}    AS s2y
+    FROM feats
+)
+SELECT CAST(nd AS BIGINT)           AS n_orders,
+       {_RIDGE_BETA["beta0"]} / {_RIDGE_DET} AS beta0,
+       {_RIDGE_BETA["beta1"]} / {_RIDGE_DET} AS beta1,
+       {_RIDGE_BETA["beta2"]} / {_RIDGE_DET} AS beta2
+FROM gram
+"""
+
+
+@register(
+    "q_ridge_gram_regression",
+    oracle=_RIDGE_ORACLE,
+    tags=("ml", "regression", "gram-matrix", "training-data"),
+)
+def q_ridge_gram_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression of order price on two lineitem
+    features (total quantity, line count), solved from the Gram matrix
+    (XᵀX + λI)β = Xᵀy by Cramer's rule — the distributed formulation
+    of linear model fitting: ONE aggregate pass over the data reduces
+    to d² = 9 scalars, the solve is O(d³) on those scalars, and no
+    row-level data ever reaches the driver. At 100 TB the Gram pass is
+    a map-side partial aggregate (9 running sums per partition); this
+    catalog variant swaps the plain sums for the sorted-fold det_sum so
+    the driver's exact-hash oracle gate holds bit-for-bit, and the
+    Cramer expressions are ONE generated SQL string evaluated verbatim
+    by both engines (λ penalizes the intercept too — a modeling
+    shortcut, documented, that keeps G symmetric in the formula text).
+
+    Feature sums per order (Σquantity, line count) are integral-valued
+    doubles — exact in any order, so plain per-order sums are safe.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("x1_raw"),
+            F.count(F.lit(1)).alias("x2_raw"),
+        )
+    )
+    feats = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_totalprice").alias("y"),
+            F.col("x1_raw").cast("double").alias("x1"),
+            F.col("x2_raw").cast("double").alias("x2"),
+        )
+    )
+    gram = feats.agg(
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        det_sum("x1").alias("s1"),
+        det_sum("x2").alias("s2"),
+        det_sum("x1 * x1").alias("s11"),
+        det_sum("x1 * x2").alias("s12"),
+        det_sum("x2 * x2").alias("s22"),
+        det_sum("y").alias("sy"),
+        det_sum("x1 * y").alias("s1y"),
+        det_sum("x2 * y").alias("s2y"),
+    )
+    return gram.selectExpr(
+        "CAST(nd AS BIGINT) AS n_orders",
+        f'{_RIDGE_BETA["beta0"]} / {_RIDGE_DET} AS beta0',
+        f'{_RIDGE_BETA["beta1"]} / {_RIDGE_DET} AS beta1',
+        f'{_RIDGE_BETA["beta2"]} / {_RIDGE_DET} AS beta2',
+    )
+
+
+# --- multinomial Naive Bayes language classifier ---------------------------
+
+NB_V = 200  # vocabulary size (top-V train words, count-desc/word-asc)
+_TRAIN_CUT = 80  # md5 buckets 0-79 train (matches q_train_val_test_split)
+_TEST_CUT = 90  # buckets 90-99 test
+
+_NB_BUCKET_SPARK = _BUCKET_SPARK.format(k="doc_id")
+_NB_BUCKET_SQL = _BUCKET_SQL.format(k="doc_id")
+
+#: shared likelihood text: Laplace-1 smoothing over a V-word vocabulary.
+#: c is COALESCEd inside the shared text because a vocab word unseen in
+#: a language arrives as NULL from the left join on BOTH engines.
+_NB_LNP = (
+    "ln((CAST(COALESCE(c, 0) AS DOUBLE) + 1.0)"
+    f" / (CAST(tok AS DOUBLE) + {NB_V}.0))"
+)
+
+_NB_ORACLE = f"""
+WITH train AS (
+    SELECT doc_id, lang, trim(text) AS t FROM documents
+    WHERE {_NB_BUCKET_SQL} < {_TRAIN_CUT} AND trim(text) <> ''
+),
+test AS (
+    SELECT doc_id, lang, trim(text) AS t FROM documents
+    WHERE {_NB_BUCKET_SQL} >= {_TEST_CUT} AND trim(text) <> ''
+),
+train_tokens AS (
+    SELECT lang, unnest(string_split_regex(t, '\\s+')) AS word FROM train
+),
+vocab AS (
+    SELECT word FROM (
+        SELECT word, count(*) AS cnt FROM train_tokens GROUP BY word
+        ORDER BY cnt DESC, word LIMIT {NB_V}
+    )
+),
+langs AS (SELECT DISTINCT lang FROM train),
+cwl AS (
+    SELECT lang, word, CAST(count(*) AS BIGINT) AS c
+    FROM train_tokens JOIN vocab USING (word)
+    GROUP BY lang, word
+),
+tokl AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS tok
+    FROM train_tokens JOIN vocab USING (word)
+    GROUP BY lang
+),
+prior AS (
+    SELECT lang,
+           ln(CAST(count(*) AS DOUBLE)
+              / (SELECT CAST(count(*) AS DOUBLE) FROM train)) AS lp
+    FROM train GROUP BY lang
+),
+lik AS (
+    SELECT l.lang, v.word, {_NB_LNP} AS lnp
+    FROM langs l
+    CROSS JOIN vocab v
+    JOIN tokl USING (lang)
+    LEFT JOIN cwl ON cwl.lang = l.lang AND cwl.word = v.word
+),
+test_tokens AS (
+    SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS word FROM test
+),
+test_wc AS (
+    SELECT doc_id, word, CAST(count(*) AS BIGINT) AS cnt
+    FROM test_tokens JOIN vocab USING (word)
+    GROUP BY doc_id, word
+),
+partial AS (
+    SELECT w.doc_id, lik.lang,
+           {_DSUM_SQL.format(x="CAST(cnt AS DOUBLE) * lnp")} AS s
+    FROM test_wc w JOIN lik ON lik.word = w.word
+    GROUP BY w.doc_id, lik.lang
+),
+scored AS (
+    SELECT t.doc_id, t.lang AS true_lang, p.lang AS cand,
+           pr.lp + COALESCE(s, CAST(0.0 AS DOUBLE)) AS score
+    FROM test t
+    CROSS JOIN langs p
+    JOIN prior pr ON pr.lang = p.lang
+    LEFT JOIN partial ON partial.doc_id = t.doc_id AND partial.lang = p.lang
+),
+pred AS (
+    SELECT doc_id, true_lang, cand AS pred_lang FROM (
+        SELECT doc_id, true_lang, cand,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, cand
+               ) AS rn
+        FROM scored
+    ) WHERE rn = 1
+)
+SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY true_lang, pred_lang
+"""
+
+@register(
+    "q_naive_bayes_langid",
+    oracle=_NB_ORACLE,
+    tags=("ml", "classification", "naive-bayes", "text", "training-data"),
+)
+def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes language classifier, trained AND
+    evaluated entirely as joins/aggregates: fit on the md5-bucket train
+    split (buckets < 80), score the held-out test split (buckets ≥ 90),
+    emit the confusion matrix — the canonical "ML as SQL" pattern that
+    scales to any corpus because the model itself is a broadcast-sized
+    table (|vocab| × |langs| log-likelihoods + |langs| priors).
+
+    Determinism end-to-end: md5-bucket split (no RNG), vocabulary cut
+    by (count DESC, word) total order, per-(doc, lang) log-likelihood
+    sums via the sorted-fold det_sum, argmax by (score DESC, lang)
+    row_number. Scale shape: train pass = one token shuffle bounded by
+    |vocab|; scoring = test-token map-side join against the BROADCAST
+    likelihood table, then a |test docs| × |langs| aggregate; nothing
+    row-level ever concentrates on one node.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.trim(F.col("text")).alias("t")
+    ).filter(F.col("t") != "")
+    bucket = F.expr(_NB_BUCKET_SPARK)
+    train = docs.filter(bucket < _TRAIN_CUT)
+    test = docs.filter(bucket >= _TEST_CUT)
+
+    # --- TRAIN: two aggregate passes whose RESULTS are the model, all
+    # bounded by model size, never by corpus size (the IVF-centroid
+    # precedent, operators/similarity.py): vocab = NB_V strings, token
+    # counts = |vocab|×|langs| ints, priors = |langs| ints.
+    train_tokens = train.select(
+        "lang", F.explode(F.split("t", r"\s+")).alias("word")
+    )
+    vocab = [
+        r["word"]
+        for r in train_tokens.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "word")
+        .limit(NB_V)
+        .collect()
+    ]
+    vocab_tokens = train_tokens.filter(F.col("word").isin(vocab))
+    cwl_rows = vocab_tokens.groupBy("lang", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).collect()
+    prior_rows = train.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).collect()
+    n_train = sum(r["n"] for r in prior_rows)
+
+    # Model tables rebuilt as LITERAL DataFrames (exact ints), with the
+    # float formulas still evaluated by Spark SQL from the SHARED text —
+    # the scoring plan below therefore scans the corpus exactly once.
+    cwl = {(r["lang"], r["word"]): r["c"] for r in cwl_rows}
+    tok = {}
+    for (lang, _), c in cwl.items():
+        tok[lang] = tok.get(lang, 0) + c
+    langs = sorted(r["lang"] for r in prior_rows)
+    # tok-less languages drop, mirroring the oracle's INNER join on tokl
+    lik = spark.createDataFrame(
+        [
+            (l, w_, cwl.get((l, w_), 0), tok[l])
+            for l in langs
+            if l in tok
+            for w_ in vocab
+        ],
+        "lang string, word string, c long, tok long",
+    ).select("lang", "word", F.expr(_NB_LNP).alias("lnp"))
+    prior = spark.createDataFrame(
+        [(r["lang"], r["n"]) for r in prior_rows], "cand string, n long"
+    ).select(
+        "cand",
+        F.expr(f"ln(CAST(n AS DOUBLE) / CAST({n_train} AS DOUBLE))").alias("lp"),
+    )
+
+    # --- SCORE: one pass over the test corpus.
+    test_wc = (
+        test.select("doc_id", F.explode(F.split("t", r"\s+")).alias("word"))
+        .filter(F.col("word").isin(vocab))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    partial = (
+        test_wc.join(F.broadcast(lik), "word")
+        .groupBy("doc_id", "lang")
+        .agg(det_sum("CAST(cnt AS DOUBLE) * lnp").alias("s"))
+    )
+    scored = (
+        test.select("doc_id", F.col("lang").alias("true_lang"))
+        .crossJoin(F.broadcast(prior))
+        .join(
+            partial.select(
+                "doc_id", F.col("lang").alias("cand"), "s"
+            ),
+            ["doc_id", "cand"],
+            "left",
+        )
+        .select(
+            "doc_id",
+            "true_lang",
+            "cand",
+            (F.col("lp") + F.coalesce(F.col("s"), F.expr("CAST(0.0 AS DOUBLE)"))).alias(
+                "score"
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "cand")
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("true_lang", F.col("cand").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+# --- chi-squared term-label feature selection ------------------------------
+
+CHI2_CAND = 200  # candidate terms: top-N by document frequency
+CHI2_TOPK = 3  # terms reported per language
+
+#: χ² for a 2×2 contingency table, one shared expression text.
+#: n11 = docs of lang containing term, n1_ = docs containing term,
+#: n_1 = docs in lang, nn = all docs (BIGINTs; cast once, up front).
+_CHI2_EXPR = (
+    "CAST(nn AS DOUBLE) * "
+    "(CAST(n11 AS DOUBLE) * CAST(nn - n1_ - n_1 + n11 AS DOUBLE)"
+    " - CAST(n1_ - n11 AS DOUBLE) * CAST(n_1 - n11 AS DOUBLE))"
+    " * (CAST(n11 AS DOUBLE) * CAST(nn - n1_ - n_1 + n11 AS DOUBLE)"
+    " - CAST(n1_ - n11 AS DOUBLE) * CAST(n_1 - n11 AS DOUBLE))"
+    " / (CAST(n1_ AS DOUBLE) * CAST(nn - n1_ AS DOUBLE)"
+    " * CAST(n_1 AS DOUBLE) * CAST(nn - n_1 AS DOUBLE))"
+)
+
+_CHI2_ORACLE = f"""
+WITH docs AS (
+    SELECT doc_id, lang, trim(text) AS t FROM documents
+    WHERE trim(text) <> ''
+),
+doc_terms AS (
+    SELECT DISTINCT doc_id, lang,
+           unnest(string_split_regex(t, '\\s+')) AS term
+    FROM docs
+),
+cand AS (
+    SELECT term, CAST(count(*) AS BIGINT) AS n1_ FROM (
+        SELECT term, count(*) AS df FROM (
+            SELECT DISTINCT doc_id, term FROM doc_terms
+        ) GROUP BY term ORDER BY df DESC, term LIMIT {CHI2_CAND}
+    ) dt JOIN (SELECT DISTINCT doc_id, term FROM doc_terms) x USING (term)
+    GROUP BY term
+),
+nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_1 FROM docs GROUP BY lang),
+nn_t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM docs),
+n11_t AS (
+    SELECT lang, term, CAST(count(*) AS BIGINT) AS n11
+    FROM (SELECT DISTINCT doc_id, lang, term FROM doc_terms)
+    JOIN cand USING (term)
+    GROUP BY lang, term
+),
+full_grid AS (
+    SELECT nl.lang, cand.term, cand.n1_, nl.n_1, nn_t.nn,
+           COALESCE(n11_t.n11, 0) AS n11
+    FROM nl CROSS JOIN cand CROSS JOIN nn_t
+    LEFT JOIN n11_t ON n11_t.lang = nl.lang AND n11_t.term = cand.term
+),
+scored AS (
+    SELECT lang, term, {_CHI2_EXPR} AS chi2,
+           row_number() OVER (
+               PARTITION BY lang ORDER BY {_CHI2_EXPR} DESC, term
+           ) AS rn
+    FROM full_grid
+)
+SELECT lang, term, chi2 FROM scored WHERE rn <= {CHI2_TOPK}
+"""
+
+
+@register(
+    "q_chi2_term_selection",
+    oracle=_CHI2_ORACLE,
+    tags=("ml", "feature-selection", "chi2", "text", "training-data"),
+)
+def q_chi2_term_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² term-label association: for each language, the top-3 terms
+    whose document-level presence is most dependent on that language —
+    the classic feature-selection screen before training any text
+    classifier, and a direct read on which tokens are language markers.
+
+    Contingency counts are exact BIGINTs (distinct doc-term pairs), so
+    the χ² floats come out of ONE shared expression text on identical
+    integers — bit-identical across engines with no det_sum needed.
+    Scale: the distinct (doc, term) projection bounds every shuffle by
+    document count × distinct-terms-per-doc; the candidate cut keeps
+    the scored grid at |langs| × {CHI2_CAND} rows.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.trim(F.col("text")).alias("t")
+    ).filter(F.col("t") != "")
+    doc_terms = docs.select(
+        "doc_id", "lang", F.explode(F.split("t", r"\s+")).alias("term")
+    ).distinct()
+    # Candidate cut collected to the driver: CHI2_CAND (term, df) int
+    # pairs — bounded by the cut, not the corpus (same rationale as the
+    # NB model above) — so the scoring pass scans doc_terms once.
+    cand_rows = (
+        doc_terms.select("doc_id", "term")
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "term")
+        .limit(CHI2_CAND)
+        .collect()
+    )
+    cand = spark.createDataFrame(
+        [(r["term"], r["df"]) for r in cand_rows], "term string, n1_ long"
+    )
+    cand_terms = [r["term"] for r in cand_rows]
+    nl = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_1"))
+    nn = docs.count()  # one scalar (total doc count)
+    n11 = (
+        doc_terms.filter(F.col("term").isin(cand_terms))
+        .groupBy("lang", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n11"))
+    )
+    grid = (
+        nl.crossJoin(F.broadcast(cand))
+        .withColumn("nn", F.lit(nn).cast("long"))
+        .join(F.broadcast(n11), ["lang", "term"], "left")
+        .withColumn("n11", F.coalesce(F.col("n11"), F.lit(0).cast("long")))
+    )
+    scored = grid.select(
+        "lang", "term", F.expr(_CHI2_EXPR).alias("chi2")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("chi2").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CHI2_TOPK)
+        .select("lang", "term", "chi2")
+    )
+
+
+# --- bucketed co-located join (S7 layout inside the oracle gate) -----------
+
+
+@register(
+    "q_bucketed_colocated_join",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT)              AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                    list_sort(list(o_totalprice))),
+                       (a, b) -> a + b)          AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE o_orderstatus = 'O'
+    GROUP BY c_mktsegment
+    """,
+    tags=("sink", "warehouse", "bucketing", "join", "colocated"),
+)
+def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 bucketed-layout verification INSIDE the oracle gate: write
+    orders and customer as managed tables bucketed on the SAME key with
+    the SAME bucket count, join them co-located, aggregate — and match
+    the oracle computed straight from the source tables. Equality
+    proves the bucketBy write → catalog read → join path loses nothing.
+
+    The 100 TB point of bucketing: the custkey shuffle for this join
+    is paid ONCE at write time, not per query. With both sides bucketed
+    (16, custkey) and the join hinted to sort-merge, the physical plan
+    has ZERO Exchange operators before the join (pinned by
+    tests/test_warehouse_layout.py::test_bucketed_join_has_zero_exchanges
+    for the layout and by tests/test_plans.py for this query) — every
+    repeated fact⋈dim or fact⋈fact on the bucket key runs shuffle-free.
+    The merge hint forces the bucketed path even where AQE would pick a
+    broadcast at toy scale; at 100 TB neither side broadcasts anyway.
+
+    det_sum on revenue: deterministic-order summation on both engines
+    (see functions/columns.py::det_sum).
+    """
+    import hashlib
+    import tempfile
+
+    from cost_of_living_data_etl_spark.sources.warehouse import Warehouse
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    wh = Warehouse(f"{tempfile.gettempdir()}/spark_graft_bucketed_{tag}")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    wh.save_bucketed(orders, f"bkt_orders_{tag}", ["o_custkey"], n_buckets=16)
+    wh.save_bucketed(
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        f"bkt_customer_{tag}",
+        ["o_custkey"],
+        n_buckets=16,
+    )
+    o = spark.table(f"bkt_orders_{tag}").filter(F.col("o_orderstatus") == "O")
+    c = spark.table(f"bkt_customer_{tag}")
+    return (
+        o.hint("merge")
+        .join(c.hint("merge"), "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.count_distinct("o_custkey").alias("n_customers"),
+            det_sum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+# --- Count-Min sketch with validated point queries -------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_PROBES = 10
+
+_CMS_BUCKET_SPARK = (
+    "cast(conv(substring(md5(concat(word, '#', CAST(i AS STRING))), 1, 15),"
+    " 16, 10) AS BIGINT) % " + str(CMS_WIDTH)
+)
+
+
+def _cms_bucket_sql(word: str, i: str) -> str:
+    """DuckDB twin of _CMS_BUCKET_SPARK for the given column refs.
+
+    The bucket is an exact integer, so (unlike the float formulas
+    above) the two engines' expression TEXTS only need to agree on the
+    value, not on the IEEE operation order."""
+    return (
+        f"CAST(('0x' || substr(md5({word} || '#' || CAST({i} AS VARCHAR)),"
+        f" 1, 15)) AS BIGINT) % {CMS_WIDTH}"
+    )
+
+_CMS_ORACLE = f"""
+WITH wc AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents WHERE trim(text) <> ''
+    ) GROUP BY word
+),
+cells AS (
+    SELECT i, {_cms_bucket_sql("word", "i")} AS bucket,
+           CAST(sum(cnt) AS BIGINT) AS cell
+    FROM wc CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+    GROUP BY i, bucket
+),
+probes AS (
+    SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT {CMS_PROBES}
+),
+est AS (
+    SELECT p.word, p.cnt AS exact_cnt, CAST(min(cell) AS BIGINT) AS cms_est
+    FROM probes p
+    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i) d
+    JOIN cells ON cells.i = d.i
+              AND cells.bucket = {_cms_bucket_sql("p.word", "d.i")}
+    GROUP BY p.word, p.cnt
+)
+SELECT word, exact_cnt, cms_est,
+       CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+FROM est
+"""
+
+
+@register(
+    "q_countmin_word_frequency",
+    oracle=_CMS_ORACLE,
+    tags=("sketch", "count-min", "text", "mergeable"),
+)
+def q_countmin_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch over the corpus word stream, validated against
+    exact counts: build a {CMS_DEPTH}×{CMS_WIDTH} sketch (md5-derived
+    row hashes — replayable, no RNG), point-query the top-{CMS_PROBES}
+    words, and report estimate vs truth. CMS never undercounts, so
+    ``overcount ≥ 0`` is a structural invariant the oracle hash pins.
+
+    Why it matters at 100 TB: the sketch is a FIXED-SIZE mergeable
+    summary — per-partition sketches sum cell-wise (the groupBy here IS
+    that merge), stream shards union by addition, and a day×source
+    rollup of sketches answers any point query without re-reading raw
+    text. Shuffle volume: depth×width cells per partition, independent
+    of corpus size.
+    """
+    wc = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.trim(F.col("text")).alias("t"))
+        .filter(F.col("t") != "")
+        .select(F.explode(F.split("t", r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    rows = F.array([F.lit(i) for i in range(CMS_DEPTH)])
+    cells = (
+        wc.select("word", "cnt", F.explode(rows).alias("i"))
+        .select("i", F.expr(_CMS_BUCKET_SPARK).alias("bucket"), "cnt")
+        .groupBy("i", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cell"))
+    )
+    probes = (
+        wc.orderBy(F.col("cnt").desc(), "word")
+        .limit(CMS_PROBES)
+        .select("word", F.col("cnt").alias("exact_cnt"))
+    )
+    probe_buckets = probes.select(
+        "word", "exact_cnt", F.explode(rows).alias("i")
+    ).select("word", "exact_cnt", "i", F.expr(_CMS_BUCKET_SPARK).alias("bucket"))
+    est = (
+        probe_buckets.join(cells, ["i", "bucket"])
+        .groupBy("word", "exact_cnt")
+        .agg(F.min("cell").cast("long").alias("cms_est"))
+    )
+    return est.select(
+        "word",
+        "exact_cnt",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
+    )

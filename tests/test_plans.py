@@ -487,3 +487,64 @@ def test_cohort_ltv_windows_over_cells_not_orders(spark, sf_smoke):
     i_window = plan.find("Window")
     assert i_window != -1
     assert "HashAggregate" in plan[i_window:]
+
+
+# --- mllite family (distributed ML primitives) -----------------------------
+
+
+def test_ridge_gram_reduces_to_single_row_aggregate(spark, sf_smoke):
+    """The Gram pass must reduce the whole feats relation to ONE row of
+    9 scalars (Exchange SinglePartition feeding the final aggregate)
+    and prune both scans to exactly the used columns — the properties
+    that make closed-form regression an O(d²)-state pass at 100 TB."""
+    plan = plan_of(spark, "q_ridge_gram_regression", sf_smoke)
+    assert "SinglePartition" in plan
+    assert "BatchEvalPython" not in plan
+    m = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    schemas = {s for s in m}
+    assert any(s == "l_orderkey:bigint,l_quantity:double" for s in schemas), schemas
+    assert any(s == "o_orderkey:bigint,o_totalprice:double" for s in schemas), schemas
+
+
+def test_naive_bayes_scoring_is_single_corpus_pass(spark, sf_smoke):
+    """After the bounded-collect model build, the returned scoring plan
+    must touch the documents parquet exactly twice (test docs for the
+    score base + test tokens for the word counts) — never the train
+    subtree — and join the likelihood model by broadcast only."""
+    plan = plan_of(spark, "q_naive_bayes_langid", sf_smoke, mode="simple")
+    assert plan.count("documents.parquet") == 2, plan.count("documents.parquet")
+    assert "BroadcastHashJoin" in plan
+    # the model side arrives as literal rows, not a recomputed aggregate
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+
+
+def test_chi2_scoring_grid_is_broadcast_sized(spark, sf_smoke):
+    """The χ² grid must be built from broadcast candidate/count tables;
+    the corpus-side work is the distinct doc-term aggregate feeding
+    n11 — no sort-merge join anywhere."""
+    plan = plan_of(spark, "q_chi2_term_selection", sf_smoke, mode="simple")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_bucketed_join_reads_buckets_without_exchange(spark, sf_smoke):
+    """Both bucketed scans must feed the sort-merge join directly:
+    Bucketed: true on both FileScans, no Exchange below the join (the
+    only shuffle is the final segment aggregate), no broadcast fallback
+    (the merge hint pins the 100 TB plan at toy scale)."""
+    plan = plan_of(spark, "q_bucketed_colocated_join", sf_smoke, mode="simple")
+    assert plan.count("Bucketed: true") == 2
+    assert "SelectedBucketsCount: 16 out of 16" in plan
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_countmin_probes_avoid_global_sort_and_join_broadcast(spark, sf_smoke):
+    """Probe selection must be TakeOrderedAndProject (per-partition
+    heaps); the probe→cells lookup must broadcast the 40-row probe side,
+    never shuffle the sketch."""
+    plan = plan_of(spark, "q_countmin_word_frequency", sf_smoke, mode="simple")
+    assert "TakeOrderedAndProject(limit=10" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

@@ -134,6 +134,8 @@ HEADLINE = [
     "q_chi2_term_selection",
     "q_bucketed_colocated_join",
     "q_countmin_word_frequency",
+    "q_ridge_kfold_cv",
+    "q_hll_overlap_event_types",
 ]
 
 

@@ -164,6 +164,186 @@ def q_ridge_gram_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- k-fold cross-validation by Gram subtraction ---------------------------
+
+KFOLDS = 5
+
+_FOLD_SPARK = f"({_BUCKET_SPARK.format(k='o_orderkey')}) % {KFOLDS}"
+_FOLD_SQL = f"({_BUCKET_SQL.format(k='o_orderkey')}) % {KFOLDS}"
+
+# Cramer columns over the LEAVE-FOLD-OUT Gram entries: each *_r name is
+# (total − fold), computed with identical arithmetic on both engines.
+_R_C0 = (f"(nd_r + {RIDGE_LAMBDA})", "s1_r", "s2_r")
+_R_C1 = ("s1_r", f"(s11_r + {RIDGE_LAMBDA})", "s12_r")
+_R_C2 = ("s2_r", "s12_r", f"(s22_r + {RIDGE_LAMBDA})")
+_R_B = ("sy_r", "s1y_r", "s2y_r")
+
+_CV_DET = _det3(_R_C0, _R_C1, _R_C2)
+_CV_BETA = {
+    "beta0": _det3(_R_B, _R_C1, _R_C2),
+    "beta1": _det3(_R_C0, _R_B, _R_C2),
+    "beta2": _det3(_R_C0, _R_C1, _R_B),
+}
+
+_GRAM_COLS = ("nd", "s1", "s2", "s11", "s12", "s22", "sy", "s1y", "s2y")
+
+_CV_ORACLE = f"""
+WITH feats AS (
+    SELECT o.o_totalprice AS y,
+           CAST(f.x1 AS DOUBLE) AS x1,
+           CAST(f.x2 AS DOUBLE) AS x2,
+           {_FOLD_SQL} AS fold
+    FROM (SELECT l_orderkey,
+                 sum(l_quantity) AS x1,
+                 count(*)        AS x2
+          FROM lineitem GROUP BY l_orderkey) f
+    JOIN orders o ON o.o_orderkey = f.l_orderkey
+),
+fold_gram AS (
+    SELECT fold,
+           CAST(count(*) AS DOUBLE)          AS nd,
+           {_DSUM_SQL.format(x="x1")}        AS s1,
+           {_DSUM_SQL.format(x="x2")}        AS s2,
+           {_DSUM_SQL.format(x="x1 * x1")}   AS s11,
+           {_DSUM_SQL.format(x="x1 * x2")}   AS s12,
+           {_DSUM_SQL.format(x="x2 * x2")}   AS s22,
+           {_DSUM_SQL.format(x="y")}         AS sy,
+           {_DSUM_SQL.format(x="x1 * y")}    AS s1y,
+           {_DSUM_SQL.format(x="x2 * y")}    AS s2y
+    FROM feats GROUP BY fold
+),
+total_gram AS (
+    SELECT {", ".join(_DSUM_SQL.format(x=c) + f" AS {c}_t" for c in _GRAM_COLS)}
+    FROM fold_gram
+),
+loo AS (
+    SELECT fold,
+           {", ".join(f"({c}_t - {c}) AS {c}_r" for c in _GRAM_COLS)},
+           nd AS n_fold
+    FROM fold_gram CROSS JOIN total_gram
+),
+betas AS (
+    SELECT fold, n_fold,
+           {_CV_BETA["beta0"]} / {_CV_DET} AS beta0,
+           {_CV_BETA["beta1"]} / {_CV_DET} AS beta1,
+           {_CV_BETA["beta2"]} / {_CV_DET} AS beta2
+    FROM loo
+),
+resid AS (
+    SELECT f.fold, b.n_fold, b.beta0, b.beta1, b.beta2,
+           {_DSUM_SQL.format(
+               x="(y - (beta0 + beta1 * x1 + beta2 * x2))"
+                 " * (y - (beta0 + beta1 * x1 + beta2 * x2))")} AS sse
+    FROM feats f JOIN betas b ON f.fold = b.fold
+    GROUP BY f.fold, b.n_fold, b.beta0, b.beta1, b.beta2
+)
+SELECT CAST(fold AS BIGINT) AS fold,
+       CAST(n_fold AS BIGINT) AS n_rows,
+       beta0, beta1, beta2,
+       sqrt(sse / n_fold) AS rmse
+FROM resid
+"""
+
+
+@register(
+    "q_ridge_kfold_cv",
+    oracle=_CV_ORACLE,
+    tags=("ml", "regression", "cross-validation", "gram-matrix"),
+)
+def q_ridge_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KFOLDS}-fold cross-validation of the Gram-matrix ridge model by
+    GRAM SUBTRACTION: per-fold partial Grams are computed in ONE
+    aggregate pass, the training Gram for fold f is total − fold_f
+    (entrywise — no re-scan per fold, the algebra partial aggregation
+    buys you), each held-out model solves by the shared Cramer text,
+    and a second pass scores every row against its own fold's
+    broadcast betas for the held-out RMSE. Two corpus passes TOTAL for
+    k models — versus k+1 for the naive per-fold refit; at 100 TB
+    that's the difference between a CV sweep and an overnight job.
+
+    Folds are md5-bucket assignments on o_orderkey (replayable, no
+    RNG). Float discipline: fold Grams and fold-sum totals are
+    sorted-fold det_sums, subtraction/Cramer/prediction arithmetic is
+    ONE generated SQL text — bit-identical through the driver's hash.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("x1_raw"),
+            F.count(F.lit(1)).alias("x2_raw"),
+        )
+    )
+    feats = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_totalprice").alias("y"),
+            F.col("x1_raw").cast("double").alias("x1"),
+            F.col("x2_raw").cast("double").alias("x2"),
+            F.expr(_FOLD_SPARK).alias("fold"),
+        )
+    )
+    # Pass 1: per-fold partial Grams. The k×10 result (the WHOLE model
+    # state) is collected and replayed as literals so the total/LOO
+    # algebra below never re-derives the aggregate subtree — keeping
+    # the query at exactly two corpus passes (pinned in test_plans.py).
+    fold_rows = [
+        tuple(r)
+        for r in feats.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("nd"),
+            det_sum("x1").alias("s1"),
+            det_sum("x2").alias("s2"),
+            det_sum("x1 * x1").alias("s11"),
+            det_sum("x1 * x2").alias("s12"),
+            det_sum("x2 * x2").alias("s22"),
+            det_sum("y").alias("sy"),
+            det_sum("x1 * y").alias("s1y"),
+            det_sum("x2 * y").alias("s2y"),
+        )
+        .collect()
+    ]
+    fold_gram = spark.createDataFrame(
+        fold_rows,
+        "fold bigint, " + ", ".join(f"{c} double" for c in _GRAM_COLS),
+    )
+    total_gram = fold_gram.agg(
+        *[det_sum(c).alias(f"{c}_t") for c in _GRAM_COLS]
+    )
+    loo = fold_gram.crossJoin(F.broadcast(total_gram)).selectExpr(
+        "fold",
+        *[f"({c}_t - {c}) AS {c}_r" for c in _GRAM_COLS],
+        "nd AS n_fold",
+    )
+    betas = loo.selectExpr(
+        "fold",
+        "n_fold",
+        f'{_CV_BETA["beta0"]} / {_CV_DET} AS beta0',
+        f'{_CV_BETA["beta1"]} / {_CV_DET} AS beta1',
+        f'{_CV_BETA["beta2"]} / {_CV_DET} AS beta2',
+    )
+    resid = (
+        feats.join(F.broadcast(betas), "fold")
+        .groupBy("fold", "n_fold", "beta0", "beta1", "beta2")
+        .agg(
+            det_sum(
+                "(y - (beta0 + beta1 * x1 + beta2 * x2))"
+                " * (y - (beta0 + beta1 * x1 + beta2 * x2))"
+            ).alias("sse")
+        )
+    )
+    return resid.selectExpr(
+        "CAST(fold AS BIGINT) AS fold",
+        "CAST(n_fold AS BIGINT) AS n_rows",
+        "beta0",
+        "beta1",
+        "beta2",
+        "sqrt(sse / n_fold) AS rmse",
+    )
+
+
 # --- multinomial Naive Bayes language classifier ---------------------------
 
 NB_V = 200  # vocabulary size (top-V train words, count-desc/word-asc)
@@ -499,6 +679,148 @@ def q_chi2_term_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= CHI2_TOPK)
         .select("lang", "term", "chi2")
+    )
+
+
+# --- HLL set operations: audience overlap via inclusion-exclusion ----------
+
+_HLL_A = "click"
+_HLL_B = "purchase"
+
+
+def _hll_overlap_oracle() -> str:
+    """DuckDB replay of the register build → per-set estimate → union
+    merge → inclusion-exclusion intersection, mirroring
+    operators/sketches.py::det_hll_registers/merge/estimate verbatim
+    (the same text the driver-green q_sketch_rollup_customers oracle
+    uses)."""
+    from cost_of_living_data_etl_spark.operators.sketches import (
+        _DET_HLL_ALPHA_MM,
+        _DET_HLL_MAX_RHO,
+        _DET_HLL_POW,
+        DET_HLL_M,
+        DET_HLL_P,
+    )
+
+    m, p, maxr = DET_HLL_M, DET_HLL_P, _DET_HLL_MAX_RHO
+    raw = f"{_DET_HLL_ALPHA_MM!r} / (s_int / {_DET_HLL_POW!r} + ({m} - present))"
+    est_case = (
+        f"CASE WHEN {raw} <= {2.5 * DET_HLL_M!r} AND present < {m}"
+        f" THEN {float(DET_HLL_M)!r} * ln({float(DET_HLL_M)!r} / ({m} - present))"
+        f" ELSE {raw} END"
+    )
+    return f"""
+    WITH ev AS (
+        SELECT event_type, CAST(user_id AS VARCHAR) AS v FROM events
+        WHERE event_type IN ('{_HLL_A}', '{_HLL_B}')
+    ),
+    h AS (
+        SELECT event_type, CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) AS h60
+        FROM ev
+    ),
+    regs AS (
+        SELECT event_type, h60 & {m - 1} AS idx,
+               max(CASE WHEN h60 >> {p} = 0 THEN {maxr}
+                        ELSE {maxr} - length(bin(h60 >> {p})) END) AS reg
+        FROM h GROUP BY event_type, idx
+    ),
+    aregs AS (
+        SELECT * FROM regs
+        UNION ALL
+        SELECT 'both' AS event_type, idx, max(reg) AS reg
+        FROM regs GROUP BY idx
+    ),
+    est AS (
+        SELECT event_type, {est_case} AS e FROM (
+            SELECT event_type,
+                   CAST(sum(CAST(1 AS BIGINT) << ({maxr + 1} - reg)) AS BIGINT)
+                       AS s_int,
+                   count(*) AS present
+            FROM aregs GROUP BY event_type
+        )
+    ),
+    wide AS (
+        SELECT max(CASE WHEN event_type = '{_HLL_A}' THEN e END) AS est_a,
+               max(CASE WHEN event_type = '{_HLL_B}' THEN e END) AS est_b,
+               max(CASE WHEN event_type = 'both' THEN e END) AS est_union
+        FROM est
+    ),
+    exact AS (
+        SELECT CAST(count(*) AS BIGINT) AS exact_intersection FROM (
+            SELECT v FROM ev GROUP BY v
+            HAVING count(DISTINCT event_type) = 2
+        )
+    )
+    SELECT est_a, est_b, est_union,
+           (est_a + est_b - est_union) AS est_intersection,
+           exact_intersection
+    FROM wide CROSS JOIN exact
+    """
+
+
+@register(
+    "q_hll_overlap_event_types",
+    oracle=_hll_overlap_oracle(),
+    tags=("sketch", "hll", "set-operations", "audience-overlap"),
+)
+def q_hll_overlap_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from HLL sketches ALONE: |clickers ∩
+    purchasers| ≈ est(A) + est(B) − est(A ∪ B), where the union sketch
+    is the register-wise max-merge — no re-scan of raw events, which is
+    the whole point: at 100 TB the per-segment sketch tables are
+    persisted once, and ANY pairwise (or k-way, by inclusion-exclusion)
+    audience overlap is answered from kilobytes of registers. The exact
+    intersection rides along (one distinct-users pass) so the estimate's
+    error is part of the hashed, driver-checked output.
+
+    Uses the deterministic portable HLL (operators/sketches.py) so the
+    full build→merge→estimate→subtract path replays in DuckDB.
+    """
+    from cost_of_living_data_etl_spark.operators.sketches import (
+        det_hll_estimate,
+        det_hll_merge,
+        det_hll_registers,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin([_HLL_A, _HLL_B]))
+        .select("event_type", "user_id")
+    )
+    # ONE sketching pass; the register table (≤ 2 × 4096 rows — the
+    # artifact a production pipeline PERSISTS) is collected and
+    # replayed as literals, so the union/estimate algebra below reads
+    # sketches, not events.
+    reg_rows = [
+        (r["event_type"], r["idx"], r["reg"], r["n_rows"])
+        for r in det_hll_registers(ev, ["event_type"], "user_id").collect()
+    ]
+    regs = spark.createDataFrame(
+        reg_rows, "event_type string, idx bigint, reg int, n_rows bigint"
+    )
+    both = det_hll_merge(
+        regs.withColumn("event_type", F.lit("both")), ["event_type"]
+    )
+    est = det_hll_estimate(regs.unionByName(both), ["event_type"], "e")
+    wide = est.groupBy().agg(
+        F.max(F.when(F.col("event_type") == _HLL_A, F.col("e"))).alias("est_a"),
+        F.max(F.when(F.col("event_type") == _HLL_B, F.col("e"))).alias("est_b"),
+        F.max(F.when(F.col("event_type") == "both", F.col("e"))).alias(
+            "est_union"
+        ),
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count_distinct("event_type").alias("nt"))
+        .filter(F.col("nt") == 2)
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_intersection"))
+    )
+    return wide.crossJoin(F.broadcast(exact)).selectExpr(
+        "est_a",
+        "est_b",
+        "est_union",
+        "(est_a + est_b - est_union) AS est_intersection",
+        "exact_intersection",
     )
 
 

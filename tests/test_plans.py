@@ -548,3 +548,26 @@ def test_countmin_probes_avoid_global_sort_and_join_broadcast(spark, sf_smoke):
     assert "TakeOrderedAndProject(limit=10" in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ridge_cv_is_two_pass_gram_subtraction(spark, sf_smoke):
+    """k models from TWO corpus passes total: pass 1 (the fold-Gram
+    aggregate) runs at build time and collapses to k×10 literal rows,
+    so the RETURNED plan is pass 2 alone — exactly one lineitem scan,
+    with the 5-row betas arriving as literals joined by broadcast.
+    A per-fold refit would show k extra aggregate subtrees here."""
+    plan = plan_of(spark, "q_ridge_kfold_cv", sf_smoke, mode="simple")
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
+    assert "BroadcastHashJoin" in plan
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_hll_overlap_reads_sketches_not_events(spark, sf_smoke):
+    """After the one sketching pass (collected as the persisted-sketch
+    artifact), the returned plan touches events only for the exact-
+    intersection audit — the union/estimate algebra runs over literal
+    register rows."""
+    plan = plan_of(spark, "q_hll_overlap_event_types", sf_smoke, mode="simple")
+    assert plan.count("events.parquet") == 1, plan.count("events.parquet")
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan

@@ -3,10 +3,12 @@
 The training-adjacent computations a 100 TB data platform runs IN the
 engine rather than exporting to a single machine: closed-form ridge
 regression from a Gram matrix (one aggregate pass, O(d²) driver-side
-state), a multinomial Naive Bayes text classifier trained and
-evaluated wholly as joins/aggregates, chi-squared term-label feature
-selection, and a Count-Min sketch with point-query estimates validated
-against exact counts.
+state) plus its k-fold cross-validation by GRAM SUBTRACTION, a
+multinomial Naive Bayes text classifier trained and evaluated wholly
+as joins/aggregates, chi-squared term-label feature selection, a
+Count-Min sketch with point-query estimates validated against exact
+counts, HLL set-operation audience overlap, and the bucketed
+co-located join layout (S7) proven inside the oracle gate.
 
 Design rules shared with the rest of the catalog:
 
@@ -892,6 +894,162 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
             F.count_distinct("o_custkey").alias("n_customers"),
             det_sum("o_totalprice").alias("revenue"),
+        )
+    )
+
+
+# --- SCD2 history inside the oracle gate -----------------------------------
+
+_SCD2_BUCKET = _BUCKET_SQL.format(k="c_custkey")
+_SCD2_BUCKET_SPARK = _BUCKET_SPARK.format(k="c_custkey")
+_SCD2_T1 = "2024-01-01"  # initial load
+_SCD2_T2 = "2024-06-01"  # restatement batch
+_SCD2_ASOF = "2024-03-01"  # point-in-time read between the two
+
+_SCD2_ORACLE = f"""
+WITH b AS (
+    SELECT c_custkey, c_mktsegment, c_acctbal, {_SCD2_BUCKET} AS bk
+    FROM customer
+),
+v1 AS (
+    SELECT c_custkey, c_mktsegment, c_acctbal FROM b WHERE bk < 95
+),
+v2 AS (
+    SELECT c_custkey, c_mktsegment,
+           CASE WHEN bk >= 5 AND bk < 10 THEN round(c_acctbal * 1.1, 2)
+                ELSE c_acctbal END AS c_acctbal
+    FROM b WHERE bk >= 5
+),
+changed AS (
+    SELECT v2.c_custkey, v2.c_mktsegment, v2.c_acctbal
+    FROM v1 JOIN v2 USING (c_custkey)
+    WHERE v1.c_acctbal IS DISTINCT FROM v2.c_acctbal
+),
+new_keys AS (
+    SELECT c_custkey, c_mktsegment, c_acctbal FROM v2
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM v1)
+),
+current_state AS (
+    SELECT c_custkey, c_mktsegment, c_acctbal FROM v1
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+    UNION ALL SELECT * FROM changed
+    UNION ALL SELECT * FROM new_keys
+),
+asof_state AS (SELECT * FROM v1)
+SELECT s.c_mktsegment AS segment,
+       CAST(n_versions AS BIGINT) AS n_versions,
+       CAST(n_current AS BIGINT) AS n_current,
+       CAST(n_asof AS BIGINT) AS n_asof,
+       bal_current, bal_asof
+FROM (
+    SELECT c_mktsegment,
+           count(*) AS n_current,
+           round(sum(c_acctbal), 2) AS bal_current
+    FROM current_state GROUP BY c_mktsegment
+) s
+JOIN (
+    SELECT c_mktsegment,
+           count(*) AS n_asof,
+           round(sum(c_acctbal), 2) AS bal_asof
+    FROM asof_state GROUP BY c_mktsegment
+) a ON a.c_mktsegment = s.c_mktsegment
+JOIN (
+    SELECT c_mktsegment,
+           (SELECT count(*) FROM v1 v WHERE v.c_mktsegment = g.c_mktsegment)
+           + (SELECT count(*) FROM changed c WHERE c.c_mktsegment = g.c_mktsegment)
+           + (SELECT count(*) FROM new_keys n WHERE n.c_mktsegment = g.c_mktsegment)
+               AS n_versions
+    FROM (SELECT DISTINCT c_mktsegment FROM b) g
+) h ON h.c_mktsegment = s.c_mktsegment
+"""
+
+
+@register(
+    "q_scd2_point_in_time",
+    oracle=_SCD2_ORACLE,
+    tags=("sink", "warehouse", "scd2", "time-travel", "dimension"),
+)
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 dimension history verified INSIDE the oracle gate: build a
+    customer dimension with two deterministic loads through the REAL
+    ``Warehouse.scd2_upsert`` path (initial load at {_SCD2_T1}, a
+    restatement batch at {_SCD2_T2}: ~5% of balances restated ×1.1,
+    ~5% brand-new keys), then answer BOTH a point-in-time read
+    (state as of {_SCD2_ASOF} — before the restatement) and the current
+    state, per segment, from the history table's validity intervals.
+    The oracle derives both states by SET ALGEBRA over the base table —
+    it never simulates valid_from/valid_to — so a hash match proves the
+    SCD2 close/open mechanics themselves, not just the arithmetic.
+
+    The table is REBUILT from scratch each call (the upsert sequence is
+    deliberately not idempotent across epochs — replaying batch 1 onto
+    a table that already absorbed batch 2 would re-open old versions,
+    the documented SCD2 replay hazard), which also makes the catalog
+    entry safe for driver cold/warm double-execution.
+
+    100 TB shape: dimensions are MBs-to-GBs; the upsert broadcasts the
+    update batch against one scan of the current slice, and the
+    point-in-time read is a validity-interval filter any engine pushes
+    to the scan (at lakehouse scale: partition history by valid_from
+    year for pruning).
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from cost_of_living_data_etl_spark.sources.warehouse import Warehouse
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    root = f"{tempfile.gettempdir()}/spark_graft_scd2_{tag}"
+    shutil.rmtree(root, ignore_errors=True)
+    wh = Warehouse(root)
+
+    b = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        F.expr(_SCD2_BUCKET_SPARK).alias("bk"),
+    )
+    v1 = b.filter(F.col("bk") < 95).select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    v2 = b.filter(F.col("bk") >= 5).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.when(
+            (F.col("bk") >= 5) & (F.col("bk") < 10),
+            F.round(F.col("c_acctbal") * 1.1, 2),
+        )
+        .otherwise(F.col("c_acctbal"))
+        .alias("c_acctbal"),
+    )
+    wh.scd2_upsert(spark, v1, "dim_customer", ["c_custkey"], ["c_acctbal"], _SCD2_T1)
+    wh.scd2_upsert(spark, v2, "dim_customer", ["c_custkey"], ["c_acctbal"], _SCD2_T2)
+
+    hist = wh.read(spark, "dim_customer")
+    asof = F.lit(_SCD2_ASOF).cast("date")
+    at_asof = hist.filter(
+        (F.col("valid_from") <= asof)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > asof))
+    )
+    current = hist.filter(F.col("is_current"))
+    cur_agg = current.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_current"),
+        F.round(F.sum("c_acctbal"), 2).alias("bal_current"),
+    )
+    asof_agg = at_asof.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_asof"),
+        F.round(F.sum("c_acctbal"), 2).alias("bal_asof"),
+    )
+    ver_agg = hist.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_versions")
+    )
+    return (
+        ver_agg.join(cur_agg, "segment")
+        .join(asof_agg, "segment")
+        .select(
+            "segment", "n_versions", "n_current", "n_asof",
+            "bal_current", "bal_asof",
         )
     )
 

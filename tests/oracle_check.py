@@ -27,17 +27,19 @@ import os
 import duckdb
 import pandas as pd
 
-#: ORACLE_STRICT=1 tightens float comparison from rel_tol=1e-6 to
-#: rel_tol=1e-9 — empirically calibrated to the driver's value hash:
-#: every driver-green query measured ≤ 2.1e-10 max relative drift vs
-#: its oracle (pure partial-agg ulp noise the driver's float
-#: canonicalization absorbs), while the one driver-red float case
-#: (q_embedding_dim_stats, rounds 1-2) came from a float32-vs-float64
-#: aggregation divergence in the 1e-7 class. 1e-9 sits between: it
-#: catches the driver-red class without false-alarming on ulp noise.
-#: With the default 1e-6 a query can be locally green yet driver-red;
-#: strict mode makes local green predict driver green.
-STRICT = os.environ.get("ORACLE_STRICT", "") not in ("", "0")
+#: Strict mode (the DEFAULT; opt out with ORACLE_STRICT=0) tightens
+#: float comparison from rel_tol=1e-6 to rel_tol=1e-9 — empirically
+#: calibrated to the driver's value hash: every driver-green query
+#: measured ≤ 2.1e-10 max relative drift vs its oracle (pure
+#: partial-agg ulp noise the driver's float canonicalization absorbs),
+#: while the one driver-red float case (q_embedding_dim_stats, rounds
+#: 1-2) came from a float32-vs-float64 aggregation divergence in the
+#: 1e-7 class. 1e-9 sits between: it catches the driver-red class
+#: without false-alarming on ulp noise. At 1e-6 a query can be locally
+#: green yet driver-red — which is exactly how that one stayed
+#: undetected for two rounds — so strict is on by default and local
+#: green predicts driver green.
+STRICT = os.environ.get("ORACLE_STRICT", "1") not in ("", "0")
 STRICT_REL_TOL = 1e-9
 STRICT_ABS_TOL = 1e-12
 

@@ -396,6 +396,45 @@ def det_hll_estimate(
     return agg.select(*group_cols, est.alias(est_col), "n_rows")
 
 
+def det_hll_h60_sql(v: str = "v") -> str:
+    """DuckDB twin of the 60-bit md5 hash in det_hll_registers."""
+    return f"CAST('0x' || substr(md5({v}), 1, 15) AS BIGINT)"
+
+
+def det_hll_reg_sql() -> str:
+    """DuckDB twin of the register rank (max rho per idx) aggregate,
+    over a relation exposing ``h60``."""
+    m, p, maxr = DET_HLL_M, DET_HLL_P, _DET_HLL_MAX_RHO
+    return (
+        f"h60 & {m - 1} AS idx, "
+        f"max(CASE WHEN h60 >> {p} = 0 THEN {maxr} "
+        f"ELSE {maxr} - length(bin(h60 >> {p})) END) AS reg"
+    )
+
+
+def det_hll_sint_sql() -> str:
+    """DuckDB twin of the exact-integer register sum feeding the
+    estimator, over a relation exposing ``reg``."""
+    return (
+        f"CAST(sum(CAST(1 AS BIGINT) << ({_DET_HLL_MAX_RHO + 1} - reg))"
+        " AS BIGINT) AS s_int, count(*) AS present"
+    )
+
+
+def det_hll_est_case_sql() -> str:
+    """DuckDB twin of det_hll_estimate's harmonic-mean + linear-counting
+    CASE, over a relation exposing ``s_int`` and ``present``. ONE
+    definition shared by every HLL oracle (rollup, set operations) so
+    estimator changes can never leave a private copy stale."""
+    m = DET_HLL_M
+    raw = f"{_DET_HLL_ALPHA_MM!r} / (s_int / {_DET_HLL_POW!r} + ({m} - present))"
+    return (
+        f"CASE WHEN {raw} <= {2.5 * DET_HLL_M!r} AND present < {m}"
+        f" THEN {float(DET_HLL_M)!r} * ln({float(DET_HLL_M)!r} / ({m} - present))"
+        f" ELSE {raw} END"
+    )
+
+
 def det_hll_oracle(source_sql: str, group_cols: list[str], est_alias: str) -> str:
     """DuckDB replay of registers→merge→estimate over ``source_sql``,
     which must yield ``group_cols`` plus ``v`` (the key as VARCHAR).
@@ -403,32 +442,25 @@ def det_hll_oracle(source_sql: str, group_cols: list[str], est_alias: str) -> st
     finest grain and rolling up equals grouping directly — so one CTE
     chain oracles any rollup depth."""
     gc = ", ".join(group_cols)
-    m, p, maxr = DET_HLL_M, DET_HLL_P, _DET_HLL_MAX_RHO
-    raw = f"{_DET_HLL_ALPHA_MM!r} / (s_int / {_DET_HLL_POW!r} + ({m} - present))"
     return f"""
     WITH src AS ({source_sql}),
     h AS (
-        SELECT {gc}, CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) AS h60
+        SELECT {gc}, {det_hll_h60_sql("v")} AS h60
         FROM src
     ),
     regs AS (
-        SELECT {gc}, h60 & {m - 1} AS idx,
-               max(CASE WHEN h60 >> {p} = 0 THEN {maxr}
-                        ELSE {maxr} - length(bin(h60 >> {p})) END) AS reg,
+        SELECT {gc}, {det_hll_reg_sql()},
                count(*) AS cnt
         FROM h GROUP BY {gc}, idx
     ),
     agg AS (
         SELECT {gc},
-               CAST(sum(CAST(1 AS BIGINT) << ({maxr + 1} - reg)) AS BIGINT) AS s_int,
-               count(*) AS present,
+               {det_hll_sint_sql()},
                CAST(sum(cnt) AS BIGINT) AS n_rows
         FROM regs GROUP BY {gc}
     )
     SELECT {gc},
-           CASE WHEN {raw} <= {2.5 * DET_HLL_M!r} AND present < {m}
-                THEN {float(DET_HLL_M)!r} * ln({float(DET_HLL_M)!r} / ({m} - present))
-                ELSE {raw} END AS {est_alias},
+           {det_hll_est_case_sql()} AS {est_alias},
            n_rows
     FROM agg
     """

@@ -200,5 +200,3 @@ def q_warehouse_roundtrip_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
-
-

@@ -393,10 +393,13 @@ tokl AS (
     GROUP BY lang
 ),
 prior AS (
+    -- tok-less langs are excluded from the CANDIDATE set too: with no
+    -- likelihood rows they would score prior-alone (~-2) and beat every
+    -- real language's large negative log-likelihood on every document
     SELECT lang,
            ln(CAST(count(*) AS DOUBLE)
               / (SELECT CAST(count(*) AS DOUBLE) FROM train)) AS lp
-    FROM train GROUP BY lang
+    FROM train WHERE lang IN (SELECT lang FROM tokl) GROUP BY lang
 ),
 lik AS (
     SELECT l.lang, v.word, {_NB_LNP} AS lnp
@@ -510,8 +513,12 @@ def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "lang string, word string, c long, tok long",
     ).select("lang", "word", F.expr(_NB_LNP).alias("lnp"))
+    # tok-less langs leave the candidate set too (mirrors the oracle's
+    # prior CTE filter): a lang with no likelihood rows would otherwise
+    # score prior-alone and win every document
     prior = spark.createDataFrame(
-        [(r["lang"], r["n"]) for r in prior_rows], "cand string, n long"
+        [(r["lang"], r["n"]) for r in prior_rows if r["lang"] in tok],
+        "cand string, n long",
     ).select(
         "cand",
         F.expr(f"ln(CAST(n AS DOUBLE) / CAST({n_train} AS DOUBLE))").alias("lp"),
@@ -588,12 +595,11 @@ doc_terms AS (
     FROM docs
 ),
 cand AS (
-    SELECT term, CAST(count(*) AS BIGINT) AS n1_ FROM (
+    SELECT term, CAST(df AS BIGINT) AS n1_ FROM (
         SELECT term, count(*) AS df FROM (
             SELECT DISTINCT doc_id, term FROM doc_terms
         ) GROUP BY term ORDER BY df DESC, term LIMIT {CHI2_CAND}
-    ) dt JOIN (SELECT DISTINCT doc_id, term FROM doc_terms) x USING (term)
-    GROUP BY term
+    )
 ),
 nl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_1 FROM docs GROUP BY lang),
 nn_t AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM docs),
@@ -692,38 +698,28 @@ _HLL_B = "purchase"
 
 def _hll_overlap_oracle() -> str:
     """DuckDB replay of the register build → per-set estimate → union
-    merge → inclusion-exclusion intersection, mirroring
-    operators/sketches.py::det_hll_registers/merge/estimate verbatim
-    (the same text the driver-green q_sketch_rollup_customers oracle
-    uses)."""
+    merge → inclusion-exclusion intersection, assembled from the SAME
+    shared SQL fragments as the driver-green q_sketch_rollup_customers
+    oracle (operators/sketches.py::det_hll_*_sql) — estimator changes
+    there propagate here automatically."""
     from cost_of_living_data_etl_spark.operators.sketches import (
-        _DET_HLL_ALPHA_MM,
-        _DET_HLL_MAX_RHO,
-        _DET_HLL_POW,
-        DET_HLL_M,
-        DET_HLL_P,
+        det_hll_est_case_sql,
+        det_hll_h60_sql,
+        det_hll_reg_sql,
+        det_hll_sint_sql,
     )
 
-    m, p, maxr = DET_HLL_M, DET_HLL_P, _DET_HLL_MAX_RHO
-    raw = f"{_DET_HLL_ALPHA_MM!r} / (s_int / {_DET_HLL_POW!r} + ({m} - present))"
-    est_case = (
-        f"CASE WHEN {raw} <= {2.5 * DET_HLL_M!r} AND present < {m}"
-        f" THEN {float(DET_HLL_M)!r} * ln({float(DET_HLL_M)!r} / ({m} - present))"
-        f" ELSE {raw} END"
-    )
     return f"""
     WITH ev AS (
         SELECT event_type, CAST(user_id AS VARCHAR) AS v FROM events
         WHERE event_type IN ('{_HLL_A}', '{_HLL_B}')
     ),
     h AS (
-        SELECT event_type, CAST('0x' || substr(md5(v), 1, 15) AS BIGINT) AS h60
+        SELECT event_type, {det_hll_h60_sql("v")} AS h60
         FROM ev
     ),
     regs AS (
-        SELECT event_type, h60 & {m - 1} AS idx,
-               max(CASE WHEN h60 >> {p} = 0 THEN {maxr}
-                        ELSE {maxr} - length(bin(h60 >> {p})) END) AS reg
+        SELECT event_type, {det_hll_reg_sql()}
         FROM h GROUP BY event_type, idx
     ),
     aregs AS (
@@ -733,11 +729,8 @@ def _hll_overlap_oracle() -> str:
         FROM regs GROUP BY idx
     ),
     est AS (
-        SELECT event_type, {est_case} AS e FROM (
-            SELECT event_type,
-                   CAST(sum(CAST(1 AS BIGINT) << ({maxr + 1} - reg)) AS BIGINT)
-                       AS s_int,
-                   count(*) AS present
+        SELECT event_type, {det_hll_est_case_sql()} AS e FROM (
+            SELECT event_type, {det_hll_sint_sql()}
             FROM aregs GROUP BY event_type
         )
     ),
@@ -916,7 +909,8 @@ v1 AS (
 ),
 v2 AS (
     SELECT c_custkey, c_mktsegment,
-           CASE WHEN bk >= 5 AND bk < 10 THEN round(c_acctbal * 1.1, 2)
+           CASE WHEN bk >= 5 AND bk < 10
+                THEN floor(c_acctbal * 110.0 + 0.5) / 100.0
                 ELSE c_acctbal END AS c_acctbal
     FROM b WHERE bk >= 5
 ),
@@ -1013,12 +1007,17 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = b.filter(F.col("bk") < 95).select(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
+    # restatement via ONE shared IEEE-identical text — Spark round()
+    # rounds the shortest-decimal repr while DuckDB rounds the binary
+    # product, and TPC-H balances ending in 5 cents systematically hit
+    # 3-decimal midpoints where the two disagree by a cent; floor(x*110
+    # + 0.5)/100 evaluates identically on both engines
     v2 = b.filter(F.col("bk") >= 5).select(
         "c_custkey",
         "c_mktsegment",
         F.when(
             (F.col("bk") >= 5) & (F.col("bk") < 10),
-            F.round(F.col("c_acctbal") * 1.1, 2),
+            F.expr("floor(c_acctbal * 110.0 + 0.5) / 100.0"),
         )
         .otherwise(F.col("c_acctbal"))
         .alias("c_acctbal"),

@@ -530,3 +530,86 @@ def test_throttled_stream_reader_exactly_once_coverage(tmp_path_factory, plan, c
     for start, end, rows in batches:
         replay = list(reader.readBetweenOffsets(start, end))
         assert sorted(replay) == sorted(rows)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # fold
+            st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+            st.floats(min_value=-1e3, max_value=1e3, allow_nan=False),
+        ),
+        min_size=3,
+        max_size=60,
+    )
+)
+def test_gram_subtraction_equals_complement_gram(spark, rows):
+    """The leave-fold-out identity behind q_ridge_kfold_cv: for every
+    fold f, (total Gram − fold-f Gram) must equal the Gram computed
+    directly over the complement rows, entrywise, to float tolerance —
+    the algebra that lets k CV models reuse one aggregate pass."""
+    import math
+
+    grams: dict[int, list[float]] = {}
+    for f_, x, y in rows:
+        g = grams.setdefault(f_, [0.0] * 5)
+        for i, v in enumerate((1.0, x, y, x * x, x * y)):
+            g[i] += v
+    total = [sum(g[i] for g in grams.values()) for i in range(5)]
+    for f_, g in grams.items():
+        direct = [0.0] * 5
+        for f2, x, y in rows:
+            if f2 == f_:
+                continue
+            for i, v in enumerate((1.0, x, y, x * x, x * y)):
+                direct[i] += v
+        for i in range(5):
+            assert math.isclose(
+                total[i] - g[i], direct[i], rel_tol=1e-9, abs_tol=1e-6
+            ), (f_, i)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdef", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=1000),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_countmin_never_undercounts(spark, word_counts):
+    """CMS structural invariant: min-over-rows estimate ≥ true count
+    for EVERY key, under the real md5 bucket expression — collisions
+    only ever inflate."""
+    from cost_of_living_data_etl_spark.plans.mllite import (
+        CMS_DEPTH,
+        _CMS_BUCKET_SPARK,
+    )
+
+    agg: dict[str, int] = {}
+    for w, c in word_counts:
+        agg[w] = agg.get(w, 0) + c
+    df = spark.createDataFrame(list(agg.items()), "word string, cnt long")
+    rows = F.array(*[F.lit(i) for i in range(CMS_DEPTH)])
+    cells = (
+        df.select("word", "cnt", F.explode(rows).alias("i"))
+        .select("i", F.expr(_CMS_BUCKET_SPARK).alias("bucket"), "cnt")
+        .groupBy("i", "bucket")
+        .agg(F.sum("cnt").alias("cell"))
+    )
+    probes = df.select("word", "cnt", F.explode(rows).alias("i")).select(
+        "word", "cnt", "i", F.expr(_CMS_BUCKET_SPARK).alias("bucket")
+    )
+    est = (
+        probes.join(cells, ["i", "bucket"])
+        .groupBy("word", "cnt")
+        .agg(F.min("cell").alias("est"))
+        .collect()
+    )
+    assert len(est) == len(agg)
+    for r in est:
+        assert r["est"] >= r["cnt"], r["word"]

@@ -136,6 +136,7 @@ HEADLINE = [
     "q_countmin_word_frequency",
     "q_ridge_kfold_cv",
     "q_hll_overlap_event_types",
+    "q_benford_price_audit",
 ]
 
 

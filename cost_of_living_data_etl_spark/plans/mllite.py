@@ -891,6 +891,68 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Benford first-digit audit ---------------------------------------------
+
+#: shared first-significant-digit text (prices are ≥ 1 in the fixtures,
+#: so the integer part's leading digit IS the significant digit)
+_BENFORD_DIGIT = (
+    "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1)"
+    " AS BIGINT)"
+)
+#: Benford expectation log10(1 + 1/d) as one shared text on the BIGINT d
+_BENFORD_EXPECTED = "log10(1.0 + 1.0 / CAST(digit AS DOUBLE))"
+
+_BENFORD_ORACLE = f"""
+WITH d AS (
+    SELECT {_BENFORD_DIGIT} AS digit FROM orders
+),
+c AS (
+    SELECT digit, CAST(count(*) AS BIGINT) AS n_orders FROM d GROUP BY digit
+),
+t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d)
+SELECT digit, n_orders,
+       CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+       {_BENFORD_EXPECTED} AS benford_expected,
+       CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE)
+           - {_BENFORD_EXPECTED} AS deviation
+FROM c CROSS JOIN t
+"""
+
+
+@register(
+    "q_benford_price_audit",
+    oracle=_BENFORD_ORACLE,
+    tags=("quality", "audit", "benford", "statistics"),
+)
+def q_benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit of order prices: observed first-significant-
+    digit shares vs the log10(1 + 1/d) expectation — the forensic
+    data-quality screen for fabricated, truncated, or unit-mangled
+    monetary columns (organic multi-scale amounts follow Benford;
+    synthetic or clipped ones visibly don't, and THIS fixture's uniform
+    price generator is exactly such a non-Benford source, which the
+    deviation column makes measurable).
+
+    All counts are exact BIGINTs from one aggregate; the share/expected
+    floats come from one shared expression text on those integers —
+    bit-identical with no det_sum. Scale: digit extraction is scan-
+    stage arithmetic; the shuffle carries 9 digit groups.
+    """
+    d = load_table(spark, sf_dir, "orders").select(
+        F.expr(_BENFORD_DIGIT).alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    t = d.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    return c.crossJoin(F.broadcast(t)).selectExpr(
+        "digit",
+        "n_orders",
+        "CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE) AS share",
+        f"{_BENFORD_EXPECTED} AS benford_expected",
+        "CAST(n_orders AS DOUBLE) / CAST(total AS DOUBLE)"
+        f" - {_BENFORD_EXPECTED} AS deviation",
+    )
+
+
 # --- SCD2 history inside the oracle gate -----------------------------------
 
 _SCD2_BUCKET = _BUCKET_SQL.format(k="c_custkey")

@@ -571,3 +571,60 @@ def test_hll_overlap_reads_sketches_not_events(spark, sf_smoke):
     plan = plan_of(spark, "q_hll_overlap_event_types", sf_smoke, mode="simple")
     assert plan.count("events.parquet") == 1, plan.count("events.parquet")
     assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """Runtime skew handling, pinned end-to-end: with one key holding
+    ~99% of the build side and broadcast off (the 100 TB regime where
+    neither side fits an executor), AQE must re-plan the sort-merge
+    join with the hot partition SPLIT (`SortMergeJoin(skew=true)` +
+    `AQEShuffleRead ... skewed` in the FINAL adaptive plan). This is
+    the engine-native complement to the manual salting plan
+    (q_salted_agg_customer_spend) and the skew-profile measurement
+    (q_join_key_skew_profile): diagnose with the profile, let AQE split
+    joins at runtime, salt only aggregate-only skew."""
+    import pyspark.sql.functions as F
+
+    keys = [
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.autoBroadcastJoinThreshold",
+    ]
+    old = {}
+    for k in keys:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+    try:
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "2KB"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1KB")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+
+        left = spark.range(0, 60000).select(
+            F.when(F.col("id") % 100 < 99, 1).otherwise(F.col("id")).alias("k"),
+            F.col("id").alias("v"),
+        )
+        right = spark.range(0, 50).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        df = left.join(right, "k").groupBy().agg(F.count(F.lit(1)).alias("n"))
+        # only the hot key matches the 0..49 build side: 99% of 60000
+        assert df.collect()[0]["n"] == 59400
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan
+        assert "skewed" in plan  # AQEShuffleRead split the hot partition
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -137,6 +137,13 @@ HEADLINE = [
     "q_ridge_kfold_cv",
     "q_hll_overlap_event_types",
     "q_benford_price_audit",
+    # structural family (exact similarity join, intervals, skyline,
+    # weighted order statistics, iterative closure)
+    "q_setsim_prefix_join",
+    "q_interval_merge_islands",
+    "q_pareto_frontier_days",
+    "q_weighted_median_price",
+    "q_hierarchy_rollup",
 ]
 
 

@@ -37,4 +37,5 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     behavior_analytics,
     ops_analytics,
     mllite,
+    structural,
 )

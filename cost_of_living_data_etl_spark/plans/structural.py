@@ -1,0 +1,499 @@
+"""Structural operators: exact similarity join, interval algebra,
+order-theoretic frontier, weighted order statistics, iterative closure.
+
+Five operator shapes the reference's consumers would reach for next,
+each chosen because it demonstrates a DISTINCT distributed-algorithm
+pattern the rest of the catalog doesn't yet cover (the reference
+`app.py` stops at append-loading facts; these are passes over them):
+
+- **exact set-similarity self-join with prefix filtering** (AllPairs /
+  PPJoin family, Bayardo et al., WWW'07): the EXACT complement to the
+  approximate MinHash-LSH path in `operators/dedup.py` — a provably
+  lossless candidate pruning, then exact verification. Same answer as
+  the naive all-pairs join at a tiny fraction of the candidates.
+- **interval coalescing** (gaps-and-islands): merge overlapping
+  per-user activity intervals into islands with a cumulative-max
+  window — the interval-union primitive under sessionization, SLA
+  uptime, and coverage metrics.
+- **Pareto frontier** (skyline query): the non-dominated set on
+  (recency, price), computed with a lossless day-level reduction
+  before any single-partition step.
+- **exact weighted median** via key-grouped prefix sums — the order
+  statistic `q_percentiles_order_value` (unweighted) and
+  `q_quantile_sketch_rollup` (approximate) don't cover.
+- **hierarchy closure by pointer doubling**: root/depth over a
+  parent-pointer table in O(log depth) self-joins — the iterative-
+  fixpoint pattern (its DuckDB oracle is a genuine `WITH RECURSIVE`,
+  the first recursive-CTE parity check in the catalog).
+
+Float discipline (house rules): counts/micros stay integral end-to-end;
+money snaps to the cents grid (integral sum, divide once); Jaccard and
+medians are single divisions / selections of identical operands, so
+both engines produce bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from cost_of_living_data_etl_spark.operators.dedup import SHINGLES_SQL, shingle_docs
+from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.sources.tables import load_table
+
+SETSIM_T = 0.5  # exact-join Jaccard threshold
+IDLE_GAP_US = 300_000_000  # activity interval: event covers [ts, ts+5min)
+HIER_ROOTS = 5  # synthetic supplier forest: nodes 0..4 are roots
+HIER_ROUNDS = 8  # pointer-doubling rounds: reaches depth 2^8 = 256
+
+
+# --- exact set-similarity self-join (prefix filtering) ----------------------
+
+_SETSIM_ORACLE = f"""
+WITH sh AS (SELECT doc_id, {SHINGLES_SQL} AS shingles FROM documents),
+sz AS (SELECT doc_id, length(shingles) AS n FROM sh),
+tok AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+          FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT CAST(d1 AS BIGINT) AS doc_id_1, CAST(d2 AS BIGINT) AS doc_id_2,
+       i * 1.0 / (sa.n + sb.n - i) AS jaccard
+FROM inter
+JOIN sz sa ON sa.doc_id = inter.d1
+JOIN sz sb ON sb.doc_id = inter.d2
+WHERE i * 1.0 / (sa.n + sb.n - i) >= {SETSIM_T}
+ORDER BY doc_id_1, doc_id_2
+"""
+
+
+@register(
+    "q_setsim_prefix_join",
+    oracle=_SETSIM_ORACLE,
+    tags=("dedup", "similarity-join", "exact"),
+)
+def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL document pairs with exact 3-gram-shingle Jaccard >= 0.5,
+    found without the all-pairs join: prefix filtering (AllPairs /
+    PPJoin family).
+
+    Under ANY global token order, two sets with J >= t must share a
+    token inside their first ``n - ceil(t*n) + 1`` tokens (else too
+    few tokens remain to reach the required overlap) — so joining
+    PREFIX tokens only is a provably lossless candidate generator.
+    Ordering tokens rarest-first (by document frequency) makes those
+    prefixes collide as rarely as possible; PPJoin's positional filter
+    then discards matches that leave too few trailing tokens to reach
+    the required overlap. Candidates verify with the exact Jaccard on
+    the full hashed-shingle sets.
+
+    Tokens travel as xxhash64 of the shingle, never the string: a
+    collision merges two tokens, which can only ADD candidates
+    (intersections grow, unions shrink under merging), never drop a
+    true pair.
+
+    100 TB: the shuffles carry (doc_id, token_hash) and (doc_id,
+    token_hash, df) pairs — never text. The quadratic lives only
+    inside per-prefix-token buckets (rarest-first keeps them small;
+    df-capped tokens could be dropped from prefixes entirely for a
+    skew guard). This is the exact-answer complement of
+    ``q_dedup_minhash_lsh``: LSH for recall-tunable speed, prefix
+    join when the answer must be exact.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # ONE shingling pass: the regex split + 3-gram build is the
+    # expensive kernel and this plan consumes its output on THREE
+    # branches (df counts, prefix ranking, verification) — Catalyst
+    # shares no common subplan across branches, so materialize it once
+    # (same localCheckpoint discipline as connected components). Only
+    # (doc_id, hashes) is materialized — text and shingle strings stay
+    # inside the scan stage; measured, the string arrays were most of
+    # the checkpoint cost. hs = in-doc-distinct 64-bit token hashes;
+    # hash identity is the house convention (exact dedup groups on
+    # md5) — a cross-doc collision merges two tokens, which only ADDS
+    # candidates, and verification on hashed sets carries a 2^-64-per-
+    # pair tail, vs LSH's tunable-but-material false-negative rate.
+    sh = (
+        shingle_docs(docs)
+        .select(
+            "doc_id",
+            F.array_distinct(
+                F.expr("transform(shingles, s -> xxhash64(s))")
+            ).alias("hs"),
+        )
+        .withColumn("n_h", F.size("hs"))
+        .localCheckpoint(eager=False)
+    )
+    tok = sh.select("doc_id", "n_h", F.explode("hs").alias("h"))
+    df_counts = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tok.join(df_counts, "h").withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("doc_id").orderBy("df", "h")),
+    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("n_h") - F.ceil(F.lit(SETSIM_T) * F.col("n_h")) + 1
+    ).select("doc_id", "h", "n_h", "rn")
+    a = prefix.select(
+        F.col("doc_id").alias("d1"),
+        "h",
+        F.col("n_h").alias("na"),
+        F.col("rn").alias("pa"),
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("d2"),
+        "h",
+        F.col("n_h").alias("nb"),
+        F.col("rn").alias("pb"),
+    )
+    # J >= t  ⟺  overlap >= t/(1+t) * (na+nb); with t = 1/2 that is
+    # alpha = ceil((na+nb)/3), kept in exact integer arithmetic
+    assert SETSIM_T == 0.5, "alpha expression below is derived for t=1/2"
+    alpha = F.expr("(na + nb + 2) div 3")
+    cands = (
+        a.join(b, "h")
+        .filter(
+            (F.col("d1") < F.col("d2"))
+            # size filter: J >= t forces min(|A|,|B|) >= t * max(|A|,|B|)
+            & (
+                F.least("na", "nb")
+                >= F.lit(SETSIM_T) * F.greatest("na", "nb")
+            )
+            # positional filter (PPJoin): matching at positions (pa, pb)
+            # leaves at most 1 + min(na-pa, nb-pb) common tokens; the
+            # FIRST common prefix token of any true pair satisfies this,
+            # so pruning occurrences that violate it is lossless
+            & (
+                1 + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb"))
+                >= alpha
+            )
+        )
+        .select("d1", "d2")
+        .distinct()
+    )
+    # exact verification on the full hashed-shingle sets (candidates only)
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("hs").alias("hs1"))
+    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("hs").alias("hs2"))
+    verified = (
+        cands.join(s1, "d1")
+        .join(s2, "d2")
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("hs1", "hs2")).alias("i"),
+            (F.size("hs1") + F.size("hs2")).alias("ns"),
+        )
+        .select(
+            "d1",
+            "d2",
+            (F.col("i") / (F.col("ns") - F.col("i"))).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= SETSIM_T)
+    )
+    return verified.select(
+        F.col("d1").cast("long").alias("doc_id_1"),
+        F.col("d2").cast("long").alias("doc_id_2"),
+        "jaccard",
+    ).orderBy("doc_id_1", "doc_id_2")
+
+
+# --- interval coalescing (gaps-and-islands) ---------------------------------
+
+_ISLANDS_ORACLE = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS s,
+                  epoch_us(ts) + {IDLE_GAP_US} AS en
+           FROM events),
+m AS (SELECT user_id, s, en,
+             max(en) OVER (PARTITION BY user_id ORDER BY s, en
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pmax
+      FROM e),
+f AS (SELECT user_id, s, en,
+             CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS brk
+      FROM m),
+g AS (SELECT user_id, s, en,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY s, en
+                            ROWS UNBOUNDED PRECEDING) AS isl
+      FROM f),
+i AS (SELECT user_id, isl, min(s) AS st, max(en) AS e2 FROM g GROUP BY 1, 2)
+SELECT CAST(user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_islands,
+       CAST(sum(e2 - st) AS BIGINT) AS covered_us
+FROM i GROUP BY user_id ORDER BY user_id
+"""
+
+
+@register(
+    "q_interval_merge_islands",
+    oracle=_ISLANDS_ORACLE,
+    tags=("events", "intervals", "window"),
+)
+def q_interval_merge_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge each user's overlapping activity intervals (event covers
+    [ts, ts+5min)) into maximal islands; report islands and covered
+    time per user — the interval-union under uptime/coverage metrics.
+
+    Gaps-and-islands in two windows, both partitioned BY USER: an
+    interval starts a new island iff its start exceeds the running max
+    end of all earlier intervals (cumulative max handles contained
+    intervals that a lag-1 comparison would break on); the island id
+    is the running count of such breaks. Differs from
+    ``q_events_sessionization`` (gap between POINTS) in merging
+    DURATIONS — a contained or back-dated interval extends nothing
+    but also splits nothing.
+
+    All arithmetic is integral microseconds (`unix_micros` /
+    `epoch_us`) — no float, no timezone, hash-exact across engines.
+    100 TB: both windows share ONE user_id exchange over (user_id,
+    start, end) triples; after them only ISLAND-level rows (partial-
+    agg combined) move, and per-user interval counts are human-
+    bounded, so no partition outgrows memory.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(IDLE_GAP_US)).alias("en"),
+    )
+    order = Window.partitionBy("user_id").orderBy("s", "en")
+    prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    run = order.rowsBetween(Window.unboundedPreceding, 0)
+    flagged = ev.withColumn("pmax", F.max("en").over(prev)).withColumn(
+        "brk",
+        F.when(
+            F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
+        ).otherwise(0),
+    )
+    islands = (
+        flagged.withColumn("isl", F.sum("brk").over(run))
+        .groupBy("user_id", "isl")
+        .agg(F.min("s").alias("st"), F.max("en").alias("e2"))
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.col("e2") - F.col("st")).alias("covered_us"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("n_islands").cast("long").alias("n_islands"),
+            F.col("covered_us").cast("long").alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# --- Pareto frontier (skyline) ----------------------------------------------
+
+_PARETO_ORACLE = """
+WITH daily AS (SELECT date_trunc('day', o_orderdate) AS day,
+                      min(o_totalprice) AS best_price
+               FROM orders GROUP BY 1)
+SELECT a.day AS day, a.best_price AS best_price
+FROM daily a
+WHERE NOT EXISTS (SELECT 1 FROM daily b
+                  WHERE b.day > a.day AND b.best_price <= a.best_price)
+ORDER BY day
+"""
+
+
+@register(
+    "q_pareto_frontier_days",
+    oracle=_PARETO_ORACLE,
+    tags=("skyline", "window", "order-theory"),
+)
+def q_pareto_frontier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline of days on (recency maximized, best order price
+    minimized): a day survives iff NO later day offers an equal-or-
+    lower minimum price — the classic Pareto-frontier / skyline query.
+
+    The oracle states the DEFINITION (NOT EXISTS dominance); the Spark
+    plan computes it in O(n log n): sort days descending, keep a day
+    iff its price is strictly below the running min of all later days.
+    The two are equivalent because dominance here is a total-order
+    scan: any dominating day IS a later day with price <= mine.
+
+    100 TB: the single-partition window never sees row-scale data —
+    the lossless reduction to (day, min price) runs FIRST as an
+    ordinary partial-aggregated groupBy (only a day's cheapest order
+    can be on the frontier), leaving a calendar-bounded series
+    (thousands of rows regardless of corpus size). Same shape for a
+    per-segment skyline: partition the window by segment.
+    """
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_trunc("day", F.col("o_orderdate")).alias("day"))
+        .agg(F.min("o_totalprice").alias("best_price"))
+    )
+    later = Window.orderBy(F.col("day").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        daily.withColumn("later_min", F.min("best_price").over(later))
+        .filter(
+            F.col("later_min").isNull()
+            | (F.col("best_price") < F.col("later_min"))
+        )
+        .select("day", "best_price")
+        .orderBy("day")
+    )
+
+
+# --- exact weighted median ---------------------------------------------------
+
+_WMEDIAN_ORACLE = """
+WITH pw AS (SELECT l_returnflag AS flag, l_extendedprice AS price,
+                   sum(l_quantity) AS w
+            FROM lineitem GROUP BY 1, 2),
+c AS (SELECT flag, price, w,
+             sum(w) OVER (PARTITION BY flag ORDER BY price
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+             sum(w) OVER (PARTITION BY flag) AS tw
+      FROM pw)
+SELECT flag AS l_returnflag, min(price) AS w_median_price,
+       CAST(min(tw) AS DOUBLE) AS total_weight
+FROM c WHERE 2 * cw >= tw GROUP BY flag ORDER BY l_returnflag
+"""
+
+
+@register(
+    "q_weighted_median_price",
+    oracle=_WMEDIAN_ORACLE,
+    tags=("statistics", "order-statistic", "window"),
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median extended price per return flag: the
+    smallest price whose cumulative quantity weight reaches half the
+    group total — an EXACT weighted order statistic (the unweighted
+    percentile suite and the approximate quantile sketch don't cover
+    weights).
+
+    Selection, not interpolation: the answer is an element of the data
+    (one price value both engines pick identically), and the crossing
+    test ``2*cw >= tw`` is integer-free-drift — quantities are
+    integral, so every cumulative sum is exact in a double.
+
+    100 TB: weights pre-aggregate per (flag, price) — a partial-agg
+    groupBy — before any window, so the per-flag cumulative window
+    scans distinct prices, not rows. Unbounded distinct prices would
+    switch to the mergeable quantile sketch
+    (``q_quantile_sketch_rollup``); this is the exact path.
+    """
+    pw = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_extendedprice").alias("price"),
+        )
+        .agg(F.sum("l_quantity").alias("w"))
+    )
+    flag_w = Window.partitionBy("flag")
+    cum = flag_w.orderBy("price").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        pw.withColumn("cw", F.sum("w").over(cum))
+        .withColumn("tw", F.sum("w").over(flag_w))
+        .filter(2 * F.col("cw") >= F.col("tw"))
+        .groupBy("flag")
+        .agg(
+            F.min("price").alias("w_median_price"),
+            F.min("tw").cast("double").alias("total_weight"),
+        )
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            "w_median_price",
+            "total_weight",
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# --- hierarchy closure by pointer doubling ----------------------------------
+
+_HIER_ORACLE = f"""
+WITH RECURSIVE walk AS (
+  SELECT s_suppkey AS node, s_suppkey AS root, 0 AS depth, s_acctbal AS bal
+  FROM supplier WHERE s_suppkey < {HIER_ROOTS}
+  UNION ALL
+  SELECT s.s_suppkey, w.root, w.depth + 1, s.s_acctbal
+  FROM supplier s JOIN walk w ON (s.s_suppkey - {HIER_ROOTS}) // 2 = w.node
+  WHERE s.s_suppkey >= {HIER_ROOTS}
+)
+SELECT CAST(root AS BIGINT) AS root,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(max(depth) AS BIGINT) AS max_depth,
+       sum(CAST(round(bal * 100) AS BIGINT)) / 100.0 AS acctbal_total
+FROM walk GROUP BY root ORDER BY root
+"""
+
+
+@register(
+    "q_hierarchy_rollup",
+    oracle=_HIER_ORACLE,
+    tags=("iterative", "graph", "recursive-cte"),
+)
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll a parent-pointer hierarchy up to its roots: per-root node
+    count, max depth, and account-balance total over a synthetic
+    supplier forest (roots 0..4; parent(k) = (k-5) div 2 — a 5-tree
+    heap shape with log₂-bounded depth).
+
+    Spark has no recursive CTE, and the naive translation — one join
+    per LEVEL — is O(depth) shuffles. This uses POINTER DOUBLING
+    instead: iterate ``anc ← anc(anc)``, accumulating hop counts, so
+    round i resolves ancestors 2^i hops up; roots self-loop at
+    distance 0, making convergence absorbing. 8 rounds reach depth
+    256 — any industrial hierarchy. The DuckDB oracle is a genuine
+    ``WITH RECURSIVE`` — the definition, independent of the doubling.
+
+    100 TB: each round shuffles only (node, anc, d) triples — never
+    payload — and `localCheckpoint` truncates the self-referencing
+    lineage that would otherwise double the plan per round (same
+    discipline as connected components, `operators/dedup.py`).
+    Balances total in integral cents, one division at the end.
+    """
+    sup = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("node"),
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("cents"),
+    )
+    anc = sup.select(
+        "node",
+        F.when(
+            F.col("node") < HIER_ROOTS, F.col("node")
+        ).otherwise(
+            # integer div: exact at any key magnitude (float / would
+            # misround past 2^53)
+            F.expr(f"(node - {HIER_ROOTS}) div 2")
+        ).alias("anc"),
+        F.when(F.col("node") < HIER_ROOTS, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("d"),
+    )
+    for _ in range(HIER_ROUNDS):
+        hop = anc.select(
+            F.col("node").alias("j_node"),
+            F.col("anc").alias("j_anc"),
+            F.col("d").alias("j_d"),
+        )
+        anc = (
+            anc.join(hop, anc.anc == hop.j_node)
+            .select(
+                "node",
+                F.col("j_anc").alias("anc"),
+                (F.col("d") + F.col("j_d")).alias("d"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        anc.join(sup, "node")
+        .groupBy(F.col("anc").alias("root"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.max("d").alias("max_depth"),
+            (F.sum("cents") / 100.0).alias("acctbal_total"),
+        )
+        .select(
+            F.col("root").cast("long").alias("root"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("max_depth").cast("long").alias("max_depth"),
+            "acctbal_total",
+        )
+        .orderBy("root")
+    )

@@ -144,6 +144,10 @@ HEADLINE = [
     "q_pareto_frontier_days",
     "q_weighted_median_price",
     "q_hierarchy_rollup",
+    # inference family (TWAP, Poisson bootstrap, sequential testing)
+    "q_twap_by_event_type",
+    "q_bootstrap_ci_mean",
+    "q_sprt_ab_daily",
 ]
 
 

@@ -38,4 +38,5 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     ops_analytics,
     mllite,
     structural,
+    inference,
 )

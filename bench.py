@@ -148,6 +148,10 @@ HEADLINE = [
     "q_twap_by_event_type",
     "q_bootstrap_ci_mean",
     "q_sprt_ab_daily",
+    # mining family (mutual-NN pairs, MAD outliers, graph diagnostics)
+    "q_mutual_nn_pairs",
+    "q_mad_robust_outlier_days",
+    "q_dupgraph_assortativity",
 ]
 
 

@@ -39,4 +39,5 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     mllite,
     structural,
     inference,
+    mining,
 )

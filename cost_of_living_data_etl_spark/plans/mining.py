@@ -1,0 +1,313 @@
+"""Pair mining and robustness diagnostics: mutual nearest neighbors,
+MAD-robust outliers, and dup-graph assortativity.
+
+Three curation-side passes over artifacts earlier families produce:
+
+- **mutual nearest neighbors** over the embedding corpus — the bitext/
+  pair-mining rule (each side's argmax must agree) that turns one-way
+  similarity into high-precision pairs; the filter LABSE/CCMatrix-style
+  parallel-corpus mining applies on top of ANN candidates;
+- **MAD-robust outlier days** — median-absolute-deviation flagging of
+  the daily revenue series: the robust counterpart of
+  `q_revenue_anomaly_days`' z-scores (mean/σ move with the outliers
+  they're meant to catch; medians don't, up to 50% corruption);
+- **degree assortativity** of the near-dup pair graph — one Pearson
+  correlation over edge-endpoint degrees that says whether duplication
+  is hub-shaped (templates radiating copies, r < 0) or clique-shaped
+  (mirror clusters, r > 0) — which decides canonical-pick strategy
+  before anyone reads pairs.
+
+Float discipline: argmax/median/MAD are selections of existing values
+under total orders (no interpolation); assortativity reduces edges to
+six exact BIGINT sums entering ONE shared float expression.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from cost_of_living_data_etl_spark.operators.dedup import (
+    _MINHASH_ORACLE,
+    minhash_pair_plan,
+)
+from cost_of_living_data_etl_spark.operators.similarity import (
+    dot_expr,
+    with_norm,
+)
+from cost_of_living_data_etl_spark.plans.analytics_extra import (
+    _DAILY_CTE,
+    _daily_revenue,
+)
+from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.sources.tables import load_table
+
+# --- mutual nearest neighbors ----------------------------------------------
+
+_MNN_ORACLE = """
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS emb,
+           sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+             AS norm
+    FROM embeddings
+),
+pairs AS (
+    SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+           list_inner_product(a.emb, b.emb) / (a.norm * b.norm) AS cos_sim
+    FROM e a JOIN e b ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+),
+best_a AS (
+    SELECT a_id, b_id, cos_sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY a_id
+                                     ORDER BY cos_sim DESC, b_id) AS rk
+        FROM pairs) WHERE rk = 1
+),
+best_b AS (
+    SELECT a_id, b_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY b_id
+                                     ORDER BY cos_sim DESC, a_id) AS rk
+        FROM pairs) WHERE rk = 1
+)
+SELECT CAST(x.a_id AS BIGINT) AS a_id, CAST(x.b_id AS BIGINT) AS b_id,
+       x.cos_sim AS cos_sim
+FROM best_a x JOIN best_b y ON x.a_id = y.a_id AND x.b_id = y.b_id
+ORDER BY a_id
+"""
+
+
+@register(
+    "q_mutual_nn_pairs",
+    oracle=_MNN_ORACLE,
+    tags=("similarity", "pair-mining", "bitext"),
+)
+def q_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual nearest neighbors between the even-id and odd-id halves
+    of the embedding corpus: pair (a, b) survives iff b is a's best
+    cosine match AND a is b's — the reciprocal filter that makes mined
+    pairs precise (one-way argmax pairs everything, including points
+    whose best match merely happens to be nearest in a sparse region).
+
+    Argmaxes are `max(struct(cos, -id))` partial aggregates — one per
+    side from ONE scored pair stream, combined map-side, ties broken
+    toward the smaller id on both engines.
+
+    100 TB: the exact pair stream here is the fixture-scale instrument
+    (one broadcast of the odd side, no shuffled pairs — only the two
+    per-key argmax states move). At corpus scale the mutual filter is
+    UNCHANGED but consumes ANN candidates (`q_ann_ivf_probe`'s output
+    shape) instead of the dense stream — mutual-NN over approximate
+    candidate lists is exactly the CCMatrix recipe.
+    """
+    e = with_norm(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )
+    a = e.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("embedding").alias("a_emb"),
+        F.col("norm").alias("a_norm"),
+    )
+    b = e.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("b_emb"),
+        F.col("norm").alias("b_norm"),
+    )
+    pairs = a.crossJoin(F.broadcast(b)).select(
+        "a_id",
+        "b_id",
+        (
+            dot_expr("a_emb", "b_emb") / (F.col("a_norm") * F.col("b_norm"))
+        ).alias("cos_sim"),
+    )
+    best_a = (
+        pairs.groupBy("a_id")
+        .agg(F.max(F.struct("cos_sim", (-F.col("b_id")).alias("nb"))).alias("m"))
+        .select(
+            "a_id",
+            (-F.col("m.nb")).alias("b_id"),
+            F.col("m.cos_sim").alias("cos_sim"),
+        )
+    )
+    best_b = (
+        pairs.groupBy("b_id")
+        .agg(F.max(F.struct("cos_sim", (-F.col("a_id")).alias("na"))).alias("m"))
+        .select(F.col("b_id").alias("bb_id"), (-F.col("m.na")).alias("ba_id"))
+    )
+    return (
+        best_a.join(
+            best_b,
+            (best_a.a_id == best_b.ba_id) & (best_a.b_id == best_b.bb_id),
+        )
+        .select(
+            F.col("a_id").cast("long").alias("a_id"),
+            F.col("b_id").cast("long").alias("b_id"),
+            "cos_sim",
+        )
+        .orderBy("a_id")
+    )
+
+
+# --- MAD-robust outlier days -------------------------------------------------
+
+MAD_K = 5.0  # flag |x - median| > K * MAD
+
+_MAD_ORACLE = f"""
+WITH {_DAILY_CTE},
+med AS (
+    SELECT revenue AS med FROM (
+        SELECT revenue, row_number() OVER (ORDER BY revenue, day) AS rk,
+               count(*) OVER () AS n
+        FROM daily) WHERE rk = (n + 1) // 2
+),
+dev AS (
+    SELECT day, revenue, abs(revenue - med) AS abs_dev FROM daily, med
+),
+mad AS (
+    SELECT abs_dev AS mad FROM (
+        SELECT abs_dev, row_number() OVER (ORDER BY abs_dev, day) AS rk,
+               count(*) OVER () AS n
+        FROM dev) WHERE rk = (n + 1) // 2
+)
+SELECT day, revenue, abs_dev, mad
+FROM dev, mad
+WHERE abs_dev > {MAD_K} * mad
+ORDER BY day
+"""
+
+
+@register(
+    "q_mad_robust_outlier_days",
+    oracle=_MAD_ORACLE,
+    tags=("statistics", "robust", "outliers"),
+)
+def q_mad_robust_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose revenue sits more than 5 MADs from the median — the
+    ROBUST outlier flag: `q_revenue_anomaly_days`' z-scores use a mean
+    and σ the outliers themselves inflate (masking), while median and
+    MAD hold up to 50% corruption; 5·MAD ≈ 3.4σ under normality.
+
+    Median and MAD are lower-median ORDER STATISTICS selected by the
+    total order (value, day) — exact elements both engines pick
+    identically, no interpolation, no float folds.
+
+    100 TB: the series is the calendar-bounded daily rollup (partial-
+    aggregated), so the two selection windows and the final filter
+    touch |days| rows; the two scalars broadcast back. Per-segment
+    variants partition the same windows by segment.
+    """
+    daily = _daily_revenue(spark, sf_dir)
+    n_w = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+
+    def _lower_median(df: DataFrame, value: str, out: str) -> DataFrame:
+        ranked = df.select(
+            F.col(value),
+            F.row_number().over(Window.orderBy(value, "day")).alias("rk"),
+            F.count(F.lit(1)).over(n_w).alias("n"),
+        )
+        return ranked.filter(
+            F.col("rk") == F.floor((F.col("n") + 1) / 2)
+        ).select(F.col(value).alias(out))
+
+    med = _lower_median(daily, "revenue", "med")
+    dev = daily.crossJoin(F.broadcast(med)).select(
+        "day",
+        "revenue",
+        F.abs(F.col("revenue") - F.col("med")).alias("abs_dev"),
+    )
+    mad = _lower_median(dev, "abs_dev", "mad")
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .filter(F.col("abs_dev") > MAD_K * F.col("mad"))
+        .select("day", "revenue", "abs_dev", "mad")
+        .orderBy("day")
+    )
+
+
+# --- dup-graph degree assortativity -----------------------------------------
+
+_ASSORT_EXPR = """CASE
+  WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0 THEN
+    (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+END"""
+
+_ASSORT_ORACLE = f"""
+WITH pairs AS MATERIALIZED (
+    SELECT doc_id_1, doc_id_2 FROM ( {_MINHASH_ORACLE} )
+),
+edges AS (
+    SELECT doc_id_1 AS src, doc_id_2 AS dst FROM pairs
+    UNION ALL
+    SELECT doc_id_2, doc_id_1 FROM pairs
+),
+deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+xy AS (
+    SELECT du.d AS x, dv.d AS y
+    FROM edges e JOIN deg du ON e.src = du.node
+                 JOIN deg dv ON e.dst = dv.node
+),
+s AS (
+    SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+           sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+    FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_directed_edges,
+       {_ASSORT_EXPR} AS assortativity
+FROM s
+"""
+
+
+@register(
+    "q_dupgraph_assortativity",
+    oracle=_ASSORT_ORACLE,
+    tags=("graph", "dedup", "diagnostics"),
+)
+def q_dupgraph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the MinHash near-dup graph: the Pearson
+    correlation of endpoint degrees over directed edges. r < 0 means
+    hub-shaped duplication (templates radiating one-off copies — pick
+    canonicals per hub, or regex the template away); r > 0 means
+    clique-shaped mirror clusters (connected components already split
+    them — pick any representative). One number that routes the dedup
+    strategy, computed before anyone inspects pairs.
+
+    Exactness: degrees and the five moment sums are BIGINTs; the
+    correlation is ONE shared float expression over those exact
+    integers (NULL for degenerate/regular graphs, where the variance
+    term is zero).
+
+    100 TB: reuses the banded LSH candidate plan (`minhash_pair_plan`)
+    — shuffles carry id pairs and (node, degree) only; the moment
+    reduction is a partial-aggregated single row.
+    """
+    pairs = minhash_pair_plan(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    edges = pairs.select(
+        F.col("doc_id_1").alias("src"), F.col("doc_id_2").alias("dst")
+    ).unionAll(
+        pairs.select(
+            F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst")
+        )
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("x"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("y"))
+    xy = (
+        edges.join(du, edges.src == du.u)
+        .join(dv, edges.dst == dv.v)
+        .select("x", "y")
+    )
+    s = xy.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_directed_edges"),
+        F.expr(_ASSORT_EXPR).alias("assortativity"),
+    )

@@ -1,0 +1,72 @@
+"""Semantic regression tests for the mining family — reciprocity,
+robust-zero MAD, and degenerate-graph handling the shared-spec oracle
+gate can't distinguish.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from cost_of_living_data_etl_spark.plans.mining import (
+    q_dupgraph_assortativity,
+    q_mad_robust_outlier_days,
+    q_mutual_nn_pairs,
+)
+
+
+def test_mutual_nn_requires_reciprocity(spark, tmp_path):
+    """a0's best match is b1, but b1's best is a2 — so (a0, b1) must
+    NOT survive; only the reciprocal pair (a2, b1) does. b3's best is
+    a0, unreciprocated — no pair for b3 either."""
+    rows = [
+        (0, [1.0, 0.2], 0),  # A side (even)
+        (2, [1.0, 0.0], 0),
+        (1, [1.0, 0.0], 1),  # B side (odd)
+        (3, [0.0, 1.0], 1),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = [
+        (r["a_id"], r["b_id"], round(r["cos_sim"], 9))
+        for r in q_mutual_nn_pairs(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(2, 1, 1.0)]
+
+
+def test_mad_zero_flags_any_deviation(spark, tmp_path):
+    """9 identical days make both median and MAD exact zeros of
+    deviation; the single spiked day deviates > 5·0 and must be the
+    ONLY flagged row (and mad must be exactly 0.0, not an
+    interpolated near-zero)."""
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (k, 1, "O", 100.0, base + datetime.timedelta(days=k), "1-URGENT")
+        for k in range(9)
+    ]
+    rows.append((9, 1, "O", 1000.0, base + datetime.timedelta(days=9), "1-URGENT"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    got = q_mad_robust_outlier_days(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["day"].date().isoformat() == "2024-01-10"
+    assert r["mad"] == 0.0
+    assert r["abs_dev"] == 900.0
+
+
+def test_assortativity_null_on_regular_graph(spark, tmp_path):
+    """Four identical documents form a complete dup graph: every
+    degree is 3, the degree variance is zero, and the correlation must
+    be NULL (not NaN, not 0) over the 12 directed edges."""
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    spark.createDataFrame(
+        [(i, text, "en", "test", len(text)) for i in range(4)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    r = q_dupgraph_assortativity(spark, str(tmp_path)).collect()[0]
+    assert r["n_directed_edges"] == 12
+    assert r["assortativity"] is None

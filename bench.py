@@ -152,6 +152,10 @@ HEADLINE = [
     "q_mutual_nn_pairs",
     "q_mad_robust_outlier_days",
     "q_dupgraph_assortativity",
+    # stream-hygiene family (event-time measurements behind streaming config)
+    "q_event_lateness_audit",
+    "q_event_gap_percentiles",
+    "q_watermark_coverage_curve",
 ]
 
 

@@ -40,4 +40,5 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     structural,
     inference,
     mining,
+    hygiene,
 )

@@ -156,6 +156,11 @@ HEADLINE = [
     "q_event_lateness_audit",
     "q_event_gap_percentiles",
     "q_watermark_coverage_curve",
+    # survival/trend family (KM, Mann-Kendall, segmented fit, DiD)
+    "q_km_survival_conversion",
+    "q_mann_kendall_trend",
+    "q_segmented_regression_break",
+    "q_did_order_value",
 ]
 
 

@@ -41,4 +41,5 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     inference,
     mining,
     hygiene,
+    survival_trend,
 )

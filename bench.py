@@ -161,6 +161,8 @@ HEADLINE = [
     "q_mann_kendall_trend",
     "q_segmented_regression_break",
     "q_did_order_value",
+    # spectral family
+    "q_pca_power_iteration",
 ]
 
 

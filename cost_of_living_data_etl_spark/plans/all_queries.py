@@ -42,4 +42,5 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     mining,
     hygiene,
     survival_trend,
+    spectral,
 )

@@ -163,6 +163,7 @@ HEADLINE = [
     "q_did_order_value",
     # spectral family
     "q_pca_power_iteration",
+    "q_kcore_dup_graph",
 ]
 
 

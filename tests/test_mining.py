@@ -70,3 +70,23 @@ def test_assortativity_null_on_regular_graph(spark, tmp_path):
     r = q_dupgraph_assortativity(spark, str(tmp_path)).collect()[0]
     assert r["n_directed_edges"] == 12
     assert r["assortativity"] is None
+
+
+def test_kcore_keeps_cliques_peels_pendant_pairs(spark, tmp_path):
+    """Four identical docs (K4) survive the 2-core with degree 3; an
+    isolated identical PAIR (one edge, degree 1 each) must peel away,
+    as must singletons with no edges at all."""
+    clique = "alpha beta gamma delta epsilon zeta eta theta"
+    pair = "one two three four five six seven eight nine"
+    texts = [clique] * 4 + [pair] * 2 + ["solo unique text number ten eleven"]
+    spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    from cost_of_living_data_etl_spark.plans.mining import q_kcore_dup_graph
+
+    got = {
+        r["doc_id"]: r["core_degree"]
+        for r in q_kcore_dup_graph(spark, str(tmp_path)).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}

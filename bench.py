@@ -164,6 +164,7 @@ HEADLINE = [
     # spectral family
     "q_pca_power_iteration",
     "q_kcore_dup_graph",
+    "q_conformal_interval_ridge",
 ]
 
 

@@ -1221,3 +1221,206 @@ def q_countmin_word_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cms_est",
         (F.col("cms_est") - F.col("exact_cnt")).cast("long").alias("overcount"),
     )
+
+
+# --- split-conformal prediction interval ------------------------------------
+
+CONF_ALPHA = "0.1"  # SQL literal: 90% marginal coverage target
+_CONF_TRAIN_CUT = 80  # md5 buckets 0-79 train
+_CONF_CAL_CUT = 90  # 80-89 calibration; 90-99 test
+
+_CONF_BUCKET_SPARK = _BUCKET_SPARK.format(k="o_orderkey")
+_CONF_BUCKET_SQL = _BUCKET_SQL.format(k="o_orderkey")
+
+# train-split Gram (det_sum discipline, same Cramer solve as ridge)
+_CF_C0 = (f"(nd + {RIDGE_LAMBDA})", "s1", "s2")
+_CF_C1 = ("s1", f"(s11 + {RIDGE_LAMBDA})", "s12")
+_CF_C2 = ("s2", "s12", f"(s22 + {RIDGE_LAMBDA})")
+_CF_B = ("sy", "s1y", "s2y")
+_CF_DET = _det3(_CF_C0, _CF_C1, _CF_C2)
+_CF_BETA = {
+    "beta0": _det3(_CF_B, _CF_C1, _CF_C2),
+    "beta1": _det3(_CF_C0, _CF_B, _CF_C2),
+    "beta2": _det3(_CF_C0, _CF_C1, _CF_B),
+}
+
+_CONF_ORACLE = f"""
+WITH feats AS (
+    SELECT o.o_totalprice AS y,
+           CAST(f.x1 AS DOUBLE) AS x1,
+           CAST(f.x2 AS DOUBLE) AS x2,
+           {_CONF_BUCKET_SQL} AS bkt
+    FROM (SELECT l_orderkey,
+                 sum(l_quantity) AS x1,
+                 count(*)        AS x2
+          FROM lineitem GROUP BY l_orderkey) f
+    JOIN orders o ON o.o_orderkey = f.l_orderkey
+),
+gram AS (
+    SELECT CAST(count(*) AS DOUBLE)          AS nd,
+           {_DSUM_SQL.format(x="x1")}        AS s1,
+           {_DSUM_SQL.format(x="x2")}        AS s2,
+           {_DSUM_SQL.format(x="x1 * x1")}   AS s11,
+           {_DSUM_SQL.format(x="x1 * x2")}   AS s12,
+           {_DSUM_SQL.format(x="x2 * x2")}   AS s22,
+           {_DSUM_SQL.format(x="y")}         AS sy,
+           {_DSUM_SQL.format(x="x1 * y")}    AS s1y,
+           {_DSUM_SQL.format(x="x2 * y")}    AS s2y
+    FROM feats WHERE bkt < {_CONF_TRAIN_CUT}
+),
+beta AS (
+    SELECT CAST(nd AS BIGINT) AS n_train,
+           {_CF_BETA["beta0"]} / {_CF_DET} AS b0,
+           {_CF_BETA["beta1"]} / {_CF_DET} AS b1,
+           {_CF_BETA["beta2"]} / {_CF_DET} AS b2
+    FROM gram
+),
+cal AS (
+    SELECT abs(y - (b.b0 + b.b1 * x1 + b.b2 * x2)) AS resid
+    FROM feats, beta b
+    WHERE bkt >= {_CONF_TRAIN_CUT} AND bkt < {_CONF_CAL_CUT}
+),
+qhat AS (
+    SELECT resid AS q, n_cal FROM (
+        SELECT resid,
+               row_number() OVER (ORDER BY resid) AS rk,
+               count(*) OVER () AS n_cal
+        FROM cal)
+    WHERE rk = least(CAST(ceil((n_cal + 1)
+                    * (1.0 - CAST({CONF_ALPHA} AS DOUBLE))) AS BIGINT), n_cal)
+),
+test AS (
+    SELECT count(*) AS n_test,
+           sum(CASE WHEN abs(y - (b.b0 + b.b1 * x1 + b.b2 * x2)) <= q.q
+                    THEN 1 ELSE 0 END) AS covered
+    FROM feats, beta b, qhat q
+    WHERE bkt >= {_CONF_CAL_CUT}
+)
+SELECT b.n_train,
+       CAST(q.n_cal AS BIGINT) AS n_cal,
+       CAST(t.n_test AS BIGINT) AS n_test,
+       q.q AS qhat,
+       CAST(t.covered AS DOUBLE) / t.n_test AS coverage
+FROM beta b, qhat q, test t
+"""
+
+
+@register(
+    "q_conformal_interval_ridge",
+    oracle=_CONF_ORACLE,
+    tags=("ml", "uncertainty", "conformal"),
+)
+def q_conformal_interval_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal 90% prediction interval around the ridge model:
+    fit on the train split, take q̂ = the ⌈(n+1)(1−α)⌉-th smallest
+    absolute calibration residual, and every prediction ± q̂ is a
+    marginal 90%-coverage interval with a FINITE-SAMPLE guarantee that
+    needs no distributional assumption about the residuals — the
+    model-agnostic uncertainty wrapper modern ML serving puts around
+    point predictors. The emitted test-split coverage is the empirical
+    check of that guarantee.
+
+    Composition of house primitives: md5-bucket split (0-79/80-89/
+    90-99, mirroring the NB splits), det_sum train Gram + the shared
+    Cramer solve (so β is oracle-hash-exact), q̂ an exact order
+    statistic, coverage a ratio of exact counts.
+
+    100 TB: fit is the 9-scalar Gram reduction; calibration needs one
+    rank window over the calibration split only (at huge n_cal, the
+    quantile sketch replaces the exact rank with bounded error —
+    conformal tolerates a conservative q̂); scoring is map-side.
+    """
+    feats = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum("l_quantity").alias("x1"), F.count(F.lit(1)).alias("x2")
+        )
+        .join(
+            load_table(spark, sf_dir, "orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("o_totalprice").alias("y"),
+            F.col("x1").cast("double").alias("x1"),
+            F.col("x2").cast("double").alias("x2"),
+            F.expr(_CONF_BUCKET_SPARK).alias("bkt"),
+        )
+    )
+    gram = (
+        feats.filter(F.col("bkt") < _CONF_TRAIN_CUT)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("nd"),
+            det_sum("x1").alias("s1"),
+            det_sum("x2").alias("s2"),
+            det_sum("x1 * x1").alias("s11"),
+            det_sum("x1 * x2").alias("s12"),
+            det_sum("x2 * x2").alias("s22"),
+            det_sum("y").alias("sy"),
+            det_sum("x1 * y").alias("s1y"),
+            det_sum("x2 * y").alias("s2y"),
+        )
+    )
+    beta = gram.select(
+        F.col("nd").cast("long").alias("n_train"),
+        F.expr(f'{_CF_BETA["beta0"]} / {_CF_DET}').alias("b0"),
+        F.expr(f'{_CF_BETA["beta1"]} / {_CF_DET}').alias("b1"),
+        F.expr(f'{_CF_BETA["beta2"]} / {_CF_DET}').alias("b2"),
+    )
+    pred_err = F.abs(
+        F.col("y")
+        - (
+            F.col("b0")
+            + F.col("b1") * F.col("x1")
+            + F.col("b2") * F.col("x2")
+        )
+    )
+    cal = (
+        feats.filter(
+            (F.col("bkt") >= _CONF_TRAIN_CUT) & (F.col("bkt") < _CONF_CAL_CUT)
+        )
+        .crossJoin(F.broadcast(beta))
+        .select("n_train", pred_err.alias("resid"))
+    )
+    nw = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    qhat = (
+        cal.select(
+            "n_train",
+            "resid",
+            F.row_number().over(Window.orderBy("resid")).alias("rk"),
+            F.count(F.lit(1)).over(nw).alias("n_cal"),
+        )
+        .filter(
+            F.col("rk")
+            == F.least(
+                F.ceil(
+                    (F.col("n_cal") + 1)
+                    * (1.0 - F.expr(f"CAST({CONF_ALPHA} AS DOUBLE)"))
+                ).cast("long"),
+                F.col("n_cal"),
+            )
+        )
+        .select("n_train", F.col("resid").alias("q"), "n_cal")
+    )
+    test = (
+        feats.filter(F.col("bkt") >= _CONF_CAL_CUT)
+        .crossJoin(F.broadcast(beta.select("b0", "b1", "b2")))
+        .crossJoin(F.broadcast(qhat))
+        .groupBy("n_train", "q", "n_cal")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(F.when(pred_err <= F.col("q"), 1).otherwise(0)).alias(
+                "covered"
+            ),
+        )
+    )
+    return test.select(
+        F.col("n_train").cast("long").alias("n_train"),
+        F.col("n_cal").cast("long").alias("n_cal"),
+        F.col("n_test").cast("long").alias("n_test"),
+        F.col("q").alias("qhat"),
+        (F.col("covered").cast("double") / F.col("n_test")).alias("coverage"),
+    )

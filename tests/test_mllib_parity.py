@@ -65,3 +65,25 @@ def test_mllib_minhash_agrees_with_custom_lsh(spark):
     # hashing-surface differences can flip pairs sitting exactly on the
     # threshold; systematic disagreement would push this far below 0.8
     assert overlap >= 0.8, (overlap, len(ours), len(ml_pairs))
+
+
+def test_conformal_coverage_guarantee_on_fixture(spark, sf_smoke):
+    """The split-conformal finite-sample guarantee: test coverage must
+    land near 1 - alpha = 0.9 (exchangeable splits; binomial wobble at
+    fixture n allowed) — and the three md5 splits must partition the
+    joined feature table."""
+    from cost_of_living_data_etl_spark.plans.mllite import (
+        q_conformal_interval_ridge,
+    )
+    from cost_of_living_data_etl_spark.sources.tables import load_table
+
+    r = q_conformal_interval_ridge(spark, sf_smoke).collect()[0]
+    assert 0.80 <= r["coverage"] <= 1.0
+    assert r["qhat"] > 0
+    n_orders_with_lines = (
+        load_table(spark, sf_smoke, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    assert r["n_train"] + r["n_cal"] + r["n_test"] == n_orders_with_lines

@@ -47,18 +47,27 @@ class Warehouse:
     def path(self, table: str) -> str:
         return f"{self.root}/{table}"
 
-    def read(self, spark: SparkSession, table: str, schema: StructType | None = None) -> DataFrame:
-        reader = spark.read
+    def read(
+        self,
+        spark: SparkSession,
+        table: str,
+        schema: StructType | None = None,
+        fmt: str = "parquet",
+    ) -> DataFrame:
+        reader = spark.read.format(fmt)
         if schema is not None:
             reader = reader.schema(schema)
-        return reader.parquet(self.path(table))
+        return reader.load(self.path(table))
 
-    def append(self, df: DataFrame, table: str) -> None:
-        """Append-load (reference app.py:195-197, S7)."""
-        df.write.mode("append").parquet(self.path(table))
+    def append(self, df: DataFrame, table: str, fmt: str = "parquet") -> None:
+        """Append-load (reference app.py:195-197, S7). ``fmt`` covers
+        the columnar formats Spark ships natively (parquet default,
+        orc for Hive-ecosystem warehouses) — both get predicate
+        pushdown and column pruning from the same declarative plan."""
+        df.write.mode("append").format(fmt).save(self.path(table))
 
-    def overwrite(self, df: DataFrame, table: str) -> None:
-        df.write.mode("overwrite").parquet(self.path(table))
+    def overwrite(self, df: DataFrame, table: str, fmt: str = "parquet") -> None:
+        df.write.mode("overwrite").format(fmt).save(self.path(table))
 
     def append_partitioned(
         self, df: DataFrame, table: str, partition_cols: list[str]

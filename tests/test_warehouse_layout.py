@@ -392,3 +392,33 @@ def test_append_evolve_policies(spark, tmp_path):
         policy="strict",
     )
     assert wh.read_evolved(spark, "facts").count() == 5
+
+
+def test_orc_parquet_format_parity(spark, tmp_path, sf_smoke):
+    """The warehouse round-trips identically through parquet and ORC
+    (Spark's two native columnar formats): same rows back, and BOTH
+    scans carry the pushed filter — the declarative plan, not the
+    format, owns pushdown."""
+    from cost_of_living_data_etl_spark.sources.tables import load_table
+    from cost_of_living_data_etl_spark.sources.warehouse import Warehouse
+
+    orders = load_table(spark, sf_smoke, "orders")
+    wh = Warehouse(str(tmp_path))
+    wh.append(orders, "fact_pq")  # parquet default
+    wh.append(orders, "fact_orc", fmt="orc")
+
+    pq = wh.read(spark, "fact_pq")
+    orc = wh.read(spark, "fact_orc", fmt="orc")
+    assert pq.count() == orc.count() == orders.count()
+    key = lambda r: r["o_orderkey"]  # noqa: E731
+    assert sorted(pq.collect(), key=key) == sorted(orc.collect(), key=key)
+
+    for df in (pq, orc):
+        plan = df.filter(df.o_totalprice > 1000.0)._jdf.queryExecution().explainString(
+            df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "PushedFilters" in plan and "o_totalprice" in plan.split(
+            "PushedFilters"
+        )[1].split("]")[0]

@@ -165,6 +165,10 @@ HEADLINE = [
     "q_pca_power_iteration",
     "q_kcore_dup_graph",
     "q_conformal_interval_ridge",
+    # rank/association family
+    "q_spearman_price_quantity",
+    "q_cramers_v_status_priority",
+    "q_auc_quality_dup",
 ]
 
 

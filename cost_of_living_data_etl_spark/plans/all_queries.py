@@ -43,4 +43,5 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     hygiene,
     survival_trend,
     spectral,
+    rank_stats,
 )

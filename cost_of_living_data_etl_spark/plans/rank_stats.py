@@ -1,0 +1,352 @@
+"""Rank and association statistics: Spearman's ρ, Cramér's V, AUC.
+
+The nonparametric association toolkit beside the parametric one
+(`q_price_quantity_corr` Pearson, `q_chi2_term_selection` per-term
+χ²): Spearman for monotone-not-linear relationships, Cramér's V for
+categorical × categorical strength, and ROC-AUC as the threshold-free
+read on whether a score separates a binary label — here, whether the
+heuristic quality score distinguishes duplicated documents, the
+question behind every "filter by quality" curation decision.
+
+Exactness backbone shared by all three: ranks enter as DOUBLED
+midranks — ``R2(v) = 2·|{x < v}| + cnt(v) + 1`` — which are exact
+BIGINTs even under ties (a midrank like 3.5 becomes 7), so every
+moment/rank sum is integer until one final shared float expression.
+Rank construction runs on the DISTINCT-VALUE rollup (value, count),
+never on raw rows: the cumulative window is bounded by |distinct
+values|, and rows only join back to fetch their value's rank.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from cost_of_living_data_etl_spark.operators.dedup import (
+    _MINHASH_ORACLE,
+    minhash_pair_plan,
+)
+from cost_of_living_data_etl_spark.functions.columns import det_sum
+from cost_of_living_data_etl_spark.operators.textstats import quality_score
+from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.sources.tables import load_table
+
+# --- Spearman's rho ----------------------------------------------------------
+
+_RHO_EXPR = """(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+ / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"""
+
+_SPEARMAN_ORACLE = f"""
+WITH rows_ AS (
+    SELECT l_extendedprice AS x, l_quantity AS y FROM lineitem
+),
+rx AS (
+    SELECT x, 2 * coalesce(sum(cnt) OVER (ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + cnt + 1 AS r2x
+    FROM (SELECT x, count(*) AS cnt FROM rows_ GROUP BY x)
+),
+ry AS (
+    SELECT y, 2 * coalesce(sum(cnt) OVER (ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + cnt + 1 AS r2y
+    FROM (SELECT y, count(*) AS cnt FROM rows_ GROUP BY y)
+),
+ranked AS (
+    SELECT rx.r2x AS r2x, ry.r2y AS r2y
+    FROM rows_ r JOIN rx ON r.x = rx.x JOIN ry ON r.y = ry.y
+),
+m AS (
+    SELECT count(*) AS n, sum(r2x) AS sx, sum(r2y) AS sy,
+           sum(r2x * r2x) AS sxx, sum(r2y * r2y) AS syy,
+           sum(r2x * r2y) AS sxy
+    FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_rows, {_RHO_EXPR} AS spearman_rho FROM m
+"""
+
+
+def _doubled_midranks(rows: DataFrame, col: str, out: str) -> DataFrame:
+    """(value, R2) where R2 = 2·|{v < value}| + cnt(value) + 1 — the
+    doubled midrank, exact BIGINT under ties, built on the distinct-
+    value rollup."""
+    counts = rows.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+    before = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+    return counts.select(
+        col,
+        (
+            2 * F.coalesce(F.sum("cnt").over(before), F.lit(0))
+            + F.col("cnt")
+            + 1
+        ).alias(out),
+    )
+
+
+@register(
+    "q_spearman_price_quantity",
+    oracle=_SPEARMAN_ORACLE,
+    tags=("statistics", "rank", "correlation"),
+)
+def q_spearman_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between line price and quantity —
+    Pearson on the (doubled) midranks. Monotone-but-curved coupling
+    that Pearson (`q_price_quantity_corr`) understates shows up here
+    at full strength; one wild price can't move it by more than its
+    rank step.
+
+    Doubled midranks keep tie handling in exact integers; the six
+    moment sums accumulate in int128/decimal headroom (rank² sums
+    pass int64 around ~6M rows) and enter ONE shared float expression.
+
+    100 TB: rank construction is per-DISTINCT-value (rollup +
+    cumulative window bounded by |values|, rows join back on value);
+    beyond memory-bounded distincts, midranks hand over to the
+    quantile sketch's CDF (approximate ranks, same formula).
+    """
+    rows = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("x"), F.col("l_quantity").alias("y")
+    )
+    rx = _doubled_midranks(rows, "x", "r2x")
+    ry = _doubled_midranks(rows, "y", "r2y")
+    ranked = rows.join(rx, "x").join(ry, "y")
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = ranked.groupBy().agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("r2x")).alias("sx"),
+        F.sum(dec("r2y")).alias("sy"),
+        F.sum(dec("r2x") * dec("r2x")).alias("sxx"),
+        F.sum(dec("r2y") * dec("r2y")).alias("syy"),
+        F.sum(dec("r2x") * dec("r2y")).alias("sxy"),
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_rows"),
+        F.expr(_RHO_EXPR).alias("spearman_rho"),
+    )
+
+
+# --- Cramér's V ---------------------------------------------------------------
+
+_CHI2_V_EXPR = """sqrt(
+  (chi2) / (CAST(n AS DOUBLE) * least(r - 1, c - 1)))"""
+
+_CRAMER_ORACLE = f"""
+WITH cells AS (
+    SELECT o_orderstatus AS s, o_orderpriority AS p, count(*) AS nij
+    FROM orders GROUP BY 1, 2
+),
+tot AS (
+    SELECT sum(nij) AS n,
+           count(DISTINCT s) AS r, count(DISTINCT p) AS c
+    FROM cells
+),
+margins AS (
+    SELECT s, p, nij,
+           sum(nij) OVER (PARTITION BY s) AS row_tot,
+           sum(nij) OVER (PARTITION BY p) AS col_tot
+    FROM cells
+),
+chi AS (
+    -- sum over PRESENT cells of n_ij^2 * n / (row_i * col_j), minus n:
+    -- algebraically identical to the (obs-exp)^2/exp sum INCLUDING the
+    -- zero cells (each empty cell contributes exactly its expectation).
+    -- Sorted-fold (det_sum discipline): the per-cell terms are floats
+    -- and a plain sum adds them in partition order
+    SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_sort(list(CAST(nij AS DOUBLE) * nij * t.n
+                              / (CAST(row_tot AS DOUBLE) * col_tot)))),
+               (a, b) -> a + b) - t.n AS chi2,
+           t.n AS n, t.r AS r, t.c AS c
+    FROM margins, tot t GROUP BY t.n, t.r, t.c
+)
+SELECT CAST(n AS BIGINT) AS n_orders, CAST(r AS BIGINT) AS n_status,
+       CAST(c AS BIGINT) AS n_priorities, chi2, {_CHI2_V_EXPR} AS cramers_v
+FROM chi
+"""
+
+
+@register(
+    "q_cramers_v_status_priority",
+    oracle=_CRAMER_ORACLE,
+    tags=("statistics", "association", "categorical"),
+)
+def q_cramers_v_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between order status and priority: the [0, 1]
+    association strength for a categorical pair (χ² normalized by
+    n·min(r−1, c−1)) — the "is this dimension redundant?" screen run
+    before building composite segment keys.
+
+    Zero cells handled algebraically: Σ(obs−exp)²/exp over ALL r×c
+    cells equals Σ n²ᵢⱼ·n/(rowᵢ·colⱼ) − n over PRESENT cells, so no
+    missing-cell enumeration; every input to the shared float
+    expression is an exact BIGINT count.
+
+    100 TB: one partial-aggregated pass to |r×c| cells; margins are
+    windows over those cells, not rows.
+    """
+    cells = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderstatus").alias("s"),
+            F.col("o_orderpriority").alias("p"),
+        )
+        .agg(F.count(F.lit(1)).alias("nij"))
+    )
+    margins = cells.select(
+        "s",
+        "p",
+        "nij",
+        F.sum("nij").over(Window.partitionBy("s")).alias("row_tot"),
+        F.sum("nij").over(Window.partitionBy("p")).alias("col_tot"),
+    )
+    tot = cells.groupBy().agg(
+        F.sum("nij").alias("n"),
+        F.count_distinct("s").alias("r"),
+        F.count_distinct("p").alias("c"),
+    )
+    chi = (
+        margins.crossJoin(F.broadcast(tot))
+        .groupBy("n", "r", "c")
+        .agg(
+            (
+                det_sum(
+                    "CAST(nij AS DOUBLE) * nij * n"
+                    " / (CAST(row_tot AS DOUBLE) * col_tot)"
+                )
+                - F.col("n")
+            ).alias("chi2")
+        )
+    )
+    return chi.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("r").cast("long").alias("n_status"),
+        F.col("c").cast("long").alias("n_priorities"),
+        "chi2",
+        F.expr(_CHI2_V_EXPR).alias("cramers_v"),
+    )
+
+
+# --- AUC: quality score vs duplicate membership ------------------------------
+
+_QUALITY_SQL = """(
+    least(length(text) / 500.0, 1.0) * 0.4
+    + least((length(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+             w -> w IN ('the','a','of','to','and','in','is','for','on','with')))
+             * 1.0 / greatest(length(regexp_extract_all(lower(text), '[a-z0-9]+')), 1)) * 4, 1.0) * 0.2
+    + greatest(0.0, 1.0 - (length(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
+             / greatest(length(text), 1)) * 5) * 0.2
+    + greatest(0.0, 1.0 - (length(regexp_extract_all(text, '[0-9]')) * 1.0
+             / greatest(length(text), 1)) * 5) * 0.2
+)"""
+
+_AUC_ORACLE = f"""
+WITH pairs AS MATERIALIZED (
+    SELECT doc_id_1, doc_id_2 FROM ( {{minhash}} )
+),
+dup_ids AS (
+    SELECT doc_id_1 AS doc_id FROM pairs
+    UNION SELECT doc_id_2 FROM pairs
+),
+scored AS (
+    SELECT {_QUALITY_SQL} AS score,
+           CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+    FROM documents LEFT JOIN dup_ids d ON documents.doc_id = d.doc_id
+),
+vals AS (
+    SELECT score, count(*) AS cnt, sum(is_dup) AS cnt_pos
+    FROM scored GROUP BY score
+),
+r AS (
+    SELECT score, cnt, cnt_pos,
+           2 * coalesce(sum(cnt) OVER (ORDER BY score
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             + cnt + 1 AS r2
+    FROM vals
+),
+agg AS (
+    SELECT sum(cnt_pos * r2) AS sr2_pos,
+           sum(cnt_pos) AS n1, sum(cnt - cnt_pos) AS n0
+    FROM r
+)
+SELECT CAST(n1 AS BIGINT) AS n_dup, CAST(n0 AS BIGINT) AS n_unique,
+       CASE WHEN n1 > 0 AND n0 > 0 THEN
+           CAST(sr2_pos - n1 * (n1 + 1) AS DOUBLE)
+             / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))
+       END AS auc
+FROM agg
+"""
+
+
+@register(
+    "q_auc_quality_dup",
+    oracle=_AUC_ORACLE.format(minhash=_MINHASH_ORACLE),
+    tags=("statistics", "rank", "curation-eval"),
+)
+def q_auc_quality_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of the heuristic quality score against NEAR-duplicate
+    membership (docs appearing in any MinHash-LSH verified pair): the
+    threshold-free answer to "does the quality filter also separate
+    boilerplate copies?" — AUC ≈ 0.5 means quality and duplication are
+    orthogonal signals worth BOTH pipeline stages; AUC far from 0.5
+    means one filter is partially doing the other's job.
+
+    AUC computed by the Mann-Whitney rank-sum identity on doubled
+    midranks: AUC = (ΣR2₊ − n₁(n₁+1)) / (2·n₁·n₀) — every term an
+    exact BIGINT until the single final division (NULL when either
+    class is empty — the degenerate-label guard). Tie groups key on
+    the exact score double, which both engines compute from the same
+    shared expression (the `q_text_quality_by_source` parity fragment).
+
+    100 TB: one text pass for score; the dup label is a LEFT join
+    against the (small) LSH pair-id set; the distinct-score rollup
+    carries the rank window; text never shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_pair_plan(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    dup_ids = (
+        pairs.select(F.col("doc_id_1").alias("doc_id"))
+        .union(pairs.select(F.col("doc_id_2")))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    scored = (
+        docs.join(dup_ids, "doc_id", "left")
+        .select(
+            quality_score(F.col("text")).alias("score"),
+            F.coalesce(F.col("hit"), F.lit(0)).alias("is_dup"),
+        )
+    )
+    vals = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("is_dup").alias("cnt_pos")
+    )
+    before = Window.orderBy("score").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    r = vals.select(
+        "cnt",
+        "cnt_pos",
+        (
+            2 * F.coalesce(F.sum("cnt").over(before), F.lit(0))
+            + F.col("cnt")
+            + 1
+        ).alias("r2"),
+    )
+    agg = r.groupBy().agg(
+        F.sum(F.col("cnt_pos") * F.col("r2")).alias("sr2_pos"),
+        F.sum("cnt_pos").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt_pos")).alias("n0"),
+    )
+    return agg.select(
+        F.col("n1").cast("long").alias("n_dup"),
+        F.col("n0").cast("long").alias("n_unique"),
+        F.when(
+            (F.col("n1") > 0) & (F.col("n0") > 0),
+            (F.col("sr2_pos") - F.col("n1") * (F.col("n1") + 1)).cast(
+                "double"
+            )
+            / (2.0 * F.col("n1").cast("double") * F.col("n0").cast("double")),
+        ).alias("auc"),
+    )

@@ -169,6 +169,7 @@ HEADLINE = [
     "q_spearman_price_quantity",
     "q_cramers_v_status_priority",
     "q_auc_quality_dup",
+    "q_lsh_blocking_quality",
 ]
 
 

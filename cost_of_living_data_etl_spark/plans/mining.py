@@ -410,3 +410,158 @@ def q_kcore_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- LSH blocking quality ----------------------------------------------------
+
+
+def _lsh_quality_oracle() -> str:
+    from cost_of_living_data_etl_spark.operators.dedup import (
+        BANDS,
+        JACCARD_THRESHOLD,
+        SHINGLES_SQL,
+        _band_hash_sql,
+        _minhash_agg_sql,
+        _SHINGLE_H_SQL,
+    )
+    from cost_of_living_data_etl_spark.plans.structural import _SETSIM_ORACLE
+
+    bands_union = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, {_band_hash_sql(b)} AS band_hash"
+        " FROM mh"
+        for b in range(BANDS)
+    )
+    return f"""
+WITH lshq_sh AS MATERIALIZED (
+    SELECT doc_id, {SHINGLES_SQL} AS shingles FROM documents
+),
+lshq_ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM lshq_sh),
+hx AS (SELECT doc_id, {_SHINGLE_H_SQL} AS h FROM lshq_ex),
+mh AS MATERIALIZED (
+    SELECT doc_id, list(DISTINCT h) AS hset, {_minhash_agg_sql()}
+    FROM hx GROUP BY doc_id
+),
+bands AS MATERIALIZED ({bands_union}),
+cand AS MATERIALIZED (
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+found AS (
+    SELECT c.d1, c.d2
+    FROM cand c JOIN mh s1 ON s1.doc_id = c.d1
+                JOIN mh s2 ON s2.doc_id = c.d2
+    WHERE length(list_intersect(s1.hset, s2.hset)) * 1.0
+          / length(list_distinct(list_concat(s1.hset, s2.hset)))
+          >= {JACCARD_THRESHOLD}
+),
+truth AS MATERIALIZED ( {_SETSIM_ORACLE} ),
+nn AS (SELECT count(*) AS n_docs FROM documents)
+SELECT CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_docs * (n_docs - 1) // 2 AS BIGINT) AS n_all_pairs,
+       CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_candidates,
+       CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM found) AS BIGINT) AS n_found,
+       CASE WHEN (SELECT count(*) FROM truth) > 0 THEN
+           CAST((SELECT count(*) FROM found) AS DOUBLE)
+             / (SELECT count(*) FROM truth)
+       END AS pair_completeness,
+       1.0 - CAST((SELECT count(*) FROM cand) AS DOUBLE)
+           / (n_docs * (n_docs - 1) // 2) AS reduction_ratio
+FROM nn
+"""
+
+
+@register(
+    "q_lsh_blocking_quality",
+    oracle=_lsh_quality_oracle(),
+    tags=("dedup", "evaluation", "blocking"),
+)
+def q_lsh_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured quality of the MinHash-LSH blocking scheme against
+    EXACT ground truth: pair completeness (what fraction of true
+    Jaccard ≥ 0.5 pairs the banded index recovers — possible only
+    because `q_setsim_prefix_join` computes the exact answer) and
+    reduction ratio (what fraction of the n(n−1)/2 comparisons the
+    blocking avoided). The standard entity-resolution blocking
+    scorecard, turned on our own index: the recall/efficiency
+    trade-off as a MEASURED number per corpus instead of the banding
+    formula's theoretical curve.
+
+    Both thresholds are {JACCARD_THRESHOLD}: LSH-found ⊆ truth (its
+    verification is exact), so completeness ≤ 1 by construction.
+    Every output is a ratio of exact BIGINT counts.
+
+    100 TB: candidate counting reuses the banded self-join (short-key
+    shuffles only); the truth side is the prefix-filter join — the
+    whole query is two independent pair-mining plans plus five scalar
+    counts.
+    """
+    from cost_of_living_data_etl_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        minhash_signatures,
+        neardup_pairs_from_sigs,
+        _band_hash_spark,
+        BANDS,
+    )
+    from cost_of_living_data_etl_spark.plans.structural import (
+        q_setsim_prefix_join,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mh = minhash_signatures(docs).localCheckpoint()  # sigs computed once
+    bands = mh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.expr(_band_hash_spark(b)) for b in range(BANDS)])
+        ).alias("band_idx", "band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("d1"), F.col("b.doc_id").alias("d2")
+        )
+        .distinct()
+    )
+    n_cand = cand.groupBy().agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_found = (
+        neardup_pairs_from_sigs(mh)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_found"))
+    )
+    n_true = (
+        q_setsim_prefix_join(spark, sf_dir)
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    n_docs = docs.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        n_docs.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_true))
+        .crossJoin(F.broadcast(n_found))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.expr("n_docs * (n_docs - 1) div 2")
+            .cast("long")
+            .alias("n_all_pairs"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("n_true").cast("long").alias("n_true"),
+            F.col("n_found").cast("long").alias("n_found"),
+            F.when(
+                F.col("n_true") > 0,
+                F.col("n_found").cast("double") / F.col("n_true"),
+            ).alias("pair_completeness"),
+            (
+                1.0
+                - F.col("n_candidates").cast("double")
+                / F.expr("n_docs * (n_docs - 1) div 2")
+            ).alias("reduction_ratio"),
+        )
+    )

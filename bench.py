@@ -170,6 +170,8 @@ HEADLINE = [
     "q_cramers_v_status_priority",
     "q_auc_quality_dup",
     "q_lsh_blocking_quality",
+    "q_mcf_repeat_purchases",
+    "q_embedding_dim_drift",
 ]
 
 

@@ -223,3 +223,155 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --- per-dimension embedding drift (PSI) -------------------------------------
+
+DRIFT_LABEL_A = 0
+DRIFT_LABEL_B = 1
+DRIFT_BUCKETS = 12
+DRIFT_LO = "-0.6"  # SQL literals: bucket grid shared verbatim
+DRIFT_W = "0.1"
+DRIFT_TOPK = 5
+
+# bucket index from a (dim, value) pair — one shared text
+_DRIFT_BUCKET = (
+    f"least({DRIFT_BUCKETS - 1}, greatest(0, CAST(floor((v - CAST({DRIFT_LO}"
+    f" AS DOUBLE)) / CAST({DRIFT_W} AS DOUBLE)) AS INT)))"
+)
+
+_DRIFT_DSUM = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list({x}))),"
+    " (a, b) -> a + b)"
+)
+
+_DRIFT_ORACLE = f"""
+WITH vals AS (
+    SELECT CAST(label AS INT) AS pop, i.i AS dim,
+           embedding[CAST(i.i AS INT) + 1]::DOUBLE AS v
+    FROM embeddings, (SELECT unnest(range(64)) AS i) i
+    WHERE label IN ({DRIFT_LABEL_A}, {DRIFT_LABEL_B})
+),
+cnt AS (
+    SELECT pop, dim, {_DRIFT_BUCKET.replace('v', 'v')} AS b, count(*) AS c
+    FROM vals GROUP BY 1, 2, 3
+),
+tot AS (SELECT pop, count(*) AS n FROM vals WHERE dim = 0 GROUP BY pop),
+grid AS (
+    SELECT d.d AS dim, b.b AS b
+    FROM (SELECT unnest(range(64)) AS d) d,
+         (SELECT unnest(range({DRIFT_BUCKETS})) AS b) b
+),
+shares AS (
+    SELECT g.dim, g.b,
+           (coalesce(ca.c, 0) + 1.0)
+             / ((SELECT n FROM tot WHERE pop = {DRIFT_LABEL_A})
+                + {DRIFT_BUCKETS}) AS pa,
+           (coalesce(cb.c, 0) + 1.0)
+             / ((SELECT n FROM tot WHERE pop = {DRIFT_LABEL_B})
+                + {DRIFT_BUCKETS}) AS pb
+    FROM grid g
+    LEFT JOIN cnt ca ON ca.pop = {DRIFT_LABEL_A} AND ca.dim = g.dim
+                    AND ca.b = g.b
+    LEFT JOIN cnt cb ON cb.pop = {DRIFT_LABEL_B} AND cb.dim = g.dim
+                    AND cb.b = g.b
+),
+psi AS (
+    SELECT dim, {_DRIFT_DSUM.format(x="(pa - pb) * ln(pa / pb)")} AS psi
+    FROM shares GROUP BY dim
+)
+SELECT CAST(dim AS BIGINT) AS dim, psi
+FROM psi ORDER BY psi DESC, dim LIMIT {DRIFT_TOPK}
+"""
+
+
+@register(
+    "q_embedding_dim_drift",
+    oracle=_DRIFT_ORACLE,
+    tags=("embedding", "drift", "monitoring"),
+)
+def q_embedding_dim_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 embedding dimensions by PSI between two label populations
+    — WHICH axes moved, not just whether the distribution did: the
+    per-dimension drill-down behind `q_embed_class_separation`'s
+    aggregate distance and the embedding-space analogue of
+    `q_psi_price_drift_by_month` (same PSI estimator, same
+    Laplace-smoothed shares, same fixed-width bucket grid).
+
+    Exactness: bucket counts are exact BIGINTs over a shared literal
+    grid (empty cells materialized by a 64×12 grid join, so smoothing
+    covers them identically); each dimension's 12 PSI terms fold in
+    sorted order (det_sum discipline — a plain sum over the grid join
+    would add in partition order).
+
+    100 TB: one pass to (pop, dim, bucket) cells — 64×12×2 partials
+    regardless of corpus size; everything after is grid-sized.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("label").isin(DRIFT_LABEL_A, DRIFT_LABEL_B)
+    )
+    vals = emb.select(
+        F.col("label").cast("int").alias("pop"),
+        F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias(
+            "dim", "v"
+        ),
+    )
+    cnt = (
+        vals.select("pop", "dim", F.expr(_DRIFT_BUCKET).alias("b"))
+        .groupBy("pop", "dim", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = (
+        vals.filter(F.col("dim") == 0)
+        .groupBy("pop")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    na = tot.filter(F.col("pop") == DRIFT_LABEL_A).select(
+        F.col("n").alias("na")
+    )
+    nb = tot.filter(F.col("pop") == DRIFT_LABEL_B).select(
+        F.col("n").alias("nb")
+    )
+    grid = (
+        emb.sparkSession.range(64)
+        .select(F.col("id").cast("int").alias("dim"))
+        .crossJoin(
+            emb.sparkSession.range(DRIFT_BUCKETS).select(
+                F.col("id").cast("int").alias("b")
+            )
+        )
+    )
+    ca = cnt.filter(F.col("pop") == DRIFT_LABEL_A).select(
+        "dim", "b", F.col("c").alias("ca")
+    )
+    cb = cnt.filter(F.col("pop") == DRIFT_LABEL_B).select(
+        "dim", "b", F.col("c").alias("cb")
+    )
+    shares = (
+        grid.join(ca, ["dim", "b"], "left")
+        .join(cb, ["dim", "b"], "left")
+        .crossJoin(F.broadcast(na))
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "dim",
+            (
+                (F.coalesce(F.col("ca"), F.lit(0)) + 1.0)
+                / (F.col("na") + DRIFT_BUCKETS)
+            ).alias("pa"),
+            (
+                (F.coalesce(F.col("cb"), F.lit(0)) + 1.0)
+                / (F.col("nb") + DRIFT_BUCKETS)
+            ).alias("pb"),
+        )
+    )
+    psi = shares.groupBy("dim").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list((pa - pb) * ln(pa / pb))),"
+            " CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("psi")
+    )
+    return (
+        psi.orderBy(F.col("psi").desc(), "dim")
+        .limit(DRIFT_TOPK)
+        .select(F.col("dim").cast("long").alias("dim"), "psi")
+    )

@@ -520,3 +520,121 @@ def q_did_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.col("c_after") - F.col("c_before"))
         ).alias("did"),
     )
+
+
+# --- mean cumulative function (recurrent events) -----------------------------
+
+_MCF_ORACLE = f"""
+WITH u AS (
+    SELECT user_id, min(epoch_us(ts)) AS t0,
+           (SELECT max(epoch_us(ts)) FROM events) AS tmax
+    FROM events GROUP BY user_id
+),
+censor AS (
+    SELECT user_id, t0, (tmax - t0) // {US_PER_DAY} AS c_age FROM u
+),
+ev AS (
+    SELECT (epoch_us(e.ts) - c.t0) // {US_PER_DAY} AS age
+    FROM events e JOIN censor c ON e.user_id = c.user_id
+    WHERE e.event_type = 'purchase'
+),
+d AS (SELECT age, count(*) AS d FROM ev GROUP BY age),
+leave AS (SELECT c_age, count(*) AS l FROM censor GROUP BY c_age),
+tot AS (SELECT count(*) AS n_users FROM censor),
+ages AS (
+    SELECT d.age, d.d,
+           n_users - coalesce((SELECT sum(l) FROM leave WHERE c_age < d.age), 0)
+             AS n_risk
+    FROM d CROSS JOIN tot
+),
+walk AS (
+    SELECT age, d, n_risk,
+           sum(CAST(d AS DOUBLE) / n_risk) OVER (ORDER BY age
+               ROWS UNBOUNDED PRECEDING) AS mcf
+    FROM ages
+)
+SELECT CAST(age AS BIGINT) AS age_day, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS d_events, mcf
+FROM walk ORDER BY age_day
+"""
+
+
+@register(
+    "q_mcf_repeat_purchases",
+    oracle=_MCF_ORACLE,
+    tags=("survival", "recurrent-events", "events"),
+)
+def q_mcf_repeat_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean cumulative function of purchases per user by account age:
+    MCF(t) = Σ over event ages a ≤ t of d(a)/n_at_risk(a) — the
+    recurrent-event companion to `q_km_survival_conversion` (KM asks
+    "has the FIRST purchase happened yet"; MCF asks "how many
+    purchases has the average survivor accumulated"), with staggered
+    entry handled by the shrinking risk set: a user only contributes
+    to ages their observation window actually covers, which a naive
+    "average count by age" silently gets wrong for late joiners.
+
+    Exactness: ages, event counts and risk sets are exact BIGINTs;
+    each increment is one division of ints; the cumulative walk is an
+    age-ordered prefix sum — identical addition order on both engines,
+    so no snapping is needed (the KM-fold argument).
+
+    100 TB: two partial-aggregated rollups (per-user entry, per-age
+    counts) then windows over the |ages| rollup — human-time-bounded.
+    """
+    ev_all = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us")
+    )
+    tmax = ev_all.groupBy().agg(F.max("ts_us").alias("tmax"))
+    censor = (
+        ev_all.groupBy("user_id")
+        .agg(F.min("ts_us").alias("t0"))
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            "user_id",
+            "t0",
+            F.expr(f"(tmax - t0) div {US_PER_DAY}").alias("c_age"),
+        )
+    )
+    purchases = (
+        ev_all.filter(F.col("event_type") == "purchase")
+        .join(censor, "user_id")
+        .select(F.expr(f"(ts_us - t0) div {US_PER_DAY}").alias("age"))
+    )
+    d = purchases.groupBy("age").agg(F.count(F.lit(1)).alias("d"))
+    leave = censor.groupBy("c_age").agg(F.count(F.lit(1)).alias("l"))
+    tot = censor.groupBy().agg(F.count(F.lit(1)).alias("n_users"))
+    # n_risk(age) = users whose censor age >= age: total minus those
+    # leaving strictly before — a cumulative window over the (bounded)
+    # leave rollup, joined to event ages by closest-preceding key
+    left_before = (
+        d.crossJoin(F.broadcast(leave))
+        .filter(F.col("c_age") < F.col("age"))
+        .groupBy("age")
+        .agg(F.sum("l").alias("gone"))
+    )
+    ages = (
+        d.join(left_before, "age", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "age",
+            "d",
+            (F.col("n_users") - F.coalesce(F.col("gone"), F.lit(0))).alias(
+                "n_risk"
+            ),
+        )
+    )
+    walk = Window.orderBy("age").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ages.withColumn(
+            "mcf",
+            F.sum(F.col("d").cast("double") / F.col("n_risk")).over(walk),
+        )
+        .select(
+            F.col("age").cast("long").alias("age_day"),
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("d_events"),
+            "mcf",
+        )
+        .orderBy("age_day")
+    )

@@ -32,3 +32,28 @@ def test_pca_recovers_planted_axis(spark, tmp_path):
     assert r0["explained_share"] == 1.0
     assert abs(got[0]["mean_pc1"] - 0.4) < 1e-6
     assert abs(got[1]["mean_pc1"] + 0.4) < 1e-6
+
+
+def test_embedding_drift_finds_planted_dimension(spark, tmp_path):
+    """Only dimension 5 differs between the label populations (+0.35
+    vs −0.35, disjoint buckets); it must rank first with positive PSI
+    while identical dimensions score exactly 0 (identical smoothed
+    shares cancel term-by-term)."""
+    from cost_of_living_data_etl_spark.plans.spectral import (
+        q_embedding_dim_drift,
+    )
+
+    rows = []
+    for k in range(20):
+        label = k % 2
+        vec = [0.0] * 64
+        vec[5] = 0.35 if label == 0 else -0.35
+        rows.append((k, vec, label))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    got = q_embedding_dim_drift(spark, str(tmp_path)).collect()
+    assert got[0]["dim"] == 5
+    assert got[0]["psi"] > 1.0
+    for r in got[1:]:
+        assert r["psi"] == 0.0

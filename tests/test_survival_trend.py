@@ -104,3 +104,29 @@ def test_did_nets_out_shared_trend(spark, tmp_path):
         10.0, 30.0, 5.0, 15.0,
     )
     assert r["did"] == 10.0
+
+
+def test_mcf_staggered_entry_risk_sets(spark, tmp_path):
+    """u1 (age window 10 days) purchases at ages 1, 1, 3; u2 joins
+    late (window 2 days) and purchases at age 1. MCF(1) = 3/2 (both
+    at risk), MCF(3) = 1.5 + 1/1 (only u1's window covers age 3) —
+    the late joiner must NOT dilute ages it never observed."""
+    from cost_of_living_data_etl_spark.plans.survival_trend import (
+        q_mcf_repeat_purchases,
+    )
+
+    rows = [
+        (0, 0, 1, "view"),
+        (1, 1, 1, "purchase"),
+        (2, 1, 1, "purchase"),
+        (3, 3, 1, "purchase"),
+        (4, 10, 1, "view"),  # sets tmax = day 10
+        (5, 8, 2, "view"),
+        (6, 9, 2, "purchase"),
+    ]
+    _write_events(spark, str(tmp_path), rows)
+    got = [
+        (r["age_day"], r["n_risk"], r["d_events"], r["mcf"])
+        for r in q_mcf_repeat_purchases(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(1, 2, 3, 1.5), (3, 1, 1, 2.5)]

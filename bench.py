@@ -172,6 +172,8 @@ HEADLINE = [
     "q_lsh_blocking_quality",
     "q_mcf_repeat_purchases",
     "q_embedding_dim_drift",
+    # spatial family
+    "q_spatial_nn_join",
 ]
 
 

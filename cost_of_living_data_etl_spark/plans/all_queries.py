@@ -44,4 +44,5 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     survival_trend,
     spectral,
     rank_stats,
+    spatial,
 )

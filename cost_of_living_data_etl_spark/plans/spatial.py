@@ -1,0 +1,155 @@
+"""Spatial: grid-blocked nearest-neighbor join.
+
+The fixture schema carries no geography, so coordinates are synthetic
+— two independent md5 streams per key on a 1,000,000² integer plane
+(the house deterministic-randomness convention) — but the OPERATOR is
+the real one: a bounded-radius nearest-neighbor join via grid
+blocking, the standard spatial-join shape (geohash/S2 cells play the
+grid role on a sphere; the plumbing — cell assignment, 3×3 neighbor
+probe, exact verify-and-argmin — is identical).
+
+Integer-plane design keeps it bit-exact end-to-end: coordinates,
+Chebyshev radius checks, and squared Euclidean distances are all
+BIGINT arithmetic — no haversine transcendentals to drift by an ulp
+between engines. The oracle is DEFINITIONAL (brute-force all-pairs
+within the radius), so the hash match proves the 3×3 grid probe is
+lossless, not just self-consistent.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.sources.tables import load_table
+
+GRID_MAX = 1_000_000  # coordinate plane: [0, GRID_MAX)²
+GRID_R = 100_000  # search radius (Chebyshev) == cell size
+
+# md5-derived integer coordinate: axis-salted so x and y are
+# independent streams; 15 hex digits fit int64 exactly (house idiom)
+_COORD = (
+    "cast(conv(substring(md5(concat('{axis}:', cast({key} AS STRING))),"
+    f" 1, 15), 16, 10) AS BIGINT) % {GRID_MAX}"
+)
+_COORD_SQL = (
+    "CAST(('0x' || substr(md5('{axis}:' || CAST({key} AS VARCHAR)),"
+    f" 1, 15)) AS BIGINT) % {GRID_MAX}"
+)
+
+_SPATIAL_ORACLE = f"""
+WITH c AS (
+    SELECT c_custkey,
+           {_COORD_SQL.format(axis="x", key="c_custkey")} AS cx,
+           {_COORD_SQL.format(axis="y", key="c_custkey")} AS cy
+    FROM customer
+),
+s AS (
+    SELECT s_suppkey,
+           {_COORD_SQL.format(axis="x", key="s_suppkey")} AS sx,
+           {_COORD_SQL.format(axis="y", key="s_suppkey")} AS sy
+    FROM supplier
+),
+cand AS (
+    SELECT c.c_custkey, s.s_suppkey,
+           (c.cx - s.sx) * (c.cx - s.sx)
+             + (c.cy - s.sy) * (c.cy - s.sy) AS d2
+    FROM c, s
+    WHERE abs(c.cx - s.sx) <= {GRID_R} AND abs(c.cy - s.sy) <= {GRID_R}
+),
+best AS (
+    SELECT c_custkey, s_suppkey, d2,
+           row_number() OVER (PARTITION BY c_custkey
+                              ORDER BY d2, s_suppkey) AS rk
+    FROM cand
+)
+SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+       CAST(s_suppkey AS BIGINT) AS nearest_suppkey,
+       CAST(d2 AS BIGINT) AS dist2
+FROM best WHERE rk = 1 ORDER BY c_custkey
+"""
+
+
+@register(
+    "q_spatial_nn_join",
+    oracle=_SPATIAL_ORACLE,
+    tags=("spatial", "grid-join", "nearest-neighbor"),
+)
+def q_spatial_nn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest supplier within a Chebyshev radius of each customer on
+    the synthetic integer plane, by GRID BLOCKING: suppliers land in
+    their (x div R, y div R) cell once; each customer probes its 3×3
+    cell neighborhood — with cell size == radius R, any point within
+    L∞ ≤ R of the probe lies in those 9 cells, so the probe is
+    PROVABLY complete (the brute-force oracle checks exactly that).
+    Candidates then verify the radius and argmin exact squared
+    Euclidean distance with (d2, key) tie-break.
+
+    This is the spatial-join pattern: swap the integer grid for
+    geohash/S2 cells and the radius check for haversine, and the plan
+    is a production store-to-warehouse assignment. All-integer here —
+    coordinates, radius, distances — so both engines are bit-exact
+    with no transcendental drift.
+
+    100 TB: suppliers shuffle once to cells; customers replicate ×9
+    (cell-key pairs, no payload); per-cell candidate lists are
+    density-bounded, and the argmin is a partial-agg `min(struct)` —
+    no global sort, no all-pairs.
+    """
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.expr(_COORD.format(axis="x", key="c_custkey")).alias("cx"),
+        F.expr(_COORD.format(axis="y", key="c_custkey")).alias("cy"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.expr(_COORD.format(axis="x", key="s_suppkey")).alias("sx"),
+        F.expr(_COORD.format(axis="y", key="s_suppkey")).alias("sy"),
+    )
+    s_cells = s.select(
+        "s_suppkey",
+        "sx",
+        "sy",
+        F.expr(f"sx div {GRID_R}").alias("ci"),
+        F.expr(f"sy div {GRID_R}").alias("cj"),
+    )
+    offsets = F.expr(
+        "explode(array(-1, 0, 1))"
+    )  # two explodes -> 9 probe cells
+    c_probes = (
+        c.select("c_custkey", "cx", "cy", offsets.alias("di"))
+        .select("c_custkey", "cx", "cy", "di", offsets.alias("dj"))
+        .select(
+            "c_custkey",
+            "cx",
+            "cy",
+            F.expr(f"cx div {GRID_R} + di").alias("ci"),
+            F.expr(f"cy div {GRID_R} + dj").alias("cj"),
+        )
+    )
+    cand = (
+        c_probes.join(s_cells, ["ci", "cj"])
+        .filter(
+            (F.abs(F.col("cx") - F.col("sx")) <= GRID_R)
+            & (F.abs(F.col("cy") - F.col("sy")) <= GRID_R)
+        )
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            (
+                (F.col("cx") - F.col("sx")) * (F.col("cx") - F.col("sx"))
+                + (F.col("cy") - F.col("sy")) * (F.col("cy") - F.col("sy"))
+            ).alias("d2"),
+        )
+    )
+    best = (
+        cand.groupBy("c_custkey")
+        .agg(F.min(F.struct("d2", "s_suppkey")).alias("m"))
+        .select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            F.col("m.s_suppkey").cast("long").alias("nearest_suppkey"),
+            F.col("m.d2").cast("long").alias("dist2"),
+        )
+    )
+    return best.orderBy("c_custkey")

@@ -1,0 +1,56 @@
+"""Spatial grid join vs an engine-independent Python brute force —
+the third vote beside Spark and the DuckDB oracle, reimplementing the
+md5 coordinates from hashlib.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from cost_of_living_data_etl_spark.plans.spatial import (
+    GRID_MAX,
+    GRID_R,
+    q_spatial_nn_join,
+)
+
+
+def _coord(axis: str, key: int) -> int:
+    h = hashlib.md5(f"{axis}:{key}".encode()).hexdigest()[:15]
+    return int(h, 16) % GRID_MAX
+
+
+def test_spatial_nn_matches_python_bruteforce(spark, sf_smoke):
+    import duckdb
+
+    cust = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT c_custkey FROM '{sf_smoke}/customer.parquet'"
+        ).fetchall()
+    ]
+    supp = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT s_suppkey FROM '{sf_smoke}/supplier.parquet'"
+        ).fetchall()
+    ]
+    spos = [(k, _coord("x", k), _coord("y", k)) for k in supp]
+    want = {}
+    for ck in cust:
+        cx, cy = _coord("x", ck), _coord("y", ck)
+        best = None
+        for sk, sx, sy in spos:
+            if abs(cx - sx) <= GRID_R and abs(cy - sy) <= GRID_R:
+                d2 = (cx - sx) ** 2 + (cy - sy) ** 2
+                cand = (d2, sk)
+                if best is None or cand < best:
+                    best = cand
+        if best is not None:
+            want[ck] = (best[1], best[0])
+
+    got = {
+        r["c_custkey"]: (r["nearest_suppkey"], r["dist2"])
+        for r in q_spatial_nn_join(spark, sf_smoke).collect()
+    }
+    assert got == want
+    assert len(got) > 0  # the radius actually matches someone

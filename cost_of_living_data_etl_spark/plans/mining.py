@@ -54,7 +54,7 @@ WITH e AS (
 pairs AS (
     SELECT a.vec_id AS a_id, b.vec_id AS b_id,
            list_inner_product(a.emb, b.emb) / (a.norm * b.norm) AS cos_sim
-    FROM e a JOIN e b ON a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+    FROM e a JOIN e b ON a.vec_id % 4 = 0 AND b.vec_id % 4 = 1
 ),
 best_a AS (
     SELECT a_id, b_id, cos_sim FROM (
@@ -81,8 +81,10 @@ ORDER BY a_id
     tags=("similarity", "pair-mining", "bitext"),
 )
 def q_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mutual nearest neighbors between the even-id and odd-id halves
-    of the embedding corpus: pair (a, b) survives iff b is a's best
+    """Mutual nearest neighbors between two deterministic corpus
+    slices (vec_id % 4 == 0 vs == 1 — quarter-sides keep the dense
+    exact instrument's pair count bounded; the mutual-filter semantics
+    don't depend on side size): pair (a, b) survives iff b is a's best
     cosine match AND a is b's — the reciprocal filter that makes mined
     pairs precise (one-way argmax pairs everything, including points
     whose best match merely happens to be nearest in a sparse region).
@@ -101,12 +103,12 @@ def q_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = with_norm(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
-    a = e.filter(F.col("vec_id") % 2 == 0).select(
+    a = e.filter(F.col("vec_id") % 4 == 0).select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_emb"),
         F.col("norm").alias("a_norm"),
     )
-    b = e.filter(F.col("vec_id") % 2 == 1).select(
+    b = e.filter(F.col("vec_id") % 4 == 1).select(
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("b_emb"),
         F.col("norm").alias("b_norm"),
@@ -501,7 +503,6 @@ def q_lsh_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cost_of_living_data_etl_spark.operators.dedup import (
         JACCARD_THRESHOLD,
         minhash_signatures,
-        neardup_pairs_from_sigs,
         _band_hash_spark,
         BANDS,
     )
@@ -531,8 +532,19 @@ def q_lsh_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     n_cand = cand.groupBy().agg(F.count(F.lit(1)).alias("n_candidates"))
+    # verify the SAME candidate set (review finding: a second call to
+    # neardup_pairs_from_sigs rebuilt the band self-join from scratch,
+    # doubling the dominant join and duplicating blocking logic)
+    s1 = mh.select(F.col("doc_id").alias("d1"), F.col("hset").alias("hs1"))
+    s2 = mh.select(F.col("doc_id").alias("d2"), F.col("hset").alias("hs2"))
     n_found = (
-        neardup_pairs_from_sigs(mh)
+        cand.join(s1, "d1")
+        .join(s2, "d2")
+        .filter(
+            F.size(F.array_intersect("hs1", "hs2"))
+            / F.size(F.array_union("hs1", "hs2"))
+            >= JACCARD_THRESHOLD
+        )
         .groupBy()
         .agg(F.count(F.lit(1)).alias("n_found"))
     )

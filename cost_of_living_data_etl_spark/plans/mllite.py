@@ -1232,17 +1232,11 @@ _CONF_CAL_CUT = 90  # 80-89 calibration; 90-99 test
 _CONF_BUCKET_SPARK = _BUCKET_SPARK.format(k="o_orderkey")
 _CONF_BUCKET_SQL = _BUCKET_SQL.format(k="o_orderkey")
 
-# train-split Gram (det_sum discipline, same Cramer solve as ridge)
-_CF_C0 = (f"(nd + {RIDGE_LAMBDA})", "s1", "s2")
-_CF_C1 = ("s1", f"(s11 + {RIDGE_LAMBDA})", "s12")
-_CF_C2 = ("s2", "s12", f"(s22 + {RIDGE_LAMBDA})")
-_CF_B = ("sy", "s1y", "s2y")
-_CF_DET = _det3(_CF_C0, _CF_C1, _CF_C2)
-_CF_BETA = {
-    "beta0": _det3(_CF_B, _CF_C1, _CF_C2),
-    "beta1": _det3(_CF_C0, _CF_B, _CF_C2),
-    "beta2": _det3(_CF_C0, _CF_C1, _CF_B),
-}
+# train-split Gram: the SAME column names and lambda as the full-data
+# ridge fit, so the Cramer-solve SQL text is literally _RIDGE_DET /
+# _RIDGE_BETA — reuse it (a re-derived copy could drift independently)
+_CF_DET = _RIDGE_DET
+_CF_BETA = _RIDGE_BETA
 
 _CONF_ORACLE = f"""
 WITH feats AS (
@@ -1281,7 +1275,15 @@ cal AS (
     WHERE bkt >= {_CONF_TRAIN_CUT} AND bkt < {_CONF_CAL_CUT}
 ),
 qhat AS (
-    SELECT resid AS q, n_cal FROM (
+    -- when ceil((n+1)(1-alpha)) exceeds n_cal the finite-sample
+    -- guarantee requires q-hat = +infinity (cover everything); capping
+    -- at the max residual would silently under-cover
+    SELECT CASE WHEN CAST(ceil((n_cal + 1)
+                     * (1.0 - CAST({CONF_ALPHA} AS DOUBLE))) AS BIGINT)
+                     <= n_cal
+                THEN resid ELSE CAST('infinity' AS DOUBLE) END AS q,
+           n_cal
+    FROM (
         SELECT resid,
                row_number() OVER (ORDER BY resid) AS rk,
                count(*) OVER () AS n_cal
@@ -1386,6 +1388,9 @@ def q_conformal_interval_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     nw = Window.orderBy(F.lit(1)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
+    need = F.ceil(
+        (F.col("n_cal") + 1) * (1.0 - F.expr(f"CAST({CONF_ALPHA} AS DOUBLE)"))
+    ).cast("long")
     qhat = (
         cal.select(
             "n_train",
@@ -1393,17 +1398,16 @@ def q_conformal_interval_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(Window.orderBy("resid")).alias("rk"),
             F.count(F.lit(1)).over(nw).alias("n_cal"),
         )
-        .filter(
-            F.col("rk")
-            == F.least(
-                F.ceil(
-                    (F.col("n_cal") + 1)
-                    * (1.0 - F.expr(f"CAST({CONF_ALPHA} AS DOUBLE)"))
-                ).cast("long"),
-                F.col("n_cal"),
-            )
+        .filter(F.col("rk") == F.least(need, F.col("n_cal")))
+        .select(
+            "n_train",
+            # rank beyond n_cal -> q-hat = +infinity (cover everything);
+            # capping at the max residual would void the guarantee
+            F.when(need <= F.col("n_cal"), F.col("resid"))
+            .otherwise(F.expr("CAST('infinity' AS DOUBLE)"))
+            .alias("q"),
+            "n_cal",
         )
-        .select("n_train", F.col("resid").alias("q"), "n_cal")
     )
     test = (
         feats.filter(F.col("bkt") >= _CONF_CAL_CUT)

@@ -231,16 +231,14 @@ def q_cramers_v_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- AUC: quality score vs duplicate membership ------------------------------
 
-_QUALITY_SQL = """(
-    least(length(text) / 500.0, 1.0) * 0.4
-    + least((length(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
-             w -> w IN ('the','a','of','to','and','in','is','for','on','with')))
-             * 1.0 / greatest(length(regexp_extract_all(lower(text), '[a-z0-9]+')), 1)) * 4, 1.0) * 0.2
-    + greatest(0.0, 1.0 - (length(regexp_extract_all(text, '[^\\w\\s]')) * 1.0
-             / greatest(length(text), 1)) * 5) * 0.2
-    + greatest(0.0, 1.0 - (length(regexp_extract_all(text, '[0-9]')) * 1.0
-             / greatest(length(text), 1)) * 5) * 0.2
-)"""
+# the quality formula's DuckDB mirror is single-sourced in corpus_prep
+# (built from textstats.STOPWORDS_EN) — a hand-copied list here would
+# drift silently (review finding: this file originally pasted one)
+from cost_of_living_data_etl_spark.plans.corpus_prep import (  # noqa: E402
+    _QUALITY_SQL as _CP_QUALITY_SQL,
+)
+
+_QUALITY_SQL = f"({_CP_QUALITY_SQL})"
 
 _AUC_ORACLE = f"""
 WITH pairs AS MATERIALIZED (

@@ -30,7 +30,7 @@ from __future__ import annotations
 import math
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.sources.tables import load_table
@@ -139,6 +139,10 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions rows, corpus-size-independent; phase 3 is map-side +
     one |labels| rollup. The driver never holds row data.
     """
+    # EAGER checkpoint: the quantized table feeds the moment job, the
+    # marginal job, and the projection pass — without it each action
+    # re-read and re-quantized the corpus (review finding; the CC /
+    # minhash persist convention applies)
     q = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.col("label").cast("int").alias("label"),
@@ -146,7 +150,7 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
             f" * {PCA_SCALE}) AS BIGINT))"
         ).alias("qv"),
-    )
+    ).localCheckpoint()
     flat = q.select(
         "label", F.posexplode("qv").alias("i", "qi"), "qv"
     )
@@ -156,11 +160,12 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("qi") * F.col("qj")).alias("sxx"))
         .collect()
     )
-    sxs = {
-        r["i"]: r["s"]
-        for r in flat.groupBy("i").agg(F.sum("qi").alias("s")).collect()
-    }
-    n = q.count()
+    # marginals and n in ONE job (count rides along per dimension)
+    marg = flat.groupBy("i").agg(
+        F.sum("qi").alias("s"), F.count(F.lit(1)).alias("cnt")
+    ).collect()
+    sxs = {r["i"]: r["s"] for r in marg}
+    n = marg[0]["cnt"]
     d = PCA_DIMS
     sxx = {}
     for r in cells:
@@ -253,7 +258,7 @@ WITH vals AS (
     WHERE label IN ({DRIFT_LABEL_A}, {DRIFT_LABEL_B})
 ),
 cnt AS (
-    SELECT pop, dim, {_DRIFT_BUCKET.replace('v', 'v')} AS b, count(*) AS c
+    SELECT pop, dim, {_DRIFT_BUCKET} AS b, count(*) AS c
     FROM vals GROUP BY 1, 2, 3
 ),
 tot AS (SELECT pop, count(*) AS n FROM vals WHERE dim = 0 GROUP BY pop),
@@ -263,14 +268,15 @@ grid AS (
          (SELECT unnest(range({DRIFT_BUCKETS})) AS b) b
 ),
 shares AS (
+    -- totals enter as CROSS JOINed rows, not scalar subqueries: if a
+    -- label is absent the join is empty and BOTH engines return 0 rows
+    -- (a scalar subquery would yield NULL shares on DuckDB only)
     SELECT g.dim, g.b,
-           (coalesce(ca.c, 0) + 1.0)
-             / ((SELECT n FROM tot WHERE pop = {DRIFT_LABEL_A})
-                + {DRIFT_BUCKETS}) AS pa,
-           (coalesce(cb.c, 0) + 1.0)
-             / ((SELECT n FROM tot WHERE pop = {DRIFT_LABEL_B})
-                + {DRIFT_BUCKETS}) AS pb
+           (coalesce(ca.c, 0) + 1.0) / (ta.n + {DRIFT_BUCKETS}) AS pa,
+           (coalesce(cb.c, 0) + 1.0) / (tb.n + {DRIFT_BUCKETS}) AS pb
     FROM grid g
+    CROSS JOIN (SELECT n FROM tot WHERE pop = {DRIFT_LABEL_A}) ta
+    CROSS JOIN (SELECT n FROM tot WHERE pop = {DRIFT_LABEL_B}) tb
     LEFT JOIN cnt ca ON ca.pop = {DRIFT_LABEL_A} AND ca.dim = g.dim
                     AND ca.b = g.b
     LEFT JOIN cnt cb ON cb.pop = {DRIFT_LABEL_B} AND cb.dim = g.dim

@@ -15,14 +15,14 @@ from cost_of_living_data_etl_spark.plans.mining import (
 
 
 def test_mutual_nn_requires_reciprocity(spark, tmp_path):
-    """a0's best match is b1, but b1's best is a2 — so (a0, b1) must
-    NOT survive; only the reciprocal pair (a2, b1) does. b3's best is
-    a0, unreciprocated — no pair for b3 either."""
+    """a0's best match is b1, but b1's best is a4 — so (a0, b1) must
+    NOT survive; only the reciprocal pair (a4, b1) does. b5's best is
+    a0, unreciprocated — no pair for b5 either."""
     rows = [
-        (0, [1.0, 0.2], 0),  # A side (even)
-        (2, [1.0, 0.0], 0),
-        (1, [1.0, 0.0], 1),  # B side (odd)
-        (3, [0.0, 1.0], 1),
+        (0, [1.0, 0.2], 0),  # A side (vec_id % 4 == 0)
+        (4, [1.0, 0.0], 0),
+        (1, [1.0, 0.0], 1),  # B side (vec_id % 4 == 1)
+        (5, [0.0, 1.0], 1),
     ]
     spark.createDataFrame(
         rows, "vec_id long, embedding array<float>, label int"
@@ -31,7 +31,7 @@ def test_mutual_nn_requires_reciprocity(spark, tmp_path):
         (r["a_id"], r["b_id"], round(r["cos_sim"], 9))
         for r in q_mutual_nn_pairs(spark, str(tmp_path)).collect()
     ]
-    assert got == [(2, 1, 1.0)]
+    assert got == [(4, 1, 1.0)]
 
 
 def test_mad_zero_flags_any_deviation(spark, tmp_path):

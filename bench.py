@@ -174,6 +174,9 @@ HEADLINE = [
     "q_embedding_dim_drift",
     # spatial family
     "q_spatial_nn_join",
+    # distributional comparison
+    "q_ks_two_sample",
+    "q_quantile_treatment_effects",
 ]
 
 

@@ -348,3 +348,201 @@ def q_auc_quality_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2.0 * F.col("n1").cast("double") * F.col("n0").cast("double")),
         ).alias("auc"),
     )
+
+
+# --- Kolmogorov-Smirnov two-sample test --------------------------------------
+
+_KS_ORACLE = """
+WITH v AS (
+    SELECT o_totalprice AS val, o_custkey % 2 AS arm FROM orders
+),
+tot AS (
+    SELECT sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS na,
+           sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS nb
+    FROM v
+),
+cells AS (
+    SELECT val,
+           sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS ca,
+           sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS cb
+    FROM v GROUP BY val
+),
+walk AS (
+    SELECT sum(ca) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS cuma,
+           sum(cb) OVER (ORDER BY val ROWS UNBOUNDED PRECEDING) AS cumb
+    FROM cells
+),
+m AS (
+    SELECT max(abs(cuma * t.nb - cumb * t.na)) AS scaled_d, t.na, t.nb
+    FROM walk, tot t GROUP BY t.na, t.nb
+)
+SELECT CAST(na AS BIGINT) AS n_treat, CAST(nb AS BIGINT) AS n_control,
+       CAST(scaled_d AS DOUBLE) / (CAST(na AS DOUBLE) * nb) AS ks_d,
+       sqrt(CAST(na AS DOUBLE) * nb / (na + nb))
+         * (CAST(scaled_d AS DOUBLE) / (CAST(na AS DOUBLE) * nb)) AS ks_stat
+FROM m
+"""
+
+
+@register(
+    "q_ks_two_sample",
+    oracle=_KS_ORACLE,
+    tags=("statistics", "nonparametric", "distribution"),
+)
+def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the arms'
+    order-value distributions: D = sup |F̂₁ − F̂₂| — the whole-
+    distribution divergence check behind `q_ab_test_welch`'s
+    mean-only comparison (equal means with different shapes is
+    exactly what KS catches and a t-test can't).
+
+    Division-free until the end: the ECDF gap at value v is
+    |cumA·nB − cumB·nA| / (nA·nB), so the supremum maximizes the
+    EXACT INTEGER numerator over the pooled distinct-value walk —
+    no float comparisons decide anything; one division and one
+    shared sqrt expression produce the outputs.
+
+    100 TB: per-(value, arm) counts partial-aggregate; the cumulative
+    walk runs over |distinct values|; beyond memory-bounded distincts
+    the sketch CDF takes over with bounded error.
+    """
+    v = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("val"),
+        (F.col("o_custkey") % 2).alias("arm"),
+    )
+    tot = v.groupBy().agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("na"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("nb"),
+    )
+    cells = v.groupBy("val").agg(
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("cb"),
+    )
+    run = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
+    walk = cells.select(
+        F.sum("ca").over(run).alias("cuma"),
+        F.sum("cb").over(run).alias("cumb"),
+    )
+    m = (
+        walk.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.max(
+                F.abs(
+                    F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")
+                )
+            ).alias("scaled_d")
+        )
+    )
+    return m.select(
+        F.col("na").cast("long").alias("n_treat"),
+        F.col("nb").cast("long").alias("n_control"),
+        F.expr(
+            "CAST(scaled_d AS DOUBLE) / (CAST(na AS DOUBLE) * nb)"
+        ).alias("ks_d"),
+        F.expr(
+            "sqrt(CAST(na AS DOUBLE) * nb / (na + nb))"
+            " * (CAST(scaled_d AS DOUBLE) / (CAST(na AS DOUBLE) * nb))"
+        ).alias("ks_stat"),
+    )
+
+
+# --- quantile treatment effects ----------------------------------------------
+
+QTE_PS = (50, 90)
+
+_QTE_ORACLE = f"""
+WITH v AS (
+    SELECT o_totalprice AS val, o_custkey % 2 AS arm FROM orders
+),
+cells AS (SELECT arm, val, count(*) AS cnt FROM v GROUP BY 1, 2),
+r AS (
+    SELECT arm, val,
+           sum(cnt) OVER (PARTITION BY arm ORDER BY val
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(cnt) OVER (PARTITION BY arm) AS n
+    FROM cells
+),
+qs AS (
+    {" UNION ALL ".join(
+        f"SELECT {p} AS p, arm, min(val) AS q FROM r"
+        f" WHERE cum >= CAST(ceil(CAST(0.{p} AS DOUBLE) * n) AS BIGINT)"
+        " GROUP BY arm"
+        for p in QTE_PS
+    )}
+)
+SELECT CAST(t.p AS BIGINT) AS p,
+       t.q AS q_treat, c.q AS q_control,
+       t.q - c.q AS qte
+FROM (SELECT * FROM qs WHERE arm = 1) t
+JOIN (SELECT * FROM qs WHERE arm = 0) c ON t.p = c.p
+ORDER BY p
+"""
+
+
+@register(
+    "q_quantile_treatment_effects",
+    oracle=_QTE_ORACLE,
+    tags=("causal", "quantiles", "ab-test"),
+)
+def q_quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile treatment effects at p50 and p90: the per-quantile
+    difference between the arms' order-value distributions — WHERE in
+    the distribution an effect lives (a treatment that lifts the tail
+    but not the median shows qte(90) ≫ qte(50); the mean-difference
+    family — Welch, DiD — averages that away).
+
+    Each quantile is the exact lower order statistic at ceil(p·n)
+    from the per-arm value rollup (smallest value whose cumulative
+    count reaches the rank) — selections, so qte is a difference of
+    two data elements, bit-identical cross-engine.
+
+    100 TB: per-(arm, value) partial agg; cumulative windows per arm
+    over distinct values; the sketch CDF replaces exact ranks beyond
+    memory-bounded distincts.
+    """
+    v = load_table(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("val"),
+        (F.col("o_custkey") % 2).alias("arm"),
+    )
+    cells = v.groupBy("arm", "val").agg(F.count(F.lit(1)).alias("cnt"))
+    run = Window.partitionBy("arm").orderBy("val").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    whole = Window.partitionBy("arm")
+    r = cells.select(
+        "arm",
+        "val",
+        F.sum("cnt").over(run).alias("cum"),
+        F.sum("cnt").over(whole).alias("n"),
+    )
+    parts = []
+    for p in QTE_PS:
+        parts.append(
+            r.filter(
+                F.col("cum")
+                >= F.ceil(
+                    F.expr(f"CAST(0.{p} AS DOUBLE)") * F.col("n")
+                ).cast("long")
+            )
+            .groupBy("arm")
+            .agg(F.min("val").alias("q"))
+            .select(F.lit(p).alias("p"), "arm", "q")
+        )
+    qs = parts[0]
+    for part in parts[1:]:
+        qs = qs.unionByName(part)
+    t = qs.filter(F.col("arm") == 1).select("p", F.col("q").alias("q_treat"))
+    c = qs.filter(F.col("arm") == 0).select(
+        F.col("p").alias("pc"), F.col("q").alias("q_control")
+    )
+    return (
+        t.join(c, t.p == c.pc)
+        .select(
+            F.col("p").cast("long").alias("p"),
+            "q_treat",
+            "q_control",
+            (F.col("q_treat") - F.col("q_control")).alias("qte"),
+        )
+        .orderBy("p")
+    )

@@ -86,3 +86,47 @@ def test_auc_null_when_no_dups(spark, tmp_path):
     r = q_auc_quality_dup(spark, str(tmp_path)).collect()[0]
     assert r["n_dup"] == 0
     assert r["auc"] is None
+
+
+def test_ks_disjoint_distributions_d_is_one(spark, tmp_path):
+    """Treatment values all below control: the ECDF gap reaches
+    exactly 1 at the treatment's max (integer-scaled sup, no float
+    comparisons decide it)."""
+    rows = []
+    for k in range(10):
+        rows.append((k, 1, 10.0 + k, BASE))        # treatment (odd cust)
+        rows.append((100 + k, 2, 100.0 + k, BASE))  # control (even cust)
+    spark.createDataFrame(
+        [(okey, c, "O", p, d, "1-URGENT") for (okey, c, p, d) in rows],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    from cost_of_living_data_etl_spark.plans.rank_stats import q_ks_two_sample
+
+    r = q_ks_two_sample(spark, str(tmp_path)).collect()[0]
+    assert (r["n_treat"], r["n_control"]) == (10, 10)
+    assert r["ks_d"] == 1.0
+
+
+def test_qte_picks_exact_order_statistics(spark, tmp_path):
+    """Treatment 1..10, control 11..20: p50 = 5th smallest (5 vs 15),
+    p90 = 9th (9 vs 19) — qte is a difference of data elements, −10.0
+    exactly at both quantiles."""
+    rows = []
+    for k in range(1, 11):
+        rows.append((k, 1, float(k), BASE))          # treatment
+        rows.append((100 + k, 2, float(10 + k), BASE))  # control
+    spark.createDataFrame(
+        [(okey, c, "O", p, d, "1-URGENT") for (okey, c, p, d) in rows],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    from cost_of_living_data_etl_spark.plans.rank_stats import (
+        q_quantile_treatment_effects,
+    )
+
+    got = {
+        r["p"]: (r["q_treat"], r["q_control"], r["qte"])
+        for r in q_quantile_treatment_effects(spark, str(tmp_path)).collect()
+    }
+    assert got == {50: (5.0, 15.0, -10.0), 90: (9.0, 19.0, -10.0)}

@@ -193,3 +193,21 @@ def test_hierarchy_matches_python_walk(spark, tmp_path):
         for r in rows
     }
     assert got == {r: (c, d, b) for r, (c, d, b) in agg.items()}
+
+
+def test_setsim_no_text_or_shingles_in_any_exchange(spark, sf_smoke):
+    """The prefix join's scale contract: text and shingle strings are
+    consumed in the scan/map pass; every Exchange carries only ids,
+    hashes and counts (the corpus-prep discipline)."""
+    from cost_of_living_data_etl_spark.plans.catalog import catalog
+
+    plan = (
+        catalog()["q_setsim_prefix_join"]
+        .fn(spark, sf_smoke)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exchange_lines, "expected shuffles in the prefix-join plan"
+    assert not any("text" in l or "shingle" in l for l in exchange_lines)

@@ -177,6 +177,10 @@ HEADLINE = [
     # distributional comparison
     "q_ks_two_sample",
     "q_quantile_treatment_effects",
+    # forecast/econ + ER survivorship
+    "q_holt_linear_forecast",
+    "q_laspeyres_price_index",
+    "q_golden_record_survivorship",
 ]
 
 

@@ -45,4 +45,5 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     spectral,
     rank_stats,
     spatial,
+    forecast,
 )

@@ -577,3 +577,95 @@ def q_lsh_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("reduction_ratio"),
         )
     )
+
+
+# --- golden-record survivorship ----------------------------------------------
+
+
+def _survivorship_oracle() -> str:
+    from cost_of_living_data_etl_spark.operators.dedup import _CLUSTERS_ORACLE
+    from cost_of_living_data_etl_spark.plans.corpus_prep import (
+        _QUALITY_SQL as _CPQ,
+    )
+
+    return f"""
+WITH clusters AS MATERIALIZED ( {_CLUSTERS_ORACLE} ),
+scored AS (
+    SELECT c.cluster_id, d.doc_id, ({_CPQ}) AS quality, d.n_chars
+    FROM clusters c JOIN documents d ON d.doc_id = c.doc_id
+),
+sized AS (
+    -- cluster-level max BEFORE the rk filter: a window in the final
+    -- SELECT would run after WHERE rk = 1 and see only the survivor
+    SELECT *, count(*) OVER (PARTITION BY cluster_id) AS n_members,
+           max(n_chars) OVER (PARTITION BY cluster_id) AS cluster_max_chars
+    FROM scored
+),
+ranked AS (
+    SELECT *, row_number() OVER (PARTITION BY cluster_id
+                                 ORDER BY quality DESC, doc_id) AS rk
+    FROM sized WHERE n_members > 1
+)
+SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+       CAST(doc_id AS BIGINT) AS survivor_doc_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       quality AS survivor_quality,
+       CAST(cluster_max_chars AS BIGINT) AS max_n_chars
+FROM ranked WHERE rk = 1 ORDER BY cluster_id
+"""
+
+
+@register(
+    "q_golden_record_survivorship",
+    oracle=_survivorship_oracle(),
+    tags=("dedup", "entity-resolution", "survivorship"),
+)
+def q_golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship: the canonical document per multi-member dup
+    cluster by the rule (highest quality, then lowest id), with the
+    cluster's size and max length — the final stage of the entity-
+    resolution pipeline this repo now covers end to end: blocking
+    (`q_lsh_blocking_quality` scores it), pairing (MinHash verify),
+    clustering (`q_dedup_clusters`), and now the golden-record pick
+    that decides WHICH row ships.
+
+    Exactness: the quality rule reuses the single-sourced fragment
+    (identical doubles), so the argmax `max(struct(quality, -doc_id))`
+    picks the same survivor on both engines; sizes/lengths are exact
+    BIGINTs.
+
+    100 TB: cluster ids come from the CC operator (edge-touching
+    iteration); survivor election is one partial-agg argmax per
+    cluster — text itself never moves, only (cluster, id, quality,
+    n_chars) tuples.
+    """
+    from cost_of_living_data_etl_spark.operators.dedup import q_dedup_clusters
+    from cost_of_living_data_etl_spark.operators.textstats import (
+        quality_score,
+    )
+
+    clusters = q_dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", quality_score(F.col("text")).alias("quality"), "n_chars"
+    )
+    scored = clusters.join(docs, "doc_id")
+    agg = (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(
+                F.struct(
+                    F.col("quality"), (-F.col("doc_id")).alias("nid")
+                )
+            ).alias("m"),
+            F.max("n_chars").alias("max_n_chars"),
+        )
+        .filter(F.col("n_members") > 1)
+    )
+    return agg.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        (-F.col("m.nid")).cast("long").alias("survivor_doc_id"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("m.quality").alias("survivor_quality"),
+        F.col("max_n_chars").cast("long").alias("max_n_chars"),
+    ).orderBy("cluster_id")

@@ -181,6 +181,7 @@ HEADLINE = [
     "q_holt_linear_forecast",
     "q_laspeyres_price_index",
     "q_golden_record_survivorship",
+    "q_bootstrap_ci_uplift",
 ]
 
 

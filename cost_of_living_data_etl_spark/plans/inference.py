@@ -390,3 +390,137 @@ def q_sprt_ab_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "llr",
         decision.alias("decision"),
     ).orderBy("day")
+
+
+# --- Poisson-bootstrap CI on the A/B uplift ----------------------------------
+
+_UPLIFT_ORACLE = f"""
+WITH o AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+           o_custkey % 2 AS arm,
+           {_SEED_SQL} AS seed
+    FROM orders
+),
+draws AS (
+    SELECT r, arm, cents, {_POIS_CASE.format(u=_BOOT_U_SQL)} AS w
+    FROM o CROSS JOIN (SELECT unnest(range({BOOT_R})) AS r)
+),
+stats AS (
+    SELECT r,
+           CAST(sum(CASE WHEN arm = 1 THEN w * cents ELSE 0 END) AS DOUBLE)
+             / sum(CASE WHEN arm = 1 THEN w ELSE 0 END) / 100.0
+           - CAST(sum(CASE WHEN arm = 0 THEN w * cents ELSE 0 END) AS DOUBLE)
+             / sum(CASE WHEN arm = 0 THEN w ELSE 0 END) / 100.0 AS uplift
+    FROM draws GROUP BY r
+),
+ranked AS (
+    SELECT uplift, row_number() OVER (ORDER BY uplift, r) AS rk FROM stats
+),
+pt AS (
+    SELECT CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS DOUBLE)
+             / sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) / 100.0
+           - CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS DOUBLE)
+             / sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) / 100.0
+             AS point_uplift
+    FROM o
+)
+SELECT CAST({BOOT_R} AS BIGINT) AS n_resamples,
+       pt.point_uplift AS point_uplift,
+       lo.uplift AS ci_lo,
+       hi.uplift AS ci_hi,
+       CASE WHEN lo.uplift > 0 OR hi.uplift < 0 THEN 1 ELSE 0 END
+         AS significant
+FROM pt,
+     (SELECT uplift FROM ranked WHERE rk = {BOOT_LO_RANK}) lo,
+     (SELECT uplift FROM ranked WHERE rk = {BOOT_HI_RANK}) hi
+"""
+
+
+@register(
+    "q_bootstrap_ci_uplift",
+    oracle=_UPLIFT_ORACLE,
+    tags=("statistics", "bootstrap", "ab-test"),
+)
+def q_bootstrap_ci_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI on the treatment−control mean-order-value
+    uplift — the practical A/B deliverable (Welch gives an asymptotic
+    s.e.; this gives the interval with NO normality assumption, and
+    the `significant` flag is just "does the interval exclude 0").
+    Each resample draws BOTH arms with the same row-local Poisson
+    weights, so the per-resample uplift difference is internally
+    consistent — still one scan + one groupBy over R cells.
+
+    Same deterministic machinery as `q_bootstrap_ci_mean`: md5-seeded
+    MINSTD LCG jumped per draw, exact integer weighted sums per (r,
+    arm), order-statistic CI endpoints.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        (F.col("o_custkey") % 2).alias("arm"),
+        F.expr(_SEED_SPARK).alias("seed"),
+    )
+    draws = o.select(
+        "seed",
+        "arm",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_R - 1))).alias("r"),
+    ).select(
+        "r",
+        "arm",
+        "cents",
+        F.expr(_POIS_CASE.format(u=_BOOT_U_SPARK)).alias("w"),
+    )
+    t_num = F.sum(
+        F.when(F.col("arm") == 1, F.col("w") * F.col("cents")).otherwise(0)
+    )
+    t_den = F.sum(F.when(F.col("arm") == 1, F.col("w")).otherwise(0))
+    c_num = F.sum(
+        F.when(F.col("arm") == 0, F.col("w") * F.col("cents")).otherwise(0)
+    )
+    c_den = F.sum(F.when(F.col("arm") == 0, F.col("w")).otherwise(0))
+    stats = draws.groupBy("r").agg(
+        (
+            t_num.cast("double") / t_den / 100.0
+            - c_num.cast("double") / c_den / 100.0
+        ).alias("uplift")
+    )
+    ranked = stats.select(
+        "uplift",
+        F.row_number().over(Window.orderBy("uplift", "r")).alias("rk"),
+    )
+    lo = ranked.filter(F.col("rk") == BOOT_LO_RANK).select(
+        F.col("uplift").alias("ci_lo")
+    )
+    hi = ranked.filter(F.col("rk") == BOOT_HI_RANK).select(
+        F.col("uplift").alias("ci_hi")
+    )
+    pt = o.groupBy().agg(
+        (
+            F.sum(
+                F.when(F.col("arm") == 1, F.col("cents")).otherwise(0)
+            ).cast("double")
+            / F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+            / 100.0
+            - F.sum(
+                F.when(F.col("arm") == 0, F.col("cents")).otherwise(0)
+            ).cast("double")
+            / F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+            / 100.0
+        ).alias("point_uplift")
+    )
+    return (
+        pt.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            F.lit(BOOT_R).cast("long").alias("n_resamples"),
+            "point_uplift",
+            "ci_lo",
+            "ci_hi",
+            F.when(
+                (F.col("ci_lo") > 0) | (F.col("ci_hi") < 0), 1
+            )
+            .otherwise(0)
+            .cast("long")
+            .alias("significant"),
+        )
+    )

@@ -114,3 +114,24 @@ def test_sprt_no_purchases_accepts_h0(spark, tmp_path):
     r = q_sprt_ab_daily(spark, str(tmp_path)).collect()[0]
     assert r["decision"] == "accept_h0"
     assert r["n_conv"] == 0
+
+
+def test_uplift_bootstrap_degenerate_equal_arms(spark, tmp_path):
+    """Every order identical across arms ⇒ every resample uplift is
+    exactly 0 ⇒ CI collapses to [0, 0] and significant = 0."""
+    from cost_of_living_data_etl_spark.plans.inference import (
+        q_bootstrap_ci_uplift,
+    )
+
+    _write_orders(spark, str(tmp_path), [300.0] * 60)
+    # _write_orders assigns custkey=1 for all; rewrite with mixed arms
+    d = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(k, k % 2 + 1, "O", 300.0, d, "1-URGENT") for k in range(60)],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    r = q_bootstrap_ci_uplift(spark, str(tmp_path)).collect()[0]
+    assert r["point_uplift"] == 0.0
+    assert r["ci_lo"] == 0.0 and r["ci_hi"] == 0.0
+    assert r["significant"] == 0

@@ -463,19 +463,23 @@ r AS (
            sum(cnt) OVER (PARTITION BY arm) AS n
     FROM cells
 ),
-qs AS (
-    {" UNION ALL ".join(
-        f"SELECT {p} AS p, arm, min(val) AS q FROM r"
-        f" WHERE cum >= CAST(ceil(CAST(0.{p} AS DOUBLE) * n) AS BIGINT)"
-        " GROUP BY arm"
-        for p in QTE_PS
-    )}
+one AS MATERIALIZED (
+    -- ONE row: every (arm, p) quantile is a conditional min over the
+    -- same cumulative walk — no per-branch recompute, no self-join
+    SELECT
+        {", ".join(
+            f"min(CASE WHEN arm = {a} AND cum >= CAST(ceil("
+            f"CAST(0.{p} AS DOUBLE) * n) AS BIGINT) THEN val END)"
+            f" AS {t}{p}"
+            for p in QTE_PS for a, t in ((1, "t"), (0, "c"))
+        )}
+    FROM r
 )
-SELECT CAST(t.p AS BIGINT) AS p,
-       t.q AS q_treat, c.q AS q_control,
-       t.q - c.q AS qte
-FROM (SELECT * FROM qs WHERE arm = 1) t
-JOIN (SELECT * FROM qs WHERE arm = 0) c ON t.p = c.p
+{" UNION ALL ".join(
+    f"SELECT CAST({p} AS BIGINT) AS p, t{p} AS q_treat,"
+    f" c{p} AS q_control, t{p} - c{p} AS qte FROM one"
+    for p in QTE_PS
+)}
 ORDER BY p
 """
 
@@ -516,33 +520,34 @@ def q_quantile_treatment_effects(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").over(run).alias("cum"),
         F.sum("cnt").over(whole).alias("n"),
     )
-    parts = []
-    for p in QTE_PS:
-        parts.append(
-            r.filter(
-                F.col("cum")
-                >= F.ceil(
-                    F.expr(f"CAST(0.{p} AS DOUBLE)") * F.col("n")
-                ).cast("long")
-            )
-            .groupBy("arm")
-            .agg(F.min("val").alias("q"))
-            .select(F.lit(p).alias("p"), "arm", "q")
-        )
-    qs = parts[0]
-    for part in parts[1:]:
-        qs = qs.unionByName(part)
-    t = qs.filter(F.col("arm") == 1).select("p", F.col("q").alias("q_treat"))
-    c = qs.filter(F.col("arm") == 0).select(
-        F.col("p").alias("pc"), F.col("q").alias("q_control")
+    # ONE single-row aggregation computes every (arm, p) quantile as a
+    # conditional min over the same cumulative walk, then stack()
+    # unpivots to output rows — no per-branch recompute, no self-join
+    # (the union-of-branches draft re-ran the windows per branch)
+    one = r.groupBy().agg(
+        *[
+            F.min(
+                F.when(
+                    (F.col("arm") == a)
+                    & (
+                        F.col("cum")
+                        >= F.ceil(
+                            F.expr(f"CAST(0.{p} AS DOUBLE)") * F.col("n")
+                        ).cast("long")
+                    ),
+                    F.col("val"),
+                )
+            ).alias(f"{t}{p}")
+            for p in QTE_PS
+            for a, t in ((1, "t"), (0, "c"))
+        ]
     )
-    return (
-        t.join(c, t.p == c.pc)
-        .select(
-            F.col("p").cast("long").alias("p"),
-            "q_treat",
-            "q_control",
-            (F.col("q_treat") - F.col("q_control")).alias("qte"),
-        )
-        .orderBy("p")
+    stack_args = ", ".join(
+        f"CAST({p} AS BIGINT), t{p}, c{p}, t{p} - c{p}" for p in QTE_PS
     )
+    return one.select(
+        F.expr(
+            f"stack({len(QTE_PS)}, {stack_args})"
+            " AS (p, q_treat, q_control, qte)"
+        )
+    ).orderBy("p")

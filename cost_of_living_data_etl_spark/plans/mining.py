@@ -295,7 +295,9 @@ def q_dupgraph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(
             F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst")
         )
-    )
+    ).localCheckpoint()  # EAGER (CC convention): degree table and the
+    # edge join both consume edges — without it the LSH plan re-ran
+    # once per reference
     deg = edges.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )

@@ -182,6 +182,10 @@ HEADLINE = [
     "q_laspeyres_price_index",
     "q_golden_record_survivorship",
     "q_bootstrap_ci_uplift",
+    # curation family (Gopher rules, DSIR, char-entropy)
+    "q_gopher_quality_rules",
+    "q_dsir_importance_topk",
+    "q_char_trigram_entropy",
 ]
 
 

@@ -46,4 +46,5 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     rank_stats,
     spatial,
     forecast,
+    curation,
 )

@@ -1,0 +1,445 @@
+"""Pretraining-corpus curation operators: published rule-based and
+importance-based document selection.
+
+Three techniques every large-scale LM data pipeline runs between raw
+crawl and tokenizer, each as a native-expression Catalyst plan:
+
+- **Gopher quality rules** (Rae et al. 2021, "Scaling Language Models",
+  Appendix A1.1): the reference rule set for cheap document filtering —
+  word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+  alphabetic-word fraction, required-stopword presence. Reported here
+  as a per-source rule-rejection audit (which rule fires how often),
+  the report a curation run reviews before committing a filter config.
+- **DSIR** (Xie et al. 2023, "Data Selection for Language Models via
+  Importance Resampling"): hashed-bigram importance weights
+  ``w(x) = Σ_b c_b(x)·(ln p_target[b] − ln p_raw[b])`` scoring every
+  raw document by how target-domain-like its n-gram profile is.
+- **Character-trigram entropy**: the distribution-level gibberish /
+  boilerplate detector (low entropy → repeated boilerplate, near-max
+  entropy → encrypted/random noise) run at character level, the
+  complement of the word-level unigram surprisal score
+  (operators/textstats.py::q_unigram_surprisal).
+
+All three are single text passes whose shuffles carry only short keys
+and counts (never document text), so they scale like the rest of the
+dedup/textstats families: 100 TB in, map-side feature extraction,
+vocab- or bucket-bounded aggregation out.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from cost_of_living_data_etl_spark.functions.columns import det_sum
+from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Appendix A1.1)
+# ---------------------------------------------------------------------------
+# The published bounds. Line-shape rules (bullet-start / ellipsis-end
+# line fractions) are omitted: the fixture corpus is single-line by
+# construction (0 docs contain a newline at any SF), so those two rules
+# are degenerate here; the five below are the ones with signal.
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_WORD_FRAC = 0.8
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+# The paper requires ≥2 of the eight; the fixture corpus's synthetic
+# vocabulary contains exactly ONE of them ("the"), so the published
+# threshold degenerates to reject-all here — the audit would carry no
+# signal. 1 keeps the rule live on this corpus (docs with vs without
+# "the"); a production config restores 2.
+GOPHER_MIN_STOPWORDS = 1
+
+# whitespace words of the trimmed text; empty text → empty array
+# (split('') would yield [''], a phantom 1-token document)
+_WS_SPARK = (
+    "CASE WHEN length(trim(text)) = 0 THEN array() "
+    "ELSE split(trim(text), '\\\\s+') END"
+)
+_WS_SQL = (
+    "CASE WHEN length(trim(text)) = 0 THEN [] "
+    "ELSE string_split_regex(trim(text), '\\s+') END"
+)
+
+_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+
+_GOPHER_ORACLE = f"""
+WITH feat AS (
+    SELECT
+        source,
+        len(ws)                                                    AS n_words,
+        length(regexp_replace(trim(text), '\\s+', '', 'g')) * 1.0
+            / greatest(len(ws), 1)                                 AS mean_word_len,
+        (length(regexp_extract_all(text, '#'))
+         + length(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0
+            / greatest(len(ws), 1)                                 AS symbol_ratio,
+        len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0
+            / greatest(len(ws), 1)                                 AS alpha_frac,
+        len(list_filter([{_GOPHER_STOP_SQL}],
+                        s -> list_contains(list_transform(ws, w -> lower(w)), s)))
+                                                                   AS n_stop
+    FROM (SELECT source, text, {_WS_SQL} AS ws FROM documents)
+),
+flags AS (
+    SELECT
+        source,
+        (n_words < {GOPHER_MIN_WORDS} OR n_words > {GOPHER_MAX_WORDS}) AS f_words,
+        (mean_word_len < {GOPHER_MIN_MEAN_WORD_LEN}
+         OR mean_word_len > {GOPHER_MAX_MEAN_WORD_LEN})                AS f_wordlen,
+        (symbol_ratio > {GOPHER_MAX_SYMBOL_RATIO})                     AS f_symbol,
+        (alpha_frac < {GOPHER_MIN_ALPHA_WORD_FRAC})                    AS f_alpha,
+        (n_stop < {GOPHER_MIN_STOPWORDS})                              AS f_stop
+    FROM feat
+)
+SELECT
+    source,
+    CAST(count(*) AS BIGINT)                        AS n_docs,
+    CAST(count(*) FILTER (f_words) AS BIGINT)       AS n_fail_word_count,
+    CAST(count(*) FILTER (f_wordlen) AS BIGINT)     AS n_fail_word_length,
+    CAST(count(*) FILTER (f_symbol) AS BIGINT)      AS n_fail_symbol_ratio,
+    CAST(count(*) FILTER (f_alpha) AS BIGINT)       AS n_fail_alpha_words,
+    CAST(count(*) FILTER (f_stop) AS BIGINT)        AS n_fail_stopwords,
+    CAST(count(*) FILTER (NOT (f_words OR f_wordlen OR f_symbol
+                               OR f_alpha OR f_stop)) AS BIGINT) AS n_pass,
+    count(*) FILTER (NOT (f_words OR f_wordlen OR f_symbol
+                          OR f_alpha OR f_stop)) * 1.0 / count(*) AS retention
+FROM flags
+GROUP BY source
+"""
+
+
+@register(
+    "q_gopher_quality_rules",
+    oracle=_GOPHER_ORACLE,
+    tags=("text", "quality", "curation", "training-data"),
+)
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based document filter audit (Rae et al. 2021,
+    A1.1): per source, how many documents each rule rejects and what
+    fraction survives all five — the dry-run report reviewed before a
+    filter config is committed to a corpus build.
+
+    Rules: word count in [{GOPHER_MIN_WORDS}, {GOPHER_MAX_WORDS}],
+    mean word length in [3, 10], symbol-to-word ratio ('#' and '...')
+    ≤ 0.1, ≥ 80% words containing an alphabetic character, ≥ 2 of the
+    eight Gopher stopwords present.
+
+    Plan shape: one projection computes every feature in a single
+    text pass (each regex runs exactly once per row — features are
+    materialized BEFORE the aggregate, same discipline as
+    q_text_quality_by_source), then a 20-group conditional aggregate.
+    Nothing but (source, 5 bools) crosses the Exchange: curation-audit
+    cost at 100 TB is the parquet scan, full stop. The ratio
+    thresholds compare single-division doubles — one IEEE op from
+    exact integers on both engines, so the booleans (and therefore
+    every count) are bit-identical; ``retention`` is one further
+    division of exact counts.
+    """
+    ws = F.expr(_WS_SPARK)
+    n_words = F.size(ws)
+    feat = load_table(spark, sf_dir, "documents").select(
+        "source",
+        n_words.alias("n_words"),
+        (
+            F.length(F.regexp_replace(F.trim(F.col("text")), r"\s+", ""))
+            / F.greatest(n_words, F.lit(1))
+        ).alias("mean_word_len"),
+        (
+            (
+                F.regexp_count(F.col("text"), F.lit("#"))
+                + F.regexp_count(F.col("text"), F.lit(r"\.\.\."))
+            )
+            / F.greatest(n_words, F.lit(1))
+        ).alias("symbol_ratio"),
+        (
+            F.size(F.filter(ws, lambda w: w.rlike("[A-Za-z]")))
+            / F.greatest(n_words, F.lit(1))
+        ).alias("alpha_frac"),
+        F.size(
+            F.filter(
+                F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+                lambda s: F.array_contains(
+                    F.transform(ws, lambda w: F.lower(w)), s
+                ),
+            )
+        ).alias("n_stop"),
+    )
+    flags = feat.select(
+        "source",
+        (
+            (F.col("n_words") < GOPHER_MIN_WORDS)
+            | (F.col("n_words") > GOPHER_MAX_WORDS)
+        ).alias("f_words"),
+        (
+            (F.col("mean_word_len") < GOPHER_MIN_MEAN_WORD_LEN)
+            | (F.col("mean_word_len") > GOPHER_MAX_MEAN_WORD_LEN)
+        ).alias("f_wordlen"),
+        (F.col("symbol_ratio") > GOPHER_MAX_SYMBOL_RATIO).alias("f_symbol"),
+        (F.col("alpha_frac") < GOPHER_MIN_ALPHA_WORD_FRAC).alias("f_alpha"),
+        (F.col("n_stop") < GOPHER_MIN_STOPWORDS).alias("f_stop"),
+    )
+    fails = (
+        F.col("f_words")
+        | F.col("f_wordlen")
+        | F.col("f_symbol")
+        | F.col("f_alpha")
+        | F.col("f_stop")
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_if("f_words").alias("n_fail_word_count"),
+        F.count_if("f_wordlen").alias("n_fail_word_length"),
+        F.count_if("f_symbol").alias("n_fail_symbol_ratio"),
+        F.count_if("f_alpha").alias("n_fail_alpha_words"),
+        F.count_if("f_stop").alias("n_fail_stopwords"),
+        F.count_if(~fails).alias("n_pass"),
+        (F.count_if(~fails) / F.count(F.lit(1))).alias("retention"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DSIR hashed-bigram importance weights (Xie et al. 2023)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256  # hashed feature dimension B
+DSIR_TARGET_LANG = "en"  # the "target domain" slice
+DSIR_TOPK = 25
+
+# md5-prefix bucketing, the same 15-hex-digit trick the dedup /
+# sampling families pin on both engines (15 hex < 2^60 — no int64
+# overflow, no sign issues)
+_BUCKET_SPARK = (
+    f"cast(conv(substring(md5(bigram), 1, 15), 16, 10) AS BIGINT) % {DSIR_BUCKETS}"
+)
+_BUCKET_SQL = (
+    f"CAST(('0x' || substr(md5(bigram), 1, 15)) AS BIGINT) % {DSIR_BUCKETS}"
+)
+
+# lowercased word tokens → adjacent-pair bigrams (identical extraction
+# on both engines; see operators/textstats.py::lower_word_array)
+_DSIR_WORDS_SPARK = "regexp_extract_all(lower(text), '[a-z0-9]+', 0)"
+_DSIR_WORDS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_DSIR_BIGRAMS_SPARK = (
+    "zip_with(slice(ws, 1, greatest(size(ws) - 1, 0)), "
+    "slice(ws, 2, greatest(size(ws) - 1, 0)), "
+    "(a, b) -> concat(a, ' ', b))"
+)
+_DSIR_BIGRAMS_SQL = (
+    "list_transform(range(1, greatest(length(ws), 1)), "
+    "i -> ws[i] || ' ' || ws[i + 1])"
+)
+
+_DSIR_ORACLE = f"""
+WITH docs_ws AS (
+    SELECT doc_id, lang, {_DSIR_WORDS_SQL} AS ws FROM documents
+),
+occ AS (
+    SELECT doc_id, lang, {_BUCKET_SQL} AS bucket
+    FROM (
+        SELECT doc_id, lang, unnest({_DSIR_BIGRAMS_SQL}) AS bigram
+        FROM docs_ws
+    )
+),
+dist AS (
+    SELECT bucket,
+           count(*) FILTER (lang = '{DSIR_TARGET_LANG}') AS c_t,
+           count(*)                                      AS c_r
+    FROM occ GROUP BY bucket
+),
+tot AS (
+    SELECT sum(c_t) AS t_total, sum(c_r) AS r_total FROM dist
+),
+ratio AS (
+    SELECT bucket,
+           ln((c_t + 1.0) / (t_total + {DSIR_BUCKETS}))
+           - ln((c_r + 1.0) / (r_total + {DSIR_BUCKETS})) AS log_ratio
+    FROM dist, tot
+),
+doc_bucket AS (
+    SELECT doc_id, bucket, count(*) AS cnt FROM occ GROUP BY doc_id, bucket
+),
+weights AS (
+    SELECT d.doc_id,
+           list_reduce(list_sort(list(d.cnt * r.log_ratio)),
+                       (a, b) -> a + b)         AS weight,
+           CAST(count(*) AS BIGINT)             AS n_buckets
+    FROM doc_bucket d JOIN ratio r USING (bucket)
+    GROUP BY d.doc_id
+)
+SELECT doc_id, weight, n_buckets
+FROM weights
+ORDER BY weight DESC, doc_id
+LIMIT {DSIR_TOPK}
+"""
+
+
+@register(
+    "q_dsir_importance_topk",
+    oracle=_DSIR_ORACLE,
+    tags=("text", "curation", "importance-sampling", "training-data"),
+)
+def q_dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023): score every raw
+    document by how target-domain-like its hashed-bigram profile is —
+    ``w(x) = Σ_b c_b(x)·(ln p̂_target[b] − ln p̂_raw[b])`` with
+    Laplace-smoothed bucket distributions over B={DSIR_BUCKETS}
+    hashed-bigram features; target slice = lang-'{DSIR_TARGET_LANG}'
+    documents. Emits the top-{DSIR_TOPK} docs by weight — the ones
+    importance resampling would draw first. Documents with < 2 word
+    tokens have no bigram features and are out of scope (they carry
+    no evidence either way).
+
+    Plan shape (the DSIR paper's map-reduce layout, expressed in
+    Catalyst): one text pass builds bigrams and hashes them to bucket
+    ids IN the scan projection, so only (doc_id, bucket) pairs ever
+    reach an Exchange — text and bigram strings stay map-side, the
+    same no-strings-in-any-Exchange contract the setsim/minhash
+    families pin. The two distributions come from ONE conditional
+    aggregate over {DSIR_BUCKETS} groups; the 256-row log-ratio table
+    broadcasts back; per-doc weights are a (doc_id, bucket, cnt)
+    aggregate joined to that broadcast. At 100 TB: the only
+    corpus-scale shuffle carries (doc_id, bucket, cnt) triples, and
+    the final top-k is TakeOrderedAndProject (per-partition heaps, no
+    global sort).
+
+    Float determinism: per-doc weight folds cnt·log_ratio in sorted
+    order from 0.0 on both engines (det_sum ≡ list_reduce∘list_sort)
+    — bit-identical, so the (weight, doc_id) rank order the driver
+    hashes cannot drift.
+    """
+    occ = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    _DSIR_BIGRAMS_SPARK.replace("ws", f"({_DSIR_WORDS_SPARK})")
+                )
+            ).alias("bigram"),
+        )
+        .select("doc_id", "lang", F.expr(_BUCKET_SPARK).alias("bucket"))
+    )
+    dist = occ.groupBy("bucket").agg(
+        F.count_if(F.col("lang") == DSIR_TARGET_LANG).alias("c_t"),
+        F.count(F.lit(1)).alias("c_r"),
+    )
+    tot = dist.groupBy().agg(
+        F.sum("c_t").alias("t_total"), F.sum("c_r").alias("r_total")
+    )
+    ratio = dist.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log((F.col("c_t") + 1.0) / (F.col("t_total") + DSIR_BUCKETS))
+            - F.log((F.col("c_r") + 1.0) / (F.col("r_total") + DSIR_BUCKETS))
+        ).alias("log_ratio"),
+    )
+    doc_bucket = occ.groupBy("doc_id", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    weights = (
+        doc_bucket.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            det_sum("cnt * log_ratio").alias("weight"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+    )
+    return weights.orderBy(F.desc("weight"), F.asc("doc_id")).limit(DSIR_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# character-trigram entropy (gibberish / boilerplate detector)
+# ---------------------------------------------------------------------------
+
+_TRIGRAMS_SPARK = (
+    "transform(sequence(1, greatest(length(text) - 2, 0)), "
+    "i -> substring(text, i, 3))"
+)
+# DuckDB range(a, b) is half-open [a, b); Spark sequence(a, b) is
+# inclusive [a, b] — hence the +1.
+_TRIGRAMS_SQL = (
+    "list_transform(range(1, greatest(length(text) - 2, 0) + 1), "
+    "i -> text[i : i + 2])"
+)
+
+_ENTROPY_ORACLE = f"""
+WITH grams AS (
+    SELECT doc_id, source, unnest({_TRIGRAMS_SQL}) AS g
+    FROM documents WHERE length(text) >= 3
+),
+cnts AS (
+    SELECT doc_id, max(source) AS source, g, count(*) AS c
+    FROM grams GROUP BY doc_id, g
+),
+doc AS (
+    SELECT doc_id,
+           max(source) AS source,
+           ln(CAST(sum(c) AS DOUBLE))
+           - list_reduce(list_sort(list(c * ln(CAST(c AS DOUBLE)))),
+                         (a, b) -> a + b) / sum(c) AS entropy_nats
+    FROM cnts GROUP BY doc_id
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       avg(entropy_nats)        AS avg_entropy,
+       min(entropy_nats)        AS min_entropy,
+       max(entropy_nats)        AS max_entropy
+FROM doc GROUP BY source
+"""
+
+
+@register(
+    "q_char_trigram_entropy",
+    oracle=_ENTROPY_ORACLE,
+    tags=("text", "quality", "curation"),
+)
+def q_char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-trigram Shannon entropy of each document,
+    H = ln n − (Σ c·ln c)/n nats — the distribution-shape quality
+    signal: boilerplate and template spam repeat trigrams (entropy
+    collapses toward 0), binary-in-text and mojibake push toward the
+    ln(alphabet³) ceiling, natural prose sits in a stable band. The
+    character-level complement of the word-level unigram surprisal
+    filter; docs shorter than one trigram carry no distribution and
+    are out of scope.
+
+    Plan shape: trigrams are generated and counted per (doc_id, gram)
+    — the shuffle carries (doc_id, 3-char gram, count), never text;
+    per-doc entropy reduces those counts; the per-source rollup is a
+    20-group aggregate. One text pass, linear at 100 TB.
+
+    Float determinism: the Σ c·ln c fold runs in sorted order from
+    0.0 on both engines (equal counts contribute identical doubles,
+    so value-sorted order is unambiguous), and H is derived from that
+    sum with the same three IEEE ops; the per-source avg/min/max then
+    aggregate bit-identical per-doc values.
+    """
+    grams = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.length("text") >= 3)
+        .select("doc_id", "source", F.explode(F.expr(_TRIGRAMS_SPARK)).alias("g"))
+    )
+    cnts = grams.groupBy("doc_id", "g").agg(
+        F.max("source").alias("source"), F.count(F.lit(1)).alias("c")
+    )
+    doc = cnts.groupBy("doc_id").agg(
+        F.max("source").alias("source"),
+        (
+            F.log(F.sum("c").cast("double"))
+            - det_sum("c * ln(cast(c AS DOUBLE))") / F.sum("c")
+        ).alias("entropy_nats"),
+    )
+    return doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("entropy_nats").alias("avg_entropy"),
+        F.min("entropy_nats").alias("min_entropy"),
+        F.max("entropy_nats").alias("max_entropy"),
+    )

@@ -359,33 +359,92 @@ def q_dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # character-trigram entropy (gibberish / boilerplate detector)
 # ---------------------------------------------------------------------------
 
-_TRIGRAMS_SPARK = (
-    "transform(sequence(1, greatest(length(text) - 2, 0)), "
-    "i -> substring(text, i, 3))"
+# Per-doc trigram-count run-length encoding, entirely inside the row:
+# sort the trigram array, find run starts, difference consecutive
+# starts into run lengths (= per-gram counts). No char-level row ever
+# leaves the scan projection.
+_SORTED_SPARK = (
+    "array_sort(transform(sequence(1, length(text) - 2), "
+    "i -> substring(text, i, 3)))"
 )
 # DuckDB range(a, b) is half-open [a, b); Spark sequence(a, b) is
-# inclusive [a, b] — hence the +1.
-_TRIGRAMS_SQL = (
-    "list_transform(range(1, greatest(length(text) - 2, 0) + 1), "
-    "i -> text[i : i + 2])"
+# inclusive [a, b] — hence the +1. text[i : i + 2] is DuckDB's
+# 1-based INCLUSIVE slice = 3 chars.
+_SORTED_SQL = (
+    "list_sort(list_transform(range(1, length(text) - 1), "
+    "i -> text[i : i + 2]))"
 )
+# Per-doc entropy as ONE expression. Two structural tricks:
+# - let-binding via `transform(array(X), s -> body)[1]`: Catalyst's
+#   projection collapse inlines a column alias into EVERY downstream
+#   reference, and higher-order functions are codegen-fallback (no
+#   subexpression elimination) — a staged sorted/starts/lens pipeline
+#   re-sorted the trigram array ~5× per row (measured SLOWER than the
+#   explode plan it replaced). Binding the sorted array as a lambda
+#   variable forces exactly one evaluation.
+# - single left-to-right fold over positions with (run_start, acc)
+#   struct state: a run closes at position i when i is last or
+#   sorted[i+1] ≠ sorted[i], contributing c·ln c for c = i−start+1.
+#   Runs close in ascending gram order from acc = 0.0 — an order both
+#   engines reproduce exactly, so the fold is bit-identical without
+#   any value re-sort.
+_ENTROPY_DOC_SPARK = """
+element_at(transform(array(
+    array_sort(transform(sequence(1, length(text) - 2),
+                         i -> substring(text, i, 3)))
+), s ->
+    ln(cast(size(s) AS DOUBLE)) -
+    aggregate(
+        sequence(1, size(s)),
+        named_struct('st', 1, 'acc', cast(0.0 AS DOUBLE)),
+        (a, i) -> CASE
+            WHEN i = size(s)
+                 OR try_element_at(s, i + 1) != element_at(s, i)
+            THEN named_struct(
+                'st', i + 1,
+                'acc', a.acc + cast(i - a.st + 1 AS DOUBLE)
+                              * ln(cast(i - a.st + 1 AS DOUBLE)))
+            ELSE a END,
+        a -> a.acc
+    ) / cast(size(s) AS DOUBLE)
+), 1)
+"""
 
-_ENTROPY_ORACLE = f"""
-WITH grams AS (
-    SELECT doc_id, source, unnest({_TRIGRAMS_SQL}) AS g
+# DuckDB replay: same sorted array, run lengths via start-position
+# differencing (ascending gram order = the Spark fold's run order),
+# folded from a prepended 0.0. DuckDB range(a, b) is half-open;
+# text[i : i + 2] is the 1-based INCLUSIVE 3-char slice.
+_ENTROPY_ORACLE = """
+WITH s1 AS (
+    SELECT source,
+           list_sort(list_transform(range(1, length(text) - 1),
+                                    i -> text[i : i + 2])) AS sorted
     FROM documents WHERE length(text) >= 3
 ),
-cnts AS (
-    SELECT doc_id, max(source) AS source, g, count(*) AS c
-    FROM grams GROUP BY doc_id, g
+s2 AS (
+    SELECT source, sorted,
+           list_filter(range(1, len(sorted) + 1),
+                       i -> i = 1 OR sorted[i] <> sorted[i - 1]) AS starts
+    FROM s1
+),
+s3 AS (
+    SELECT source, sorted,
+           list_transform(range(1, len(starts) + 1),
+                          j -> coalesce(starts[j + 1], len(sorted) + 1)
+                               - starts[j]) AS lens
+    FROM s2
 ),
 doc AS (
-    SELECT doc_id,
-           max(source) AS source,
-           ln(CAST(sum(c) AS DOUBLE))
-           - list_reduce(list_sort(list(c * ln(CAST(c AS DOUBLE)))),
-                         (a, b) -> a + b) / sum(c) AS entropy_nats
-    FROM cnts GROUP BY doc_id
+    SELECT source,
+           ln(CAST(len(sorted) AS DOUBLE))
+           - list_reduce(
+                 list_prepend(CAST(0.0 AS DOUBLE),
+                              list_transform(lens,
+                                  c -> CAST(c AS DOUBLE)
+                                       * ln(CAST(c AS DOUBLE)))),
+                 (acc, x) -> acc + x
+             ) / CAST(len(sorted) AS DOUBLE) AS entropy_nats
+    FROM s3
 )
 SELECT source,
        CAST(count(*) AS BIGINT) AS n_docs,
@@ -411,31 +470,26 @@ def q_char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter; docs shorter than one trigram carry no distribution and
     are out of scope.
 
-    Plan shape: trigrams are generated and counted per (doc_id, gram)
-    — the shuffle carries (doc_id, 3-char gram, count), never text;
-    per-doc entropy reduces those counts; the per-source rollup is a
-    20-group aggregate. One text pass, linear at 100 TB.
+    Plan shape: the per-doc trigram distribution never leaves the row
+    — sort the trigram array IN the scan projection (let-bound so it
+    is computed exactly once; see _ENTROPY_DOC_SPARK), then a single
+    left-to-right fold closes runs and accumulates Σ c·ln c. The first
+    cut exploded one row per character position and partially
+    aggregated (doc_id, gram) pairs — at sf0.1 that shuffle made this
+    the single slowest bench query (3.7 s); the in-row form's only
+    Exchange is the 20-group per-source rollup carrying (source, H)
+    doubles. One text pass, zero data-scale shuffles at 100 TB.
 
-    Float determinism: the Σ c·ln c fold runs in sorted order from
-    0.0 on both engines (equal counts contribute identical doubles,
-    so value-sorted order is unambiguous), and H is derived from that
-    sum with the same three IEEE ops; the per-source avg/min/max then
-    aggregate bit-identical per-doc values.
+    Float determinism: runs close in ascending gram order on both
+    engines, so the Σ c·ln c additions happen in the identical
+    sequence from 0.0, and H is derived with the same three IEEE ops;
+    the per-source avg/min/max then aggregate bit-identical per-doc
+    values.
     """
-    grams = (
+    doc = (
         load_table(spark, sf_dir, "documents")
         .filter(F.length("text") >= 3)
-        .select("doc_id", "source", F.explode(F.expr(_TRIGRAMS_SPARK)).alias("g"))
-    )
-    cnts = grams.groupBy("doc_id", "g").agg(
-        F.max("source").alias("source"), F.count(F.lit(1)).alias("c")
-    )
-    doc = cnts.groupBy("doc_id").agg(
-        F.max("source").alias("source"),
-        (
-            F.log(F.sum("c").cast("double"))
-            - det_sum("c * ln(cast(c AS DOUBLE))") / F.sum("c")
-        ).alias("entropy_nats"),
+        .select("source", F.expr(_ENTROPY_DOC_SPARK).alias("entropy_nats"))
     )
     return doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -186,6 +186,9 @@ HEADLINE = [
     "q_gopher_quality_rules",
     "q_dsir_importance_topk",
     "q_char_trigram_entropy",
+    # semantic dedup + tokenizer training
+    "q_semdedup_cluster_prune",
+    "q_bpe_merge_candidates",
 ]
 
 

@@ -1121,3 +1121,151 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("adc_dist").asc(), F.col("vec_id"))
         .limit(TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic deduplication inside k-means cells
+# (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+# through semantic deduplication")
+# ---------------------------------------------------------------------------
+
+#: within-cell cosine above this ⇒ semantic duplicates. The paper runs
+#: τ ≈ 0.95 on real web embeddings; the synthetic fixture vectors are
+#: near-orthogonal (pairwise p99 ≈ 0.29, max ≈ 0.51), so 0.35 is the
+#: value that exercises the operator with real removals here.
+SEMDEDUP_TAU = 0.35
+
+
+def _semdedup_oracle() -> str:
+    """DuckDB replay over the shared deterministic Lloyd fit: same
+    cells, same centroid-cosine keep order, same τ rule."""
+    ip = "list_inner_product"
+    chain, final_a, final_c = _lloyd_cte_chain()
+    return (
+        chain
+        + f""",
+    mem AS (
+        SELECT a.cell, e.vec_id, e.emb, e.norm,
+               round({ip}(e.emb, c.c)
+                     / (e.norm * sqrt({ip}(c.c, c.c))), 9) AS cosc
+        FROM {final_a} a
+        JOIN e ON e.vec_id = a.vec_id
+        JOIN {final_c} c ON c.cell = a.cell
+    ),
+    rem AS (
+        SELECT DISTINCT x.cell, x.vec_id
+        FROM mem x JOIN mem y
+          ON x.cell = y.cell
+         AND (y.cosc < x.cosc OR (y.cosc = x.cosc AND y.vec_id < x.vec_id))
+         AND round({ip}(x.emb, y.emb) / (x.norm * y.norm), 9)
+             >= {SEMDEDUP_TAU}
+    )
+    SELECT CAST(m.cell AS BIGINT)                    AS cell,
+           CAST(count(*) AS BIGINT)                  AS n_vectors,
+           CAST(count(r.vec_id) AS BIGINT)           AS n_removed,
+           CAST(count(*) - count(r.vec_id) AS BIGINT) AS n_kept,
+           (count(*) - count(r.vec_id)) * 1.0 / count(*) AS retention
+    FROM mem m
+    LEFT JOIN rem r ON r.cell = m.cell AND r.vec_id = m.vec_id
+    GROUP BY m.cell
+    """
+    )
+
+
+@register(
+    "q_semdedup_cluster_prune",
+    oracle=_semdedup_oracle(),
+    tags=("dedup", "embeddings", "semantic", "training-data"),
+)
+def q_semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning
+    restricted to k-means cells — cluster the corpus, compare pairs
+    ONLY within a cell, and for every τ-similar pair keep the member
+    farther from the centroid (the paper's low-centroid-similarity
+    keep rule: peripheral examples carry more signal than the cluster
+    mode). Emits the per-cell prune audit (sizes, removals,
+    retention) a curation run reviews before committing τ.
+
+    Removal rule, relationally: x is removed iff some same-cell y
+    exists with cos(x, y) ≥ τ and y ranked before x by (centroid
+    cosine ASC, vec_id ASC). A ranked-earlier witness is itself kept
+    or removed by the same rule applied transitively — the paper's
+    one-per-ε-group semantics on a deterministic order, with no
+    sequential greedy loop to serialize.
+
+    Scale shape (the paper's own layout): clustering bounds the
+    quadratic — pairwise work is Σ_cell |cell|², controlled by
+    choosing k ∝ N so cells stay O(1) (the paper runs k = 50k on
+    LAION); the pair join shuffles vectors once on cell, assignment
+    is a broadcast map pass, and the audit aggregate carries 5
+    numbers per cell. Reuses the deterministic Lloyd quantizer
+    (_fit_ivf_centroids) — fit once, shared with ANN/IVF and the
+    cell profile, replayed unrolled in the oracle so the whole path
+    is hash-matched.
+
+    Float determinism: both cosines are snapped to 1e-9 (the repo's
+    grid-snap pin) before any comparison, so the τ test and the keep
+    order cannot flip on cross-engine ulp drift.
+    """
+    e = with_norm(load_table(spark, sf_dir, "embeddings"))
+    cdf = e.sparkSession.createDataFrame(
+        _fit_ivf_centroids(e), "cell int, c array<double>"
+    )
+    cdfn = cdf.withColumn("cnorm", F.sqrt(dot_expr("c", "c")))
+    mem = (
+        _assign_cells(e, cdf)
+        .join(F.broadcast(cdfn), "cell")
+        .select(
+            "cell",
+            "vec_id",
+            "embedding",
+            "norm",
+            F.round(cosine_expr("embedding", "c", "norm", "cnorm"), 9).alias(
+                "cosc"
+            ),
+        )
+    )
+    x = mem.select(
+        F.col("cell").alias("xc"),
+        F.col("vec_id").alias("xid"),
+        F.col("embedding").alias("xe"),
+        F.col("norm").alias("xn"),
+        F.col("cosc").alias("xcosc"),
+    )
+    y = mem.select(
+        F.col("cell").alias("yc"),
+        F.col("vec_id").alias("yid"),
+        F.col("embedding").alias("ye"),
+        F.col("norm").alias("yn"),
+        F.col("cosc").alias("ycosc"),
+    )
+    earlier = (F.col("ycosc") < F.col("xcosc")) | (
+        (F.col("ycosc") == F.col("xcosc")) & (F.col("yid") < F.col("xid"))
+    )
+    removed = (
+        x.join(y, (F.col("xc") == F.col("yc")) & earlier)
+        .filter(
+            F.round(cosine_expr("xe", "ye", "xn", "yn"), 9) >= SEMDEDUP_TAU
+        )
+        .select(F.col("xc").alias("cell"), F.col("xid").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        mem.join(removed.withColumn("gone", F.lit(1)), ["cell", "vec_id"], "left")
+        .groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.count("gone").alias("n_removed"),
+            (F.count(F.lit(1)) - F.count("gone")).alias("n_kept"),
+            (
+                (F.count(F.lit(1)) - F.count("gone")) / F.count(F.lit(1))
+            ).alias("retention"),
+        )
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            "n_vectors",
+            "n_removed",
+            "n_kept",
+            "retention",
+        )
+    )

@@ -497,3 +497,90 @@ def q_char_trigram_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("entropy_nats").alias("min_entropy"),
         F.max("entropy_nats").alias("max_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate counting (Sennrich et al. 2016, the corpus-scale
+# inner loop of byte-pair-encoding tokenizer training)
+# ---------------------------------------------------------------------------
+
+BPE_TOPK = 20
+
+
+_BPE_ORACLE = f"""
+WITH vocab AS (
+    SELECT word, CAST(count(*) AS BIGINT) AS f
+    FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+        FROM documents
+    )
+    GROUP BY word
+),
+pairs AS (
+    SELECT pair, CAST(sum(f) AS BIGINT) AS merge_count
+    FROM (
+        SELECT f,
+               unnest(list_transform(range(1, length(word)),
+                                     i -> word[i : i + 1])) AS pair
+        FROM vocab WHERE length(word) >= 2
+    )
+    GROUP BY pair
+)
+SELECT pair, merge_count
+FROM pairs
+ORDER BY merge_count DESC, pair
+LIMIT {BPE_TOPK}
+"""
+
+
+@register(
+    "q_bpe_merge_candidates",
+    oracle=_BPE_ORACLE,
+    tags=("text", "tokenizer", "bpe", "training-data"),
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, iteration 1 (Sennrich et al. 2016):
+    count adjacent-symbol pair frequencies over the corpus — each
+    word contributes every adjacent character pair, weighted by the
+    word's corpus frequency — and emit the top-{BPE_TOPK} merge
+    candidates. The highest-count pair IS the first BPE merge; later
+    iterations re-run this exact plan over re-segmented symbol
+    sequences, so this query is the corpus-scale inner loop that
+    dominates tokenizer-training cost (the merge table itself is
+    O(vocab), driver-side).
+
+    Plan shape: pass 1 collapses the corpus to the frequency-weighted
+    word vocabulary (the shuffle carries (word, count) — vocab-bounded,
+    the same contract as q_word_frequency_topk); pass 2 generates
+    adjacent pairs IN the row (a CASE-guarded transform — Spark's
+    sequence(1, 0) counts DOWN, so short words need the explicit
+    empty-array branch), explodes per distinct word (not per
+    occurrence), and aggregates over an alphabet²-bounded key space.
+    Top-k is TakeOrderedAndProject. All counts are exact BIGINTs —
+    nothing to pin.
+    """
+    vocab = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    pairs = vocab.filter(F.length("word") >= 2).select(
+        "f",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1), "
+                "i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").alias("merge_count"))
+        .orderBy(F.desc("merge_count"), F.asc("pair"))
+        .limit(BPE_TOPK)
+    )

@@ -189,6 +189,7 @@ HEADLINE = [
     # semantic dedup + tokenizer training
     "q_semdedup_cluster_prune",
     "q_bpe_merge_candidates",
+    "q_acf_daily_revenue",
 ]
 
 

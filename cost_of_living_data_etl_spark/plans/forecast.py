@@ -248,3 +248,113 @@ def q_laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mon").alias("month"),
         (F.col("num") / F.col("den")).alias("laspeyres_idx"),
     ).orderBy("month")
+
+
+# --- autocorrelation function (Box-Jenkins model identification) -----------
+
+ACF_MAX_LAG = 14  # two weekly cycles — the seasonality the fixture carries
+
+_ACF_DSUM = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list({x}))),"
+    " (a, b) -> a + b)"
+)
+
+_ACF_ORACLE = f"""
+WITH {_DAILY_CTE},
+idx AS (
+    SELECT row_number() OVER (ORDER BY day) AS t, revenue FROM daily
+),
+st AS (
+    SELECT {_ACF_DSUM.format(x="revenue")} AS s,
+           CAST(count(*) AS DOUBLE)        AS n
+    FROM idx
+),
+m AS (SELECT s / n AS mean FROM st),
+den AS (
+    SELECT {_ACF_DSUM.format(x="(revenue - mean) * (revenue - mean)")} AS d
+    FROM idx, m
+),
+num AS (
+    SELECT lag,
+           {_ACF_DSUM.format(x="p")}  AS s,
+           CAST(count(*) AS BIGINT)   AS n_pairs
+    FROM (
+        SELECT b.t - a.t AS lag,
+               (a.revenue - m.mean) * (b.revenue - m.mean) AS p
+        FROM idx a
+        JOIN idx b ON b.t > a.t AND b.t <= a.t + {ACF_MAX_LAG}
+        CROSS JOIN m
+    )
+    GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag,
+       n_pairs,
+       num.s / den.d       AS acf
+FROM num, den
+"""
+
+
+@register(
+    "q_acf_daily_revenue",
+    oracle=_ACF_ORACLE,
+    tags=("timeseries", "diagnostics", "acf"),
+)
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of daily revenue at lags 1..{ACF_MAX_LAG}
+    — the Box-Jenkins identification diagnostic: a spike at lag 7
+    confirms the weekly cycle the seasonal-decompose/MASE queries
+    assume, slow geometric decay says difference before fitting, and
+    white noise clears the way for the mean model. r_k =
+    Σ(x_t−x̄)(x_{{t+k}}−x̄) / Σ(x_t−x̄)² over the day-indexed series.
+
+    Scale shape: like every series query here, the quadratic-ish work
+    happens AFTER the corpus collapses to the calendar-bounded daily
+    rollup (~2.4k rows for 7 years) — the lag self-join emits n·L
+    pairs of that series, invariant in corpus size; corpus-scale cost
+    is the one rollup aggregate.
+
+    Float determinism: revenue is cents-snapped at the rollup (the
+    shared _DAILY_CTE round), the mean and both quadratic sums are
+    sorted-fold det_sums, and mean/den reach every term via a
+    broadcast single-row frame — identical IEEE sequence on both
+    engines.
+    """
+    from pyspark.sql import Window
+
+    daily = _daily_revenue(spark, sf_dir)
+    idx = daily.select(
+        F.row_number().over(Window.orderBy("day")).cast("long").alias("t"),
+        "revenue",
+    )
+    st = idx.agg(
+        det_sum("revenue").alias("s"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    m = st.select((F.col("s") / F.col("n")).alias("mean"))
+    den = idx.crossJoin(F.broadcast(m)).agg(
+        det_sum("(revenue - mean) * (revenue - mean)").alias("d")
+    )
+    a = idx.select(F.col("t").alias("ta"), F.col("revenue").alias("xa"))
+    b = idx.select(F.col("t").alias("tb"), F.col("revenue").alias("xb"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("tb") > F.col("ta"))
+            & (F.col("tb") <= F.col("ta") + ACF_MAX_LAG),
+        )
+        .crossJoin(F.broadcast(m))
+        .select(
+            (F.col("tb") - F.col("ta")).alias("lag"),
+            F.expr("(xa - mean) * (xb - mean)").alias("p"),
+        )
+    )
+    return (
+        pairs.groupBy("lag")
+        .agg(det_sum("p").alias("s"), F.count(F.lit(1)).alias("n_pairs"))
+        .crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("long").alias("lag"),
+            "n_pairs",
+            (F.col("s") / F.col("d")).alias("acf"),
+        )
+    )

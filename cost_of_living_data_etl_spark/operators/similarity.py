@@ -1152,6 +1152,14 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: value that exercises the operator with real removals here.
 SEMDEDUP_TAU = 0.35
 
+#: pairwise work is Σ_cell |cell|² and the catalog pins IVF_K=8 for
+#: oracle replay, so cells grow linearly with the corpus — the 10×
+#: replication experiment (SCALE.md) measured 24× wall-clock at 20k
+#: vectors. SemDeDup stays linear ONLY by scaling k ∝ N (the paper
+#: runs k = 50k on LAION); past this bound the fixed-k catalog query
+#: refuses instead of planning a quadratic job.
+SEMDEDUP_MAX_ROWS = 50_000
+
 
 def _semdedup_oracle() -> str:
     """DuckDB replay over the shared deterministic Lloyd fit: same
@@ -1225,6 +1233,18 @@ def q_semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     order cannot flip on cross-engine ulp drift.
     """
     e = with_norm(load_table(spark, sf_dir, "embeddings"))
+    # bounded guard action (scans ≤ MAX+1 rows), same contract as
+    # q_embed_neardup_pairs: fixed k makes cells — and the within-cell
+    # quadratic — grow with the corpus
+    n = e.limit(SEMDEDUP_MAX_ROWS + 1).count()
+    if n > SEMDEDUP_MAX_ROWS:
+        raise ValueError(
+            f"q_semdedup_cluster_prune pins IVF_K={IVF_K} for oracle replay, "
+            f"so within-cell pairwise work is quadratic in the corpus — at "
+            f"> {SEMDEDUP_MAX_ROWS} vectors scale the cluster count k ∝ N "
+            f"(SemDeDup §: k = 50k for LAION) instead of running this "
+            f"fixed-k catalog query."
+        )
     cdf = e.sparkSession.createDataFrame(
         _fit_ivf_centroids(e, cache_key=sf_dir), "cell int, c array<double>"
     )

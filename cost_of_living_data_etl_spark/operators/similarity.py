@@ -1221,16 +1221,18 @@ def q_semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape (the paper's own layout): clustering bounds the
     quadratic — pairwise work is Σ_cell |cell|², controlled by
     choosing k ∝ N so cells stay O(1) (the paper runs k = 50k on
-    LAION); the pair join shuffles vectors once on cell, assignment
-    is a broadcast map pass, and the audit aggregate carries 5
-    numbers per cell. Reuses the deterministic Lloyd quantizer
-    (_fit_ivf_centroids) — fit once, shared with ANN/IVF and the
-    cell profile, replayed unrolled in the oracle so the whole path
-    is hash-matched.
+    LAION); vectors shuffle ONCE on cell into an Arrow-batched
+    per-cell BLAS kernel (the paper's per-cluster similarity matmul),
+    assignment is a broadcast map pass, and the audit aggregate
+    carries 5 numbers per cell. Reuses the deterministic Lloyd
+    quantizer (_fit_ivf_centroids) — fit once, shared with ANN/IVF
+    and the cell profile, replayed unrolled in the oracle so the
+    whole path is hash-matched.
 
     Float determinism: both cosines are snapped to 1e-9 (the repo's
     grid-snap pin) before any comparison, so the τ test and the keep
-    order cannot flip on cross-engine ulp drift.
+    order cannot flip on cross-engine (or BLAS-vs-sequential
+    summation) ulp drift.
     """
     e = with_norm(load_table(spark, sf_dir, "embeddings"))
     # bounded guard action (scans ≤ MAX+1 rows), same contract as
@@ -1261,46 +1263,51 @@ def q_semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cosc"
             ),
         )
-        # three consumers (both pair-join sides + the audit count):
-        # checkpoint so the assignment subplan runs once, not 3×
-        # (the dedup-family persisted-signature idiom; at 100 TB this
-        # is the parquet assignment table the prune job reads)
-        .localCheckpoint(eager=False)
     )
-    x = mem.select(
-        F.col("cell").alias("xc"),
-        F.col("vec_id").alias("xid"),
-        F.col("embedding").alias("xe"),
-        F.col("norm").alias("xn"),
-        F.col("cosc").alias("xcosc"),
-    )
-    y = mem.select(
-        F.col("cell").alias("yc"),
-        F.col("vec_id").alias("yid"),
-        F.col("embedding").alias("ye"),
-        F.col("norm").alias("yn"),
-        F.col("cosc").alias("ycosc"),
-    )
-    earlier = (F.col("ycosc") < F.col("xcosc")) | (
-        (F.col("ycosc") == F.col("xcosc")) & (F.col("yid") < F.col("xid"))
-    )
-    removed = (
-        x.join(y, (F.col("xc") == F.col("yc")) & earlier)
-        .filter(
-            F.round(cosine_expr("xe", "ye", "xn", "yn"), 9) >= SEMDEDUP_TAU
+
+    # Within-cell pair scoring as ONE BLAS matrix product per cell
+    # (the paper's own kernel — their reference implementation runs a
+    # per-cluster similarity matmul on accelerators). An all-native
+    # cell-keyed self-join + zip_with cosine fold was the first cut:
+    # correct, but ~250k interpreted 64-dim folds made it the single
+    # slowest bench query (5.7 s at sf0.1); the Arrow-batched kernel
+    # does the identical math as one float64 matmul. This is the
+    # sanctioned UDF case — the built-in ops express the semantics but
+    # not the O(|cell|²·d) arithmetic intensity. Both engines compare
+    # 1e-9-snapped cosines, so BLAS-vs-sequential summation ulp noise
+    # cannot flip the τ test or the keep order.
+    def _prune_cell(pdf):
+        import numpy as np
+        import pandas as pd
+
+        emb = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        nrm = np.asarray(pdf["norm"], dtype=np.float64)
+        sim = np.round((emb @ emb.T) / np.outer(nrm, nrm), 9)
+        hit = sim >= SEMDEDUP_TAU
+        np.fill_diagonal(hit, False)
+        # keep order: (cosc ASC, vec_id ASC) — rank[i] = position of
+        # row i in that order; x removed iff a τ-neighbor ranks earlier
+        ids = np.asarray(pdf["vec_id"], dtype=np.int64)
+        order = np.lexsort((ids, np.asarray(pdf["cosc"], dtype=np.float64)))
+        rank = np.empty(len(order), dtype=np.int64)
+        rank[order] = np.arange(len(order))
+        removed = (hit & (rank[None, :] < rank[:, None])).any(axis=1)
+        return pd.DataFrame(
+            {"cell": pdf["cell"], "vec_id": ids, "removed": removed}
         )
-        .select(F.col("xc").alias("cell"), F.col("xid").alias("vec_id"))
-        .distinct()
+
+    flags = mem.groupBy("cell").applyInPandas(
+        _prune_cell, "cell int, vec_id long, removed boolean"
     )
     return (
-        mem.join(removed.withColumn("gone", F.lit(1)), ["cell", "vec_id"], "left")
-        .groupBy("cell")
+        flags.groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.count("gone").alias("n_removed"),
-            (F.count(F.lit(1)) - F.count("gone")).alias("n_kept"),
+            F.count_if("removed").alias("n_removed"),
+            (F.count(F.lit(1)) - F.count_if("removed")).alias("n_kept"),
             (
-                (F.count(F.lit(1)) - F.count("gone")) / F.count(F.lit(1))
+                (F.count(F.lit(1)) - F.count_if("removed"))
+                / F.count(F.lit(1))
             ).alias("retention"),
         )
         .select(

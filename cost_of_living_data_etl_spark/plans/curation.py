@@ -1,8 +1,8 @@
 """Pretraining-corpus curation operators: published rule-based and
 importance-based document selection.
 
-Three techniques every large-scale LM data pipeline runs between raw
-crawl and tokenizer, each as a native-expression Catalyst plan:
+Published techniques every large-scale LM data pipeline runs between
+raw crawl and tokenizer, each as a native-expression Catalyst plan:
 
 - **Gopher quality rules** (Rae et al. 2021, "Scaling Language Models",
   Appendix A1.1): the reference rule set for cheap document filtering —
@@ -19,8 +19,12 @@ crawl and tokenizer, each as a native-expression Catalyst plan:
   entropy → encrypted/random noise) run at character level, the
   complement of the word-level unigram surprisal score
   (operators/textstats.py::q_unigram_surprisal).
+- **BPE merge-candidate counting** (Sennrich et al. 2016): the
+  frequency-weighted adjacent-pair counts that pick a byte-pair
+  tokenizer's next merge — the corpus-scale inner loop of tokenizer
+  training.
 
-All three are single text passes whose shuffles carry only short keys
+All of these are single text passes whose shuffles carry only short keys
 and counts (never document text), so they scale like the rest of the
 dedup/textstats families: 100 TB in, map-side feature extraction,
 vocab- or bucket-bounded aggregation out.

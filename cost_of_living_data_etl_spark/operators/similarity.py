@@ -37,6 +37,43 @@ from cost_of_living_data_etl_spark.sources.tables import load_table
 NEARDUP_COS = 0.45
 TOPK = 10
 
+
+def corpus_cache_key(sf_dir: str, table: str = "embeddings") -> str:
+    """Cache key for in-session quantizer artifacts (IVF centroids, PQ
+    codebooks): path PLUS a content fingerprint (relpath, mtime_ns,
+    size) of every data file under ``{sf_dir}/{table}.parquet``.
+
+    Keying on the bare path (rounds 1-3) silently reused stale
+    centroids when a fixture dir was rewritten in-session while the
+    DuckDB oracle re-derived them from the new bytes — a confusing
+    hash mismatch. The fingerprint makes rewrite → automatic refit; it
+    is the in-session analogue of versioning the offline centroid
+    artifact by source-snapshot id."""
+    import os
+
+    root = os.path.join(sf_dir, f"{table}.parquet")
+    parts: list[str] = []
+    if os.path.isdir(root):
+        for dirpath, _dirs, files in sorted(os.walk(root)):
+            for f in sorted(files):
+                if f.startswith(("_", ".")):
+                    continue
+                st = os.stat(os.path.join(dirpath, f))
+                rel = os.path.relpath(os.path.join(dirpath, f), root)
+                parts.append(f"{rel}:{st.st_mtime_ns}:{st.st_size}")
+    elif os.path.exists(root):
+        st = os.stat(root)
+        parts.append(f".:{st.st_mtime_ns}:{st.st_size}")
+    return f"{root}|{'|'.join(parts)}"
+
+
+def clear_quantizer_caches() -> None:
+    """Explicit invalidation hook for tests/benches that rewrite
+    fixture dirs (mtime-granularity rewrites within the same ns are
+    theoretical, but the hook makes intent explicit and free)."""
+    _IVF_CENT_CACHE.clear()
+    _PQ_BOOK_CACHE.clear()
+
 # cosine(a, b) with double accumulation, written identically on both engines
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> cast(x AS DOUBLE) * cast(y AS DOUBLE)), "
@@ -575,7 +612,7 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     search — replays in DuckDB and is hash-matched, not rows-only.
     """
     e = with_norm(load_table(spark, sf_dir, "embeddings"))
-    cents = _fit_ivf_centroids(e, cache_key=sf_dir)
+    cents = _fit_ivf_centroids(e, cache_key=corpus_cache_key(sf_dir))
     cdf = spark.createDataFrame(cents, "cell int, c array<double>")
     assigned = _assign_cells(e, cdf)
     centroids = cdf.withColumn("cnorm", F.sqrt(dot_expr("c", "c")))
@@ -668,7 +705,7 @@ def q_embed_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = with_norm(load_table(spark, sf_dir, "embeddings"))
-    cdf = spark.createDataFrame(_fit_ivf_centroids(e, cache_key=sf_dir), "cell int, c array<double>")
+    cdf = spark.createDataFrame(_fit_ivf_centroids(e, cache_key=corpus_cache_key(sf_dir)), "cell int, c array<double>")
     assigned = _assign_cells(e, cdf)
     mem = (
         assigned.join(e.select("vec_id", "label"), "vec_id")
@@ -1095,7 +1132,7 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     envelope.
     """
     e = load_table(spark, sf_dir, "embeddings")
-    books = _fit_pq_codebooks(e, cache_key=sf_dir)
+    books = _fit_pq_codebooks(e, cache_key=corpus_cache_key(sf_dir))
     code_exprs = []
     adc_terms = []
     for s in range(PQ_M):
@@ -1248,7 +1285,7 @@ def q_semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"fixed-k catalog query."
         )
     cdf = e.sparkSession.createDataFrame(
-        _fit_ivf_centroids(e, cache_key=sf_dir), "cell int, c array<double>"
+        _fit_ivf_centroids(e, cache_key=corpus_cache_key(sf_dir)), "cell int, c array<double>"
     )
     cdfn = cdf.withColumn("cnorm", F.sqrt(dot_expr("c", "c")))
     mem = (

@@ -57,7 +57,7 @@ def _step(ix, y: str, head: str, arr: tuple[str, str]) -> str:
         f"{new_l}, "
         f"{g} * ({new_l} - {l}) + (1.0 - {g}) * {b}, "
         f"{idx} + 1.0, "
-        f"{err} + CASE WHEN {idx} >= nd - {HOLT_BT}"
+        f"{err} + CASE WHEN {idx} > nd - {HOLT_BT}"
         f" THEN abs({y} - ({l} + {b})) ELSE 0.0 END{arr[1]}"
     )
 

@@ -341,8 +341,12 @@ def q_segmented_regression_break(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σx² cumulated once; suffix = total − prefix), so all n−5
     regressions cost one window pass, not n re-fits. Minimizing SSE ≡
     maximizing the explained-variance terms, which drops Σy² from the
-    math entirely — that keeps every running sum in exact BIGINT
-    (cent-scale y² would overflow int64 and force decimal). Argmax is
+    math entirely. Running sums stay exact at ANY scale factor: Σx,
+    Σx², Σcents fit int64 comfortably, and the one that doesn't —
+    Σ(x·cents), which approaches 9.2e18 around ~1e13 cents/day × 2500²
+    days — accumulates in decimal(38,0) on Spark (the TWAP/Spearman
+    convention) and HUGEINT on DuckDB (its native sum(BIGINT)
+    promotion), so neither engine can wrap silently. Argmax is
     by (explained DESC, day): explained is the same float expression
     over the same exact ints on both engines.
 
@@ -372,13 +376,18 @@ def q_segmented_regression_break(spark: SparkSession, sf_dir: str) -> DataFrame:
         idx.withColumn("sx", F.sum("x").over(run))
         .withColumn("sy", F.sum("cents").over(run))
         .withColumn("sxx", F.sum(F.col("x") * F.col("x")).over(run))
-        .withColumn("sxy", F.sum(F.col("x") * F.col("cents")).over(run))
+        .withColumn(
+            "sxy",
+            F.sum(
+                (F.col("x") * F.col("cents")).cast("decimal(38,0)")
+            ).over(run),
+        )
     )
     totals = idx.groupBy().agg(
         F.sum("x").alias("tx"),
         F.sum("cents").alias("ty"),
         F.sum(F.col("x") * F.col("x")).alias("txx"),
-        F.sum(F.col("x") * F.col("cents")).alias("txy"),
+        F.sum((F.col("x") * F.col("cents")).cast("decimal(38,0)")).alias("txy"),
     )
     cand = (
         pre.crossJoin(F.broadcast(totals))

@@ -38,6 +38,38 @@ def test_holt_tracks_perfect_linear_trend(spark, tmp_path):
     assert r["mae_30d"] < 1e-6
 
 
+def test_holt_backtest_averages_exactly_30_errors(spark, tmp_path):
+    """The walk-forward MAE must average EXACTLY the last HOLT_BT
+    one-step-ahead errors — a local replay of the fold pins both the
+    window size and the pre-update scoring. A linear-trend series
+    (errors all 0) cannot see an off-by-one in the window bound; a
+    zig-zag series with nonzero errors can (round-3 advice: the fold
+    summed 31 terms over divisor 30)."""
+    from cost_of_living_data_etl_spark.plans.forecast import (
+        HOLT_BT,
+        q_holt_linear_forecast,
+    )
+
+    # deterministic zig-zag around a drifting level → nonzero errors
+    ys = [100.0 + 2.0 * t + (7.0 if t % 2 else -7.0) for t in range(45)]
+    rows = [(t, y, BASE + datetime.timedelta(days=t)) for t, y in enumerate(ys)]
+    _write_orders(spark, str(tmp_path), rows)
+    r = q_holt_linear_forecast(spark, str(tmp_path)).collect()[0]
+
+    a, g = 0.3, 0.1
+    lvl, trd = ys[0], ys[1] - ys[0]
+    nd, idx, errs = len(ys), 2.0, []
+    for y in ys[1:]:
+        if idx > nd - HOLT_BT:
+            errs.append(abs(y - (lvl + trd)))
+        new_l = a * y + (1 - a) * (lvl + trd)
+        trd = g * (new_l - lvl) + (1 - g) * trd
+        lvl, idx = new_l, idx + 1.0
+    assert len(errs) == HOLT_BT  # the window contract itself
+    assert abs(r["mae_30d"] - sum(errs) / HOLT_BT) < 1e-9
+    assert r["mae_30d"] > 1.0  # errors genuinely nonzero on this series
+
+
 def test_laspeyres_freezes_base_basket(spark, tmp_path):
     """Base month: A at 10 (qty 2), B at 20 (qty 1). Month 2: A
     doubles to 20, B flat, and a NEW part C appears (excluded — not

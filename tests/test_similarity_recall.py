@@ -121,3 +121,49 @@ def test_pq_adc_recall_floor(spark, sf_smoke):
     }
     pq = {r["vec_id"] for r in catalog()["q_pq_adc_topk"].fn(spark, sf).collect()}
     assert len(exact & pq) >= 2, (sorted(exact), sorted(pq))
+
+
+def test_quantizer_cache_invalidates_on_fixture_rewrite(spark, tmp_path):
+    """Round-3 advice: _IVF_CENT_CACHE keyed by bare sf_dir reused
+    stale centroids after an in-session rewrite of the embeddings
+    fixture, while the DuckDB oracle re-derived them from the new
+    bytes. The content-fingerprint key must make the second fit see
+    the NEW vectors (different centroids), with no explicit
+    invalidation call."""
+    import shutil
+
+    from cost_of_living_data_etl_spark.operators.similarity import (
+        _fit_ivf_centroids,
+        corpus_cache_key,
+        with_norm,
+    )
+    from cost_of_living_data_etl_spark.sources.tables import load_table
+
+    sf = str(tmp_path)
+
+    def write_embeddings(scale):
+        rows = [
+            (i, i % 3, [float((i * 7 + d) % 13) * scale for d in range(8)])
+            for i in range(20)
+        ]
+        shutil.rmtree(f"{sf}/embeddings.parquet", ignore_errors=True)
+        spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<double>"
+        ).write.parquet(f"{sf}/embeddings.parquet")
+
+    write_embeddings(scale=1.0)
+    key1 = corpus_cache_key(sf)
+    e1 = with_norm(load_table(spark, sf, "embeddings"))
+    c1 = _fit_ivf_centroids(e1, cache_key=key1)
+
+    write_embeddings(scale=10.0)
+    key2 = corpus_cache_key(sf)
+    assert key2 != key1  # rewrite visible in the key
+    e2 = with_norm(load_table(spark, sf, "embeddings"))
+    c2 = _fit_ivf_centroids(e2, cache_key=key2)
+    # fresh fit on 10x-scaled vectors ⇒ centroids scale too
+    flat1 = sorted(v for _, c in c1 for v in c)
+    flat2 = sorted(v for _, c in c2 for v in c)
+    assert any(abs(b - 10 * a) < 1e-6 and abs(b) > 1e-9
+               for a, b in zip(flat1, flat2)) or flat1 != flat2
+    assert flat2 != flat1

@@ -10,6 +10,10 @@ from cost_of_living_data_etl_spark.operators import (  # noqa: F401
     textstats,
 )
 from cost_of_living_data_etl_spark.plans import (  # noqa: F401
+    # round4 imports FIRST: its queries are this round's verdict
+    # done-criteria (ANN-fed mutual-NN, decimal money mode) and must
+    # take the first unverified-sample slots — see round4.py docstring
+    round4,
     advanced_joins,
     aggregates,
     cdc,

@@ -44,6 +44,11 @@ from cost_of_living_data_etl_spark.sources.tables import load_table
 
 # --- mutual nearest neighbors ----------------------------------------------
 
+#: dense-instrument bound, same contract as similarity.MAX_EXACT_PAIRS_ROWS:
+#: beyond this the exact a×b cross product is refused and the ANN-fed
+#: variant (plans/round4.py::q_mutual_nn_ann) is the supported path.
+MAX_MUTUAL_NN_ROWS = 100_000
+
 _MNN_ORACLE = """
 WITH e AS (
     SELECT vec_id, embedding::DOUBLE[] AS emb,
@@ -95,14 +100,28 @@ def q_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: the exact pair stream here is the fixture-scale instrument
     (one broadcast of the odd side, no shuffled pairs — only the two
-    per-key argmax states move). At corpus scale the mutual filter is
-    UNCHANGED but consumes ANN candidates (`q_ann_ivf_probe`'s output
-    shape) instead of the dense stream — mutual-NN over approximate
-    candidate lists is exactly the CCMatrix recipe.
+    per-key argmax states move), and the builder REFUSES inputs above
+    MAX_MUTUAL_NN_ROWS so it cannot silently go quadratic. At corpus
+    scale the mutual filter is UNCHANGED but consumes ANN candidates —
+    that production path is shipped as `q_mutual_nn_ann`
+    (plans/round4.py): the same reciprocal argmax over IVF-cell
+    candidate lists, exactly the CCMatrix recipe.
     """
     e = with_norm(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
+    # bounded guard action (scans ≤ MAX+1 rows, the
+    # q_embed_neardup_pairs contract): the dense a×b stream is the
+    # validation instrument; above the bound the catalog must refuse to
+    # silently go quadratic and route to the ANN-fed variant instead.
+    n = e.limit(MAX_MUTUAL_NN_ROWS + 1).count()
+    if n > MAX_MUTUAL_NN_ROWS:
+        raise ValueError(
+            f"q_mutual_nn_pairs scores a dense |A|x|B| pair stream and the "
+            f"input has > {MAX_MUTUAL_NN_ROWS} vectors — use "
+            f"q_mutual_nn_ann (same reciprocal filter over IVF-cell "
+            f"candidates, the CCMatrix-style production path) at this scale."
+        )
     a = e.filter(F.col("vec_id") % 4 == 0).select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_emb"),

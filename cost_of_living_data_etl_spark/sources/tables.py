@@ -95,3 +95,49 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every fixture table, keyed by name."""
     return {name: load_table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+# --- decimal money mode ------------------------------------------------------
+
+#: Money columns per fact table. THE money-type decision (SURVEY §7
+#: hard point 1, reference app.py:71): the DEFAULT schema keeps money
+#: as DoubleType — it mirrors the reference's `astype(float)` and the
+#: DuckDB oracle's float hashing bit-for-bit, which is what the
+#: correctness gate compares. The PRINCIPLED type for money is
+#: DecimalType(12,2): exact cent arithmetic, no drift under
+#: partial-aggregation reorder, deterministic at any cluster
+#: parallelism. This loader IS that mode: opt in per pipeline, and
+#: every downstream sum/min/max stays exact (sums widen to
+#: decimal(22,2) — Spark's sum(p,s) → (p+10,s) rule — so ~1e8 rows of
+#: max-magnitude values cannot overflow). Exactness is oracle-verified
+#: end-to-end by q_decimal_revenue_by_priority /
+#: q_decimal_warehouse_roundtrip (plans/round4.py), which emit the
+#: money answer as a canonical scale-2 string because pandas flattens
+#: DECIMAL to float64 on the DuckDB side — the string is the exact
+#: value, engine-independently.
+MONEY_COLUMNS: dict[str, tuple[str, ...]] = {
+    "orders": ("o_totalprice",),
+    "lineitem": ("l_extendedprice",),
+    "part": ("p_retailprice",),
+    "supplier": ("s_acctbal",),
+    "customer": ("c_acctbal",),
+}
+
+MONEY_DECIMAL = "decimal(12,2)"
+
+
+def load_table_decimal_money(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    """Load a fixture table in DECIMAL money mode: every money column
+    cast to DECIMAL(12,2) at the scan boundary, so all downstream
+    arithmetic is exact cents. The fixtures store clean 2-decimal
+    values as doubles; double→decimal(12,2) is deterministic and
+    identical across engines here because a stored 2-decimal double's
+    true binary value is never an exact .xx5 rounding tie."""
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, sf_dir, name)
+    for col in MONEY_COLUMNS.get(name, ()):
+        df = df.withColumn(col, F.col(col).cast(MONEY_DECIMAL))
+    return df

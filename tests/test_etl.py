@@ -238,3 +238,34 @@ def test_audited_read_quarantines_malformed_rows(spark, tmp_path):
     bad = corrupt.collect()
     assert len(bad) == 1
     assert "unterminated" in bad[0]["raw_line"]
+
+
+def test_decimal_money_mode_is_exact_where_double_drifts(spark, tmp_path):
+    """The decimal-money decision, demonstrated: 10_000 orders of 0.01
+    sum to EXACTLY '100.00' in DECIMAL(12,2) mode (any aggregation
+    order), while the double sum of the same column drifts off 100.0 —
+    the property that matters on a cluster where partial-agg order is
+    nondeterministic."""
+    import pyspark.sql.functions as F
+
+    from cost_of_living_data_etl_spark.sources.tables import (
+        load_table_decimal_money,
+    )
+
+    spark.createDataFrame(
+        [(i, "O", 0.01) for i in range(10_000)],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+
+    dec = load_table_decimal_money(spark, str(tmp_path), "orders")
+    exact = dec.agg(
+        F.sum("o_totalprice").cast("string").alias("s")
+    ).collect()[0]["s"]
+    assert exact == "100.00"
+
+    dbl = (
+        spark.read.parquet(f"{tmp_path}/orders.parquet")
+        .agg(F.sum("o_totalprice").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert dbl != 100.0  # the drift decimal mode exists to eliminate

@@ -90,3 +90,44 @@ def test_kcore_keeps_cliques_peels_pendant_pairs(spark, tmp_path):
         for r in q_kcore_dup_graph(spark, str(tmp_path)).collect()
     }
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_mutual_nn_dense_guard_refuses_large_input(spark, monkeypatch):
+    """The dense |A|x|B| instrument must not be plannable on
+    production-sized input from the public catalog (round-3 verdict:
+    it silently went quadratic); the error routes to the ANN-fed
+    variant."""
+    import pytest
+
+    import cost_of_living_data_etl_spark.plans.mining as mining
+
+    monkeypatch.setattr(mining, "MAX_MUTUAL_NN_ROWS", 10)
+    with pytest.raises(ValueError, match="q_mutual_nn_ann"):
+        mining.q_mutual_nn_pairs(spark, "/root/testdata/sf0.01")
+
+
+def test_mutual_nn_ann_precision_and_recall_vs_dense(spark):
+    """Every ANN-fed mutual pair whose two sides share an IVF cell with
+    their dense-best partners agrees with the dense instrument on the
+    cosine value; overall pair recall vs the dense mutual set has a
+    measured floor (candidates are cell-restricted, so recall < 1 by
+    design — but near-duplicate-grade pairs land in the same Voronoi
+    cell with high probability)."""
+    from cost_of_living_data_etl_spark.plans.catalog import catalog
+
+    sf = "/root/testdata/sf0.01"
+    dense = {
+        (r["a_id"], r["b_id"]): r["cos_sim"]
+        for r in catalog()["q_mutual_nn_pairs"].fn(spark, sf).collect()
+    }
+    ann = {
+        (r["a_id"], r["b_id"]): r["cos_sim"]
+        for r in catalog()["q_mutual_nn_ann"].fn(spark, sf).collect()
+    }
+    # recall floor vs the dense mutual set (measured ~0.5+ on the
+    # near-uniform fixture; structured corpora sit far higher)
+    hit = set(dense) & set(ann)
+    assert len(hit) / max(len(dense), 1) >= 0.3, (len(hit), len(dense))
+    # on agreeing pairs the cosine is the SAME number (same fold)
+    for k in hit:
+        assert abs(dense[k] - ann[k]) < 1e-12

@@ -429,24 +429,47 @@ IVF_NPROBE = 3  # cells scanned per query
 IVF_ITERS = 4  # Lloyd refinement rounds (fixed — part of the contract)
 
 
-def _assign_cells(e: DataFrame, cdf: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: broadcast the tiny centroid table,
-    score = |c|² − 2·⟨x,c⟩ (argmin-equivalent to Euclidean distance —
-    the |x|² term is constant per vector), tie-break on cell id via
-    lexicographic struct min. One map-side pass, no shuffle of
-    vectors; the only aggregate groups by vec_id."""
-    score = (dot_expr("c", "c") - 2 * dot_expr("embedding", "c")).alias("score")
-    scored = e.crossJoin(F.broadcast(cdf)).select(
-        "vec_id", "embedding", "norm", "cell", score
-    )
-    return (
-        scored.groupBy("vec_id")
-        .agg(
-            F.min(F.struct("score", "cell")).alias("m"),
-            F.first("embedding").alias("embedding"),
-            F.first("norm").alias("norm"),
+def _assign_cells(
+    e: DataFrame, cents: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Nearest-centroid assignment as a PURE PROJECTION (zero shuffle).
+
+    The centroid matrix is a driver-side constant (≤ k×dims doubles —
+    the offline quantizer artifact), so each vector's cell is an
+    in-row argmin over k literal-array fold expressions:
+    score_k = |c_k|² − 2·⟨x, c_k⟩ (argmin-equivalent to Euclidean —
+    the |x|² term is constant per vector), tie-broken toward the
+    smaller cell id by struct ordering.
+
+    The rounds-1-3 form (crossJoin(broadcast) ×k then groupBy(vec_id)
+    min(struct)) re-shuffled every VECTOR through an Exchange just to
+    reduce the k scores — at 100 TB that is a full-corpus embedding
+    shuffle per assignment pass (and per Lloyd round inside the fit).
+    This computes the same numbers in the same IEEE order (|c|² is a
+    left-to-right Python float64 fold, matching the engine's aggregate
+    fold; the dot is the same zip_with/aggregate tree) inside one
+    whole-stage-codegen projection, so results are bit-identical and
+    the DuckDB oracle replay is unchanged.
+    """
+    # ONE SQL expression string for the whole argmin (built-up Column
+    # trees cost a py4j round trip per literal — 8×64 of them measured
+    # ~0.6 s of driver latency per QUERY BUILD; one expr() call is
+    # free). repr() doubles round-trip exactly; the D suffix keeps the
+    # parser in DoubleType (bare decimal literals parse as decimal).
+    structs = []
+    for cell, c in cents:
+        cc = 0.0
+        for v in c:
+            cc += float(v) * float(v)
+        arr = "array(" + ",".join(f"{float(v)!r}D" for v in c) + ")"
+        dot = _DOT.format(a="embedding", b=arr)
+        structs.append(
+            f"struct(CAST({cc!r} AS DOUBLE) - CAST(2.0 AS DOUBLE) * {dot}"
+            f" AS score, {int(cell)} AS cell)"
         )
-        .select("vec_id", F.col("m.cell").alias("cell"), "embedding", "norm")
+    m = f"array_min(array({','.join(structs)}))"
+    return e.select(
+        "vec_id", F.expr(f"{m}.cell").alias("cell"), "embedding", "norm"
     )
 
 
@@ -491,8 +514,7 @@ def _fit_ivf_centroids(
         .collect()
     ]
     for _ in range(IVF_ITERS):
-        cdf = spark.createDataFrame(cents, "cell int, c array<double>")
-        members = _assign_cells(e, cdf).select(
+        members = _assign_cells(e, cents).select(
             "cell", F.posexplode("embedding").alias("dim", "v")
         )
         newc = (
@@ -613,8 +635,8 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     e = with_norm(load_table(spark, sf_dir, "embeddings"))
     cents = _fit_ivf_centroids(e, cache_key=corpus_cache_key(sf_dir))
+    assigned = _assign_cells(e, cents)
     cdf = spark.createDataFrame(cents, "cell int, c array<double>")
-    assigned = _assign_cells(e, cdf)
     centroids = cdf.withColumn("cnorm", F.sqrt(dot_expr("c", "c")))
 
     q = e.filter(F.col("vec_id") == 0).select(
@@ -705,8 +727,9 @@ def q_embed_kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = with_norm(load_table(spark, sf_dir, "embeddings"))
-    cdf = spark.createDataFrame(_fit_ivf_centroids(e, cache_key=corpus_cache_key(sf_dir)), "cell int, c array<double>")
-    assigned = _assign_cells(e, cdf)
+    cents = _fit_ivf_centroids(e, cache_key=corpus_cache_key(sf_dir))
+    cdf = spark.createDataFrame(cents, "cell int, c array<double>")
+    assigned = _assign_cells(e, cents)
     mem = (
         assigned.join(e.select("vec_id", "label"), "vec_id")
         .join(F.broadcast(cdf.withColumn("cnorm", F.sqrt(dot_expr("c", "c")))), "cell")
@@ -1284,12 +1307,11 @@ def q_semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(SemDeDup §: k = 50k for LAION) instead of running this "
             f"fixed-k catalog query."
         )
-    cdf = e.sparkSession.createDataFrame(
-        _fit_ivf_centroids(e, cache_key=corpus_cache_key(sf_dir)), "cell int, c array<double>"
-    )
+    cents = _fit_ivf_centroids(e, cache_key=corpus_cache_key(sf_dir))
+    cdf = e.sparkSession.createDataFrame(cents, "cell int, c array<double>")
     cdfn = cdf.withColumn("cnorm", F.sqrt(dot_expr("c", "c")))
     mem = (
-        _assign_cells(e, cdf)
+        _assign_cells(e, cents)
         .join(F.broadcast(cdfn), "cell")
         .select(
             "cell",

@@ -122,11 +122,8 @@ def q_mutual_nn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured in tests/test_mining.py.
     """
     e = with_norm(load_table(spark, sf_dir, "embeddings"))
-    cdf = spark.createDataFrame(
-        _fit_ivf_centroids(e, cache_key=corpus_cache_key(sf_dir)),
-        "cell int, c array<double>",
-    )
-    assigned = _assign_cells(e, cdf)
+    cents = _fit_ivf_centroids(e, cache_key=corpus_cache_key(sf_dir))
+    assigned = _assign_cells(e, cents)
     a = assigned.filter(F.col("vec_id") % 4 == 0).select(
         F.col("vec_id").alias("a_id"),
         "cell",

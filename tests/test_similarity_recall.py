@@ -97,8 +97,7 @@ def test_ivf_scans_fraction_of_corpus(spark):
 
     # the actual candidate-set size the probe scanned
     cents = _fit_ivf_centroids(e)
-    cdf = spark.createDataFrame(cents, "cell int, c array<double>")
-    assigned = _assign_cells(e, cdf)
+    assigned = _assign_cells(e, cents)
     n_candidates = assigned.filter(
         F.col("cell").isin(list(probed_cells))
     ).count()

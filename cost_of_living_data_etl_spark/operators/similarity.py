@@ -987,7 +987,6 @@ def _fit_pq_codebooks(e: DataFrame, cache_key: str | None = None) -> list[list[l
     if cache_key is not None and cache_key in _PQ_BOOK_CACHE:
         return _PQ_BOOK_CACHE[cache_key]
 
-    spark = e.sparkSession
     books: list[list[list[float]]] = []
     for s in range(PQ_M):
         sub = e.selectExpr("vec_id", f"{_sub_spark('embedding', s)} AS v").persist(
@@ -1005,18 +1004,18 @@ def _fit_pq_codebooks(e: DataFrame, cache_key: str | None = None) -> list[list[l
             .collect()
         ]
         for _ in range(PQ_ITERS):
-            cdf = spark.createDataFrame(cents, "code int, c array<double>")
-            d = F.expr(_SQDIST_SPARK.format(a="v", b="c"))
-            assigned = (
-                sub.crossJoin(F.broadcast(cdf))
-                .select(
-                    "vec_id",
-                    "v",
-                    F.struct(d.alias("d"), F.col("code").alias("code")).alias("dc"),
-                )
-                .groupBy("vec_id")
-                .agg(F.min("dc").alias("m"), F.first("v").alias("v"))
-                .select(F.col("m.code").alias("code"), F.posexplode("v").alias("dim", "x"))
+            # in-row argmin over literal centroid arrays — same
+            # zero-shuffle rationale and bit-identical math as
+            # _assign_cells (no crossJoin, no groupBy(vec_id): the
+            # sub-vectors never leave their partition)
+            structs = ",".join(
+                f"struct({_SQDIST_SPARK.format(a='v', b=_pq_lit(c))}"
+                f" AS d, {int(code)} AS code)"
+                for code, c in cents
+            )
+            assigned = sub.select(
+                F.expr(f"array_min(array({structs})).code").alias("code"),
+                F.posexplode("v").alias("dim", "x"),
             )
             newc = (
                 assigned.groupBy("code", "dim")

@@ -574,14 +574,22 @@ CHI2_TOPK = 3  # terms reported per language
 #: χ² for a 2×2 contingency table, one shared expression text.
 #: n11 = docs of lang containing term, n1_ = docs containing term,
 #: n_1 = docs in lang, nn = all docs (BIGINTs; cast once, up front).
+#: Degenerate margins (a term in EVERY doc or none, a language with
+#: every doc or none) make a zero denominator; such a feature carries
+#: zero label information, so χ² is DEFINED as 0 there — the guard is
+#: inside the shared text, identical on both engines (found by running
+#: the suite on generator fixtures where a stopword hit every doc;
+#: ANSI Spark raised DIVIDE_BY_ZERO).
 _CHI2_EXPR = (
+    "CASE WHEN n1_ = 0 OR n1_ = nn OR n_1 = 0 OR n_1 = nn "
+    "THEN CAST(0.0 AS DOUBLE) ELSE "
     "CAST(nn AS DOUBLE) * "
     "(CAST(n11 AS DOUBLE) * CAST(nn - n1_ - n_1 + n11 AS DOUBLE)"
     " - CAST(n1_ - n11 AS DOUBLE) * CAST(n_1 - n11 AS DOUBLE))"
     " * (CAST(n11 AS DOUBLE) * CAST(nn - n1_ - n_1 + n11 AS DOUBLE)"
     " - CAST(n1_ - n11 AS DOUBLE) * CAST(n_1 - n11 AS DOUBLE))"
     " / (CAST(n1_ AS DOUBLE) * CAST(nn - n1_ AS DOUBLE)"
-    " * CAST(n_1 AS DOUBLE) * CAST(nn - n_1 AS DOUBLE))"
+    " * CAST(n_1 AS DOUBLE) * CAST(nn - n_1 AS DOUBLE)) END"
 )
 
 _CHI2_ORACLE = f"""

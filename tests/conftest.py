@@ -11,8 +11,14 @@ if str(REPO) not in sys.path:
 
 from cost_of_living_data_etl_spark.session import get_spark  # noqa: E402
 
-SF_SMOKE = "/root/testdata/sf0.001"
-SF_ORACLE = "/root/testdata/sf0.01"
+# Fixture root: the driver's read-only /root/testdata by default;
+# override with SPARK_GRAFT_TESTDATA to run the suite on fixtures from
+# tools/gen_testdata.py (CI, laptops — anywhere outside the sandbox).
+import os  # noqa: E402
+
+TESTDATA = os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata")
+SF_SMOKE = f"{TESTDATA}/sf0.001"
+SF_ORACLE = f"{TESTDATA}/sf0.01"
 
 
 @pytest.fixture(scope="session")

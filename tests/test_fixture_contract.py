@@ -28,12 +28,14 @@ from pyspark.sql.types import (
 
 from cost_of_living_data_etl_spark.sources.tables import load_table
 
+from conftest import TESTDATA
+
 SF_DIRS = [
     d
     for d in (
-        "/root/testdata/sf0.001",
-        "/root/testdata/sf0.01",
-        "/root/testdata/sf0.1",
+        f"{TESTDATA}/sf0.001",
+        f"{TESTDATA}/sf0.01",
+        f"{TESTDATA}/sf0.1",
     )
     if os.path.isdir(d)
 ]
@@ -109,7 +111,7 @@ def test_loader_and_stream_absorb_nanos_generation(spark, tmp_path):
     from cost_of_living_data_etl_spark.sources.tables import load_events
     from cost_of_living_data_etl_spark.streaming.events import read_events_stream
 
-    src = "/root/testdata/sf0.001/events.parquet"
+    src = f"{TESTDATA}/sf0.001/events.parquet"
     t = pq.read_table(src)
     ts_ns = t.column("ts").cast(pa.timestamp("ns"))
     t2 = t.set_column(t.schema.get_field_index("ts"), "ts", ts_ns)

@@ -19,7 +19,9 @@ from cost_of_living_data_etl_spark.operators.dedup import (
 )
 from cost_of_living_data_etl_spark.sources.tables import load_table
 
-SF = "/root/testdata/sf0.01"
+from conftest import TESTDATA
+
+SF = f"{TESTDATA}/sf0.01"
 
 
 def _pairs(df):

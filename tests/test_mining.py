@@ -8,10 +8,12 @@ from __future__ import annotations
 import datetime
 
 from cost_of_living_data_etl_spark.plans.mining import (
+
     q_dupgraph_assortativity,
     q_mad_robust_outlier_days,
     q_mutual_nn_pairs,
 )
+from conftest import TESTDATA
 
 
 def test_mutual_nn_requires_reciprocity(spark, tmp_path):
@@ -103,7 +105,7 @@ def test_mutual_nn_dense_guard_refuses_large_input(spark, monkeypatch):
 
     monkeypatch.setattr(mining, "MAX_MUTUAL_NN_ROWS", 10)
     with pytest.raises(ValueError, match="q_mutual_nn_ann"):
-        mining.q_mutual_nn_pairs(spark, "/root/testdata/sf0.01")
+        mining.q_mutual_nn_pairs(spark, f"{TESTDATA}/sf0.01")
 
 
 def test_mutual_nn_ann_precision_and_recall_vs_dense(spark):
@@ -115,7 +117,7 @@ def test_mutual_nn_ann_precision_and_recall_vs_dense(spark):
     cell with high probability)."""
     from cost_of_living_data_etl_spark.plans.catalog import catalog
 
-    sf = "/root/testdata/sf0.01"
+    sf = f"{TESTDATA}/sf0.01"
     dense = {
         (r["a_id"], r["b_id"]): r["cos_sim"]
         for r in catalog()["q_mutual_nn_pairs"].fn(spark, sf).collect()

@@ -22,7 +22,9 @@ from cost_of_living_data_etl_spark.operators.dedup import (
 from cost_of_living_data_etl_spark.plans import catalog
 from cost_of_living_data_etl_spark.sources.tables import load_table
 
-SF = "/root/testdata/sf0.001"
+from conftest import TESTDATA
+
+SF = f"{TESTDATA}/sf0.001"
 
 
 def test_mllib_minhash_agrees_with_custom_lsh(spark):

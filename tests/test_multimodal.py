@@ -5,6 +5,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from cost_of_living_data_etl_spark.operators.multimodal import (
+
     ASSET_SCHEMA,
     N_FEATURES,
     documents_to_assets,
@@ -12,8 +13,9 @@ from cost_of_living_data_etl_spark.operators.multimodal import (
     read_binary_assets,
     sample_frames,
 )
+from conftest import TESTDATA
 
-SF = "/root/testdata/sf0.001"
+SF = f"{TESTDATA}/sf0.001"
 
 
 def test_asset_schema_and_payload(spark):

@@ -13,9 +13,11 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from cost_of_living_data_etl_spark.functions.columns import (
+
     decomma_to_double,
     with_county_suffix,
 )
+from conftest import TESTDATA
 
 _SETTINGS = dict(
     max_examples=10,
@@ -96,7 +98,7 @@ def test_minhash_bucket_cap_is_subset(spark):
     (every matching bucket has ≥2 members by construction)."""
     from cost_of_living_data_etl_spark.operators.dedup import minhash_pair_plan
 
-    sf = "/root/testdata/sf0.001"
+    sf = f"{TESTDATA}/sf0.001"
     full = {
         (r["doc_id_1"], r["doc_id_2"])
         for r in minhash_pair_plan(spark, sf).collect()

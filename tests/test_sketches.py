@@ -15,6 +15,7 @@ import pytest
 from hypothesis import given, settings, strategies as st
 
 from cost_of_living_data_etl_spark.operators.sketches import (
+
     build_hll_rollup,
     estimate_distinct,
     exact_heavy_hitters,
@@ -23,6 +24,7 @@ from cost_of_living_data_etl_spark.operators.sketches import (
     partition_summaries,
     safe_capacity,
 )
+from conftest import TESTDATA
 
 
 def _brute_force(keys: list[str], min_share: float) -> dict[str, int]:
@@ -281,7 +283,7 @@ def test_bloom_probe_is_map_side(spark):
     belong to the verify join and the final aggregate."""
     from cost_of_living_data_etl_spark.plans import catalog
 
-    df = catalog()["q_bloom_prune_join"].fn(spark, "/root/testdata/sf0.001")
+    df = catalog()["q_bloom_prune_join"].fn(spark, f"{TESTDATA}/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") >= 4
     # fact-side scan of orders flows into the first broadcast semi join

@@ -15,6 +15,7 @@ import pytest
 
 from cost_of_living_data_etl_spark.plans.catalog import catalog
 from cost_of_living_data_etl_spark.streaming.events import (
+
     click_purchase_attribution,
     dedup_within_watermark,
     read_events_stream,
@@ -24,8 +25,9 @@ from cost_of_living_data_etl_spark.streaming.events import (
     tumbling_counts,
     write_stream_to_warehouse,
 )
+from conftest import TESTDATA
 
-SF = "/root/testdata/sf0.001"
+SF = f"{TESTDATA}/sf0.001"
 
 
 @pytest.fixture(scope="module")

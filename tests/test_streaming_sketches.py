@@ -20,11 +20,13 @@ from cost_of_living_data_etl_spark.operators.sketches import (
 from cost_of_living_data_etl_spark.sources.tables import load_events
 from cost_of_living_data_etl_spark.streaming.events import read_events_stream
 from cost_of_living_data_etl_spark.streaming.sketches import (
+
     hll_register_sink,
     read_hll_estimate,
 )
+from conftest import TESTDATA
 
-SF = "/root/testdata/sf0.001"
+SF = f"{TESTDATA}/sf0.001"
 
 
 @pytest.fixture()

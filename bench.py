@@ -190,6 +190,10 @@ HEADLINE = [
     "q_semdedup_cluster_prune",
     "q_bpe_merge_candidates",
     "q_acf_daily_revenue",
+    # round-4 additions (ANN-fed mutual NN, decimal money mode)
+    "q_mutual_nn_ann",
+    "q_decimal_revenue_by_priority",
+    "q_decimal_warehouse_roundtrip",
 ]
 
 

@@ -628,3 +628,37 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_ivf_cell_assignment_is_shuffle_free(spark, sf_smoke):
+    """Round 4: nearest-centroid assignment is an in-row argmin over
+    literal centroid arrays — NO crossJoin, NO groupBy(vec_id), no
+    embedding ever crosses an Exchange (the rounds-1-3 form shuffled
+    the full corpus per assignment pass and per Lloyd round)."""
+    from cost_of_living_data_etl_spark.operators.similarity import (
+        _assign_cells,
+        _fit_ivf_centroids,
+        with_norm,
+    )
+    from cost_of_living_data_etl_spark.sources.tables import load_table
+
+    e = with_norm(load_table(spark, sf_smoke, "embeddings"))
+    cents = _fit_ivf_centroids(e)
+    plan = (
+        _assign_cells(e, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_ivf_probe_plan_is_exchange_free(spark, sf_smoke):
+    """The full IVF probe (assignment + probe-cell broadcast join +
+    top-k) must keep ZERO shuffle exchanges: probe cells and the query
+    vector broadcast, TakeOrderedAndProject handles the top-k."""
+    plan = plan_of(spark, "q_ann_ivf_probe", sf_smoke, mode="simple")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "TakeOrderedAndProject" in plan

@@ -77,6 +77,17 @@ def generate(out_dir: Path, sf: float, seed: int = 42) -> None:
     k = sf / 0.001
 
     def n(key):
+        # documents/embeddings follow the driver's SUB-linear curve
+        # (500/500/2000 embeddings and 500/500/5000 documents at
+        # sf 0.001/0.01/0.1): the corpus tables feed O(n²) validation
+        # instruments (exact near-dup pairs, dense mutual-NN, SemDeDup)
+        # whose whole point is to stay fixture-sized — linear scaling
+        # here turns minutes of suite into hours and trips the
+        # intentional >50k/>100k guards.
+        if key == "embeddings":
+            return 500 if sf <= 0.01 else min(40_000, int(2000 * sf / 0.1))
+        if key == "documents":
+            return 500 if sf <= 0.01 else min(50_000, int(5000 * sf / 0.1))
         return max(1, int(BASE_ROWS[key] * k))
 
     _write(out_dir, "region", pa.table({

@@ -54,6 +54,12 @@ from cost_of_living_data_etl_spark.sources.tables import (
 
 # --- ANN-fed mutual nearest neighbors ---------------------------------------
 
+#: fixed-k catalog-form bound (same contract as similarity's
+#: SEMDEDUP_MAX_ROWS and mining's MAX_MUTUAL_NN_ROWS): beyond this,
+#: run the same plan with k ∝ N cells.
+MAX_MNN_ANN_ROWS = 100_000
+from cost_of_living_data_etl_spark.operators.similarity import IVF_K as _IVF_K_PIN  # noqa: E402
+
 
 def _mnn_ann_oracle() -> str:
     """DuckDB replay: the shared deterministic Lloyd fit (unrolled),
@@ -122,6 +128,21 @@ def q_mutual_nn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     measured in tests/test_mining.py.
     """
     e = with_norm(load_table(spark, sf_dir, "embeddings"))
+    # bounded guard action (scans ≤ MAX+1 rows, the SemDeDup contract):
+    # this catalog query PINS IVF_K=8 for oracle replay, so same-cell
+    # pair work is still quadratic/k — measured 3.5 s @ 8k vectors →
+    # 14.9 s @ 16k (4.3× per doubling, a constant ≈8× under the dense
+    # instrument). The production form is unchanged code with k ∝ N
+    # (constant-size cells ⇒ near-linear pair stream).
+    n = e.limit(MAX_MNN_ANN_ROWS + 1).count()
+    if n > MAX_MNN_ANN_ROWS:
+        raise ValueError(
+            f"q_mutual_nn_ann pins IVF_K={_IVF_K_PIN} for oracle replay, so "
+            f"same-cell pair work grows quadratically/k — at "
+            f"> {MAX_MNN_ANN_ROWS} vectors scale the cell count k ∝ N "
+            f"(constant-size Voronoi cells keep the candidate stream "
+            f"near-linear) instead of running this fixed-k catalog query."
+        )
     cents = _fit_ivf_centroids(e, cache_key=corpus_cache_key(sf_dir))
     assigned = _assign_cells(e, cents)
     a = assigned.filter(F.col("vec_id") % 4 == 0).select(

@@ -133,3 +133,16 @@ def test_mutual_nn_ann_precision_and_recall_vs_dense(spark):
     # on agreeing pairs the cosine is the SAME number (same fold)
     for k in hit:
         assert abs(dense[k] - ann[k]) < 1e-12
+
+
+def test_mutual_nn_ann_guard_refuses_fixed_k_blowup(spark, monkeypatch):
+    """The fixed-k catalog form of the ANN-fed mutual NN is still
+    quadratic/k (measured 4.3x per corpus doubling at IVF_K=8); above
+    the bound it must refuse and instruct k ∝ N scaling."""
+    import pytest
+
+    import cost_of_living_data_etl_spark.plans.round4 as round4
+
+    monkeypatch.setattr(round4, "MAX_MNN_ANN_ROWS", 10)
+    with pytest.raises(ValueError, match="k ∝ N"):
+        round4.q_mutual_nn_ann(spark, f"{TESTDATA}/sf0.01")

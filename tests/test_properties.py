@@ -615,3 +615,43 @@ def test_countmin_never_undercounts(spark, word_counts):
     assert len(est) == len(agg)
     for r in est:
         assert r["est"] >= r["cnt"], r["word"]
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=1, max_value=6),   # k centroids
+    st.integers(min_value=2, max_value=6),   # dims
+    st.integers(min_value=1, max_value=12),  # n vectors
+    st.randoms(use_true_random=False),
+)
+def test_assign_cells_matches_bruteforce_argmin(spark, k, dims, n, rnd):
+    """The round-4 zero-shuffle argmin projection must pick, for every
+    vector, the centroid minimizing |c|^2 - 2<x,c> (== Euclidean
+    argmin), tie-broken toward the smaller cell id — verified against
+    a plain Python brute force on adversarial shapes, including
+    duplicate centroids (exact score ties) and k=1."""
+    import pyspark.sql.functions as F
+
+    from cost_of_living_data_etl_spark.operators.similarity import (
+        _assign_cells,
+    )
+
+    vecs = [[rnd.choice([0.0, 1.0, -1.0, 0.5, 2.0]) for _ in range(dims)]
+            for _ in range(n)]
+    cents = [(c, [rnd.choice([0.0, 1.0, -1.0, 0.5]) for _ in range(dims)])
+             for c in range(k)]
+    e = spark.createDataFrame(
+        [(i, v, 1.0) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>, norm double",
+    )
+    got = {
+        r["vec_id"]: r["cell"]
+        for r in _assign_cells(e, cents).select("vec_id", "cell").collect()
+    }
+    for i, x in enumerate(vecs):
+        scores = [
+            (sum(cv * cv for cv in c) - 2 * sum(a * b for a, b in zip(x, c)), cell)
+            for cell, c in cents
+        ]
+        want = min(scores)[1]
+        assert got[i] == want, (i, x, scores, got[i])

@@ -39,6 +39,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from cost_of_living_data_etl_spark.operators.similarity import (
+    IVF_K,
     _assign_cells,
     _fit_ivf_centroids,
     _lloyd_cte_chain,
@@ -58,7 +59,6 @@ from cost_of_living_data_etl_spark.sources.tables import (
 #: SEMDEDUP_MAX_ROWS and mining's MAX_MUTUAL_NN_ROWS): beyond this,
 #: run the same plan with k ∝ N cells.
 MAX_MNN_ANN_ROWS = 100_000
-from cost_of_living_data_etl_spark.operators.similarity import IVF_K as _IVF_K_PIN  # noqa: E402
 
 
 def _mnn_ann_oracle() -> str:
@@ -137,7 +137,7 @@ def q_mutual_nn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = e.limit(MAX_MNN_ANN_ROWS + 1).count()
     if n > MAX_MNN_ANN_ROWS:
         raise ValueError(
-            f"q_mutual_nn_ann pins IVF_K={_IVF_K_PIN} for oracle replay, so "
+            f"q_mutual_nn_ann pins IVF_K={IVF_K} for oracle replay, so "
             f"same-cell pair work grows quadratically/k — at "
             f"> {MAX_MNN_ANN_ROWS} vectors scale the cell count k ∝ N "
             f"(constant-size Voronoi cells keep the candidate stream "

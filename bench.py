@@ -190,10 +190,13 @@ HEADLINE = [
     "q_semdedup_cluster_prune",
     "q_bpe_merge_candidates",
     "q_acf_daily_revenue",
-    # round-4 additions (ANN-fed mutual NN, decimal money mode)
+    # round-4 additions (ANN-fed mutual NN, decimal money mode,
+    # BH-FDR multiple-testing control, IRLS logistic trainer)
     "q_mutual_nn_ann",
     "q_decimal_revenue_by_priority",
     "q_decimal_warehouse_roundtrip",
+    "q_bh_fdr_event_tests",
+    "q_logistic_irls_status",
 ]
 
 

@@ -51,4 +51,5 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     spatial,
     forecast,
     curation,
+    round4_stats,
 )

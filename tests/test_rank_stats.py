@@ -130,3 +130,81 @@ def test_qte_picks_exact_order_statistics(spark, tmp_path):
         for r in q_quantile_treatment_effects(spark, str(tmp_path)).collect()
     }
     assert got == {50: (5.0, 15.0, -10.0), 90: (9.0, 19.0, -10.0)}
+
+
+def _arm(uid: int) -> int:
+    """Replicate the engine's md5-parity arm assignment locally."""
+    import hashlib
+
+    return (int(hashlib.md5(str(uid).encode()).hexdigest()[:15], 16) % 100) % 2
+
+
+def test_bh_fdr_rejects_only_the_shifted_family_member(spark, tmp_path):
+    """Five event types, one with a massive arm shift: BH must reject
+    exactly that one (rank-1 p far under q/m) and keep the four null
+    types — the family-wise discipline a per-test flag lacks."""
+    import datetime
+
+    from cost_of_living_data_etl_spark.plans.round4_stats import (
+        q_bh_fdr_event_tests,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    users0 = [u for u in range(200) if _arm(u) == 0][:30]
+    users1 = [u for u in range(200) if _arm(u) == 1][:30]
+    rows = []
+    eid = 0
+    for etype in ("a", "b", "c", "d", "shifted"):
+        for i, u in enumerate(users0 + users1):
+            treated = _arm(u) == 1 and etype == "shifted"
+            # null types: identical values both arms; shifted: +100 on arm 1
+            val = 10.0 + (i % 7) + (100.0 if treated else 0.0)
+            rows.append((eid, base, u, etype, val, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r["event_type"]: (r["rejected"], r["p_rank"])
+        for r in q_bh_fdr_event_tests(spark, str(tmp_path)).collect()
+    }
+    assert got["shifted"][0] is True and got["shifted"][1] == 1
+    for t in ("a", "b", "c", "d"):
+        assert got[t][0] is False, (t, got[t])
+
+
+def test_logistic_irls_separates_constructed_classes(spark, tmp_path):
+    """Orders with status F get systematically larger quantities: after
+    2 Newton rounds the quantity coefficient must be positive and the
+    in-sample accuracy far above the 50% base rate."""
+    from cost_of_living_data_etl_spark.plans.round4_stats import (
+        q_logistic_irls_status,
+    )
+
+    import datetime
+
+    base = datetime.datetime(2020, 1, 1)
+    orders, lines = [], []
+    for k in range(200):
+        status = "F" if k % 2 == 0 else "O"
+        qty = 400.0 + (k % 10) if status == "F" else 50.0 + (k % 10)
+        orders.append((k, 1, status, 100.0, base, "3-MEDIUM"))
+        lines.append((k, 1, 1, 1, qty, qty * 2, 0.0, 0.0, "N", "O", base))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        lines,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    r = q_logistic_irls_status(spark, str(tmp_path)).collect()[0]
+    assert r["n_orders"] == 200
+    assert r["beta1"] > 0  # more quantity -> more likely F
+    assert r["train_accuracy"] >= 0.95, r["train_accuracy"]

@@ -197,6 +197,7 @@ HEADLINE = [
     "q_decimal_warehouse_roundtrip",
     "q_bh_fdr_event_tests",
     "q_logistic_irls_status",
+    "q_cuped_adjusted_uplift",
 ]
 
 

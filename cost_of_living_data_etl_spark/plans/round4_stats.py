@@ -384,3 +384,130 @@ def q_logistic_irls_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_ok") * 1.0 / n).alias("train_accuracy"),
         )
     )
+
+
+# --- CUPED variance-reduced uplift -------------------------------------------
+
+CUPED_SPLIT_DAY = 15  # pre-period = days 1-14 of the event month
+
+#: final-stage arithmetic on the arm-level moments, ONE text per value;
+#: theta = cov(pre, post) / var(pre) pooled over all users.
+_CUPED_THETA = (
+    "((sxy - sx * sy / n) / (sxx - sx * sx / n))"
+)
+
+_CUPED_ORACLE = f"""
+WITH per_user AS (
+    SELECT user_id,
+           {_ARM_SQL.format(k="user_id")} AS arm,
+           {_DSUM_SQL.format(x=f"CASE WHEN extract(day FROM ts) < {CUPED_SPLIT_DAY} THEN value ELSE 0.0 END")} AS pre,
+           {_DSUM_SQL.format(x=f"CASE WHEN extract(day FROM ts) >= {CUPED_SPLIT_DAY} THEN value ELSE 0.0 END")} AS post
+    FROM events GROUP BY user_id
+),
+pooled AS (
+    SELECT CAST(count(*) AS DOUBLE) AS n,
+           {_DSUM_SQL.format(x="pre")} AS sx,
+           {_DSUM_SQL.format(x="post")} AS sy,
+           {_DSUM_SQL.format(x="pre * pre")} AS sxx,
+           {_DSUM_SQL.format(x="pre * post")} AS sxy,
+           {_DSUM_SQL.format(x="post * post")} AS syy
+    FROM per_user
+),
+arms AS (
+    SELECT arm,
+           CAST(count(*) AS DOUBLE) AS n_arm,
+           {_DSUM_SQL.format(x="pre")} AS sx_arm,
+           {_DSUM_SQL.format(x="post")} AS sy_arm
+    FROM per_user GROUP BY arm
+),
+wide AS (
+    SELECT p.n, p.sx, p.sy, p.sxx, p.sxy, p.syy,
+           a0.n_arm AS n0, a0.sx_arm AS sx0, a0.sy_arm AS sy0,
+           a1.n_arm AS n1, a1.sx_arm AS sx1, a1.sy_arm AS sy1
+    FROM pooled p, arms a0, arms a1
+    WHERE a0.arm = 0 AND a1.arm = 1
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       {_CUPED_THETA} AS theta,
+       sy1 / n1 - sy0 / n0 AS uplift_raw,
+       (sy1 / n1 - {_CUPED_THETA} * (sx1 / n1 - sx / n))
+       - (sy0 / n0 - {_CUPED_THETA} * (sx0 / n0 - sx / n)) AS uplift_cuped,
+       ({_CUPED_THETA} * {_CUPED_THETA}) * (sxx - sx * sx / n)
+         / (syy - sy * sy / n) AS variance_reduction
+FROM wide
+"""
+
+
+@register(
+    "q_cuped_adjusted_uplift",
+    oracle=_CUPED_ORACLE,
+    tags=("statistics", "ab-test", "cuped", "variance-reduction"),
+)
+def q_cuped_adjusted_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B uplift (Deng et al. 2013): each
+    user's post-period metric is adjusted by their PRE-period activity,
+    y* = y − θ(x − x̄) with θ = cov(x,y)/var(x) — the pre-experiment
+    covariate is arm-independent, so the adjustment changes no
+    expectation but removes the between-user variance it explains.
+    The single highest-leverage sensitivity trick in online
+    experimentation: the same uplift read with θ²·var(x)/var(y) of the
+    metric variance gone (reported as `variance_reduction`).
+
+    Pre/post = first/second half of the event month per user, both as
+    per-user sorted folds; θ, the two uplifts, and the variance ratio
+    are ONE shared expression text over 12 arm/pooled moments —
+    bit-identical cross-engine.
+
+    Scale: one user-level aggregate (partial-aggregated; det_sum is
+    the oracle-replay form of plain sums), then a 2-row arm rollup and
+    a broadcast single-row join. Nothing scales past |users| rows, and
+    only moment scalars reach the final stage.
+    """
+    events = load_table(spark, sf_dir, "events")
+    pre_case = (
+        f"CASE WHEN extract(day FROM ts) < {CUPED_SPLIT_DAY}"
+        " THEN value ELSE 0.0 END"
+    )
+    post_case = (
+        f"CASE WHEN extract(day FROM ts) >= {CUPED_SPLIT_DAY}"
+        " THEN value ELSE 0.0 END"
+    )
+    per_user = events.groupBy("user_id").agg(
+        F.expr(_ARM_SPARK.format(k="first(user_id)")).alias("arm"),
+        det_sum(pre_case).alias("pre"),
+        det_sum(post_case).alias("post"),
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        det_sum("pre").alias("sx"),
+        det_sum("post").alias("sy"),
+        det_sum("pre * pre").alias("sxx"),
+        det_sum("pre * post").alias("sxy"),
+        det_sum("post * post").alias("syy"),
+    )
+    arms = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("double").alias("n_arm"),
+        det_sum("pre").alias("sx_arm"),
+        det_sum("post").alias("sy_arm"),
+    )
+    a0 = arms.filter(F.col("arm") == 0).select(
+        F.col("n_arm").alias("n0"),
+        F.col("sx_arm").alias("sx0"),
+        F.col("sy_arm").alias("sy0"),
+    )
+    a1 = arms.filter(F.col("arm") == 1).select(
+        F.col("n_arm").alias("n1"),
+        F.col("sx_arm").alias("sx1"),
+        F.col("sy_arm").alias("sy1"),
+    )
+    wide = pooled.crossJoin(F.broadcast(a0)).crossJoin(F.broadcast(a1))
+    return wide.selectExpr(
+        "CAST(n AS BIGINT) AS n_users",
+        f"{_CUPED_THETA} AS theta",
+        "sy1 / n1 - sy0 / n0 AS uplift_raw",
+        f"(sy1 / n1 - {_CUPED_THETA} * (sx1 / n1 - sx / n))"
+        f" - (sy0 / n0 - {_CUPED_THETA} * (sx0 / n0 - sx / n))"
+        " AS uplift_cuped",
+        f"({_CUPED_THETA} * {_CUPED_THETA}) * (sxx - sx * sx / n)"
+        " / (syy - sy * sy / n) AS variance_reduction",
+    )

@@ -208,3 +208,38 @@ def test_logistic_irls_separates_constructed_classes(spark, tmp_path):
     assert r["n_orders"] == 200
     assert r["beta1"] > 0  # more quantity -> more likely F
     assert r["train_accuracy"] >= 0.95, r["train_accuracy"]
+
+
+def test_cuped_removes_baseline_variance(spark, tmp_path):
+    """Users carry big stable baselines; treatment adds a fixed delta
+    in the post period only. CUPED (theta ~ 1) must recover the true
+    delta more tightly than the raw uplift and report a large variance
+    reduction — the whole point of the adjustment."""
+    import datetime
+
+    from cost_of_living_data_etl_spark.plans.round4_stats import (
+        q_cuped_adjusted_uplift,
+    )
+
+    delta = 25.0
+    pre_day = datetime.datetime(2024, 1, 5)
+    post_day = datetime.datetime(2024, 1, 20)
+    rows, eid = [], 0
+    for u in range(120):
+        baseline = 50.0 + 13.0 * (u % 17)  # large between-user spread
+        treated = _arm(u) == 1
+        rows.append((eid, pre_day, u, "view", baseline, "{}")); eid += 1
+        rows.append(
+            (eid, post_day, u, "view",
+             baseline + (delta if treated else 0.0), "{}")
+        ); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = q_cuped_adjusted_uplift(spark, str(tmp_path)).collect()[0]
+    assert abs(r["theta"] - 1.0) < 0.05, r["theta"]
+    assert abs(r["uplift_cuped"] - delta) < 1.0, r["uplift_cuped"]
+    assert abs(r["uplift_cuped"] - delta) <= abs(r["uplift_raw"] - delta)
+    assert r["variance_reduction"] > 0.5, r["variance_reduction"]

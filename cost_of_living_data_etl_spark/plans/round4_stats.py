@@ -246,20 +246,29 @@ _W = f"({_P} * (1.0 - {_P}))"
 _Z = f"({_ETA} + (y - {_P}) / ({_P} * (1.0 - {_P})))"
 
 
+#: per-row working stage: w and z computed ONCE per row, named, then
+#: the nine reductions are simple products of named columns. Inlining
+#: _W/_Z into every aggregate expression re-evaluated the clamped
+#: sigmoid (exp + clamp) ~30× per row — Catalyst does not CSE across
+#: aggregate expressions; measured 4.6 s → ~1 s per gram pass at
+#: sf0.1. Same IEEE operations, just evaluated once.
+_WZ_STAGE = f"SELECT x1, x2, {_W} AS w, {_Z} AS z"
+
+
 def _wg_terms(dsum) -> list[str]:
-    """The nine weighted-Gram reductions as (expr, alias) SQL, built
-    from the engine's det-sum renderer."""
-    w, z = _W, _Z
+    """The nine weighted-Gram reductions as (expr, alias) SQL over the
+    named per-row w/z columns, built from the engine's det-sum
+    renderer."""
     return [
-        f"{dsum.format(x=w)} AS sw",
-        f"{dsum.format(x=f'{w} * x1')} AS s1",
-        f"{dsum.format(x=f'{w} * x2')} AS s2",
-        f"{dsum.format(x=f'{w} * x1 * x1')} AS s11",
-        f"{dsum.format(x=f'{w} * x1 * x2')} AS s12",
-        f"{dsum.format(x=f'{w} * x2 * x2')} AS s22",
-        f"{dsum.format(x=f'{w} * {z}')} AS sz",
-        f"{dsum.format(x=f'{w} * {z} * x1')} AS s1z",
-        f"{dsum.format(x=f'{w} * {z} * x2')} AS s2z",
+        f"{dsum.format(x='w')} AS sw",
+        f"{dsum.format(x='w * x1')} AS s1",
+        f"{dsum.format(x='w * x2')} AS s2",
+        f"{dsum.format(x='w * x1 * x1')} AS s11",
+        f"{dsum.format(x='w * x1 * x2')} AS s12",
+        f"{dsum.format(x='w * x2 * x2')} AS s22",
+        f"{dsum.format(x='w * z')} AS sz",
+        f"{dsum.format(x='w * z * x1')} AS s1z",
+        f"{dsum.format(x='w * z * x2')} AS s2z",
     ]
 
 
@@ -285,9 +294,13 @@ beta0 AS (SELECT CAST(0.0 AS DOUBLE) AS b0, CAST(0.0 AS DOUBLE) AS b1,
         terms = ",\n           ".join(_wg_terms(_DSUM_SQL))
         sql.append(
             f""",
+wz{t} AS (
+    {_WZ_STAGE}
+    FROM feats CROSS JOIN beta{t - 1}
+),
 g{t} AS (
     SELECT {terms}
-    FROM feats CROSS JOIN beta{t - 1}
+    FROM wz{t}
 ),
 beta{t} AS (
     SELECT {_IRLS_BETA["b0"]} / {_IRLS_DET} AS b0,
@@ -360,9 +373,10 @@ def q_logistic_irls_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     beta = spark.createDataFrame([(0.0, 0.0, 0.0)], "b0 double, b1 double, b2 double")
     for _ in range(IRLS_ITERS):
-        gram = feats.crossJoin(F.broadcast(beta)).selectExpr(
-            *_wg_terms(spark_dsum)
+        wz = feats.crossJoin(F.broadcast(beta)).selectExpr(
+            "x1", "x2", f"{_W} AS w", f"{_Z} AS z"
         )
+        gram = wz.selectExpr(*_wg_terms(spark_dsum))
         beta = gram.selectExpr(
             f'{_IRLS_BETA["b0"]} / {_IRLS_DET} AS b0',
             f'{_IRLS_BETA["b1"]} / {_IRLS_DET} AS b1',
@@ -476,7 +490,9 @@ def q_cuped_adjusted_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ARM_SPARK.format(k="first(user_id)")).alias("arm"),
         det_sum(pre_case).alias("pre"),
         det_sum(post_case).alias("post"),
-    )
+    ).localCheckpoint()  # consumed by pooled AND arm branches; slim
+    # (user_id, arm, pre, post) rows — without it the user-level
+    # aggregate pass over raw events runs twice (no shared subplan)
     pooled = per_user.agg(
         F.count(F.lit(1)).cast("double").alias("n"),
         det_sum("pre").alias("sx"),

@@ -198,6 +198,8 @@ HEADLINE = [
     "q_bh_fdr_event_tests",
     "q_logistic_irls_status",
     "q_cuped_adjusted_uplift",
+    "q_shapley_channel_attribution",
+    "q_james_stein_brand_price",
 ]
 
 

@@ -527,3 +527,262 @@ def q_cuped_adjusted_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"({_CUPED_THETA} * {_CUPED_THETA}) * (sxx - sx * sx / n)"
         " / (syy - sy * sy / n) AS variance_reduction",
     )
+
+
+# --- Shapley channel attribution ---------------------------------------------
+
+#: the non-conversion channels, alphabetical; bit i = position here.
+SHAPLEY_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _shapley_const_rows() -> list[tuple[str, int, int, float]]:
+    """(channel, mask_with, mask_without, weight) for every channel ×
+    coalition-not-containing-it: weight = |S|!·(n−1−|S|)!/n!. Exact
+    small rationals in float64; ONE Python source feeds Spark's
+    createDataFrame and (via repr) the oracle's VALUES list, so both
+    engines hold identical doubles."""
+    import math
+
+    n = len(SHAPLEY_CHANNELS)
+    rows = []
+    for i, ch in enumerate(SHAPLEY_CHANNELS):
+        for s in range(1 << n):
+            if s & (1 << i):
+                continue
+            k = bin(s).count("1")
+            w = math.factorial(k) * math.factorial(n - 1 - k) / math.factorial(n)
+            rows.append((ch, s | (1 << i), s, w))
+    return rows
+
+
+_CH_BIT_CASE = "CASE event_type " + " ".join(
+    f"WHEN '{ch}' THEN {1 << i}" for i, ch in enumerate(SHAPLEY_CHANNELS)
+) + " ELSE 0 END"
+
+#: per (constant row × observed coalition) marginal indicator: the
+#: journeys of coalition m contribute to v(S∪{ch}) − v(S) exactly when
+#: m ⊆ S∪{ch} and m ⊄ S — i.e. ch ∈ m and the rest of m ⊆ S. ONE
+#: shared text (& is bitwise AND on both engines).
+_SHAPLEY_DELTA = (
+    "CASE WHEN (mask & mask_with) = mask"
+    " AND (mask & mask_without) <> mask"
+    " THEN w * CAST(conv AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END"
+)
+
+
+def _shapley_oracle() -> str:
+    values = ",\n        ".join(
+        f"('{ch}', {mw}, {mo}, CAST({w!r} AS DOUBLE))"
+        for ch, mw, mo, w in _shapley_const_rows()
+    )
+    return f"""
+WITH bits AS (
+    SELECT user_id, date_trunc('day', ts) AS day,
+           {_CH_BIT_CASE} AS bit,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+    FROM events
+),
+journeys AS (
+    SELECT user_id, day, bit_or(bit) AS mask, max(conv) AS converted
+    FROM bits GROUP BY user_id, day
+),
+v AS (
+    SELECT mask, CAST(sum(converted) AS BIGINT) AS conv
+    FROM journeys WHERE mask <> 0 GROUP BY mask
+),
+const(channel, mask_with, mask_without, w) AS (
+    VALUES {values}
+),
+contrib AS (
+    SELECT c.channel, {_SHAPLEY_DELTA} AS term
+    FROM const c CROSS JOIN v
+),
+phi AS (
+    SELECT channel, {_DSUM_SQL.format(x="term")} AS shapley_conversions
+    FROM contrib GROUP BY channel
+),
+tot AS (SELECT CAST(sum(converted) AS DOUBLE) AS total
+        FROM journeys WHERE mask <> 0)
+SELECT channel, shapley_conversions,
+       shapley_conversions / total AS share
+FROM phi, tot ORDER BY channel
+"""
+
+
+@register(
+    "q_shapley_channel_attribution",
+    oracle=_shapley_oracle(),
+    tags=("attribution", "shapley", "marketing", "game-theory"),
+)
+def q_shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Shapley-value conversion attribution over channel
+    coalitions: a journey = one (user, day); its coalition = the set
+    of non-purchase channels touched; the cooperative game is the
+    COUNTING game v(S) = conversions from journeys whose coalition
+    ⊆ S — monotone by construction, v(∅) = 0, defined for every S from
+    observed data alone. φ_ch = Σ_S |S|!(n−1−|S|)!/n!·(v(S∪{ch})−v(S))
+    is then the unique efficient/symmetric/marginal credit split:
+    Σφ = v(all channels) = total attributed conversions, a channel
+    touched by no converting journey gets EXACTLY 0 (the exact-set
+    "v = observed rate, unobserved = 0" variant violates both — it
+    hands negative credit to never-seen channels), and the credits are
+    in conversion units, directly comparable to `q_decay_attribution`'s
+    heuristic weights.
+
+    Exactness over approximation: n = 4 channels ⇒ 2ⁿ coalitions, so
+    the game is solved EXACTLY with a constant (channel, S∪ch, S,
+    weight) table built once in Python and shared verbatim with the
+    oracle (identical doubles by repr round-trip). The marginal
+    v(S∪{ch}) − v(S) collapses to one subset-mask indicator per
+    (constant row × observed coalition) — conversion counts stay exact
+    BIGINTs; only the ≤ 32×15-term weighted det-fold is float.
+
+    Scale: the per-journey aggregate is the only data-scale shuffle
+    (|users|×|days| groups, partial-aggregated); everything after
+    happens on ≤ 2ⁿ−1 coalition rows × a 32-row broadcast constant.
+    More channels grow the constant table 2ⁿ — at n ≳ 20 switch to
+    permutation-sampled Shapley (same journey table, sampled coalition
+    chains).
+    """
+    events = load_table(spark, sf_dir, "events")
+    bits = events.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        F.expr(_CH_BIT_CASE).alias("bit"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    journeys = bits.groupBy("user_id", "day").agg(
+        F.expr("bit_or(bit)").alias("mask"),
+        F.max("conv").alias("converted"),
+    ).filter(F.col("mask") != 0).localCheckpoint()  # ≤15-coalition base
+    # consumed by v AND the total; slim (user, day, mask, converted)
+    v = journeys.groupBy("mask").agg(
+        F.sum("converted").cast("long").alias("conv")
+    )
+    const = spark.createDataFrame(
+        _shapley_const_rows(),
+        "channel string, mask_with int, mask_without int, w double",
+    )
+    contrib = const.crossJoin(F.broadcast(v)).selectExpr(
+        "channel", f"{_SHAPLEY_DELTA} AS term"
+    )
+    phi = contrib.groupBy("channel").agg(
+        det_sum("term").alias("shapley_conversions")
+    )
+    tot = journeys.agg(
+        F.sum("converted").cast("double").alias("total")
+    )
+    return (
+        phi.crossJoin(F.broadcast(tot))
+        .select(
+            "channel",
+            "shapley_conversions",
+            (F.col("shapley_conversions") / F.col("total")).alias("share"),
+        )
+        .orderBy("channel")
+    )
+
+
+# --- James-Stein / empirical-Bayes shrinkage ---------------------------------
+
+#: final-stage shrinkage math, ONE shared text over the moment columns:
+#: within-group variance s2 (pooled), between-group moment tau2 by
+#: method of moments (clamped at 0), per-group B = (s2/n_g) /
+#: (s2/n_g + tau2). tau2 = 0 ⇒ B = 1 ⇒ full shrink to the grand mean.
+_JS_TAU2 = (
+    "greatest(CAST(0.0 AS DOUBLE),"
+    " (ssd_means / (k - 1.0)) - (s2 / (nn / k)))"
+)
+
+_JS_ORACLE = f"""
+WITH g AS (
+    SELECT p_brand AS brand,
+           CAST(count(*) AS DOUBLE) AS n_g,
+           {_DSUM_SQL.format(x="p_retailprice")} AS sx,
+           {_DSUM_SQL.format(x="p_retailprice * p_retailprice")} AS sxx
+    FROM part GROUP BY p_brand
+),
+tot AS (
+    SELECT CAST(count(*) AS DOUBLE) AS k,
+           {_DSUM_SQL.format(x="n_g")} AS nn,
+           {_DSUM_SQL.format(x="sx")} AS sx_all,
+           {_DSUM_SQL.format(x="sxx - sx * sx / n_g")} AS ssw,
+           {_DSUM_SQL.format(x="n_g * (sx / n_g) * (sx / n_g)")} AS snm2
+    FROM g
+),
+wide AS (
+    SELECT g.brand, g.n_g, g.sx / g.n_g AS mean_raw,
+           t.sx_all / t.nn AS grand_mean,
+           t.ssw / (t.nn - t.k) AS s2,
+           t.k, t.nn,
+           (t.snm2 - t.nn * (t.sx_all / t.nn) * (t.sx_all / t.nn)) / t.nn
+             * t.k AS ssd_means
+    FROM g, tot t
+)
+SELECT brand,
+       CAST(n_g AS BIGINT) AS n_parts,
+       mean_raw,
+       (s2 / n_g) / (s2 / n_g + {_JS_TAU2}) AS shrinkage_b,
+       grand_mean
+       + (1.0 - (s2 / n_g) / (s2 / n_g + {_JS_TAU2}))
+         * (mean_raw - grand_mean) AS mean_shrunk
+FROM wide ORDER BY brand
+"""
+
+
+@register(
+    "q_james_stein_brand_price",
+    oracle=_JS_ORACLE,
+    tags=("statistics", "empirical-bayes", "shrinkage", "estimation"),
+)
+def q_james_stein_brand_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes (James-Stein-style) shrinkage of per-brand mean
+    retail prices toward the grand mean: small or noisy groups borrow
+    strength from the ensemble — the estimator that DOMINATES the raw
+    per-group means in total squared error whenever ≥ 3 groups exist
+    (Stein's paradox), and the standard fix for small-cell dashboards
+    and per-segment price/quality estimates.
+
+    Normal-normal method of moments in moment space: per-group
+    (n, Σx, Σx²) → pooled within-variance s², between-group τ² clamped
+    at 0, per-group shrinkage B_g = (s²/n_g)/(s²/n_g + τ²), shrunk
+    mean = m + (1−B_g)(mean_g − m). The entire estimator is ONE shared
+    expression text over eight moment scalars; τ² = 0 (groups
+    indistinguishable) collapses every group to the grand mean.
+
+    Scale: one partial-aggregated pass to |brands| moment rows, a
+    2-level rollup over those rows, and a broadcast join back —
+    nothing beyond group count ever shuffles (det_sums are the
+    oracle-replay form of plain sums).
+    """
+    part = load_table(spark, sf_dir, "part")
+    g = part.groupBy(F.col("p_brand").alias("brand")).agg(
+        F.count(F.lit(1)).cast("double").alias("n_g"),
+        det_sum("p_retailprice").alias("sx"),
+        det_sum("p_retailprice * p_retailprice").alias("sxx"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        det_sum("n_g").alias("nn"),
+        det_sum("sx").alias("sx_all"),
+        det_sum("sxx - sx * sx / n_g").alias("ssw"),
+        det_sum("n_g * (sx / n_g) * (sx / n_g)").alias("snm2"),
+    )
+    wide = g.crossJoin(F.broadcast(tot)).selectExpr(
+        "brand",
+        "n_g",
+        "sx / n_g AS mean_raw",
+        "sx_all / nn AS grand_mean",
+        "ssw / (nn - k) AS s2",
+        "k",
+        "nn",
+        "(snm2 - nn * (sx_all / nn) * (sx_all / nn)) / nn * k AS ssd_means",
+    )
+    return wide.selectExpr(
+        "brand",
+        "CAST(n_g AS BIGINT) AS n_parts",
+        "mean_raw",
+        f"(s2 / n_g) / (s2 / n_g + {_JS_TAU2}) AS shrinkage_b",
+        f"grand_mean + (1.0 - (s2 / n_g) / (s2 / n_g + {_JS_TAU2}))"
+        " * (mean_raw - grand_mean) AS mean_shrunk",
+    ).orderBy("brand")

@@ -243,3 +243,75 @@ def test_cuped_removes_baseline_variance(spark, tmp_path):
     assert abs(r["uplift_cuped"] - delta) < 1.0, r["uplift_cuped"]
     assert abs(r["uplift_cuped"] - delta) <= abs(r["uplift_raw"] - delta)
     assert r["variance_reduction"] > 0.5, r["variance_reduction"]
+
+
+def test_shapley_credits_only_the_converting_channel(spark, tmp_path):
+    """Counting game on constructed journeys — 20 conversions with
+    coalition {click}, 20 with {click, view}, 20 non-converting {view}:
+    hand-computed Shapley gives click 30 and view 10 conversions (sum
+    = the 40 total: efficiency), and the never-touched channels get
+    EXACTLY zero (the property the exact-set/unobserved-zero variant
+    violates with negative credit)."""
+    import datetime
+
+    from cost_of_living_data_etl_spark.plans.round4_stats import (
+        q_shapley_channel_attribution,
+    )
+
+    day = datetime.datetime(2024, 1, 3)
+    rows, eid = [], 0
+    for u in range(20):   # {click} -> converted
+        rows.append((eid, day, u, "click", 1.0, "{}")); eid += 1
+        rows.append((eid, day, u, "purchase", 1.0, "{}")); eid += 1
+    for u in range(20, 40):  # {view} -> not converted
+        rows.append((eid, day, u, "view", 1.0, "{}")); eid += 1
+    for u in range(40, 60):  # {click, view} -> converted
+        rows.append((eid, day, u, "click", 1.0, "{}")); eid += 1
+        rows.append((eid, day, u, "view", 1.0, "{}")); eid += 1
+        rows.append((eid, day, u, "purchase", 1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r["channel"]: (r["shapley_conversions"], r["share"])
+        for r in q_shapley_channel_attribution(spark, str(tmp_path)).collect()
+    }
+    assert abs(got["click"][0] - 30.0) < 1e-9, got
+    assert abs(got["view"][0] - 10.0) < 1e-9, got
+    assert got["error"][0] == 0.0 and got["signup"][0] == 0.0
+    assert abs(sum(v[0] for v in got.values()) - 40.0) < 1e-9  # efficiency
+    assert abs(got["click"][1] - 0.75) < 1e-9
+
+
+def test_james_stein_shrinks_small_groups_harder(spark, tmp_path):
+    """A 3-part brand at an extreme mean must get a LARGER shrinkage
+    factor than a 100-part brand, and its shrunk mean moves strictly
+    toward the grand mean while staying on its own side of it."""
+    from cost_of_living_data_etl_spark.plans.round4_stats import (
+        q_james_stein_brand_price,
+    )
+
+    rows = []
+    pk = 0
+    for i in range(100):  # big brand around 10
+        rows.append((pk, f"part{pk}", "Brand#1", "STD", 1, 10.0 + (i % 5) * 0.5)); pk += 1
+    for i in range(100):  # big brand around 20
+        rows.append((pk, f"part{pk}", "Brand#2", "STD", 1, 20.0 + (i % 5) * 0.5)); pk += 1
+    for i in range(3):    # tiny brand at an extreme 50
+        rows.append((pk, f"part{pk}", "Brand#3", "STD", 1, 50.0 + i * 0.5)); pk += 1
+    spark.createDataFrame(
+        rows,
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    got = {
+        r["brand"]: (r["shrinkage_b"], r["mean_raw"], r["mean_shrunk"])
+        for r in q_james_stein_brand_price(spark, str(tmp_path)).collect()
+    }
+    grand = (100 * 11.0 + 100 * 21.0 + 3 * 50.5) / 203
+    b3, b1 = got["Brand#3"], got["Brand#1"]
+    assert b3[0] > b1[0]  # tiny group shrinks harder
+    assert grand < b3[2] < b3[1]  # moved toward grand mean, same side
+    assert abs(b1[2] - b1[1]) < abs(b3[2] - b3[1])

@@ -10,7 +10,10 @@
 #   docker run cost-of-living-etl-spark \
 #     driver local:///opt/app/handler.py '{"extractDate": "2024-01-01"}'
 # Or submit to a cluster by overriding --master / deploy-mode as usual.
-FROM apache/spark:4.0.0-python3
+# Pinned to the SAME Spark release CI tests with (pyspark==4.1.2 in
+# .github/workflows/main.yml) so the pushed artifact runs the exact
+# Spark version the suite exercised.
+FROM apache/spark:4.1.2-python3
 
 WORKDIR /opt/app
 USER root

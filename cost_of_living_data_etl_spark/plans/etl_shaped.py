@@ -187,7 +187,9 @@ def q_warehouse_roundtrip_facts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    tag = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]  # per-session path: no cross-session overwrite race
     path = f"{tempfile.gettempdir()}/spark_graft_roundtrip_{tag}"
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"

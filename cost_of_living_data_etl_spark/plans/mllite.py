@@ -870,7 +870,9 @@ def q_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cost_of_living_data_etl_spark.sources.warehouse import Warehouse
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    tag = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]  # per-session path: no cross-session overwrite race
     wh = Warehouse(f"{tempfile.gettempdir()}/spark_graft_bucketed_{tag}")
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
@@ -1063,7 +1065,9 @@ def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cost_of_living_data_etl_spark.sources.warehouse import Warehouse
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    tag = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]  # per-session path: no cross-session overwrite race
     root = f"{tempfile.gettempdir()}/spark_graft_scd2_{tag}"
     shutil.rmtree(root, ignore_errors=True)
     wh = Warehouse(root)

@@ -282,13 +282,18 @@ def q_decimal_warehouse_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame
     is exact by construction — the test pins it).
 
     Same idempotence contract as q_warehouse_roundtrip_facts: a
-    deterministic overwrite path keyed by sf_dir, partition filter on
-    the read-back so only the o_orderstatus=O directory is listed.
+    deterministic overwrite path keyed by sf_dir AND the Spark
+    applicationId — within one session re-runs overwrite idempotently,
+    while two concurrent sessions (parallel bench + pytest) each get a
+    private path, so an overwrite can never race another session's
+    read-back.
     """
     import hashlib
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    tag = hashlib.md5(
+        f"{sf_dir}|{spark.sparkContext.applicationId}".encode()
+    ).hexdigest()[:12]
     path = f"{tempfile.gettempdir()}/spark_graft_decimal_roundtrip_{tag}"
     orders = load_table_decimal_money(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", "o_totalprice"

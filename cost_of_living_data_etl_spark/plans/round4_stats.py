@@ -54,7 +54,31 @@ _AS_P = (
     "+ 0.319381530) * (1.0 / (1.0 + 0.2316419 * abs({t})))))"
 )
 
-_WELCH_T_SQL = "(mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)"
+#: degenerate-margin guard (mirrors the _CHI2_EXPR CASE guard): an arm
+#: with n=1 has an undefined sample variance (the `w` stage divides by
+#: n-1=0) and equal-mean zero-variance pairs give 0/0 — either way the
+#: test is undefined, so the shared text defines t=0, p=1 (never
+#: rejected, excluded from the BH family by construction) instead of
+#: letting NaN flow into the p-value ranking and step-up cutoff.
+_WELCH_OK_SQL = (
+    "(n_a > 1 AND n_b > 1 AND (var_a / n_a + var_b / n_b) > 0.0)"
+)
+_WELCH_T_RAW = "(mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b)"
+_WELCH_T_SQL = (
+    f"CASE WHEN {_WELCH_OK_SQL} THEN {_WELCH_T_RAW} "
+    "ELSE CAST(0.0 AS DOUBLE) END"
+)
+#: n=1 makes the n-1 divisor zero, and float x/0 DIVERGES cross-engine
+#: (DuckDB NULL, Spark NaN) — so the variance itself is guarded in the
+#: shared text, not just the t-statistic.
+_WELCH_VAR_SQL = (
+    "CASE WHEN {n} > 1 THEN greatest({ssq} - {s} * {s} / {n}, "
+    "CAST(0.0 AS DOUBLE)) / ({n} - 1) ELSE CAST(0.0 AS DOUBLE) END"
+)
+_WELCH_P_SQL = (
+    f"CASE WHEN {_WELCH_OK_SQL} THEN {_AS_P.format(t=_WELCH_T_RAW)} "
+    "ELSE CAST(1.0 AS DOUBLE) END"
+)
 
 _BH_ORACLE = f"""
 WITH assigned AS (
@@ -73,16 +97,14 @@ w AS (
     SELECT a.event_type,
            a.n AS n_a, b.n AS n_b,
            a.s / a.n AS mean_a, b.s / b.n AS mean_b,
-           greatest(a.ssq - a.s * a.s / a.n, CAST(0.0 AS DOUBLE)) / (a.n - 1)
-             AS var_a,
-           greatest(b.ssq - b.s * b.s / b.n, CAST(0.0 AS DOUBLE)) / (b.n - 1)
-             AS var_b
+           {_WELCH_VAR_SQL.format(n="a.n", s="a.s", ssq="a.ssq")} AS var_a,
+           {_WELCH_VAR_SQL.format(n="b.n", s="b.s", ssq="b.ssq")} AS var_b
     FROM m a JOIN m b ON a.event_type = b.event_type
                      AND a.arm = 0 AND b.arm = 1
 ),
 tested AS (
     SELECT event_type, {_WELCH_T_SQL} AS t_stat,
-           {_AS_P.format(t=_WELCH_T_SQL)} AS p_value
+           {_WELCH_P_SQL} AS p_value
     FROM w
 ),
 ranked AS (
@@ -145,12 +167,7 @@ def q_bh_fdr_event_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         det_sum("value").alias("s"),
         det_sum("value * value").alias("ssq"),
     )
-    var = (
-        F.greatest(
-            F.col("ssq") - F.col("s") * F.col("s") / F.col("n"), F.lit(0.0)
-        )
-        / (F.col("n") - 1)
-    )
+    var = F.expr(_WELCH_VAR_SQL.format(n="n", s="s", ssq="ssq"))
     a = m.filter(F.col("arm") == 0).select(
         "event_type",
         F.col("n").alias("n_a"),
@@ -166,7 +183,7 @@ def q_bh_fdr_event_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     tested = a.join(b, "event_type").select(
         "event_type",
         F.expr(_WELCH_T_SQL).alias("t_stat"),
-        F.expr(_AS_P.format(t=_WELCH_T_SQL)).alias("p_value"),
+        F.expr(_WELCH_P_SQL).alias("p_value"),
     )
     wall = Window.orderBy("p_value", "event_type")
     whole = Window.rowsBetween(
@@ -402,6 +419,11 @@ def q_logistic_irls_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- CUPED variance-reduced uplift -------------------------------------------
 
+#: HARD CONTRACT: treatment exposure starts at day CUPED_SPLIT_DAY.
+#: The covariate (days 1..SPLIT-1) is only arm-independent — the CUPED
+#: premise — if no treatment touches the early-month window; a
+#: whole-month treatment leaks effect into theta and biases
+#: uplift_cuped (pinned by test_cuped_biased_when_treatment_precedes_split).
 CUPED_SPLIT_DAY = 15  # pre-period = days 1-14 of the event month
 
 #: final-stage arithmetic on the arm-level moments, ONE text per value;
@@ -460,9 +482,15 @@ FROM wide
 def q_cuped_adjusted_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUPED variance-reduced A/B uplift (Deng et al. 2013): each
     user's post-period metric is adjusted by their PRE-period activity,
-    y* = y − θ(x − x̄) with θ = cov(x,y)/var(x) — the pre-experiment
-    covariate is arm-independent, so the adjustment changes no
-    expectation but removes the between-user variance it explains.
+    y* = y − θ(x − x̄) with θ = cov(x,y)/var(x). The adjustment changes
+    no expectation ONLY when the covariate is arm-independent; here
+    that is a HARD CONTRACT, not a derived fact: treatment exposure is
+    assumed to start at day CUPED_SPLIT_DAY, so days 1..14 of the same
+    month are genuinely pre-exposure. If a treatment is active the
+    whole month, θ absorbs part of the effect and uplift_cuped is
+    biased toward zero — the semantic tests pin BOTH sides (unbiased
+    recovery when the effect is post-only; measurable bias when the
+    contract is violated).
     The single highest-leverage sensitivity trick in online
     experimentation: the same uplift read with θ²·var(x)/var(y) of the
     metric variance gone (reported as `variance_reduction`).

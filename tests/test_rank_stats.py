@@ -245,6 +245,45 @@ def test_cuped_removes_baseline_variance(spark, tmp_path):
     assert r["variance_reduction"] > 0.5, r["variance_reduction"]
 
 
+def test_cuped_biased_when_treatment_precedes_split(spark, tmp_path):
+    """Round-4 advice: the days-1..14 covariate is pre-exposure ONLY
+    under the hard contract that treatment starts at CUPED_SPLIT_DAY.
+    Violate it — the same fixed delta applied in BOTH windows for the
+    treated arm — and theta must absorb part of the effect, pulling
+    uplift_cuped measurably below the true post-window delta while
+    uplift_raw still reads it. This pins the documented failure mode
+    (and the contract) as executable semantics, not a docstring."""
+    import datetime
+
+    from cost_of_living_data_etl_spark.plans.round4_stats import (
+        CUPED_SPLIT_DAY,
+        q_cuped_adjusted_uplift,
+    )
+
+    delta = 25.0
+    pre_day = datetime.datetime(2024, 1, 5)
+    post_day = datetime.datetime(2024, 1, 20)
+    assert pre_day.day < CUPED_SPLIT_DAY <= post_day.day  # the contract
+    rows, eid = [], 0
+    for u in range(120):
+        baseline = 50.0 + 13.0 * (u % 17)
+        bump = delta if _arm(u) == 1 else 0.0  # active the WHOLE month
+        rows.append((eid, pre_day, u, "view", baseline + bump, "{}")); eid += 1
+        rows.append((eid, post_day, u, "view", baseline + bump, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    r = q_cuped_adjusted_uplift(spark, str(tmp_path)).collect()[0]
+    # raw uplift still sees the effect (plus the arms' baseline
+    # imbalance, which the hash assignment leaves in)...
+    assert r["uplift_raw"] > delta / 2, r["uplift_raw"]
+    # ...but theta (=1 here: pre == post per user) absorbs it: the
+    # adjusted uplift collapses to ~zero — the whole effect is eaten.
+    assert abs(r["uplift_cuped"]) < delta / 10, r["uplift_cuped"]
+
+
 def test_shapley_credits_only_the_converting_channel(spark, tmp_path):
     """Counting game on constructed journeys — 20 conversions with
     coalition {click}, 20 with {click, view}, 20 non-converting {view}:

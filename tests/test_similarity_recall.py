@@ -112,17 +112,23 @@ def test_ivf_scans_fraction_of_corpus(spark):
 def test_pq_adc_recall_floor(spark, sf_smoke):
     """PQ with 4x8 codebooks (12-bit codes) is deliberately coarse;
     still, ADC top-10 must overlap exact cosine top-10 meaningfully.
-    Measured 5/10 at sf0.01 (L2-ADC vs cosine adds inherent metric
-    slack for unnormalized vectors); measured 1 on the uniform
-    tools/gen_testdata.py fixtures — so the floor is 1: chance-level
-    overlap of two 10-sets in a 2000+-corpus is ~0.05, so even one hit
-    is a strong signal while a broken encode lands at 0."""
+    The floor is FIXTURE-CONDITIONAL (round-4 advice): measured 5/10
+    on the driver fixtures at sf0.01 (L2-ADC vs cosine adds inherent
+    metric slack for unnormalized vectors) ⇒ floor 2 there, well
+    above the ~0.05 chance overlap of two 10-sets in a 2000+-corpus;
+    only the near-uniform tools/gen_testdata.py fixtures (set via
+    SPARK_GRAFT_TESTDATA, e.g. in CI) get the measured-1 floor, so a
+    badly degraded encoder can't hide behind the loose bound on the
+    fixtures where it would show."""
+    import os
+
     sf = f"{TESTDATA}/sf0.01"
+    floor = 1 if os.environ.get("SPARK_GRAFT_TESTDATA") else 2
     exact = {
         r["vec_id"] for r in catalog()["q_ann_bruteforce_topk"].fn(spark, sf).collect()
     }
     pq = {r["vec_id"] for r in catalog()["q_pq_adc_topk"].fn(spark, sf).collect()}
-    assert len(exact & pq) >= 1, (sorted(exact), sorted(pq))
+    assert len(exact & pq) >= floor, (floor, sorted(exact), sorted(pq))
 
 
 def test_quantizer_cache_invalidates_on_fixture_rewrite(spark, tmp_path):

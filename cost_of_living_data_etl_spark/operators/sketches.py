@@ -661,16 +661,33 @@ def bottomk_sketch(
         _priority(id_col).alias("pri"),
     )
 
+    # One VECTORIZED sort+groupby-head per Arrow batch — never a pandas
+    # op per cell. (The first cut kept a per-cell DataFrame dict with
+    # concat+nsmallest per batch: ~1 ms × |cells| per batch, 22 s at
+    # sf0.01 for the ~12k day×priority cells. Same exact semantics —
+    # local bottom-k per cell by (pri, val) — at ~ms cost.) Memory is
+    # bounded by the compaction cap + one batch, regardless of
+    # partition size.
+    _COMPACT_CAP = 500_000  # rows ≈ 12 MB of (cell, val, pri)
+
+    def _keep_bottomk(pdf: pd.DataFrame) -> pd.DataFrame:
+        return (
+            pdf.sort_values(["pri", "val"], kind="mergesort")
+            .groupby("cell", sort=False)
+            .head(k)
+        )
+
     def trim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        buf: dict[str, pd.DataFrame] = {}
+        buf: pd.DataFrame | None = None
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            for cell, grp in pdf.groupby("cell", sort=False):
-                merged = pd.concat([buf.get(cell, grp.iloc[0:0]), grp])
-                buf[cell] = merged.nsmallest(k, ["pri", "val"], keep="first")
-        if buf:
-            yield pd.concat(buf.values())
+            pdf = _keep_bottomk(pdf)
+            buf = pdf if buf is None else pd.concat([buf, pdf])
+            if len(buf) > _COMPACT_CAP:
+                buf = _keep_bottomk(buf)
+        if buf is not None:
+            yield _keep_bottomk(buf)
 
     local = slim.mapInPandas(trim, "cell string, val double, pri long")
     w = Window.partitionBy("cell").orderBy("pri", "val")
@@ -781,7 +798,9 @@ def q_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.withColumn(
             "cell", F.substring_index(F.col("cell"), "|", -1)
         )
-    )
+    ).localCheckpoint()  # ≤ k × |priorities| rows; bottomk_quantiles
+    # consumes it twice (count + rank branches) — without this the
+    # whole scan + sketch pass runs twice
     est = bottomk_quantiles(merged, [0.5, 0.9])
     n = (
         orders.groupBy(F.col("o_orderpriority").alias("cell"))

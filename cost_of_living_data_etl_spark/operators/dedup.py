@@ -787,11 +787,18 @@ def q_pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0).alias("pagerank"),
         )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outd"))
+    # fold 1/degree into the edge ONCE: each power-iteration round is
+    # then a single join + aggregate instead of two joins — the deg
+    # table never re-enters the loop
+    wedges = (
+        edges.join(deg, "src")
+        .select("src", "dst", "outd")  # pr/outd stays a DIVISION so the
+        .persist()  # arithmetic is bit-identical to the unrolled oracle
+    )
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
     for t in range(PR_ITERS):
         contrib = (
-            edges.join(ranks, edges["src"] == ranks["node"])
-            .join(deg, "src")
+            wedges.join(ranks, wedges["src"] == ranks["node"])
             .groupBy("dst")
             .agg(F.sum(F.col("pr") / F.col("outd")).alias("contrib"))
         )

@@ -474,3 +474,103 @@ def test_simple_stream_reader_rejects_non_positive_cap(tmp_path):
                 {"root": str(tmp_path), "category": "living_wage",
                  "max_objects_per_batch": bad},
             )
+
+
+def test_stream_multi_batch_ingest_hash_matches_batch_and_duckdb(
+    registered, tmp_path
+):
+    """Round-4 verdict item 6 — the oracle-twin for the STREAMING lake
+    reader, the same discipline the JDBC connector got via Derby: a
+    three-lifetime ingest (objects landing between lifetimes, so the
+    rows arrive across ≥3 distinct micro-batches through the
+    checkpointed offset model) must produce a final table value-equal
+    to (a) the batch read of the same lake root and (b) an independent
+    DuckDB scan of the raw CSV objects. Equality is on the full sorted
+    row multiset — the same order-insensitive value comparison the
+    driver's hash gate applies."""
+    import glob
+
+    import duckdb
+
+    root = str(tmp_path / "lake")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    waves = [
+        ("2024-06-01", "a.csv", [
+            "LIVING WAGE,2,2,1,Kent,21.34\n",
+            "POVERTY WAGE,2,2,1,Kent,10.00\n",
+        ]),
+        ("2024-06-02", "b.csv", [
+            "LIVING WAGE,1,0,1,Sussex,15.50\n",
+            "MINIMUM WAGE,1,0,1,Sussex,13.25\n",
+        ]),
+        ("2024-06-03", "c.csv", [
+            "LIVING WAGE,2,0,2,New Castle,1234.56\n",
+        ]),
+    ]
+
+    def run_one_lifetime():
+        q = (
+            registered.readStream.format("lake_objects")
+            .schema(LAKE_SCHEMAS["living_wage"])
+            .option("root", root)
+            .option("category", "living_wage")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    for extract_date, name, rows in waves:
+        _write_wage_csv(root, extract_date, f"living_wage_{name}", rows)
+        run_one_lifetime()
+
+    streamed = sorted(
+        map(tuple, registered.read.parquet(out).collect())
+    )
+
+    # twin 1: the batch reader over the identical lake root (a batch
+    # read is a per-extract-date point scan, so the twin is the union
+    # over the three dates the stream ingested)
+    batch_rows = []
+    for extract_date, _, _ in waves:
+        batch_rows.extend(
+            map(
+                tuple,
+                registered.read.format("lake_objects")
+                .schema(LAKE_SCHEMAS["living_wage"])
+                .option("root", root)
+                .option("category", "living_wage")
+                .option("extract_date", extract_date)
+                .load()
+                .collect(),
+            )
+        )
+    batch = sorted(batch_rows)
+    assert streamed == batch
+    assert len(streamed) == 5
+
+    # twin 2: an independent engine over the raw objects, typed to the
+    # connector's declared lake schema (the cast-downstream columns
+    # stay VARCHAR there too — the cast is the operator, not the scan)
+    files = sorted(glob.glob(f"{root}/{LAKE_PREFIX}/*/living_wage_*.csv"))
+    types = (
+        "{'wage_level':'VARCHAR','num_adults':'INTEGER',"
+        "'num_children':'VARCHAR','num_working':'INTEGER',"
+        "'county':'VARCHAR','usd_amount':'DOUBLE'}"
+    )
+    oracle = sorted(
+        tuple(r)
+        for r in duckdb.sql(
+            f"SELECT * FROM read_csv({files!r}, header=true, "
+            f"columns={types})"
+        ).fetchall()
+    )
+    assert streamed == oracle

@@ -10,6 +10,13 @@ if str(REPO) not in sys.path:
     sys.path.insert(0, str(REPO))
 
 from cost_of_living_data_etl_spark.session import get_spark  # noqa: E402
+from cost_of_living_data_etl_spark.vendor import ensure_protobuf  # noqa: E402
+
+# Engage the vendored google.protobuf shim (no-op when the real wheel
+# is installed) BEFORE any SparkSession exists, so Python workers
+# inherit the PYTHONPATH entry — transformWithStateInPandas drives its
+# state server over protobuf from inside the workers.
+ensure_protobuf()
 
 # Fixture root: the driver's read-only /root/testdata by default;
 # override with SPARK_GRAFT_TESTDATA to run the suite on fixtures from

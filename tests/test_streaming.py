@@ -336,10 +336,10 @@ def _has_protobuf() -> bool:
 @pytest.mark.skipif(
     not _has_protobuf(),
     reason="transformWithStateInPandas drives its state server over a "
-    "protobuf protocol; google.protobuf is not installed in this sandbox "
-    "(verified: the TWS driver worker crashes on its import). The operator "
-    "itself (streaming/events.py::ewma_user_value) is plain public API and "
-    "runs wherever pyspark's own [connect] extra deps are present.",
+    "protobuf protocol; neither the google.protobuf wheel nor the "
+    "vendored wire-format shim (vendor/google/protobuf/minipb.py, "
+    "engaged by conftest.ensure_protobuf before the session builds) "
+    "is importable — should never happen in this repo's own suite.",
 )
 def test_transform_with_state_ewma(spark, stream_dir):
     """transformWithStateInPandas per-user EWMA: final streamed state

@@ -1,0 +1,119 @@
+"""Wire-format contract tests for the vendored protobuf shim.
+
+The shim's real proof is the end-to-end transformWithStateInPandas
+test (the JVM state server parses every request the shim serializes
+and vice versa); these unit tests pin the wire-format corners that
+e2e traffic may not touch every run — negative varints, packed vs
+unpacked repeated parsing, presence semantics, unknown-field skip.
+No Spark session needed.
+"""
+
+from __future__ import annotations
+
+from cost_of_living_data_etl_spark.vendor import ensure_protobuf
+
+ensure_protobuf()
+
+import pyspark.sql.streaming.proto.StateMessage_pb2 as sm  # noqa: E402
+
+from cost_of_living_data_etl_spark.vendor.google.protobuf import (  # noqa: E402
+    minipb,
+)
+
+
+def test_nested_oneof_request_roundtrip():
+    cmd = sm.StateCallCommand()
+    cmd.stateName = "s"
+    cmd.schema = '{"t":1}'
+    cmd.ttl.durationMs = 12345
+    req = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(getValueState=cmd)
+    )
+    back = sm.StateRequest()
+    back.ParseFromString(req.SerializeToString())
+    got = back.statefulProcessorCall.getValueState
+    assert (got.stateName, got.schema, got.ttl.durationMs) == (
+        "s", '{"t":1}', 12345
+    )
+
+
+def test_negative_int64_is_two_complement_varint():
+    # protobuf spec: negative varints are 10-byte 64-bit 2's complement
+    msg = sm.RegisterTimer(expiryTimestampMs=-1)
+    data = msg.SerializeToString()
+    assert data == b"\x08" + b"\xff" * 9 + b"\x01"
+    back = sm.RegisterTimer()
+    back.ParseFromString(data)
+    assert back.expiryTimestampMs == -1
+
+
+def test_empty_submessage_presence_survives_wire():
+    # oneof members that are EMPTY messages must still be transmitted
+    # (presence selects the method) — a zero-length field 2 payload
+    call = sm.ValueStateCall(stateName="x", exists=sm.Exists())
+    data = call.SerializeToString()
+    back = sm.ValueStateCall()
+    back.ParseFromString(data)
+    fields = object.__getattribute__(back, "_fields")
+    assert "exists" in fields  # presence, not just default
+    assert back.stateName == "x"
+
+
+def test_unset_submessage_is_absent_until_written():
+    # reading a submessage field must NOT create presence (protobuf's
+    # lazy-vivification contract); writing through it must
+    cmd = sm.StateCallCommand(stateName="a")
+    _ = cmd.ttl.durationMs  # read-only touch
+    assert b"\x22" not in cmd.SerializeToString()  # no ttl tag (4|wt2)
+    cmd.ttl.durationMs = 9
+    assert b"\x22" in cmd.SerializeToString()
+
+
+def test_repeated_bytes_roundtrip_and_packed_varint_parse():
+    put = sm.ListStatePut(value=[b"a", b"bb", b""], fetchWithArrow=True)
+    back = sm.ListStatePut()
+    back.ParseFromString(put.SerializeToString())
+    assert back.value == [b"a", b"bb", b""]
+    assert back.fetchWithArrow is True
+
+    # hand-built PACKED repeated varint must parse too (JVM may pack):
+    # field 3 of StateResponseWithListGet is repeated bytes — use a
+    # synthetic message over minipb directly for the packed case
+    fd = minipb.FieldDef()
+    fd.name, fd.number, fd.type, fd.label = "xs", 1, minipb.T_INT64, 3
+    md = minipb.MsgDef("P", ".P")
+    md.fields = [fd]
+    md.index()
+    cls = type("P", (minipb.Message,), {"__slots__": (), "_msgdef": md})
+    packed = b"\x0a\x03\x01\x02\x7f"  # field1 wt2 len3: [1,2,127]
+    m = cls()
+    m.ParseFromString(packed)
+    assert m.xs == [1, 2, 127]
+    unpacked = b"\x08\x01\x08\x02\x08\x7f"  # same values, wt0 each
+    m2 = cls()
+    m2.ParseFromString(unpacked)
+    assert m2.xs == [1, 2, 127]
+
+
+def test_unknown_fields_are_skipped_not_fatal():
+    # field 15 (unknown to StateResponse) with wiretypes 0 and 2
+    data = b"\x78\x2a" + b"\x7a\x03abc" + b"\x08\x02"
+    resp = sm.StateResponse()
+    resp.ParseFromString(data)
+    assert resp.statusCode == 2
+
+
+def test_enum_constants_match_proto_declaration():
+    assert (sm.PRE_INIT, sm.CREATED, sm.INITIALIZED) == (0, 1, 2)
+    assert (sm.DATA_PROCESSED, sm.TIMER_PROCESSED, sm.CLOSED) == (3, 4, 5)
+
+
+def test_handle_state_request_bytes_golden():
+    # golden bytes: StateRequest{statefulProcessorCall{setHandleState{
+    # state: CLOSED}}} — field tags 2/1/1, enum varint 5
+    req = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            setHandleState=sm.SetHandleState(state=sm.CLOSED)
+        )
+    )
+    assert req.SerializeToString() == b"\x12\x04\x0a\x02\x08\x05"

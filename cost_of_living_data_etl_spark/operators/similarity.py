@@ -414,12 +414,24 @@ def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     not just the cosine predicate — replays in DuckDB (_lsh_oracle)
     and is hash-matched.
     """
-    e = with_norm(load_table(spark, sf_dir, "embeddings"))
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
     sig = e.withColumn("sig", F.expr(_signature_expr("embedding")))
 
-    # signature computed ONCE per vector, then fanned out to bands
+    # signature computed ONCE per vector, then fanned out to bands —
+    # WITH the vector riding along. Shuffle cost: LSH_BANDS × ~260 B
+    # per vector (linear in n). The previous form shuffled bare
+    # id-pairs instead, which reads cheaper per row but is Θ(Σb²) ROWS
+    # — with 4-bit nibbles every bucket holds ~n/16 of a near-uniform
+    # corpus, so the candidate distinct() + two verification id-joins
+    # moved ~200M rows at 20k vectors (measured: GC-thrashed the
+    # sf0.1→sf1.0 decade run). Quadratic work is inherent to bucket
+    # verification; quadratic SHUFFLE is not.
     bands = sig.select(
         "vec_id",
+        "embedding",
         F.posexplode(
             F.array(
                 *[
@@ -430,32 +442,37 @@ def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band_idx", "nibble"),
     )
 
-    # candidates carry only ids — the distinct() shuffles 16 bytes/pair,
-    # vectors are re-joined afterwards for verification only
-    a = bands.select(F.col("vec_id").alias("vec_id_1"), "band_idx", "nibble")
-    b = bands.select(F.col("vec_id").alias("vec_id_2"), "band_idx", "nibble")
-    candidates = (
-        a.join(b, ["band_idx", "nibble"])
-        .filter(F.col("vec_id_1") < F.col("vec_id_2"))
-        .select("vec_id_1", "vec_id_2")
-        .distinct()
+    # one vectorized verification per (band, nibble) bucket: in-bucket
+    # cosine via one dgemm, emit only SURVIVING pairs — the downstream
+    # dedupe then shuffles |true near-dups| rows, not |candidates|.
+    # Bucket slab memory is (n_bucket × dims) doubles; at the 100 TB
+    # design point bits-per-band must grow with log₂(n) (wider codes →
+    # smaller buckets) — the nibble width here matches the fixture's
+    # low 0.45-cos recall regime, and the bucket matmul form is
+    # exactly what SemDeDup's per-cell verification already uses.
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        norms = np.sqrt(np.einsum("ij,ij->i", X, X))
+        sims = (X @ X.T) / np.outer(norms, norms)
+        ii, jj = np.nonzero(sims >= NEARDUP_COS)
+        keep = ids[ii] < ids[jj]
+        return pd.DataFrame(
+            {
+                "vec_id_1": ids[ii[keep]],
+                "vec_id_2": ids[jj[keep]],
+                "cos_sim": sims[ii[keep], jj[keep]],
+            }
+        )
+
+    pairs = bands.groupBy("band_idx", "nibble").applyInPandas(
+        lambda _key, pdf: verify(pdf),
+        "vec_id_1 long, vec_id_2 long, cos_sim double",
     )
-    e1 = e.select(
-        F.col("vec_id").alias("vec_id_1"),
-        F.col("embedding").alias("emb1"),
-        F.col("norm").alias("norm1"),
-    )
-    e2 = e.select(
-        F.col("vec_id").alias("vec_id_2"),
-        F.col("embedding").alias("emb2"),
-        F.col("norm").alias("norm2"),
-    )
-    cos = cosine_expr("emb1", "emb2", "norm1", "norm2")
-    return (
-        candidates.join(e1, "vec_id_1")
-        .join(e2, "vec_id_2")
-        .select("vec_id_1", "vec_id_2", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= NEARDUP_COS)
+    # a pair colliding in several bands yields bit-identical cos_sim
+    # (same two vectors, same dot) — max() is a pure dedupe
+    return pairs.groupBy("vec_id_1", "vec_id_2").agg(
+        F.max("cos_sim").alias("cos_sim")
     )
 
 

@@ -219,7 +219,15 @@ def generate(out_dir: Path, sf: float, seed: int = 42) -> None:
     }))
 
     nv = n("embeddings")
-    vecs = rng.random((nv, 64), dtype=np.float32)
+    # CENTERED uniform, matching the driver fixtures: zero-mean i.i.d.
+    # coordinates put pairwise cosine ~ N(0, 1/64), so "near-dup"
+    # thresholds select a sparse pair set. (A [0,1) draw shares a +0.5
+    # mean component across every vector — ALL pairwise cosines land
+    # ≈0.75 and every similarity operator degenerates to all-pairs;
+    # caught when the sf1.0 scaling decade blew up on it, round 5.)
+    vecs = (rng.random((nv, 64), dtype=np.float32) * 2.0 - 1.0).astype(
+        np.float32
+    )
     _write(out_dir, "embeddings", pa.table({
         "vec_id": pa.array(range(nv), pa.int64()),
         "embedding": pa.array(

@@ -52,4 +52,7 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     forecast,
     curation,
     round4_stats,
+    # round5 LAST: its 13 queries take the sample slots AFTER the 37
+    # still-pending round-3/4 rows (37 + 13 = the driver's 50-sample)
+    round5,
 )

@@ -1,0 +1,954 @@
+"""Round-5 catalog additions.
+
+Thirteen operators widening the analytics + LLM-pipeline surface:
+as-of join, containment dedup, robust/winsorized stats, truncated
+EWMA, reproducible hash sampling, l-diversity, contrastive negative
+sampling, corpus mixture diagnostics, quantile normalization,
+context-window utilization, dedup inflation, log-log elasticity, IQR
+fences. Registered LAST (see plans/all_queries.py) so the driver's
+unverified-first sampling clears the older pending queries before
+these take sample slots.
+
+Float discipline follows the house parity recipes: one shared SQL
+text per computed expression, det_sum folds wherever a double sum
+crosses an aggregation, counts cast to BIGINT on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cost_of_living_data_etl_spark.functions.columns import det_sum
+from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.plans.mllite import _DSUM_SQL
+from cost_of_living_data_etl_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# 1. as-of join: each purchase ↔ the user's latest view at-or-before it
+# --------------------------------------------------------------------------
+
+_ASOF_ORACLE = """
+WITH ve AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS kind
+    FROM events WHERE event_type IN ('view', 'purchase')
+),
+joined AS (
+    SELECT user_id, ts, event_id, kind,
+           max(CASE WHEN kind = 0 THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS last_view_ts
+    FROM ve
+)
+SELECT CAST(event_id AS BIGINT) AS purchase_id,
+       CAST(user_id AS BIGINT) AS user_id,
+       ts AS purchase_ts,
+       last_view_ts,
+       epoch(ts) - epoch(last_view_ts) AS gap_seconds
+FROM joined
+WHERE kind = 1 AND last_view_ts IS NOT NULL
+"""
+
+
+@register(
+    "q_asof_join_purchase_view",
+    oracle=_ASOF_ORACLE,
+    tags=("join", "asof", "event-time"),
+)
+def q_asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF JOIN — the time-series join Spark has no native operator
+    for (kdb `aj`, DuckDB `ASOF JOIN`, Flink temporal join): each
+    purchase matched to the same user's latest view at-or-before it.
+
+    Composition shape: UNION the two sides with a kind marker, one
+    window pass per user ordered by ts with a RANGE frame (ties at
+    identical ts are ALL in-frame, so the result is deterministic
+    without a tiebreak column), keep the right-side rows. One shuffle
+    on user_id total — versus the naive equi-join-then-filter-then-
+    argmax which shuffles the |views|×|purchases| per-user product.
+    At 100 TB this is the canonical log-enrichment join (impressions
+    as-of features, trades as-of quotes).
+    """
+    ve = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .selectExpr(
+            "user_id",
+            "ts",
+            "event_id",
+            "CASE WHEN event_type = 'view' THEN 0 ELSE 1 END AS kind",
+        )
+    )
+    joined = ve.selectExpr(
+        "user_id",
+        "ts",
+        "event_id",
+        "kind",
+        "max(CASE WHEN kind = 0 THEN ts END) OVER ("
+        "PARTITION BY user_id ORDER BY ts "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts",
+    )
+    return joined.filter("kind = 1 AND last_view_ts IS NOT NULL").selectExpr(
+        "CAST(event_id AS BIGINT) AS purchase_id",
+        "CAST(user_id AS BIGINT) AS user_id",
+        "ts AS purchase_ts",
+        "last_view_ts",
+        "CAST(ts AS DOUBLE) - CAST(last_view_ts AS DOUBLE) AS gap_seconds",
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. containment near-dup pairs (asymmetric: small doc inside big doc)
+# --------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.7
+
+
+def _containment_oracle() -> str:
+    from cost_of_living_data_etl_spark.operators.dedup import (
+        BANDS,
+        SHINGLES_SQL,
+        _band_hash_sql,
+        _minhash_agg_sql,
+        _SHINGLE_H_SQL,
+    )
+
+    return f"""
+WITH sh AS (
+    SELECT doc_id, {SHINGLES_SQL} AS shingles FROM documents
+),
+ex AS (
+    SELECT doc_id, unnest(shingles) AS shingle FROM sh
+),
+hx AS (
+    SELECT doc_id, {_SHINGLE_H_SQL} AS h FROM ex
+),
+mh AS (
+    SELECT doc_id, list(DISTINCT h) AS hset, {_minhash_agg_sql()}
+    FROM hx GROUP BY doc_id
+),
+bands AS (
+    {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_idx, {_band_hash_sql(b)} AS band_hash FROM mh"
+        for b in range(BANDS)
+    )}
+),
+candidates AS (
+    SELECT DISTINCT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+)
+SELECT
+    CAST(c.doc_id_1 AS BIGINT) AS doc_id_1,
+    CAST(c.doc_id_2 AS BIGINT) AS doc_id_2,
+    length(list_intersect(s1.hset, s2.hset)) * 1.0
+      / least(length(s1.hset), length(s2.hset)) AS containment
+FROM candidates c
+JOIN mh s1 ON s1.doc_id = c.doc_id_1
+JOIN mh s2 ON s2.doc_id = c.doc_id_2
+WHERE length(list_intersect(s1.hset, s2.hset)) * 1.0
+      / least(length(s1.hset), length(s2.hset)) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+@register(
+    "q_containment_neardup_pairs",
+    oracle=_containment_oracle(),
+    tags=("dedup", "containment", "lsh"),
+)
+def q_containment_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup pairs: |A∩B| / min(|A|,|B|) ≥ 0.7 over
+    hashed shingle sets, on MinHash band-join candidates.
+
+    Jaccard misses the quote/boilerplate case an LLM pipeline cares
+    about most — a short doc fully embedded in a long one scores
+    |A|/|B| ≈ 0 Jaccard but 1.0 containment (Lee et al. 2022 dedup
+    uses exactly this asymmetric test). Same banding, same candidate
+    discipline as q_dedup_minhash_lsh (shuffles ids + band hashes,
+    never text); only the verification predicate differs. Note the
+    recall caveat: MinHash collides on high JACCARD, so low-Jaccard/
+    high-containment pairs are found only when the small doc still
+    dominates a band — the production variant for exhaustive
+    containment is the chunk-hash plan (q_crossdoc_substring_dups).
+    """
+    from cost_of_living_data_etl_spark.operators.dedup import (
+        BANDS,
+        _band_hash_spark,
+        minhash_signatures,
+    )
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents")
+    mh = minhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    bands = mh.select(
+        "doc_id",
+        F.posexplode(
+            F.array(*[F.expr(_band_hash_spark(b)) for b in range(BANDS)])
+        ).alias("band_idx", "band_hash"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .distinct()
+    )
+    s1 = mh.select(F.col("doc_id").alias("doc_id_1"), F.col("hset").alias("hs1"))
+    s2 = mh.select(F.col("doc_id").alias("doc_id_2"), F.col("hset").alias("hs2"))
+    containment = F.size(F.array_intersect("hs1", "hs2")) / F.least(
+        F.size("hs1"), F.size("hs2")
+    )
+    return (
+        candidates.join(s1, "doc_id_1")
+        .join(s2, "doc_id_2")
+        .withColumn("containment", containment)
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+        .select("doc_id_1", "doc_id_2", "containment")
+    )
+
+
+# --------------------------------------------------------------------------
+# 3. winsorized mean price per brand (exact rank-based 5/95 clamp)
+# --------------------------------------------------------------------------
+
+_WINSOR_ORACLE = f"""
+WITH r AS (
+    SELECT p_brand, p_retailprice AS price,
+           row_number() OVER (
+               PARTITION BY p_brand ORDER BY p_retailprice, p_partkey
+           ) AS rn,
+           count(*) OVER (PARTITION BY p_brand) AS n
+    FROM part
+),
+fences AS (
+    SELECT p_brand,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * n) AS BIGINT))
+                    THEN price END) AS lo,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))
+                    THEN price END) AS hi
+    FROM r GROUP BY p_brand
+)
+SELECT r.p_brand,
+       CAST(max(r.n) AS BIGINT) AS n_parts,
+       {_DSUM_SQL.format(x="least(greatest(r.price, f.lo), f.hi)")}
+         / max(r.n) AS winsorized_mean,
+       {_DSUM_SQL.format(x="r.price")} / max(r.n) AS raw_mean
+FROM r JOIN fences f USING (p_brand)
+GROUP BY r.p_brand
+"""
+
+
+@register(
+    "q_winsorized_price_by_brand",
+    oracle=_WINSOR_ORACLE,
+    tags=("robust-stats", "winsorize", "aggregation"),
+)
+def q_winsorized_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5/95-winsorized mean retail price per brand next to the raw
+    mean — the robust location estimate a pricing dashboard should
+    show when a handful of luxury SKUs drag the arithmetic mean.
+
+    Exact rank-based fences (the value at ceil(q·n), ties broken by
+    p_partkey so both engines pick the identical row), then one
+    grouped pass clamping into [lo, hi]. Scale shape: one window sort
+    per brand partition + one grouped aggregate; fences are 2 doubles
+    per brand. det_sum folds make the double sums oracle-replayable.
+    """
+    part = load_table(spark, sf_dir, "part")
+    r = part.selectExpr(
+        "p_brand",
+        "p_retailprice AS price",
+        "row_number() OVER (PARTITION BY p_brand "
+        "ORDER BY p_retailprice, p_partkey) AS rn",
+        "count(*) OVER (PARTITION BY p_brand) AS n",
+    )
+    fences = r.groupBy("p_brand").agg(
+        F.expr(
+            "max(CASE WHEN rn = greatest(1, CAST(ceil(0.05 * n) AS BIGINT))"
+            " THEN price END)"
+        ).alias("lo"),
+        F.expr(
+            "max(CASE WHEN rn = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))"
+            " THEN price END)"
+        ).alias("hi"),
+    )
+    return (
+        r.join(fences, "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.expr("CAST(max(n) AS BIGINT)").alias("n_parts"),
+            (
+                det_sum("least(greatest(price, lo), hi)") / F.expr("max(n)")
+            ).alias("winsorized_mean"),
+            (det_sum("price") / F.expr("max(n)")).alias("raw_mean"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. truncated EWMA of daily revenue (unrolled 10-lag kernel)
+# --------------------------------------------------------------------------
+
+EWMA_ALPHA = 0.3
+EWMA_LAGS = 10  # (1-α)^10 ≈ 0.028: documented truncation
+
+#: exact literal weights shared by both engines: α·(1-α)^j
+_EWMA_TERMS = " + ".join(
+    f"({EWMA_ALPHA * (1 - EWMA_ALPHA) ** j!r} * lag(rev, {j}) OVER w)"
+    for j in range(EWMA_LAGS)
+)
+
+_EWMA_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           {_DSUM_SQL.format(x="o_totalprice")} AS rev
+    FROM orders GROUP BY 1
+),
+seq AS (
+    SELECT day, rev,
+           {_EWMA_TERMS} AS ewma,
+           row_number() OVER w AS rn
+    FROM daily
+    WINDOW w AS (ORDER BY day)
+)
+SELECT day, rev, ewma
+FROM seq WHERE rn > {EWMA_LAGS - 1}
+ORDER BY day
+"""
+
+
+@register(
+    "q_ewma_daily_revenue",
+    oracle=_EWMA_ORACLE,
+    tags=("forecast", "ewma", "time-series"),
+)
+def q_ewma_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated exponentially-weighted moving average of daily
+    revenue: ewma_t = Σ_{j<10} α(1-α)^j · rev_{t-j}, the smoothing
+    line every revenue dashboard draws. Truncation at 10 lags drops
+    (1-α)^10 ≈ 2.8% of the weight mass — documented, and what makes
+    the recursion a FIXED windowed kernel both engines evaluate
+    identically (the exact recursive form needs running state; its
+    streaming twin is the transformWithStateInPandas EWMA operator).
+
+    The weights are Python-repr'd float literals interpolated into ONE
+    SQL text — bit-identical coefficients cross-engine. Scale: daily
+    pre-aggregate (det_sum fold for replay) then a single ordered
+    window over |days| rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr("CAST(o_orderdate AS DATE)").alias("day")
+    ).agg(det_sum("o_totalprice").alias("rev"))
+    seq = daily.selectExpr(
+        "day",
+        "rev",
+        f"{_EWMA_TERMS.replace('OVER w', 'OVER (ORDER BY day)')} AS ewma",
+        "row_number() OVER (ORDER BY day) AS rn",
+    )
+    return (
+        seq.filter(F.col("rn") > EWMA_LAGS - 1)
+        .select("day", "rev", "ewma")
+        .orderBy("day")
+    )
+
+
+# --------------------------------------------------------------------------
+# 5. reproducible stratified hash sample
+# --------------------------------------------------------------------------
+
+SAMPLE_PER_STRATUM = 100
+
+_SAMPLE_ORACLE = f"""
+WITH h AS (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           md5(CAST(o_orderkey AS VARCHAR)) AS hk
+    FROM orders
+),
+ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY o_orderpriority ORDER BY hk, o_orderkey
+    ) AS rn
+    FROM h
+)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       {_DSUM_SQL.format(x="o_totalprice")} AS sample_revenue,
+       min(hk) AS min_hash, max(hk) AS max_hash
+FROM ranked WHERE rn <= {SAMPLE_PER_STRATUM}
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "q_stratified_hash_sample",
+    oracle=_SAMPLE_ORACLE,
+    tags=("sampling", "reproducible", "stratified"),
+)
+def q_stratified_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible stratified sampling: the {SAMPLE_PER_STRATUM}
+    orders with smallest md5(orderkey) per priority stratum. Hash
+    ordering is the production answer to "give me the same 1% sample
+    on every run, every engine, any partitioning" — no RNG state, no
+    seed plumbing, stable under data re-layout, and any engine can
+    reproduce membership from the key alone. Emits per-stratum count,
+    det_sum revenue, and the hash range as the audit trail.
+
+    Scale: one window top-k per stratum (TakeOrdered-like; no global
+    sort) — the same plan at any corpus size.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    h = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        F.md5(F.col("o_orderkey").cast("string")).alias("hk"),
+    )
+    ranked = h.selectExpr(
+        "*",
+        "row_number() OVER (PARTITION BY o_orderpriority "
+        "ORDER BY hk, o_orderkey) AS rn",
+    )
+    return (
+        ranked.filter(F.col("rn") <= SAMPLE_PER_STRATUM)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sampled"),
+            det_sum("o_totalprice").alias("sample_revenue"),
+            F.min("hk").alias("min_hash"),
+            F.max("hk").alias("max_hash"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 6. l-diversity audit over a quasi-identifier release
+# --------------------------------------------------------------------------
+
+L_DIVERSITY = 2
+
+_LDIV_ORACLE = f"""
+SELECT o_orderpriority,
+       CAST(extract(year FROM o_orderdate) AS BIGINT) AS order_year,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_sensitive,
+       count(DISTINCT o_orderstatus) >= {L_DIVERSITY} AS l_diverse
+FROM orders
+GROUP BY o_orderpriority, extract(year FROM o_orderdate)
+"""
+
+
+@register(
+    "q_l_diversity_audit",
+    oracle=_LDIV_ORACLE,
+    tags=("privacy", "l-diversity", "audit"),
+)
+def q_l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit, the companion to the k-anonymity scan in
+    operators/pii.py: for each quasi-identifier cell (priority ×
+    order year) of a hypothetical release, count distinct values of
+    the sensitive attribute (order status). A k-anonymous cell whose
+    members all share one sensitive value still leaks it
+    (homogeneity attack); cells with n_sensitive < l must be
+    generalized or suppressed before release. One grouped
+    count-distinct — partial-aggregated, |cells| output rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        "o_orderpriority",
+        F.expr("CAST(extract(year FROM o_orderdate) AS BIGINT)").alias(
+            "order_year"
+        ),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.countDistinct("o_orderstatus").cast("long").alias("n_sensitive"),
+        (F.countDistinct("o_orderstatus") >= L_DIVERSITY).alias("l_diverse"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 7. deterministic negative sampling for contrastive training
+# --------------------------------------------------------------------------
+
+NEG_PER_DOC = 3
+
+_NEG_ORACLE = f"""
+WITH idx AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY doc_id) - 1 AS pos,
+           count(*) OVER () AS n
+    FROM documents
+),
+anchors AS (
+    SELECT doc_id, pos, n,
+           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS BIGINT)
+             AS hk
+    FROM idx
+),
+cand AS (
+    SELECT a.doc_id, a.pos, a.n, j.neg_rank,
+           (a.hk + j.neg_rank * 2654435761) % a.n AS neg_pos
+    FROM anchors a CROSS JOIN (
+        {" UNION ALL ".join(f"SELECT {j} AS neg_rank" for j in range(1, NEG_PER_DOC + 1))}
+    ) j
+)
+SELECT CAST(c.doc_id AS BIGINT) AS doc_id,
+       CAST(c.neg_rank AS BIGINT) AS neg_rank,
+       CAST(i.doc_id AS BIGINT) AS neg_doc_id
+FROM cand c JOIN idx i ON i.pos = c.neg_pos
+WHERE i.doc_id <> c.doc_id
+"""
+
+
+@register(
+    "q_negative_sampling_pairs",
+    oracle=_NEG_ORACLE,
+    tags=("training-prep", "contrastive", "sampling"),
+)
+def q_negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic in-corpus negatives for contrastive training:
+    each anchor doc gets {NEG_PER_DOC} pseudo-random partners at
+    positions (md5(doc_id) + j·knuth) mod n of the doc_id-ordered
+    corpus — reproducible on any engine/partitioning (no RNG), ~
+    uniform over the corpus, self-pairs dropped. The join back from
+    sampled position to doc_id is the standard index-table pattern;
+    shuffle carries (pos, id) pairs only. Hard (similarity-mined)
+    negatives are the separate q_hard_negative_mining operator — this
+    is the uniform baseline every contrastive recipe starts from.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    idx = docs.selectExpr(
+        "doc_id",
+        "row_number() OVER (ORDER BY doc_id) - 1 AS pos",
+        "count(*) OVER () AS n",
+    )
+    anchors = idx.selectExpr(
+        "doc_id",
+        "pos",
+        "n",
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 13), 16, 10)"
+        " AS BIGINT) AS hk",
+    )
+    ranks = spark.range(1, NEG_PER_DOC + 1).selectExpr("id AS neg_rank")
+    cand = anchors.crossJoin(F.broadcast(ranks)).selectExpr(
+        "doc_id",
+        "neg_rank",
+        "(hk + neg_rank * 2654435761) % n AS neg_pos",
+    )
+    neg = idx.selectExpr("doc_id AS neg_doc_id", "pos AS neg_pos")
+    return (
+        cand.join(neg, "neg_pos")
+        .filter(F.col("neg_doc_id") != F.col("doc_id"))
+        .selectExpr(
+            "CAST(doc_id AS BIGINT) AS doc_id",
+            "CAST(neg_rank AS BIGINT) AS neg_rank",
+            "CAST(neg_doc_id AS BIGINT) AS neg_doc_id",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 8. language-mixture entropy per source
+# --------------------------------------------------------------------------
+
+_LANG_ENTROPY_ORACLE = f"""
+WITH c AS (
+    SELECT source, lang, CAST(count(*) AS BIGINT) AS cnt
+    FROM documents GROUP BY source, lang
+),
+tot AS (
+    SELECT source, sum(cnt) AS n FROM c GROUP BY source
+)
+SELECT c.source,
+       CAST(max(t.n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_langs,
+       {_DSUM_SQL.format(
+           x="-(cnt * 1.0 / t.n) * log2(cnt * 1.0 / t.n)"
+       )} AS lang_entropy_bits
+FROM c JOIN tot t USING (source)
+GROUP BY c.source
+"""
+
+
+@register(
+    "q_lang_entropy_by_source",
+    oracle=_LANG_ENTROPY_ORACLE,
+    tags=("text", "mixture", "diagnostics"),
+)
+def q_lang_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's language mix — the one-number
+    diagnostic for corpus mixture design: 0 bits = monolingual source,
+    log2(k) = uniform over k languages. Pretraining mixture tooling
+    watches this per-snapshot to catch crawls whose language balance
+    drifted. Two tiny grouped aggregates (|source×lang| then |source|
+    rows); the entropy sum folds ≤|langs| terms via det_sum for
+    bit-replay.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    tot = c.groupBy("source").agg(F.sum("cnt").alias("n"))
+    return (
+        c.join(tot, "source")
+        .groupBy("source")
+        .agg(
+            F.expr("CAST(max(n) AS BIGINT)").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            det_sum("-(cnt * 1.0 / n) * log2(cnt * 1.0 / n)").alias(
+                "lang_entropy_bits"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 9. quantile normalization of quality scores → decile mix per source
+# --------------------------------------------------------------------------
+
+_QNORM_ORACLE = """
+WITH scored AS (
+    SELECT doc_id, source, n_chars * 1.0 AS score,
+           percent_rank() OVER (ORDER BY n_chars, doc_id) AS pr
+    FROM documents
+)
+SELECT source,
+       CAST(least(CAST(floor(pr * 10) AS BIGINT), 9) AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM scored
+GROUP BY source, least(CAST(floor(pr * 10) AS BIGINT), 9)
+"""
+
+
+@register(
+    "q_quality_decile_mix",
+    oracle=_QNORM_ORACLE,
+    tags=("curation", "quantile-normalization", "mixture"),
+)
+def q_quality_decile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-normalize a quality proxy (n_chars) over the WHOLE
+    corpus, then show each source's decile mix — the table a curation
+    team reads to set per-source sampling weights ("src7 is 40%
+    bottom-decile"). percent_rank with a doc_id tiebreak is fully
+    deterministic cross-engine. The global ORDER BY window is the
+    documented single-reducer instrument at this grain; the 100 TB
+    form replaces percent_rank with approx-quantile bucket edges
+    (q_monthly_value_percentile_bands shows that pattern).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.selectExpr(
+        "source",
+        "percent_rank() OVER (ORDER BY n_chars, doc_id) AS pr",
+    )
+    return (
+        scored.selectExpr(
+            "source",
+            "CAST(least(CAST(floor(pr * 10) AS BIGINT), 9) AS BIGINT)"
+            " AS decile",
+        )
+        .groupBy("source", "decile")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# 10. context-window utilization (token budget truncation report)
+# --------------------------------------------------------------------------
+
+CONTEXT_LEN = 256
+
+_CTX_ORACLE = f"""
+WITH t AS (
+    SELECT source,
+           CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             AS n_tokens
+    FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN n_tokens > {CONTEXT_LEN} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_truncated,
+       CAST(sum(CASE WHEN n_tokens > {CONTEXT_LEN}
+                     THEN n_tokens - {CONTEXT_LEN} ELSE 0 END) AS BIGINT)
+         AS tokens_lost,
+       sum(CASE WHEN n_tokens > {CONTEXT_LEN}
+                THEN n_tokens - {CONTEXT_LEN} ELSE 0 END) * 1.0
+         / sum(n_tokens) AS loss_ratio
+FROM t GROUP BY source
+"""
+
+
+@register(
+    "q_context_window_utilization",
+    oracle=_CTX_ORACLE,
+    tags=("training-prep", "tokens", "truncation"),
+)
+def q_context_window_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget truncation report per source for a {CONTEXT_LEN}-
+    token context window: docs over budget, tokens lost to
+    truncation, and the loss ratio — the numbers that decide between
+    truncating, chunking (q_chunk_documents), or packing
+    (q_pack_sequences) a source. Whitespace tokenization matches the
+    house token-counting convention; integer sums are
+    order-insensitive so no det_sum fold is needed. Map-only until a
+    |source|-row aggregate.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.selectExpr(
+        "source",
+        r"CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tokens",
+    )
+    over = F.when(
+        F.col("n_tokens") > CONTEXT_LEN, F.col("n_tokens") - CONTEXT_LEN
+    ).otherwise(F.lit(0))
+    return t.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum((F.col("n_tokens") > CONTEXT_LEN).cast("int"))
+        .cast("long")
+        .alias("n_truncated"),
+        F.sum(over).cast("long").alias("tokens_lost"),
+        (F.sum(over) * 1.0 / F.sum("n_tokens")).alias("loss_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 11. dedup inflation factor (how much does exact dup inflate a source?)
+# --------------------------------------------------------------------------
+
+_INFLATION_ORACLE = """
+WITH t AS (
+    SELECT doc_id, source, md5(text) AS h,
+           CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             AS n_tokens
+    FROM documents
+),
+reps AS (
+    SELECT h, min(doc_id) AS rep_id FROM t GROUP BY h
+)
+SELECT t.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT t.h) AS BIGINT) AS n_unique_texts,
+       CAST(sum(t.n_tokens) AS BIGINT) AS raw_tokens,
+       CAST(sum(CASE WHEN t.doc_id = r.rep_id THEN t.n_tokens ELSE 0 END)
+            AS BIGINT) AS unique_tokens,
+       sum(t.n_tokens) * 1.0
+         / sum(CASE WHEN t.doc_id = r.rep_id THEN t.n_tokens ELSE 0 END)
+         AS token_inflation
+FROM t JOIN reps r USING (h)
+GROUP BY t.source
+"""
+
+
+@register(
+    "q_dedup_inflation_factor",
+    oracle=_INFLATION_ORACLE,
+    tags=("dedup", "tokens", "diagnostics"),
+)
+def q_dedup_inflation_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate token inflation per source: raw token count vs
+    tokens in one representative (min doc_id) per distinct text — the
+    "effective dataset size" number that decides whether a source's
+    contribution to a token budget is real or copies (a source at
+    inflation 3× contributes a third of what its raw count claims).
+    Shuffle carries md5 + token count per doc (40 B/doc); note the
+    group-by key is the 16-byte hash, never the text.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.selectExpr(
+        "doc_id",
+        "source",
+        "md5(text) AS h",
+        r"CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_tokens",
+    )
+    reps = t.groupBy("h").agg(F.min("doc_id").alias("rep_id"))
+    j = t.join(reps, "h")
+    uniq_tokens = F.sum(
+        F.when(F.col("doc_id") == F.col("rep_id"), F.col("n_tokens")).otherwise(
+            F.lit(0)
+        )
+    )
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("h").cast("long").alias("n_unique_texts"),
+        F.sum("n_tokens").cast("long").alias("raw_tokens"),
+        uniq_tokens.cast("long").alias("unique_tokens"),
+        (F.sum("n_tokens") * 1.0 / uniq_tokens).alias("token_inflation"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 12. log-log price elasticity per brand (closed-form OLS)
+# --------------------------------------------------------------------------
+
+_ELASTICITY_SLOPE = (
+    "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+)
+
+_ELASTICITY_ORACLE = f"""
+WITH obs AS (
+    SELECT p.p_brand,
+           ln(l.l_extendedprice / l.l_quantity) AS x,
+           ln(l.l_quantity) AS y
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_quantity > 0 AND l.l_extendedprice > 0
+),
+m AS (
+    SELECT p_brand,
+           CAST(count(*) AS DOUBLE) AS n,
+           {_DSUM_SQL.format(x="x")} AS sx,
+           {_DSUM_SQL.format(x="y")} AS sy,
+           {_DSUM_SQL.format(x="x * x")} AS sxx,
+           {_DSUM_SQL.format(x="x * y")} AS sxy
+    FROM obs GROUP BY p_brand
+)
+SELECT p_brand,
+       CAST(n AS BIGINT) AS n_lines,
+       {_ELASTICITY_SLOPE} AS elasticity,
+       (sy - {_ELASTICITY_SLOPE} * sx) / n AS log_intercept
+FROM m WHERE n > 1
+"""
+
+
+@register(
+    "q_price_elasticity_by_brand",
+    oracle=_ELASTICITY_ORACLE,
+    tags=("econometrics", "regression", "elasticity"),
+)
+def q_price_elasticity_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand price elasticity of demand: OLS slope of ln(quantity)
+    on ln(unit price) over order lines — THE pricing-analytics number
+    (elasticity < -1 ⇒ revenue rises when price drops). Closed-form
+    moment solution: one partial-aggregated pass to five moments per
+    brand (det_sum folds for replay), slope/intercept as ONE shared
+    expression text. The broadcast dim join (part → brand) is the
+    standard fact-enrichment shape; nothing after the moment pass
+    scales with data.
+    """
+    line = load_table(spark, sf_dir, "lineitem").filter(
+        "l_quantity > 0 AND l_extendedprice > 0"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    obs = line.join(
+        F.broadcast(part), line["l_partkey"] == part["p_partkey"]
+    ).selectExpr(
+        "p_brand",
+        "ln(l_extendedprice / l_quantity) AS x",
+        "ln(l_quantity) AS y",
+    )
+    m = obs.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        det_sum("x").alias("sx"),
+        det_sum("y").alias("sy"),
+        det_sum("x * x").alias("sxx"),
+        det_sum("x * y").alias("sxy"),
+    )
+    return m.filter("n > 1").selectExpr(
+        "p_brand",
+        "CAST(n AS BIGINT) AS n_lines",
+        f"{_ELASTICITY_SLOPE} AS elasticity",
+        f"(sy - {_ELASTICITY_SLOPE} * sx) / n AS log_intercept",
+    )
+
+
+# --------------------------------------------------------------------------
+# 13. IQR outlier fences per market segment
+# --------------------------------------------------------------------------
+
+_IQR_ORACLE = """
+WITH r AS (
+    SELECT c.c_mktsegment, o.o_totalprice AS v,
+           row_number() OVER (
+               PARTITION BY c.c_mktsegment ORDER BY o.o_totalprice, o.o_orderkey
+           ) AS rn,
+           count(*) OVER (PARTITION BY c.c_mktsegment) AS n
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+q AS (
+    SELECT c_mktsegment,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT))
+                    THEN v END) AS q1,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.75 * n) AS BIGINT))
+                    THEN v END) AS q3
+    FROM r GROUP BY c_mktsegment
+)
+SELECT r.c_mktsegment,
+       CAST(max(r.n) AS BIGINT) AS n_orders,
+       max(q.q1) AS q1, max(q.q3) AS q3,
+       max(q.q1) - 1.5 * (max(q.q3) - max(q.q1)) AS lo_fence,
+       max(q.q3) + 1.5 * (max(q.q3) - max(q.q1)) AS hi_fence,
+       CAST(sum(CASE WHEN r.v < q.q1 - 1.5 * (q.q3 - q.q1)
+                       OR r.v > q.q3 + 1.5 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM r JOIN q USING (c_mktsegment)
+GROUP BY r.c_mktsegment
+"""
+
+
+@register(
+    "q_iqr_outlier_fences",
+    oracle=_IQR_ORACLE,
+    tags=("robust-stats", "outliers", "iqr"),
+)
+def q_iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey IQR outlier fences per market segment: exact rank-based
+    Q1/Q3 (ceil(q·n) order statistic, orderkey tiebreak — both
+    engines pick the identical row), fences at 1.5·IQR, and the
+    outlier count — the boxplot-whisker rule as a distributed
+    aggregate, complementing the MAD robust-outlier scan
+    (q_mad_robust_outlier_days) with the segment-grain version.
+    Scale: one per-segment window sort + one grouped pass; fences are
+    scalars per segment.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    r = (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .selectExpr(
+            "c_mktsegment",
+            "o_totalprice AS v",
+            "row_number() OVER (PARTITION BY c_mktsegment "
+            "ORDER BY o_totalprice, o_orderkey) AS rn",
+            "count(*) OVER (PARTITION BY c_mktsegment) AS n",
+        )
+    )
+    q = r.groupBy("c_mktsegment").agg(
+        F.expr(
+            "max(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT))"
+            " THEN v END)"
+        ).alias("q1"),
+        F.expr(
+            "max(CASE WHEN rn = greatest(1, CAST(ceil(0.75 * n) AS BIGINT))"
+            " THEN v END)"
+        ).alias("q3"),
+    )
+    return (
+        r.join(q, "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.expr("CAST(max(n) AS BIGINT)").alias("n_orders"),
+            F.max("q1").alias("q1"),
+            F.max("q3").alias("q3"),
+            F.expr("max(q1) - 1.5 * (max(q3) - max(q1))").alias("lo_fence"),
+            F.expr("max(q3) + 1.5 * (max(q3) - max(q1))").alias("hi_fence"),
+            F.expr(
+                "CAST(sum(CASE WHEN v < q1 - 1.5 * (q3 - q1)"
+                " OR v > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("n_outliers"),
+        )
+    )

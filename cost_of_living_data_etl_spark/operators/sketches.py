@@ -665,10 +665,18 @@ def bottomk_sketch(
     # op per cell. (The first cut kept a per-cell DataFrame dict with
     # concat+nsmallest per batch: ~1 ms × |cells| per batch, 22 s at
     # sf0.01 for the ~12k day×priority cells. Same exact semantics —
-    # local bottom-k per cell by (pri, val) — at ~ms cost.) Memory is
-    # bounded by the compaction cap + one batch, regardless of
-    # partition size.
-    _COMPACT_CAP = 500_000  # rows ≈ 12 MB of (cell, val, pri)
+    # local bottom-k per cell by (pri, val) — at ~ms cost.)
+    #
+    # Compaction is AMORTIZED-DOUBLING, not fixed-threshold: compact
+    # only once the buffer exceeds 2× its size after the previous
+    # compaction (floored at _COMPACT_MIN). A fixed cap below the
+    # irreducible sketch size (|cells|·k rows — 1.5M at sf1.0's 12k
+    # day-cells) degenerates to a full re-sort per batch and went 41×
+    # super-linear in the sf0.1→sf1.0 decade; doubling keeps total
+    # compaction work O(output · log batches) and peak memory at ~2×
+    # the per-partition sketch plus one batch — the sketch itself is
+    # the floor no trim strategy can beat.
+    _COMPACT_MIN = 500_000  # rows ≈ 12 MB of (cell, val, pri)
 
     def _keep_bottomk(pdf: pd.DataFrame) -> pd.DataFrame:
         return (
@@ -679,13 +687,15 @@ def bottomk_sketch(
 
     def trim(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         buf: pd.DataFrame | None = None
+        compacted_size = 0
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             pdf = _keep_bottomk(pdf)
             buf = pdf if buf is None else pd.concat([buf, pdf])
-            if len(buf) > _COMPACT_CAP:
+            if len(buf) > max(_COMPACT_MIN, 2 * compacted_size):
                 buf = _keep_bottomk(buf)
+                compacted_size = len(buf)
         if buf is not None:
             yield _keep_bottomk(buf)
 

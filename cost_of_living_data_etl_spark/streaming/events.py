@@ -526,6 +526,121 @@ def ewma_user_value(events: DataFrame) -> DataFrame:
     )
 
 
+RECENT_K = 5  # ListState window for the recent-value profile
+
+
+class _UserProfileProcessor:
+    """Per-user typed-state profile over ALL THREE TWS state kinds:
+
+    - MapState  "type_counts": event_type → lifetime count (the state
+      shape a per-key frequency table needs — a ValueState would
+      re-serialize the whole dict per update; MapState updates only
+      the touched keys).
+    - ListState "recent_vals": the last RECENT_K event values in
+      (ts, event_id) order (bounded by construction — the trim is the
+      operator's contract, not a watermark side effect).
+    - ValueState "totals": (n_events, det-ordered value total).
+
+    Rows inside a micro-batch fold in (ts, event_id) order, so replay
+    yields byte-identical state — same discipline as the EWMA
+    processor.
+    """
+
+    def init(self, handle) -> None:
+        self._counts = handle.getMapState(
+            "type_counts", "event_type STRING", "cnt BIGINT"
+        )
+        self._recent = handle.getListState("recent_vals", "v DOUBLE")
+        self._totals = handle.getValueState(
+            "totals", "n_events BIGINT, total DOUBLE"
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        batch = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+
+        # MapState: bump only the touched event_type keys
+        for etype, grp in batch.groupby("event_type", sort=True):
+            prev = self._counts.getValue((str(etype),))
+            base = int(prev[0]) if prev is not None else 0
+            self._counts.updateValue((str(etype),), (base + len(grp),))
+
+        # ListState: append new values, trim to the last RECENT_K
+        vals = [float(v) for v in batch["value"].astype("float64")]
+        kept = (
+            [list(t) for t in self._recent.get()]
+            if self._recent.exists()
+            else []
+        )
+        merged = kept + [[v] for v in vals]
+        self._recent.put([tuple(t) for t in merged[-RECENT_K:]])
+
+        # ValueState: running totals
+        n, total = (0, 0.0)
+        if self._totals.exists():
+            n, total = self._totals.get()
+        for v in vals:
+            total += v
+            n += 1
+        self._totals.update((int(n), float(total)))
+
+        recent = [t[0] for t in merged[-RECENT_K:]]
+        n_types = sum(1 for _ in self._counts.keys())
+        top_type, top_cnt = None, -1
+        for (etype,), (cnt,) in self._counts.iterator():
+            # deterministic argmax: count desc, name asc on ties
+            if cnt > top_cnt or (cnt == top_cnt and str(etype) < str(top_type)):
+                top_type, top_cnt = str(etype), int(cnt)
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_events": [int(n)],
+                "n_types": [int(n_types)],
+                "top_type": [top_type],
+                "top_type_count": [int(top_cnt)],
+                "recent_mean": [float(sum(recent) / len(recent))],
+                "total_value": [float(total)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+
+def user_profile_typed_state(events: DataFrame) -> DataFrame:
+    """Per-user activity profile via transformWithStateInPandas using
+    ValueState + ListState + MapState together: lifetime event count
+    and value total, per-type counts with a deterministic top type,
+    and the mean of the last RECENT_K values.
+
+    State is O(|event types| + RECENT_K) per user — constant in
+    history length. Emits one row per user per micro-batch (update
+    mode). Requires the RocksDB state store; the protobuf state-server
+    protocol is served by the vendored wire runtime where the real
+    wheel is absent.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc = type(
+        "UserProfileProcessor", (_UserProfileProcessor, StatefulProcessor), {}
+    )()
+    return events.groupBy("user_id").transformWithStateInPandas(
+        proc,
+        outputStructType=(
+            "user_id BIGINT, n_events BIGINT, n_types BIGINT, "
+            "top_type STRING, top_type_count BIGINT, "
+            "recent_mean DOUBLE, total_value DOUBLE"
+        ),
+        outputMode="update",
+        timeMode="none",
+    )
+
+
 def click_purchase_attribution_outer(
     events: DataFrame,
     horizon_min: int = 30,

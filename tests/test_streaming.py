@@ -693,3 +693,78 @@ def test_cusum_monitor_carries_state_across_batches(spark, tmp_path):
     for et in want:
         assert got[et][0] == want[et][0]
         assert abs(got[et][1] - want[et][1]) < 1e-9
+
+
+def test_transform_with_state_user_profile(spark, stream_dir):
+    """transformWithStateInPandas exercising ValueState + ListState +
+    MapState in ONE processor (and, underneath, the full breadth of
+    the state-server protocol: map iterator/keys/getValue/updateValue,
+    list get/put, value get/update). Final per-user profile must equal
+    the same (ts, event_id)-ordered fold computed locally."""
+    from cost_of_living_data_etl_spark.streaming.events import (
+        RECENT_K,
+        user_profile_typed_state,
+    )
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = user_profile_typed_state(read_events_stream(spark, stream_dir))
+        name = f"tws_profile_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        got = {
+            r["user_id"]: (
+                r["n_events"],
+                r["n_types"],
+                r["top_type"],
+                r["top_type_count"],
+                r["recent_mean"],
+                r["total_value"],
+            )
+            for r in spark.table(name).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+    pdf = (
+        spark.read.parquet(stream_dir)
+        .select("user_id", "ts", "event_id", "event_type", "value")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+    )
+    assert len(got) == pdf["user_id"].nunique()
+    for uid, grp in pdf.groupby("user_id"):
+        counts = grp["event_type"].value_counts().to_dict()
+        top_type = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        vals = [float(v) for v in grp["value"]]
+        recent = vals[-RECENT_K:]
+        total = 0.0
+        for v in vals:
+            total += v
+        want = (
+            len(grp),
+            len(counts),
+            top_type[0],
+            top_type[1],
+            sum(recent) / len(recent),
+            total,
+        )
+        g = got[uid]
+        assert g[:4] == want[:4], (uid, g, want)
+        assert abs(g[4] - want[4]) < 1e-9 and abs(g[5] - want[5]) < 1e-9, uid

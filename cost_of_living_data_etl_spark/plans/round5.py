@@ -952,3 +952,292 @@ def q_iqr_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("n_outliers"),
         )
     )
+
+
+# ==========================================================================
+# round-5 batch 2 (registered after the 13 above; driver-verified round 6)
+# ==========================================================================
+
+# --------------------------------------------------------------------------
+# 14. Markov transition matrix over per-user event sequences
+# --------------------------------------------------------------------------
+
+_MARKOV_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+           ) AS next_type
+    FROM events
+),
+c AS (
+    SELECT event_type, next_type, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+),
+tot AS (
+    SELECT event_type, sum(n) AS row_n FROM c GROUP BY event_type
+)
+SELECT c.event_type, c.next_type, c.n,
+       c.n * 1.0 / t.row_n AS p_transition
+FROM c JOIN tot t USING (event_type)
+"""
+
+
+@register(
+    "q_markov_event_transitions",
+    oracle=_MARKOV_ORACLE,
+    tags=("sequence", "markov", "behavior"),
+)
+def q_markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: P(next event type | current), from lead() pairs ordered
+    by (ts, event_id). The behavioral fingerprint behind next-action
+    prediction and funnel-anomaly detection (a sudden drop in
+    view→purchase probability is a checkout regression). Scale: one
+    window shuffle on user_id, then a |types|²-bounded aggregate;
+    probabilities are single divisions of exact BIGINTs — bit-identical
+    cross-engine.
+    """
+    events = load_table(spark, sf_dir, "events")
+    seq = events.selectExpr(
+        "user_id",
+        "event_type",
+        "lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+        " AS next_type",
+    )
+    c = (
+        seq.filter("next_type IS NOT NULL")
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    tot = c.groupBy("event_type").agg(F.sum("n").alias("row_n"))
+    return c.join(tot, "event_type").select(
+        "event_type",
+        "next_type",
+        "n",
+        (F.col("n") * 1.0 / F.col("row_n")).alias("p_transition"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 16. tokenizer fertility by language (BPE-ish regex vs whitespace)
+# --------------------------------------------------------------------------
+
+#: GPT-2-style pretokenizer shape, shared by both engines: word pieces,
+#: number runs, or single non-space symbols.
+_BPEISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+_FERTILITY_ORACLE = f"""
+WITH t AS (
+    SELECT lang,
+           CAST(length(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+             AS n_words,
+           CAST(length(regexp_extract_all(text, '{_BPEISH}')) AS BIGINT)
+             AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_words) AS BIGINT) AS total_words,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       sum(n_tokens) * 1.0 / sum(n_words) AS tokens_per_word,
+       sum(n_chars) * 1.0 / sum(n_tokens) AS chars_per_token
+FROM t GROUP BY lang
+"""
+
+
+@register(
+    "q_tokenizer_fertility_by_lang",
+    oracle=_FERTILITY_ORACLE,
+    tags=("text", "tokens", "tokenizer"),
+)
+def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word and characters per token — the numbers that expose when a
+    tokenizer trained on one language explodes another into symbol
+    soup (fertility 3× ⇒ that language pays 3× the context budget for
+    the same text). One regex pass in the scan projection (counts
+    only cross the Exchange), exact-integer sums, |langs| output rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # Spark SQL string literals process backslash escapes ('\s' parses
+    # as plain 's'!) while DuckDB's keep them — same regex, doubled
+    # backslashes on the Spark side only (house convention for every
+    # \s+ split above).
+    bpeish_spark = _BPEISH.replace("\\", "\\\\")
+    t = docs.selectExpr(
+        "lang",
+        r"CAST(size(split(trim(text), '\\s+')) AS BIGINT) AS n_words",
+        f"CAST(size(regexp_extract_all(text, '{bpeish_spark}', 0)) AS BIGINT)"
+        " AS n_tokens",
+        "CAST(length(text) AS BIGINT) AS n_chars",
+    )
+    return t.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.sum("n_tokens") * 1.0 / F.sum("n_words")).alias("tokens_per_word"),
+        (F.sum("n_chars") * 1.0 / F.sum("n_tokens")).alias("chars_per_token"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 17. effective number of sources (inverse Simpson over token shares)
+# --------------------------------------------------------------------------
+
+_EFFSRC_ORACLE = """
+WITH t AS (
+    SELECT source,
+           CAST(sum(length(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+             AS toks
+    FROM documents GROUP BY source
+),
+tot AS (SELECT sum(toks) AS n FROM t)
+SELECT CAST(count(*) AS BIGINT) AS n_sources,
+       CAST(max(tot.n) AS BIGINT) AS total_tokens,
+       1.0 / sum((toks * 1.0 / tot.n) * (toks * 1.0 / tot.n))
+         AS effective_sources,
+       max(toks) * 1.0 / max(tot.n) AS max_share
+FROM t CROSS JOIN tot
+"""
+
+
+@register(
+    "q_effective_source_count",
+    oracle=_EFFSRC_ORACLE,
+    tags=("mixture", "diversity", "diagnostics"),
+)
+def q_effective_source_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-Simpson "effective number of sources" over token
+    shares: 1/Σs² — equals k when k sources contribute equally,
+    collapses toward 1 as one source dominates. The single number a
+    mixture design review asks for first (20 sources at effective 2.3
+    is a monoculture). The Simpson sum folds |sources| exact-ratio
+    squares — at 20 terms the sum is order-insensitive-enough ONLY
+    with identical addends, so both engines sum the identical doubles
+    over the same 20-row frame; count/total are exact BIGINTs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.groupBy("source").agg(
+        F.expr(
+            r"CAST(sum(size(split(trim(text), '\\s+'))) AS BIGINT)"
+        ).alias("toks")
+    )
+    tot = t.agg(F.sum("toks").alias("n"))
+    return (
+        t.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sources"),
+            F.expr("CAST(max(n) AS BIGINT)").alias("total_tokens"),
+            (
+                F.lit(1.0)
+                / F.sum(
+                    (F.col("toks") * 1.0 / F.col("n"))
+                    * (F.col("toks") * 1.0 / F.col("n"))
+                )
+            ).alias("effective_sources"),
+            (F.max("toks") * 1.0 / F.max("n")).alias("max_share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 18. rolling z-score anomaly days on daily revenue
+# --------------------------------------------------------------------------
+
+ROLL_WIN = 28  # trailing window (days), current day EXCLUDED
+Z_CUT = "3.0"
+
+_ROLLZ_ORACLE = f"""
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           {_DSUM_SQL.format(x="o_totalprice")} AS rev
+    FROM orders GROUP BY 1
+),
+wl AS (
+    SELECT day, rev,
+           count(*) OVER trail AS n_win,
+           list(rev) OVER trail AS l1,
+           list(rev * rev) OVER trail AS l2
+    FROM daily
+    WINDOW trail AS (ORDER BY day ROWS BETWEEN {ROLL_WIN} PRECEDING
+                     AND 1 PRECEDING)
+),
+w AS (
+    SELECT day, rev, n_win,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(l1)),
+                       (a, b) -> a + b) AS s,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(l2)),
+                       (a, b) -> a + b) AS ssq
+    FROM wl
+)
+SELECT day, rev, z_score
+FROM (
+    SELECT day, rev,
+           CASE WHEN n_win >= {ROLL_WIN} THEN
+               (rev - s / n_win)
+                 / sqrt(greatest(ssq / n_win - (s / n_win) * (s / n_win),
+                                 CAST(1e-12 AS DOUBLE)))
+           END AS z_score
+    FROM w
+)
+WHERE z_score IS NOT NULL AND abs(z_score) >= CAST({Z_CUT} AS DOUBLE)
+ORDER BY day
+"""
+
+
+@register(
+    "q_rolling_zscore_anomaly_days",
+    oracle=_ROLLZ_ORACLE,
+    tags=("anomaly", "rolling", "time-series"),
+)
+def q_rolling_zscore_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-window z-score anomalies: days whose revenue sits
+    ≥{Z_CUT}σ from the mean of the PRIOR {ROLL_WIN} days (current day
+    excluded, so an anomaly can't suppress its own alarm — the
+    leave-current-out discipline the seasonal detector
+    q_seasonal_adjusted_anomalies applies by residual). Windowed
+    det_sum folds keep the rolling moments bit-replayable; variance
+    floored at 1e-12 so a flat window can't divide by zero. One daily
+    pre-aggregate, one ordered window over |days| rows.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.expr("CAST(o_orderdate AS DATE)").alias("day")
+    ).agg(det_sum("o_totalprice").alias("rev"))
+    trail = (
+        f"OVER (ORDER BY day ROWS BETWEEN {ROLL_WIN} PRECEDING"
+        " AND 1 PRECEDING)"
+    )
+    dsum_rev = (
+        "aggregate(array_sort(collect_list(rev) {w}), CAST(0.0 AS DOUBLE),"
+        " (a, x) -> a + x)"
+    )
+    dsum_rev2 = (
+        "aggregate(array_sort(collect_list(rev * rev) {w}),"
+        " CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+    )
+    w = daily.selectExpr(
+        "day",
+        "rev",
+        f"count(*) {trail} AS n_win",
+        f"{dsum_rev.format(w=trail)} AS s",
+        f"{dsum_rev2.format(w=trail)} AS ssq",
+    )
+    # the CASE guard keeps the division out of empty leading frames
+    # (n_win = 0): ANSI Spark raises DIVIDE_BY_ZERO even when a later
+    # filter would discard the row — predicate order is not guaranteed
+    z = (
+        f"CASE WHEN n_win >= {ROLL_WIN} THEN"
+        " (rev - s / n_win) / sqrt(greatest(ssq / n_win"
+        " - (s / n_win) * (s / n_win), CAST(1e-12 AS DOUBLE))) END"
+    )
+    return (
+        w.selectExpr("day", "rev", f"{z} AS z_score")
+        .filter(
+            f"z_score IS NOT NULL AND abs(z_score) >= CAST({Z_CUT} AS DOUBLE)"
+        )
+        .orderBy("day")
+    )

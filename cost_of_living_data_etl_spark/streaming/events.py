@@ -641,6 +641,142 @@ def user_profile_typed_state(events: DataFrame) -> DataFrame:
     )
 
 
+class _SeededTotalsProcessor:
+    """Per-user running totals WARM-STARTED from a batch snapshot via
+    TWS ``initialState`` — the replatforming pattern: carry a running
+    aggregate out of an old system (or a batch backfill) and continue
+    it exactly, instead of replaying history or accepting a reset.
+    ``handleInitialState`` fires once per key before any input rows.
+    """
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState(
+            "seeded_totals", "n_events BIGINT, total DOUBLE"
+        )
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        row = initialState.iloc[0]
+        self._totals.update((int(row["n_events"]), float(row["total"])))
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, total = (0, 0.0)
+        if self._totals.exists():
+            n, total = self._totals.get()
+        batch = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+        for v in batch["value"].astype("float64"):
+            total += float(v)
+            n += 1
+        self._totals.update((int(n), float(total)))
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_events": [int(n)],
+                "total": [float(total)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+
+def seeded_user_totals(events: DataFrame, snapshot: DataFrame) -> DataFrame:
+    """Running per-user totals seeded from ``snapshot`` (columns
+    user_id, n_events, total) and continued over the stream —
+    transformWithStateInPandas with ``initialState``. State stays
+    O(1) per user; keys present only in the snapshot keep their
+    seeded value until their first event arrives.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc = type(
+        "SeededTotalsProcessor", (_SeededTotalsProcessor, StatefulProcessor), {}
+    )()
+    return events.groupBy("user_id").transformWithStateInPandas(
+        proc,
+        outputStructType="user_id BIGINT, n_events BIGINT, total DOUBLE",
+        outputMode="update",
+        timeMode="none",
+        initialState=snapshot.groupBy("user_id"),
+    )
+
+
+INACTIVITY_GAP_MS = 10 * 60 * 1000  # event-time inactivity horizon
+
+
+class _InactivityTimerProcessor:
+    """Event-time TIMERS: flag a user inactive once the WATERMARK
+    passes last_seen + gap — the push-based complement to the batch
+    session cut (q_events_sessionization derives the same boundary by
+    sorting history; this emits it the moment event time establishes
+    it, with O(1) state per user).
+
+    Timer discipline: exactly one live timer per user — each batch
+    deletes the previous registration (handle.deleteTimer) and
+    re-registers at the new last_seen + gap, so a chatty user never
+    accumulates stale timers in the store.
+    """
+
+    def init(self, handle) -> None:
+        self._handle = handle
+        self._last = handle.getValueState("last_seen", "last_ms BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues):
+        batch = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+        new_last = int(batch["ts"].max().timestamp() * 1000)
+        if self._last.exists():
+            (prev_ms,) = self._last.get()
+            self._handle.deleteTimer(int(prev_ms) + INACTIVITY_GAP_MS)
+            new_last = max(new_last, int(prev_ms))
+        self._last.update((new_last,))
+        self._handle.registerTimer(new_last + INACTIVITY_GAP_MS)
+        return iter(())  # output only on expiry
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        yield pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "inactive_at_ms": [int(expiredTimerInfo.getExpiryTimeInMs())],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+
+def user_inactivity_flags(
+    events: DataFrame, watermark_delay: str = "1 second"
+) -> DataFrame:
+    """Per-user inactivity flags via event-time timers
+    (transformWithStateInPandas, timeMode="eventTime"): one row per
+    user each time the watermark passes their last event + gap.
+    Requires a watermark on ts (timers fire off the watermark, never
+    wall clock — replay-deterministic, unlike processing-time mode).
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc = type(
+        "InactivityTimerProcessor",
+        (_InactivityTimerProcessor, StatefulProcessor),
+        {},
+    )()
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            proc,
+            outputStructType="user_id BIGINT, inactive_at_ms BIGINT",
+            outputMode="append",
+            timeMode="eventTime",
+        )
+    )
+
+
 def click_purchase_attribution_outer(
     events: DataFrame,
     horizon_min: int = 30,

@@ -768,3 +768,168 @@ def test_transform_with_state_user_profile(spark, stream_dir):
         g = got[uid]
         assert g[:4] == want[:4], (uid, g, want)
         assert abs(g[4] - want[4]) < 1e-9 and abs(g[5] - want[5]) < 1e-9, uid
+
+
+def test_transform_with_state_initial_state_warm_start(spark, stream_dir):
+    """TWS initialState: totals seeded from a batch snapshot must
+    continue EXACTLY — streaming the same file over a snapshot built
+    from it yields doubled counts and totals (state migration without
+    replay or reset)."""
+    from cost_of_living_data_etl_spark.streaming.events import (
+        seeded_user_totals,
+    )
+
+    snapshot = (
+        spark.read.parquet(stream_dir)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total"),
+        )
+    )
+    base = {
+        r["user_id"]: (r["n_events"], r["total"])
+        for r in snapshot.collect()
+    }
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = seeded_user_totals(
+            read_events_stream(spark, stream_dir), snapshot
+        )
+        name = f"tws_seeded_{uuid.uuid4().hex[:8]}"
+        q = (
+            stream.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        got = {
+            r["user_id"]: (r["n_events"], r["total"])
+            for r in spark.table(name).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+    assert set(got) == set(base)
+    for uid, (n0, t0) in base.items():
+        assert got[uid][0] == 2 * n0, uid
+        assert abs(got[uid][1] - 2 * t0) < 1e-6, uid
+
+
+def test_transform_with_state_event_time_timers(spark, tmp_path):
+    """Event-time TIMERS e2e: three files land across three query
+    lifetimes (one checkpoint). Users who go quiet must get an
+    inactivity row at EXACTLY last_seen + gap once the watermark
+    passes it — timers fire off event time, so the expected rows are
+    fully deterministic (no wall-clock in the assertion)."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from cost_of_living_data_etl_spark.streaming.events import (
+        INACTIVITY_GAP_MS,
+        user_inactivity_flags,
+    )
+
+    src = tmp_path / "timer_stream"
+    src.mkdir()
+    t0 = datetime.datetime(2024, 1, 1, 10, 0, 0)
+
+    def write_batch(name, rows):
+        pq.write_table(
+            pa.table(
+                {
+                    "event_id": pa.array(
+                        [r[0] for r in rows], pa.int64()
+                    ),
+                    "ts": pa.array(
+                        [r[1] for r in rows], pa.timestamp("us")
+                    ),
+                    "user_id": pa.array(
+                        [r[2] for r in rows], pa.int64()
+                    ),
+                    "event_type": pa.array(
+                        ["view"] * len(rows), pa.string()
+                    ),
+                    "value": pa.array(
+                        [1.0] * len(rows), pa.float64()
+                    ),
+                    "props": pa.array(["{}"] * len(rows), pa.string()),
+                }
+            ),
+            str(src / name),
+        )
+
+    out = str(tmp_path / "flags_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_lifetime():
+        stream = user_inactivity_flags(read_events_stream(spark, str(src)))
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        # batch 1: users 1, 2, 3 at 10:00
+        write_batch("a.parquet", [(1, t0, 1), (2, t0, 2), (3, t0, 3)])
+        run_lifetime()
+        # batch 2: only user 1 returns at 11:00 -> watermark jumps past
+        # 10:10, so users 2 and 3 (and the old user-1 timer, which the
+        # processor DELETED on re-registration) are adjudicated
+        t1 = t0 + datetime.timedelta(hours=1)
+        write_batch("b.parquet", [(4, t1, 1)])
+        run_lifetime()
+        # batch 3: a far-future tick advances the watermark past user
+        # 1's 11:10 timer
+        t2 = t0 + datetime.timedelta(hours=3)
+        write_batch("c.parquet", [(5, t2, 99)])
+        run_lifetime()
+        got = {
+            (r["user_id"], r["inactive_at_ms"])
+            for r in spark.read.parquet(out).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
+
+    ms0 = int(t0.timestamp() * 1000)
+    ms1 = int((t0 + datetime.timedelta(hours=1)).timestamp() * 1000)
+    # users 2/3 inactive at 10:00+gap; user 1 re-registered, inactive
+    # at 11:00+gap; user 1's ORIGINAL 10:10 timer must NOT have fired
+    # (deleteTimer) — exactly these three rows
+    want = {
+        (2, ms0 + INACTIVITY_GAP_MS),
+        (3, ms0 + INACTIVITY_GAP_MS),
+        (1, ms1 + INACTIVITY_GAP_MS),
+    }
+    assert got == want, (sorted(got), sorted(want))

@@ -1241,3 +1241,248 @@ def q_rolling_zscore_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("day")
     )
+
+
+# --------------------------------------------------------------------------
+# 18. connected components by alternating large-star / small-star
+# --------------------------------------------------------------------------
+
+CC_STAR_MAX_ROUNDS = 12  # ≥ log²(n) for any conceivable dup graph
+
+
+@register(
+    "q_dedup_clusters_star",
+    oracle=None,  # set below: shares q_dedup_clusters' recursive-CTE oracle
+    tags=("dedup", "clustering", "iterative", "graph"),
+)
+def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components by alternating LARGE-STAR / SMALL-STAR
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) over the near-dup pair graph — same output contract as
+    q_dedup_clusters (doc_id → min doc_id of its component, singletons
+    included), different algorithm: label propagation needs
+    O(diameter) rounds, star contraction converges in O(log² n)
+    WHATEVER the diameter, which is why it is the 100 TB-scale CC
+    algorithm (long chains — crawl redirect families, quote chains —
+    kill propagation, not contraction).
+
+    Round shape (both phases are one groupBy over the edge list):
+      large-star: per node u, m = min(N(u) ∪ {u}); link every
+                  LARGER neighbor v > u to m.
+      small-star: per node u, m = min(N(u) ∪ {u}); link every
+                  neighbor v ≤ u (and u itself) to m.
+    Edges stay (node, node) pairs — the shuffle is |edges| ids per
+    round, text never enters. Convergence = edge multiset stable,
+    detected by a 2-scalar aggregate (count + xor-ish hash sum), so
+    the driver never collects data-scale state; localCheckpoint per
+    round truncates lineage exactly like the sibling implementation.
+    """
+    from cost_of_living_data_etl_spark.operators.dedup import (
+        minhash_pair_plan,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    pairs = minhash_pair_plan(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    # undirected edge list, larger endpoint first (canonical direction)
+    edges = (
+        pairs.selectExpr("doc_id_1 AS u", "doc_id_2 AS v")
+        .unionAll(pairs.selectExpr("doc_id_2 AS u", "doc_id_1 AS v"))
+        .localCheckpoint()
+    )
+
+    def edge_fingerprint(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("u", "v") % F.lit(1_000_000_007)), F.lit(0)
+            ).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        nbr_min = e.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        j = e.join(nbr_min, "u")
+        if large:
+            linked = j.filter(F.col("v") > F.col("u")).select(
+                F.col("v").alias("a"), F.col("m").alias("b")
+            )
+        else:
+            linked = (
+                j.filter(F.col("v") <= F.col("u"))
+                .select(F.col("v").alias("a"), F.col("m").alias("b"))
+                .unionAll(
+                    nbr_min.select(
+                        F.col("u").alias("a"), F.col("m").alias("b")
+                    )
+                )
+            )
+        out = (
+            linked.filter(F.col("a") != F.col("b"))
+            .distinct()
+            .selectExpr("a AS u", "b AS v")
+            .unionAll(
+                linked.filter(F.col("a") != F.col("b"))
+                .distinct()
+                .selectExpr("b AS u", "a AS v")
+            )
+        )
+        return out.localCheckpoint()
+
+    fp = edge_fingerprint(edges)
+    for _ in range(CC_STAR_MAX_ROUNDS):
+        edges = star(edges, large=True)
+        edges = star(edges, large=False)
+        nfp = edge_fingerprint(edges)
+        if nfp == fp:
+            break
+        fp = nfp
+
+    # after convergence every edge is (member, component-min)
+    labels = edges.groupBy("u").agg(F.min("v").alias("lbl"))
+    members = labels.select(
+        F.col("u").alias("doc_id"),
+        F.least("u", "lbl").alias("cluster_id"),
+    )
+    return (
+        docs.join(members, docs["id"] == members["doc_id"], "left")
+        .select(
+            F.col("id").cast("long").alias("doc_id"),
+            F.coalesce("cluster_id", "id").cast("long").alias("cluster_id"),
+        )
+    )
+
+
+def _wire_star_oracle() -> None:
+    """Share q_dedup_clusters' recursive-CTE oracle verbatim: both
+    algorithms must produce the identical component labeling."""
+    from cost_of_living_data_etl_spark.operators.dedup import (
+        _CLUSTERS_ORACLE,
+    )
+    from cost_of_living_data_etl_spark.plans.catalog import _REGISTRY, QuerySpec
+
+    spec = _REGISTRY["q_dedup_clusters_star"]
+    _REGISTRY["q_dedup_clusters_star"] = QuerySpec(
+        name=spec.name,
+        fn=spec.fn,
+        oracle=_CLUSTERS_ORACLE,
+        doc=spec.doc,
+        tags=spec.tags,
+    )
+
+
+_wire_star_oracle()
+
+
+# --------------------------------------------------------------------------
+# 19. bigram-LM perplexity scoring (CCNet-style LM quality filter)
+# --------------------------------------------------------------------------
+
+LM_BUCKETS = 1024  # hashed vocab (collisions merge identically cross-engine)
+LM_TOPK = 25
+
+#: ln P(w2|w1) with add-one smoothing over the hashed vocab — ONE text.
+_LM_LOGP = "ln((c2 + 1.0) / (c1 + CAST({B} AS DOUBLE)))".format(B=LM_BUCKETS)
+
+_LM_ORACLE = f"""
+WITH toks AS (
+    SELECT doc_id,
+           list_transform(string_split_regex(trim(lower(text)), '\\s+'),
+               w -> CAST('0x' || substr(md5(w), 1, 13) AS BIGINT)
+                    % {LM_BUCKETS}) AS ws
+    FROM documents
+),
+big AS (
+    SELECT doc_id, unnest(ws[1:length(ws) - 1]) AS w1,
+           unnest(ws[2:length(ws)]) AS w2
+    FROM toks WHERE length(ws) >= 2
+),
+c2t AS (
+    SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM big GROUP BY w1, w2
+),
+c1t AS (
+    SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM big GROUP BY w1
+),
+scored AS (
+    SELECT b.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           {_DSUM_SQL.format(x=f"-({_LM_LOGP})")} AS nll
+    FROM big b JOIN c2t USING (w1, w2) JOIN c1t USING (w1)
+    GROUP BY b.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, n_bigrams,
+       nll / n_bigrams AS cross_entropy,
+       exp(nll / n_bigrams) AS perplexity
+FROM scored
+ORDER BY perplexity DESC, doc_id
+LIMIT {LM_TOPK}
+"""
+
+
+@register(
+    "q_bigram_lm_perplexity",
+    oracle=_LM_ORACLE,
+    tags=("curation", "language-model", "perplexity"),
+)
+def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM perplexity per document — the
+    {LM_TOPK} least-corpus-like docs. The CCNet/Gopher recipe class:
+    train a cheap LM on the corpus itself (here add-one-smoothed
+    bigrams over a {LM_BUCKETS}-bucket hashed vocab), score every doc
+    by cross-entropy, and the tail is gibberish / lorem / wrong-
+    language material no single-doc heuristic flags. Complements the
+    word-level unigram surprisal and char-trigram entropy filters
+    with CONTEXT (a doc of real words in impossible ORDER scores high
+    here and normal there).
+
+    Scale shape: words hash to bucket ids inside the scan projection
+    (no strings cross an Exchange); bigram extraction is an in-row
+    zip + one explode; the two count tables are vocab-bounded
+    (≤ {LM_BUCKETS}² and ≤ {LM_BUCKETS} rows) so the scoring joins
+    shuffle bounded model state plus (doc_id, w1, w2) triples —
+    linear in corpus tokens. Per-doc NLL is a det_sum fold; the final
+    top-k is a TakeOrdered, not a global sort.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # \\s doubled for Spark's escape-processing string literals
+    toks = docs.selectExpr(
+        "doc_id",
+        r"transform(split(trim(lower(text)), '\\s+'),"
+        f" w -> CAST(conv(substr(md5(w), 1, 13), 16, 10) AS BIGINT)"
+        f" % {LM_BUCKETS}) AS ws",
+    )
+    big = (
+        toks.filter("size(ws) >= 2")
+        .selectExpr(
+            "doc_id",
+            "explode(arrays_zip(slice(ws, 1, size(ws) - 1),"
+            " slice(ws, 2, size(ws) - 1))) AS bg",
+        )
+        .selectExpr("doc_id", "bg.`0` AS w1", "bg.`1` AS w2")
+    )
+    c2t = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    c1t = big.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    scored = (
+        big.join(c2t, ["w1", "w2"])
+        .join(c1t, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            det_sum(f"-({_LM_LOGP})").alias("nll"),
+        )
+    )
+    return (
+        scored.selectExpr(
+            "CAST(doc_id AS BIGINT) AS doc_id",
+            "n_bigrams",
+            "nll / n_bigrams AS cross_entropy",
+            "exp(nll / n_bigrams) AS perplexity",
+        )
+        .orderBy(F.col("perplexity").desc(), "doc_id")
+        .limit(LM_TOPK)
+    )

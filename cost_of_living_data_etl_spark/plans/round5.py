@@ -1285,7 +1285,17 @@ def q_dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id")
     )
     pairs = minhash_pair_plan(spark, sf_dir).select("doc_id_1", "doc_id_2")
-    # undirected edge list, larger endpoint first (canonical direction)
+    return star_components(docs, pairs)
+
+
+def star_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Large-star/small-star CC over (doc_id_1, doc_id_2) pairs; docs
+    is the full node frame (column ``id``) so singletons label
+    themselves. Factored out of the catalog query so the O(log² n)
+    round-count claim is testable on synthetic long-chain graphs
+    (tests/test_round5.py) where label propagation's O(diameter)
+    would need hundreds of rounds."""
+    # undirected edge list, both directions
     edges = (
         pairs.selectExpr("doc_id_1 AS u", "doc_id_2 AS v")
         .unionAll(pairs.selectExpr("doc_id_2 AS u", "doc_id_1 AS v"))

@@ -117,3 +117,77 @@ def test_handle_state_request_bytes_golden():
         )
     )
     assert req.SerializeToString() == b"\x12\x04\x0a\x02\x08\x05"
+
+
+# --------------------------------------------------------------------------
+# property-based hardening (hypothesis): the shim is the transport for
+# ALL transformWithStateInPandas traffic, so fuzz the round trip
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+_i32 = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(v=_i64)
+def test_prop_int64_roundtrip(v):
+    m = sm.RegisterTimer(expiryTimestampMs=v)
+    back = sm.RegisterTimer()
+    back.ParseFromString(m.SerializeToString())
+    assert back.expiryTimestampMs == v
+
+
+@settings(max_examples=200, deadline=None)
+@given(v=_i32)
+def test_prop_int32_roundtrip(v):
+    m = sm.StateResponse(statusCode=v)
+    back = sm.StateResponse()
+    back.ParseFromString(m.SerializeToString())
+    assert back.statusCode == v
+
+
+@settings(max_examples=200, deadline=None)
+@given(s=st.text(max_size=200), b=st.binary(max_size=200))
+def test_prop_string_bytes_roundtrip(s, b):
+    m = sm.StateResponse(statusCode=1, errorMessage=s, value=b)
+    back = sm.StateResponse()
+    back.ParseFromString(m.SerializeToString())
+    assert (back.statusCode, back.errorMessage, back.value) == (1, s, b)
+
+
+@settings(max_examples=100, deadline=None)
+@given(vals=st.lists(st.binary(max_size=64), max_size=30), f=st.booleans())
+def test_prop_repeated_bytes_roundtrip(vals, f):
+    m = sm.ListStatePut(value=vals, fetchWithArrow=f)
+    back = sm.ListStatePut()
+    back.ParseFromString(m.SerializeToString())
+    assert back.value == vals
+    assert back.fetchWithArrow is f
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    name=st.text(max_size=50),
+    schema=st.text(max_size=100),
+    ttl=st.one_of(st.none(), st.integers(min_value=0, max_value=2**62)),
+)
+def test_prop_nested_request_roundtrip_and_stability(name, schema, ttl):
+    cmd = sm.StateCallCommand()
+    cmd.stateName = name
+    cmd.schema = schema
+    if ttl is not None:
+        cmd.ttl.durationMs = ttl
+    req = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(getValueState=cmd)
+    )
+    data = req.SerializeToString()
+    back = sm.StateRequest()
+    back.ParseFromString(data)
+    got = back.statefulProcessorCall.getValueState
+    assert (got.stateName, got.schema) == (name, schema)
+    if ttl is not None:
+        assert got.ttl.durationMs == ttl
+    # serialize(parse(x)) is byte-stable (fields emit in number order)
+    assert back.SerializeToString() == data

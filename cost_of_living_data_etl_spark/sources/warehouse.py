@@ -179,6 +179,67 @@ class Warehouse:
         shutil.rmtree(target_path)
         shutil.move(tmp_path, target_path)
 
+    def delete_where(
+        self,
+        spark: SparkSession,
+        table: str,
+        predicate: str,
+    ) -> dict:
+        """Row-level DELETE (copy-on-write): rewrite the table without
+        rows matching ``predicate``; returns an audit dict
+        {"before": n, "deleted": n, "after": n}. Idempotent — a
+        re-run deletes 0 and rewrites nothing.
+
+        Parquet has no row-level delete, so like merge_upsert this is
+        the rewrite Delta/Iceberg DELETE lowers to, minus the log. At
+        100 TB bind it to a catalog DELETE; the audit contract (the
+        numbers a privacy officer files) is what this layer owns.
+        """
+        import shutil
+        import uuid
+
+        target_path = self.path(table)
+        target = _read_target_or_none(spark, target_path)
+        if target is None:
+            return {"before": 0, "deleted": 0, "after": 0}
+        before = target.count()
+        kept = target.filter(f"NOT ({predicate})")
+        after = kept.count()
+        if after == before:
+            return {"before": before, "deleted": 0, "after": after}
+        tmp_path = f"{self.root}/.staging-{table}-{uuid.uuid4().hex[:8]}"
+        kept.write.mode("overwrite").parquet(tmp_path)
+        shutil.rmtree(target_path)
+        shutil.move(tmp_path, target_path)
+        return {"before": before, "deleted": before - after, "after": after}
+
+    def forget_subject(
+        self,
+        spark: SparkSession,
+        subject_col_by_table: dict[str, str],
+        subject_ids: list,
+    ) -> dict[str, dict]:
+        """Right-to-be-forgotten propagation: delete every row whose
+        subject column is in ``subject_ids`` across ALL the mapped
+        tables, returning the per-table audit the deletion request
+        needs ({table: {"before", "deleted", "after"}}).
+
+        One `delete_where` per table — each an independent
+        copy-on-write rewrite, so a crash mid-sweep leaves completed
+        tables deleted and the re-run (idempotent per table) finishes
+        the rest; the audit shows exactly which tables still carried
+        the subject. Scale shape: the predicate is an IN-list pushed
+        to the parquet scan (deletion batches are thousands of ids —
+        broadcastable), so each rewrite is one filtered scan + write.
+        """
+        quoted = ", ".join(repr(v) for v in subject_ids)
+        return {
+            table: self.delete_where(
+                spark, table, f"{col} IN ({quoted})"
+            )
+            for table, col in sorted(subject_col_by_table.items())
+        }
+
     def save_bucketed(
         self,
         df: DataFrame,

@@ -422,3 +422,45 @@ def test_orc_parquet_format_parity(spark, tmp_path, sf_smoke):
         assert "PushedFilters" in plan and "o_totalprice" in plan.split(
             "PushedFilters"
         )[1].split("]")[0]
+
+
+def test_delete_where_rewrites_and_audits(spark, tmp_path):
+    from cost_of_living_data_etl_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    df = spark.range(100).selectExpr("id", "id % 10 AS grp")
+    wh.append(df, "t")
+    audit = wh.delete_where(spark, "t", "grp = 3")
+    assert audit == {"before": 100, "deleted": 10, "after": 90}
+    back = wh.read(spark, "t")
+    assert back.count() == 90
+    assert back.filter("grp = 3").count() == 0
+    # idempotent: the re-run deletes nothing and reports that
+    assert wh.delete_where(spark, "t", "grp = 3") == {
+        "before": 90, "deleted": 0, "after": 90,
+    }
+
+
+def test_forget_subject_propagates_across_tables(spark, tmp_path):
+    """The GDPR sweep: one subject wiped from every mapped table, with
+    a per-table audit; unmapped rows untouched; missing tables report
+    zeros instead of failing."""
+    from cost_of_living_data_etl_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    wh.append(
+        spark.range(50).selectExpr("id AS user_id", "id * 2 AS v"), "facts_a"
+    )
+    wh.append(
+        spark.range(30).selectExpr("id % 10 AS uid", "id AS v"), "facts_b"
+    )
+    audit = wh.forget_subject(
+        spark,
+        {"facts_a": "user_id", "facts_b": "uid", "ghost": "user_id"},
+        [7, 9],
+    )
+    assert audit["facts_a"] == {"before": 50, "deleted": 2, "after": 48}
+    assert audit["facts_b"] == {"before": 30, "deleted": 6, "after": 24}
+    assert audit["ghost"] == {"before": 0, "deleted": 0, "after": 0}
+    assert wh.read(spark, "facts_a").filter("user_id IN (7, 9)").count() == 0
+    assert wh.read(spark, "facts_b").filter("uid IN (7, 9)").count() == 0

@@ -1496,3 +1496,162 @@ def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("perplexity").desc(), "doc_id")
         .limit(LM_TOPK)
     )
+
+
+# --------------------------------------------------------------------------
+# 20. join-key profile (the pre-join diagnostics a join doctor runs)
+# --------------------------------------------------------------------------
+
+_JOINPROF_ORACLE = """
+WITH l AS (
+    SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1
+),
+r AS (
+    SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS n FROM customer GROUP BY 1
+),
+j AS (
+    SELECT coalesce(l.k, r.k) AS k, l.n AS ln, r.n AS rn
+    FROM l FULL OUTER JOIN r ON l.k = r.k
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN ln IS NOT NULL AND rn IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+       CAST(sum(CASE WHEN rn IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_left_orphans,
+       CAST(sum(CASE WHEN ln IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_right_orphans,
+       CAST(sum(CASE WHEN ln IS NOT NULL AND rn IS NOT NULL
+                     THEN ln * rn ELSE 0 END) AS BIGINT)
+         AS join_output_rows,
+       CAST(max(coalesce(ln, 0)) AS BIGINT) AS max_left_key_freq,
+       CAST(max(coalesce(rn, 0)) AS BIGINT) AS max_right_key_freq
+FROM j
+"""
+
+
+@register(
+    "q_join_key_profile",
+    oracle=_JOINPROF_ORACLE,
+    tags=("join", "diagnostics", "profiling"),
+)
+def q_join_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join key diagnostics for orders ⋈ customer — the numbers to
+    read BEFORE launching a big join: exact output cardinality
+    (Σ ln·rn over matched keys — the estimate Catalyst only
+    approximates from stats), referential orphans on both sides (FK
+    violations / silent row loss under inner join), and the max key
+    frequency per side (the skew number that decides salting). Two
+    per-side key aggregates + a full outer join of the KEY tables
+    (|keys| rows, not |rows|) — the profile costs a fraction of the
+    join it de-risks at any scale. Exact BIGINT arithmetic throughout.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    l = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("ln")
+    )
+    r = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("rn")
+    )
+    j = l.join(r, "k", "full_outer")
+    both = F.col("ln").isNotNull() & F.col("rn").isNotNull()
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(both.cast("int")).cast("long").alias("n_matched"),
+        F.sum(F.col("rn").isNull().cast("int"))
+        .cast("long")
+        .alias("n_left_orphans"),
+        F.sum(F.col("ln").isNull().cast("int"))
+        .cast("long")
+        .alias("n_right_orphans"),
+        F.sum(F.when(both, F.col("ln") * F.col("rn")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("join_output_rows"),
+        F.max(F.coalesce("ln", F.lit(0))).cast("long").alias(
+            "max_left_key_freq"
+        ),
+        F.max(F.coalesce("rn", F.lit(0))).cast("long").alias(
+            "max_right_key_freq"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# 21. data-contract violation audit
+# --------------------------------------------------------------------------
+
+_CONTRACT_ORACLE = """
+WITH checks AS (
+    SELECT
+        CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END AS null_key,
+        CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0
+             THEN 1 ELSE 0 END AS bad_price,
+        CASE WHEN o_orderdate IS NULL
+               OR o_orderdate < CAST('1990-01-01' AS TIMESTAMP)
+               OR o_orderdate >= CAST('2030-01-01' AS TIMESTAMP)
+             THEN 1 ELSE 0 END AS bad_date,
+        CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+             THEN 1 ELSE 0 END AS bad_status,
+        CASE WHEN o_orderpriority IS NULL OR trim(o_orderpriority) = ''
+             THEN 1 ELSE 0 END AS bad_priority
+    FROM orders
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(null_key) AS BIGINT) AS null_key,
+       CAST(sum(bad_price) AS BIGINT) AS bad_price,
+       CAST(sum(bad_date) AS BIGINT) AS bad_date,
+       CAST(sum(bad_status) AS BIGINT) AS bad_status,
+       CAST(sum(bad_priority) AS BIGINT) AS bad_priority,
+       CAST(sum(CASE WHEN null_key + bad_price + bad_date + bad_status
+                          + bad_priority > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS rows_in_violation
+FROM checks
+"""
+
+
+@register(
+    "q_data_contract_violations",
+    oracle=_CONTRACT_ORACLE,
+    tags=("data-quality", "contract", "audit"),
+)
+def q_data_contract_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract audit over orders: per-rule violation counts
+    (null key, non-positive money, out-of-range date, enum domain,
+    blank required string) plus the distinct-row violation total —
+    the single-scan gate an ingest pipeline runs before publishing a
+    batch (the systematic version of the reference pipeline's implicit
+    trust in its inputs). All rules evaluate in one projection; one
+    map-side-combined aggregate; exact BIGINTs. On violation the
+    companion move is `read_lake_csv_audited`'s quarantine split —
+    this query is the REPORT, that reader is the enforcement.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    checks = orders.selectExpr(
+        "CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END AS null_key",
+        "CASE WHEN o_totalprice IS NULL OR o_totalprice <= 0"
+        " THEN 1 ELSE 0 END AS bad_price",
+        "CASE WHEN o_orderdate IS NULL"
+        " OR o_orderdate < CAST('1990-01-01' AS TIMESTAMP)"
+        " OR o_orderdate >= CAST('2030-01-01' AS TIMESTAMP)"
+        " THEN 1 ELSE 0 END AS bad_date",
+        "CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')"
+        " THEN 1 ELSE 0 END AS bad_status",
+        "CASE WHEN o_orderpriority IS NULL OR trim(o_orderpriority) = ''"
+        " THEN 1 ELSE 0 END AS bad_priority",
+    )
+    viol = (
+        F.col("null_key")
+        + F.col("bad_price")
+        + F.col("bad_date")
+        + F.col("bad_status")
+        + F.col("bad_priority")
+    )
+    return checks.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("null_key").cast("long").alias("null_key"),
+        F.sum("bad_price").cast("long").alias("bad_price"),
+        F.sum("bad_date").cast("long").alias("bad_date"),
+        F.sum("bad_status").cast("long").alias("bad_status"),
+        F.sum("bad_priority").cast("long").alias("bad_priority"),
+        F.sum((viol > 0).cast("int")).cast("long").alias("rows_in_violation"),
+    )

@@ -796,18 +796,22 @@ def q_pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()  # arithmetic is bit-identical to the unrolled oracle
     )
     ranks = nodes.withColumn("pr", F.lit(1.0 / n))
+    # The edge table holds BOTH orientations of every pair, so the dst
+    # set IS the node set: every node receives at least one
+    # contribution, the oracle's `nodes LEFT JOIN contrib` never fires
+    # its NULL arm, and the per-round nodes-join + coalesce would be a
+    # no-op — one join per round dropped (measured 5.8 -> 4.8 s warm
+    # at sf0.1). Directed-graph PageRank would need the left join back.
     for t in range(PR_ITERS):
-        contrib = (
+        ranks = (
             wedges.join(ranks, wedges["src"] == ranks["node"])
-            .groupBy("dst")
-            .agg(F.sum(F.col("pr") / F.col("outd")).alias("contrib"))
-        )
-        ranks = nodes.join(contrib, nodes["node"] == contrib["dst"], "left").select(
-            "node",
-            (
-                F.lit((1 - PR_DAMPING) / n)
-                + PR_DAMPING * F.coalesce(F.col("contrib"), F.lit(0.0))
-            ).alias("pr"),
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.lit((1 - PR_DAMPING) / n)
+                    + PR_DAMPING * F.sum(F.col("pr") / F.col("outd"))
+                ).alias("pr")
+            )
         )
         if (t + 1) % 3 == 0:
             ranks = ranks.localCheckpoint()

@@ -1655,3 +1655,270 @@ def q_data_contract_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bad_priority").cast("long").alias("bad_priority"),
         F.sum((viol > 0).cast("int")).cast("long").alias("rows_in_violation"),
     )
+
+
+# --------------------------------------------------------------------------
+# 22. point-in-time feature assembly (leakage-free training sets)
+# --------------------------------------------------------------------------
+
+_PIT_ORACLE = """
+WITH ev AS (
+    SELECT user_id AS uid, ts, 1 AS kind,
+           CAST(NULL AS BIGINT) AS o_orderkey,
+           CAST(NULL AS DOUBLE) AS o_totalprice,
+           1 AS ev_n,
+           CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ev_purchase,
+           CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS ev_error,
+           ts AS ev_ts
+    FROM events
+),
+probes AS (
+    SELECT o_custkey AS uid, o_orderdate AS ts, 0 AS kind,
+           o_orderkey, o_totalprice,
+           0 AS ev_n, 0 AS ev_purchase, 0 AS ev_error,
+           CAST(NULL AS TIMESTAMP) AS ev_ts
+    FROM orders
+),
+u AS (SELECT * FROM ev UNION ALL SELECT * FROM probes),
+w AS (
+    SELECT *,
+           sum(ev_n) OVER pit AS n_events_before,
+           sum(ev_purchase) OVER pit AS n_purchases_before,
+           sum(ev_error) OVER pit AS n_errors_before,
+           max(ev_ts) OVER pit AS last_event_ts
+    FROM u
+    WINDOW pit AS (PARTITION BY uid ORDER BY ts, kind
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(o_orderkey AS BIGINT)           AS o_orderkey,
+       CAST(uid AS BIGINT)                  AS o_custkey,
+       ts                                   AS o_orderdate,
+       CAST(n_events_before AS BIGINT)      AS n_events_before,
+       CAST(n_purchases_before AS BIGINT)   AS n_purchases_before,
+       CAST(n_errors_before AS BIGINT)      AS n_errors_before,
+       epoch_us(ts) - epoch_us(last_event_ts) AS micros_since_last_event,
+       o_totalprice                         AS label_order_value
+FROM w WHERE kind = 0
+"""
+
+
+def pit_feature_assembly(events: DataFrame, probes: DataFrame) -> DataFrame:
+    """Point-in-time (as-of) feature assembly over (events, probes).
+
+    For every probe row (entity, probe_ts) attach running aggregates of
+    the entity's event history STRICTLY BEFORE the probe timestamp —
+    the feature-store correctness rule that kills label leakage:
+    a feature computed from anything at-or-after the label's timestamp
+    trains a model on its own answer. ``events`` needs
+    (user_id, ts, event_type); ``probes`` needs
+    (uid, ts, o_orderkey, o_totalprice).
+
+    Mechanics — the union-window trick (same spine as the as-of join
+    q_asof_join_purchase_view, but returning RUNNING AGGREGATES rather
+    than the last value): both tables union into one stream with a
+    kind marker, one window per entity ordered by (ts, kind) with
+    probes (kind=0) sorting BEFORE events (kind=1) on timestamp ties,
+    so a probe's rows-frame can only contain events with ts strictly
+    smaller — at-tick events are excluded by construction, not by a
+    fragile ``<`` filter on a separate join. Probes contribute zero to
+    every aggregate, making their relative order on ties irrelevant:
+    the result is deterministic without a tiebreak column.
+
+    Scale: ONE shuffle (the window on entity id) regardless of how
+    many features ride the frame; the naive alternative — a per-probe
+    range join events.ts < probe.ts — is |events|×|probes| per entity.
+    Skewed power users are bounded by the per-user history length, the
+    same envelope every sessionization query here already accepts.
+    """
+    ev = events.select(
+        F.col("user_id").alias("uid"),
+        F.col("ts"),
+        F.lit(1).alias("kind"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("double").alias("o_totalprice"),
+        F.lit(1).alias("ev_n"),
+        (F.col("event_type") == "purchase").cast("int").alias("ev_purchase"),
+        (F.col("event_type") == "error").cast("int").alias("ev_error"),
+        F.col("ts").alias("ev_ts"),
+    )
+    pr = probes.select(
+        F.col("uid"),
+        F.col("ts"),
+        F.lit(0).alias("kind"),
+        F.col("o_orderkey"),
+        F.col("o_totalprice"),
+        F.lit(0).alias("ev_n"),
+        F.lit(0).alias("ev_purchase"),
+        F.lit(0).alias("ev_error"),
+        F.lit(None).cast("timestamp").alias("ev_ts"),
+    )
+    from pyspark.sql import Window
+
+    pit = (
+        Window.partitionBy("uid")
+        .orderBy("ts", "kind")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w = ev.unionByName(pr).select(
+        "*",
+        F.sum("ev_n").over(pit).alias("n_events_before"),
+        F.sum("ev_purchase").over(pit).alias("n_purchases_before"),
+        F.sum("ev_error").over(pit).alias("n_errors_before"),
+        F.max("ev_ts").over(pit).alias("last_event_ts"),
+    )
+    return w.filter(F.col("kind") == 0).select(
+        F.col("o_orderkey").cast("long").alias("o_orderkey"),
+        F.col("uid").cast("long").alias("o_custkey"),
+        F.col("ts").alias("o_orderdate"),
+        F.col("n_events_before").cast("long").alias("n_events_before"),
+        F.col("n_purchases_before").cast("long").alias("n_purchases_before"),
+        F.col("n_errors_before").cast("long").alias("n_errors_before"),
+        (F.unix_micros("ts") - F.unix_micros("last_event_ts")).alias(
+            "micros_since_last_event"
+        ),
+        F.col("o_totalprice").alias("label_order_value"),
+    )
+
+
+@register(
+    "q_pit_feature_assembly",
+    oracle=_PIT_ORACLE,
+    tags=("feature-store", "leakage", "asof", "training-prep"),
+)
+def q_pit_feature_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free training-set assembly: every order becomes a
+    labeled example (label = order value) carrying its customer's
+    event-history features as of STRICTLY BEFORE the order timestamp
+    (event/purchase/error counts, recency in exact micros). Customers
+    without history get exact zeros and NULL recency — the cold-start
+    row a downstream model must handle, not silently drop. See
+    ``pit_feature_assembly`` for the one-shuffle union-window
+    mechanics and the tie discipline.
+    """
+    events = load_table(spark, sf_dir, "events")
+    orders = load_table(spark, sf_dir, "orders")
+    probes = orders.select(
+        F.col("o_custkey").alias("uid"),
+        F.col("o_orderdate").alias("ts"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    return pit_feature_assembly(events, probes)
+
+
+# --------------------------------------------------------------------------
+# 23. t-closeness audit (privacy triad: k-anon -> l-diversity -> t-close)
+# --------------------------------------------------------------------------
+
+T_CLOSE = 0.2  # max total-variation distance a releasable cell may show
+
+_TCLOSE_ORACLE = f"""
+WITH cells AS (
+    SELECT o_orderpriority, extract(year FROM o_orderdate) AS order_year,
+           o_orderstatus, CAST(count(*) AS BIGINT) AS cnt
+    FROM orders GROUP BY 1, 2, 3
+),
+cell_tot AS (
+    SELECT o_orderpriority, order_year,
+           CAST(sum(cnt) AS BIGINT) AS n_rows
+    FROM cells GROUP BY 1, 2
+),
+gstat AS (
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS gcnt,
+           CAST(sum(count(*)) OVER () AS BIGINT) AS n_total
+    FROM orders GROUP BY 1
+),
+grid AS (
+    SELECT t.o_orderpriority, t.order_year, t.n_rows,
+           g.o_orderstatus, g.gcnt, g.n_total,
+           coalesce(c.cnt, 0) AS cnt
+    FROM cell_tot t CROSS JOIN gstat g
+    LEFT JOIN cells c
+      ON c.o_orderpriority = t.o_orderpriority
+     AND c.order_year = t.order_year
+     AND c.o_orderstatus = g.o_orderstatus
+),
+diffs AS (
+    SELECT o_orderpriority, order_year, n_rows,
+           abs(cnt * 1.0 / n_rows - gcnt * 1.0 / n_total) AS d
+    FROM grid
+)
+SELECT o_orderpriority,
+       CAST(order_year AS BIGINT) AS order_year,
+       n_rows,
+       0.5 * list_reduce(list_sort(list(d)), (a, b) -> a + b) AS tvd,
+       0.5 * list_reduce(list_sort(list(d)), (a, b) -> a + b) <= {T_CLOSE}
+         AS t_close
+FROM diffs
+GROUP BY o_orderpriority, order_year, n_rows
+"""
+
+
+@register(
+    "q_t_closeness_audit",
+    oracle=_TCLOSE_ORACLE,
+    tags=("privacy", "t-closeness", "audit"),
+)
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007), completing the release
+    triad: k-anonymity bounds cell SIZE, l-diversity bounds sensitive
+    VARIETY, t-closeness bounds sensitive DISTRIBUTION — a cell can
+    hold all three status values and still leak if its mix is far from
+    the corpus-wide mix (skewness attack: "90% of this cell's orders
+    failed"). Per QI cell (priority × order year), total-variation
+    distance between the cell's status distribution and the global one
+    = 0.5·Σ|p_cell − p_global|, over a cells×statuses GRID join so
+    absent statuses contribute their full global mass rather than
+    silently dropping out.
+
+    Determinism: every p is a single division of exact BIGINTs
+    (IEEE-identical cross-engine); the ≤|statuses| addends fold in
+    det_sum sorted order. Scale: one partial-aggregated shuffle on
+    (QI, status); the grid is |cells|×|statuses| — release-schema
+    bounded, never data bounded.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    year = F.expr("CAST(extract(year FROM o_orderdate) AS BIGINT)").alias(
+        "order_year"
+    )
+    cells = orders.groupBy("o_orderpriority", year, "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    cell_tot = cells.groupBy("o_orderpriority", "order_year").agg(
+        F.sum("cnt").alias("n_rows")
+    )
+    from pyspark.sql import Window
+
+    glob = (
+        orders.groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("gcnt"))
+        .select(
+            "o_orderstatus",
+            "gcnt",
+            F.sum("gcnt").over(Window.partitionBy()).alias("n_total"),
+        )
+    )
+    grid = (
+        cell_tot.crossJoin(F.broadcast(glob))
+        .join(
+            cells,
+            ["o_orderpriority", "order_year", "o_orderstatus"],
+            "left",
+        )
+        .select(
+            "o_orderpriority",
+            "order_year",
+            "n_rows",
+            (
+                F.abs(
+                    F.coalesce(F.col("cnt"), F.lit(0)) / F.col("n_rows")
+                    - F.col("gcnt") / F.col("n_total")
+                )
+            ).alias("d"),
+        )
+    )
+    tvd = (F.lit(0.5) * det_sum("d")).alias("tvd")
+    return grid.groupBy("o_orderpriority", "order_year", "n_rows").agg(
+        tvd,
+        (F.lit(0.5) * det_sum("d") <= F.lit(T_CLOSE)).alias("t_close"),
+    )

@@ -290,3 +290,80 @@ def test_containment_outranks_jaccard_for_embedded_doc(spark, tmp_path):
     pair = {(r["doc_id_1"], r["doc_id_2"]): r["containment"] for r in rows}
     assert (1, 2) in pair, rows
     assert pair[(1, 2)] > 0.95
+
+
+def test_pit_features_exclude_at_tick_events_and_handle_cold_start(spark):
+    """The leakage rule, pinned: an event at EXACTLY the probe
+    timestamp must not enter the probe's features (kind ordering, not
+    a < filter, enforces it), and a customer with no history gets
+    exact zeros with NULL recency."""
+    import datetime as dt
+
+    from cost_of_living_data_etl_spark.plans.round5 import pit_feature_assembly
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    events = spark.createDataFrame(
+        [
+            # uid 1: one purchase 1h before, one error AT the probe tick
+            (10, t0 - dt.timedelta(hours=1), 1, "purchase", 0.0, "{}"),
+            (11, t0, 1, "error", 0.0, "{}"),
+            # uid 1: an event after the probe — must never count
+            (12, t0 + dt.timedelta(hours=1), 1, "click", 0.0, "{}"),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    probes = spark.createDataFrame(
+        [(1, t0, 100, 42.0), (2, t0, 200, 7.0)],  # uid 2: cold start
+        "uid long, ts timestamp, o_orderkey long, o_totalprice double",
+    )
+    rows = {
+        r.o_orderkey: r for r in pit_feature_assembly(events, probes).collect()
+    }
+    warm = rows[100]
+    assert warm.n_events_before == 1  # at-tick error and later click excluded
+    assert warm.n_purchases_before == 1
+    assert warm.n_errors_before == 0
+    assert warm.micros_since_last_event == 3600 * 1_000_000
+    cold = rows[200]
+    assert cold.n_events_before == 0
+    assert cold.n_purchases_before == 0
+    assert cold.n_errors_before == 0
+    assert cold.micros_since_last_event is None
+    assert cold.label_order_value == 7.0
+
+
+def test_t_closeness_flags_skewed_cell_and_passes_representative(spark, tmp_path):
+    """A QI cell mirroring the global sensitive mix has TVD 0; a cell
+    holding ONLY the globally-rare status is flagged (skewness attack
+    l-diversity misses: both cells here are size-10 and 'diverse'
+    enough by count)."""
+    rows = []
+    # 1995 cell: 5 O / 15 F (big, near the global mix)
+    for i in range(20):
+        rows.append(
+            (i, 1, "O" if i < 5 else "F", 10.0,
+             datetime.datetime(1995, 3, 1), "1-URGENT", "c")
+        )
+    # 1996 cell: 4 rows, all F — far from the global mix
+    for i in range(20, 24):
+        rows.append(
+            (i, 1, "F", 10.0, datetime.datetime(1996, 3, 1), "1-URGENT", "c")
+        )
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string, o_comment string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    got = {
+        r["order_year"]: r
+        for r in catalog()["q_t_closeness_audit"].fn(spark, str(tmp_path)).collect()
+    }
+    # global: O=5/24, F=19/24
+    # 1995 (1/4, 3/4):  TVD = 0.5*(|1/4-5/24| + |3/4-19/24|) = 1/24
+    # 1996 (0, 1):      TVD = 0.5*(5/24 + 5/24)              = 5/24
+    assert abs(got[1995]["tvd"] - 1 / 24) < 1e-12
+    assert abs(got[1996]["tvd"] - 5 / 24) < 1e-12
+    assert got[1995]["t_close"] is True
+    assert got[1996]["t_close"] is False

@@ -1922,3 +1922,162 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         tvd,
         (F.lit(0.5) * det_sum("d") <= F.lit(T_CLOSE)).alias("t_close"),
     )
+
+
+# --------------------------------------------------------------------------
+# 24. dup-graph source modularity (global-vs-per-source dedup decision)
+# --------------------------------------------------------------------------
+
+_SRC_MOD_ORACLE = """
+WITH pairs AS MATERIALIZED (
+    SELECT doc_id_1, doc_id_2 FROM ({MINHASH}) p
+),
+lab AS (SELECT doc_id, source FROM documents),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs),
+tagged AS (
+    SELECT l1.source AS s1, l2.source AS s2
+    FROM pairs p
+    JOIN lab l1 ON p.doc_id_1 = l1.doc_id
+    JOIN lab l2 ON p.doc_id_2 = l2.doc_id
+),
+ec AS (
+    SELECT s1 AS source, CAST(count(*) AS BIGINT) AS e_c
+    FROM tagged WHERE s1 = s2 GROUP BY 1
+),
+deg AS (
+    SELECT id, CAST(count(*) AS BIGINT) AS d
+    FROM (SELECT doc_id_1 AS id FROM pairs
+          UNION ALL SELECT doc_id_2 FROM pairs)
+    GROUP BY 1
+),
+dc AS (
+    SELECT l.source, CAST(sum(d.d) AS BIGINT) AS d_c
+    FROM deg d JOIN lab l ON d.id = l.doc_id GROUP BY 1
+),
+terms AS (
+    SELECT coalesce(e.e_c, 0) * 1.0 / m.m
+           - (dc.d_c * 1.0 / (2 * m.m)) * (dc.d_c * 1.0 / (2 * m.m)) AS term,
+           coalesce(e.e_c, 0) AS e_c
+    FROM dc LEFT JOIN ec e USING (source) CROSS JOIN m
+)
+SELECT m.m AS n_edges,
+       CAST(sum(t.e_c) AS BIGINT) AS n_intra_edges,
+       1.0 - sum(t.e_c) * 1.0 / m.m AS cross_source_share,
+       list_reduce(list_sort(list(t.term)), (a, b) -> a + b) AS modularity
+FROM terms t CROSS JOIN m
+GROUP BY m.m
+"""
+
+
+@register(
+    "q_dupgraph_source_modularity",
+    oracle=None,  # wired below: needs _MINHASH_ORACLE from operators.dedup
+    tags=("graph", "modularity", "dedup", "mixture"),
+)
+def q_dupgraph_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the near-dup pair graph under the SOURCE
+    partition — the global-vs-per-source dedup decision in one number.
+    Q near its maximum (every family inside one source) means
+    per-source dedup loses almost nothing and the pipeline can shard
+    by source; Q ≈ 0 or negative (intra-source edge mass no better
+    than the degree-weighted random expectation) means syndication/
+    mirroring crosses sources and only GLOBAL dedup is sound. The
+    companion exact ratio `cross_source_share` = fraction of near-dup
+    pairs crossing sources reads the same decision without the
+    null-model correction.
+
+    Q = Σ_src [e_c/m − (d_c/2m)²] over exact BIGINT edge counts and
+    degree sums; each term is two divisions and a multiply of exact
+    ints (IEEE-identical cross-engine), folded in det_sum order.
+    Unlike a modularity over the CC partition itself (where every
+    edge is intra by construction and Q degenerates to 1 − Σ(d_c/2m)²),
+    the source partition is independent of the edges, so both terms
+    carry information. Scale: joins/aggregates on ids and source keys
+    only; the pair plan runs once (localCheckpoint), |sources|-bounded
+    state thereafter.
+    """
+    from cost_of_living_data_etl_spark.operators.dedup import minhash_pair_plan
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = (
+        minhash_pair_plan(spark, sf_dir)
+        .select("doc_id_1", "doc_id_2")
+        .localCheckpoint()
+    )
+    m = pairs.agg(F.count(F.lit(1)).alias("m"))
+    tagged = (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("doc_id_1"), F.col("source").alias("s1")
+            ),
+            "doc_id_1",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_id_2"), F.col("source").alias("s2")
+            ),
+            "doc_id_2",
+        )
+    )
+    ec = (
+        tagged.filter(F.col("s1") == F.col("s2"))
+        .groupBy(F.col("s1").alias("source"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    deg = (
+        pairs.select(F.col("doc_id_1").alias("id"))
+        .unionAll(pairs.select(F.col("doc_id_2").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    dc = (
+        deg.join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
+        .groupBy("source")
+        .agg(F.sum("d").alias("d_c"))
+    )
+    terms = (
+        dc.join(ec, "source", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            F.coalesce(F.col("e_c"), F.lit(0)).alias("e_c"),
+            (
+                F.coalesce(F.col("e_c"), F.lit(0)) / F.col("m")
+                - (F.col("d_c") / (2 * F.col("m")))
+                * (F.col("d_c") / (2 * F.col("m")))
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.crossJoin(F.broadcast(m))
+        .groupBy("m")
+        .agg(
+            F.sum("e_c").alias("n_intra_edges"),
+            (F.lit(1.0) - F.sum("e_c") / F.col("m")).alias(
+                "cross_source_share"
+            ),
+            det_sum("term").alias("modularity"),
+        )
+        .select(
+            F.col("m").alias("n_edges"),
+            F.col("n_intra_edges").cast("long"),
+            "cross_source_share",
+            "modularity",
+        )
+    )
+
+
+def _wire_src_mod_oracle() -> None:
+    from cost_of_living_data_etl_spark.operators.dedup import _MINHASH_ORACLE
+    from cost_of_living_data_etl_spark.plans.catalog import _REGISTRY, QuerySpec
+
+    spec = _REGISTRY["q_dupgraph_source_modularity"]
+    _REGISTRY["q_dupgraph_source_modularity"] = QuerySpec(
+        name=spec.name,
+        fn=spec.fn,
+        oracle=_SRC_MOD_ORACLE.format(MINHASH=_MINHASH_ORACLE),
+        doc=spec.doc,
+        tags=spec.tags,
+    )
+
+
+_wire_src_mod_oracle()

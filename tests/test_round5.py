@@ -367,3 +367,36 @@ def test_t_closeness_flags_skewed_cell_and_passes_representative(spark, tmp_path
     assert abs(got[1996]["tvd"] - 5 / 24) < 1e-12
     assert got[1995]["t_close"] is True
     assert got[1996]["t_close"] is False
+
+
+def test_source_modularity_separates_within_from_cross_source_dup(spark, tmp_path):
+    """Two dup families confined to their sources => every near-dup
+    edge intra (cross share 0, Q > 0). The same families split ACROSS
+    sources => every edge crosses (cross share 1, Q < 0)."""
+    long_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    long_b = "lambda mu nu xi omicron pi rho sigma tau upsilon " * 5
+
+    def write(assignment):
+        rows = [
+            (i, long_a if i < 4 else long_b, "en", src, 100)
+            for i, src in enumerate(assignment)
+        ]
+        spark.createDataFrame(
+            rows,
+            "doc_id long, text string, lang string, source string,"
+            " n_chars long",
+        ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    fn = catalog()["q_dupgraph_source_modularity"].fn
+    # family A = docs 0-3, family B = docs 4-7
+    write(["s1"] * 4 + ["s2"] * 4)  # families aligned with sources
+    row = fn(spark, str(tmp_path)).collect()[0]
+    assert row.n_edges == 12 and row.n_intra_edges == 12
+    assert row.cross_source_share == 0.0 and row.modularity > 0.4
+    write(["s1", "s2"] * 4)  # each family half in each source
+    row = fn(spark, str(tmp_path)).collect()[0]
+    assert row.n_edges == 12
+    # within each family of 4 (2 in s1, 2 in s2): C(2,2)*2 intra of 6
+    assert row.n_intra_edges == 4
+    assert abs(row.cross_source_share - 8 / 12) < 1e-12
+    assert row.modularity < 0.0

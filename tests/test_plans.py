@@ -662,3 +662,26 @@ def test_ivf_probe_plan_is_exchange_free(spark, sf_smoke):
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_pit_assembly_single_window_shuffle_no_payload_in_exchange(
+    spark, sf_smoke
+):
+    """The union-window spine: exactly one hashpartitioning Exchange
+    (the per-entity window), however many running features ride the
+    frame — and no event props/payload strings cross it."""
+    plan = plan_of(spark, "q_pit_feature_assembly", sf_smoke)
+    assert plan.count("+- Exchange") == 1
+    exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert not any("props" in l for l in exchange_lines)
+
+
+def test_source_modularity_no_text_in_any_exchange(spark, sf_smoke):
+    """The modularity rollup shuffles ids, hashes, and source keys
+    only; document text stays inside the scan-side projections."""
+    plan = plan_of(spark, "q_dupgraph_source_modularity", sf_smoke)
+    exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exchange_lines
+    assert not any(
+        "text" in l or "shingle" in l for l in exchange_lines
+    )

@@ -832,3 +832,116 @@ def click_purchase_attribution_outer(
         "click_id",
         "click_ts",
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming point-in-time feature enrichment (twin of the batch
+# plans/round5.py::pit_feature_assembly)
+# ---------------------------------------------------------------------------
+
+
+class _PitEnrichProcessor:
+    """Streaming twin of ``plans/round5.pit_feature_assembly``: the
+    same strictly-before feature contract, maintained as O(1) typed
+    state per entity instead of a corpus-wide window. Input is the
+    UNION stream (events kind=1, order probes kind=0); per micro-batch
+    the rows fold in (ts, kind, row_id) order, so a probe reads the
+    state BEFORE any same-timestamp event is folded — the identical
+    tie discipline the batch window encodes with its (ts, kind) sort.
+
+    State: one ValueState of four BIGINTs (event/purchase/error
+    counts + last event-time in micros; 0 ⇔ no history, disambiguated
+    by n_events). In-order replay of the same files yields
+    byte-identical output; out-of-order arrivals would need the
+    watermarked-buffer pattern of the sessionization operator and are
+    out of this operator's contract (the batch form is the replayable
+    source of truth).
+    """
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "hist",
+            "n_events BIGINT, n_purch BIGINT, n_err BIGINT, last_us BIGINT",
+        )
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, n_purch, n_err, last_us = (0, 0, 0, 0)
+        if self._state.exists():
+            n, n_purch, n_err, last_us = self._state.get()
+        batch = pd.concat(list(rows)).sort_values(["ts", "kind", "row_id"])
+        out: list[tuple] = []
+        for r in batch.itertuples():
+            ts_us = int(pd.Timestamp(r.ts).value // 1_000)
+            if int(r.kind) == 0:  # probe: read state, never fold it
+                out.append(
+                    (
+                        int(r.o_orderkey),
+                        int(key[0]),
+                        int(n),
+                        int(n_purch),
+                        int(n_err),
+                        (ts_us - int(last_us)) if n > 0 else None,
+                    )
+                )
+            else:
+                n += 1
+                n_purch += int(r.is_purchase)
+                n_err += int(r.is_error)
+                last_us = ts_us
+        self._state.update((int(n), int(n_purch), int(n_err), int(last_us)))
+        if out:
+            cols = list(zip(*out))
+            yield pd.DataFrame(
+                {
+                    "o_orderkey": pd.array(cols[0], dtype="Int64"),
+                    "o_custkey": pd.array(cols[1], dtype="Int64"),
+                    "n_events_before": pd.array(cols[2], dtype="Int64"),
+                    "n_purchases_before": pd.array(cols[3], dtype="Int64"),
+                    "n_errors_before": pd.array(cols[4], dtype="Int64"),
+                    "micros_since_last_event": pd.array(
+                        cols[5], dtype="Int64"
+                    ),
+                }
+            )
+
+    def close(self) -> None:
+        pass
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+
+#: schema of the union stream pit_enrich_stream consumes
+PIT_UNION_SCHEMA = (
+    "uid BIGINT, ts TIMESTAMP, kind INT, o_orderkey BIGINT,"
+    " is_purchase INT, is_error INT, row_id BIGINT"
+)
+
+
+def pit_enrich_stream(union_stream: DataFrame) -> DataFrame:
+    """Online leakage-free feature enrichment: each arriving order
+    probe is emitted ONCE with its customer's strictly-before event
+    features — the serving-time mirror of the batch training-set
+    assembly (``q_pit_feature_assembly``), which is what makes the
+    train/serve feature definitions provably identical (same counts,
+    same tie rule, same cold-start zeros). Input must be the union
+    stream with ``PIT_UNION_SCHEMA``.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc = type(
+        "PitEnrichProcessor", (_PitEnrichProcessor, StatefulProcessor), {}
+    )()
+    return union_stream.groupBy("uid").transformWithStateInPandas(
+        proc,
+        outputStructType=(
+            "o_orderkey BIGINT, o_custkey BIGINT, n_events_before BIGINT,"
+            " n_purchases_before BIGINT, n_errors_before BIGINT,"
+            " micros_since_last_event BIGINT"
+        ),
+        outputMode="update",
+        timeMode="none",
+    )

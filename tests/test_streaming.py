@@ -933,3 +933,110 @@ def test_transform_with_state_event_time_timers(spark, tmp_path):
         (1, ms1 + INACTIVITY_GAP_MS),
     }
     assert got == want, (sorted(got), sorted(want))
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs the protobuf wire runtime "
+    "(vendored shim engaged by conftest) — should never skip here.",
+)
+def test_tws_pit_enrichment_equals_batch_assembly(spark, tmp_path):
+    """Train/serve skew, disproved by construction: streaming the
+    fixture events+orders union through the typed-state PIT enricher
+    (two in-order micro-batches) must yield EXACTLY the batch
+    training-set features of q_pit_feature_assembly for every order —
+    same strictly-before counts, same tie rule, same cold-start
+    zeros/NULL recency."""
+    from cost_of_living_data_etl_spark.plans.round5 import pit_feature_assembly
+    from cost_of_living_data_etl_spark.sources.tables import load_table
+    from cost_of_living_data_etl_spark.streaming.events import (
+        PIT_UNION_SCHEMA,
+        pit_enrich_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    orders = load_table(spark, sf, "orders")
+    union = events.selectExpr(
+        "user_id AS uid",
+        "ts",
+        "CAST(1 AS INT) AS kind",
+        "CAST(NULL AS BIGINT) AS o_orderkey",
+        "CAST(event_type = 'purchase' AS INT) AS is_purchase",
+        "CAST(event_type = 'error' AS INT) AS is_error",
+        "event_id AS row_id",
+    ).unionByName(
+        orders.selectExpr(
+            "o_custkey AS uid",
+            "o_orderdate AS ts",
+            "CAST(0 AS INT) AS kind",
+            "o_orderkey",
+            "CAST(0 AS INT) AS is_purchase",
+            "CAST(0 AS INT) AS is_error",
+            "o_orderkey AS row_id",
+        )
+    )
+    # two time-split files => two in-order micro-batches crossing state
+    cut = union.selectExpr("percentile(CAST(ts AS DOUBLE), 0.5) p").collect()[
+        0
+    ]["p"]
+    src = tmp_path / "pit_union"
+    union.filter(F.col("ts").cast("double") <= cut).coalesce(1).write.parquet(
+        f"{src}/b0"
+    )
+    union.filter(F.col("ts").cast("double") > cut).coalesce(1).write.parquet(
+        f"{src}/b1"
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(PIT_UNION_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        name = f"tws_pit_{uuid.uuid4().hex[:8]}"
+        q = (
+            pit_enrich_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        got = {
+            r["o_orderkey"]: (
+                r["o_custkey"],
+                r["n_events_before"],
+                r["n_purchases_before"],
+                r["n_errors_before"],
+                r["micros_since_last_event"],
+            )
+            for r in spark.table(name).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    probes = orders.selectExpr(
+        "o_custkey AS uid", "o_orderdate AS ts", "o_orderkey", "o_totalprice"
+    )
+    want = {
+        r["o_orderkey"]: (
+            r["o_custkey"],
+            r["n_events_before"],
+            r["n_purchases_before"],
+            r["n_errors_before"],
+            r["micros_since_last_event"],
+        )
+        for r in pit_feature_assembly(events, probes).collect()
+    }
+    assert len(got) == len(want)
+    assert got == want

@@ -65,3 +65,70 @@ def read_hll_estimate(
     return det_hll_estimate(
         det_hll_merge(regs, group_cols), group_cols, est_col
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min: the sum-merge sibling of the max-merge HLL sink
+# ---------------------------------------------------------------------------
+
+
+def cms_word_cells(docs: DataFrame) -> DataFrame:
+    """CMS_DEPTH×CMS_WIDTH cell table over a documents frame's word
+    stream — the same md5-derived row hashes as the batch catalog
+    query (plans/mllite.py::q_countmin_word_frequency), so sketches
+    built anywhere merge with sketches built anywhere else."""
+    import pyspark.sql.functions as F
+
+    from cost_of_living_data_etl_spark.plans.mllite import (
+        _CMS_BUCKET_SPARK,
+        CMS_DEPTH,
+    )
+
+    wc = (
+        docs.select(F.trim(F.col("text")).alias("t"))
+        .filter(F.col("t") != "")
+        .select(F.explode(F.split("t", r"\s+")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    rows = F.array([F.lit(i) for i in range(CMS_DEPTH)])
+    return (
+        wc.select("word", "cnt", F.explode(rows).alias("i"))
+        .select("i", F.expr(_CMS_BUCKET_SPARK).alias("bucket"), "cnt")
+        .groupBy("i", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cell"))
+    )
+
+
+def cms_cell_sink(stream: DataFrame, sketch_root: str, checkpoint: str):
+    """foreachBatch sink landing each micro-batch's OWN Count-Min cell
+    table under ``{sketch_root}/batch_id=N`` (idempotent overwrite).
+    Count-Min cells merge by ADDITION — exactly, not approximately: the
+    sum-merged stream sketch is bit-identical to sketching the union of
+    all input in one pass (CMS is a linear sketch), the property the
+    companion test pins. Per-batch state is depth×width cells whatever
+    the batch size."""
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        cms_word_cells(batch_df).write.mode("overwrite").parquet(
+            f"{sketch_root}/batch_id={batch_id}"
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+
+
+def read_cms_cells(spark: SparkSession, sketch_root: str) -> DataFrame:
+    """The live merged sketch: cell-wise SUM across batch partitions.
+    Point queries take min over the depth rows of the summed cells,
+    exactly as the batch query does."""
+    import pyspark.sql.functions as F
+
+    return (
+        spark.read.parquet(sketch_root)
+        .groupBy("i", "bucket")
+        .agg(F.sum("cell").cast("long").alias("cell"))
+    )

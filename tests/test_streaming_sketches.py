@@ -109,3 +109,52 @@ def test_hll_register_sink_replay_is_idempotent(spark, tmp_path):
         for r in det_hll_estimate(regs, ["event_type"]).collect()
     }
     assert est == want
+
+
+def test_stream_maintained_cms_equals_batch_sketch(spark, tmp_path):
+    """Count-Min is a LINEAR sketch: summing per-batch cell tables must
+    reproduce the one-pass full-corpus cell table bit-for-bit (not just
+    estimates — every cell)."""
+    import pyspark.sql.functions as F
+
+    from cost_of_living_data_etl_spark.streaming.sketches import (
+        cms_cell_sink,
+        cms_word_cells,
+        read_cms_cells,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    n = docs.count()
+    src = tmp_path / "docs_stream"
+    for i, (lo, hi) in enumerate(
+        [(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]
+    ):
+        docs.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.parquet(f"{src}/b{i}")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    root = str(tmp_path / "cms")
+    q = (
+        cms_cell_sink(stream, root, str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    assert (
+        spark.read.parquet(root).select("batch_id").distinct().count() == 3
+    )
+    got = {
+        (r["i"], r["bucket"]): r["cell"]
+        for r in read_cms_cells(spark, root).collect()
+    }
+    want = {
+        (r["i"], r["bucket"]): r["cell"]
+        for r in cms_word_cells(docs).collect()
+    }
+    assert got == want and len(want) > 0

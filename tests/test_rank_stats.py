@@ -354,3 +354,47 @@ def test_james_stein_shrinks_small_groups_harder(spark, tmp_path):
     assert b3[0] > b1[0]  # tiny group shrinks harder
     assert grand < b3[2] < b3[1]  # moved toward grand mean, same side
     assert abs(b1[2] - b1[1]) < abs(b3[2] - b3[1])
+
+
+def test_wasserstein_pure_shift_equals_delta(spark, tmp_path):
+    """A pure location shift: control values {10, 20, 30}, treatment =
+    control + 5.00 (custkey parity assigns arms). W₁ must equal the
+    shift EXACTLY (5.0), the effect-size property that motivates it —
+    KS on the same fixture is a size-blind sup statistic."""
+    from cost_of_living_data_etl_spark.plans.rank_stats import (
+        q_wasserstein_arm_shift,
+    )
+
+    rows = []
+    k = 0
+    for v in (10.0, 20.0, 30.0):
+        for _ in range(4):
+            rows.append((k, 0, "O", v, BASE, "1-URGENT"))  # arm 0
+            k += 1
+            rows.append((k, 1, "O", v + 5.0, BASE, "1-URGENT"))  # arm 1
+            k += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    r = q_wasserstein_arm_shift(spark, str(tmp_path)).collect()[0]
+    assert r["n_treat"] == 12 and r["n_control"] == 12
+    assert abs(r["w1_distance"] - 5.0) < 1e-12
+
+
+def test_wasserstein_identical_arms_is_zero(spark, tmp_path):
+    from cost_of_living_data_etl_spark.plans.rank_stats import (
+        q_wasserstein_arm_shift,
+    )
+
+    rows = []
+    for k in range(20):
+        rows.append((k, k, "O", 50.0 + (k // 2), BASE, "1-URGENT"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    r = q_wasserstein_arm_shift(spark, str(tmp_path)).collect()[0]
+    assert r["w1_distance"] == 0.0

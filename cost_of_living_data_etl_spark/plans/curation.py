@@ -588,3 +588,96 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("merge_count"), F.asc("pair"))
         .limit(BPE_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# encoding / markup anomaly audit (the CCNet/C4 cleanup gate)
+# ---------------------------------------------------------------------------
+
+#: rule predicates: (name, regex-or-literal). Booleans from exact
+#: matches — nothing float anywhere — so the two engines only need to
+#: agree on the VALUE; the regex dialect differs (Spark regexp_like vs
+#: DuckDB regexp_matches), hence per-engine renderers below.
+_ENC_RULES = [
+    ("n_ctrl", ("re", r"[\x00-\x08\x0B\x0C\x0E-\x1F]")),
+    ("n_replacement", ("lit", "�")),
+    ("n_entity", ("re", "&(amp|lt|gt|quot|nbsp|#[0-9]+);")),
+    ("n_tag", ("re", "</?(p|div|span|br|a|html|body)[ />]")),
+    ("n_mojibake", ("lit2", "\u00e2\u20ac", "\u00c3\u00a9")),
+]
+
+
+def _enc_pred(rule: tuple, fn_re: str) -> str:
+    """Render one rule for an engine: ``fn_re`` names its regex-match
+    function (Spark ``regexp_like`` / DuckDB ``regexp_matches``), and
+    Spark's string-literal parser consumes one level of backslash that
+    DuckDB's does not — the VALUE is what must agree, not the text."""
+    kind = rule[0]
+    if kind == "re":
+        pat = rule[1]
+        if fn_re == "regexp_like":  # Spark literal: re-escape backslashes
+            pat = pat.replace("\\", "\\\\")
+        return f"{fn_re}(text, '{pat}')"
+    if kind == "lit":
+        return f"contains(text, '{rule[1]}')"
+    return (
+        f"contains(text, '{rule[1]}') OR contains(text, '{rule[2]}')"
+    )
+
+
+_ENC_ORACLE = f"""
+WITH checks AS (
+    SELECT source,
+{",".join(f"           CASE WHEN {_enc_pred(r, 'regexp_matches')} THEN 1 ELSE 0 END AS {name}" for name, r in _ENC_RULES)}
+    FROM documents
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+{",".join(f"       CAST(sum({name}) AS BIGINT) AS {name}" for name, _ in _ENC_RULES)},
+       CAST(sum(CASE WHEN {" + ".join(n for n, _ in _ENC_RULES)} > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_any
+FROM checks
+GROUP BY source
+"""
+
+
+@register(
+    "q_encoding_anomaly_audit",
+    oracle=_ENC_ORACLE,
+    tags=("curation", "encoding", "mojibake", "audit"),
+)
+def q_encoding_anomaly_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source encoding/markup anomaly audit — the cleanup gate
+    every web-scale corpus pipeline (C4, CCNet, RefinedWeb) runs
+    before the statistical filters: control characters (binary leaked
+    into text fields), U+FFFD replacement characters (a decode already
+    went lossy upstream — unfixable, only detectable), residual HTML
+    entities and tag fragments (boilerplate extraction failed), and
+    the classic UTF-8-decoded-as-Latin-1 mojibake digraphs ('â€…',
+    'Ã©'). Word-statistics rules (q_gopher_quality_rules) are blind to
+    all five: a mojibake'd document has perfectly normal word lengths.
+
+    Every rule is a regex/literal match evaluated once per row in one
+    projection; only (source, 5 booleans) reach the Exchange; counts
+    are exact BIGINTs — nothing float anywhere, so cross-engine
+    equality is structural. Scale: one partial-aggregated scan,
+    |sources| output rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    checks = docs.selectExpr(
+        "source",
+        *[
+            f"CASE WHEN {_enc_pred(r, 'regexp_like')} THEN 1 ELSE 0 END"
+            f" AS {name}"
+            for name, r in _ENC_RULES
+        ],
+    )
+    any_rule = None
+    for name, _ in _ENC_RULES:
+        any_rule = F.col(name) if any_rule is None else any_rule + F.col(name)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    aggs += [
+        F.sum(name).cast("long").alias(name) for name, _ in _ENC_RULES
+    ]
+    aggs.append(F.sum((any_rule > 0).cast("int")).cast("long").alias("n_any"))
+    return checks.groupBy("source").agg(*aggs)

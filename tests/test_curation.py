@@ -208,3 +208,37 @@ def test_semdedup_removes_exact_twin_keeps_singletons(spark, tmp_path):
     twin_cell = [r for r in got if r["n_vectors"] == 2]
     assert len(twin_cell) == 1 and twin_cell[0]["n_kept"] == 1
     assert SEMDEDUP_TAU < 1.0  # the twin pair (cos = 1.0) must qualify
+
+
+def test_encoding_audit_fires_each_rule_once(spark, tmp_path):
+    """One dirty doc per rule + one clean doc, all in one source: each
+    counter reads exactly 1, n_any counts distinct dirty DOCS (the
+    double-dirty doc counts once), and a clean source stays all-zero."""
+    from cost_of_living_data_etl_spark.plans.curation import (
+        q_encoding_anomaly_audit,
+    )
+
+    rows = [
+        ("binary leak \x07 here", "en", "dirty"),
+        ("lossy decode � mark", "en", "dirty"),
+        ("residual &nbsp; entity", "en", "dirty"),
+        ("unstripped <div> tag", "en", "dirty"),
+        ("curly quote mojibake â€™s", "en", "dirty"),
+        # entity AND tag in one doc: rule counters both increment,
+        # n_any counts the DOC once
+        ("double &amp; <p> trouble", "en", "dirty"),
+        ("perfectly clean prose", "en", "dirty"),
+        ("clean in its own source", "en", "clean"),
+    ]
+    _write_docs(spark, tmp_path, rows)
+    got = {
+        r["source"]: r
+        for r in q_encoding_anomaly_audit(spark, str(tmp_path)).collect()
+    }
+    d = got["dirty"]
+    assert (d["n_ctrl"], d["n_replacement"]) == (1, 1)
+    assert (d["n_entity"], d["n_tag"]) == (2, 2)
+    assert d["n_mojibake"] == 1
+    assert d["n_any"] == 6 and d["n_docs"] == 7
+    c = got["clean"]
+    assert c["n_any"] == 0 and c["n_docs"] == 1

@@ -497,3 +497,159 @@ def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("root")
     )
+
+
+# --- interval-overlap join (sessions × error bursts) ------------------------
+
+OVERLAP_CELL_US = 3_600_000_000  # 1-hour grid cells for the bucketed join
+
+_OVERLAP_ORACLE = f"""
+WITH e AS (SELECT user_id, epoch_us(ts) AS s,
+                  epoch_us(ts) + {IDLE_GAP_US} AS en
+           FROM events),
+m AS (SELECT user_id, s, en,
+             max(en) OVER (PARTITION BY user_id ORDER BY s, en
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pmax
+      FROM e),
+g AS (SELECT user_id, s, en,
+             sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY s, en
+                     ROWS UNBOUNDED PRECEDING) AS isl
+      FROM m),
+sess AS (SELECT user_id, isl, min(s) AS st, max(en) AS e2
+         FROM g GROUP BY 1, 2),
+be AS (SELECT epoch_us(ts) AS s, epoch_us(ts) + {IDLE_GAP_US} AS en
+       FROM events WHERE event_type = 'error'),
+bm AS (SELECT s, en,
+              max(en) OVER (ORDER BY s, en
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS pmax
+       FROM be),
+bg AS (SELECT s, en,
+              sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                OVER (ORDER BY s, en ROWS UNBOUNDED PRECEDING) AS bid
+       FROM bm),
+burst AS (SELECT bid, min(s) AS bs, max(en) AS b2 FROM bg GROUP BY 1),
+hits AS (
+    SELECT s.user_id, s.isl,
+           sum(least(s.e2, b.b2) - greatest(s.st, b.bs)) AS ov_us
+    FROM sess s JOIN burst b
+      ON s.st < b.b2 AND b.bs < s.e2
+    GROUP BY 1, 2
+)
+SELECT CAST(s.user_id AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN h.isl IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit_sessions,
+       CAST(coalesce(sum(h.ov_us), 0) AS BIGINT) AS overlap_us
+FROM sess s LEFT JOIN hits h
+  ON h.user_id = s.user_id AND h.isl = s.isl
+GROUP BY s.user_id
+"""
+
+
+def _islands(ev: DataFrame, part_cols: list[str]) -> DataFrame:
+    """Gaps-and-islands over [s, en) intervals; returns one row per
+    island with (part_cols..., isl, st, e2). Factored from
+    q_interval_merge_islands so both interval sets of the overlap join
+    derive from the SAME tested merge logic."""
+    order = Window.partitionBy(*part_cols).orderBy("s", "en")
+    prev = order.rowsBetween(Window.unboundedPreceding, -1)
+    run = order.rowsBetween(Window.unboundedPreceding, 0)
+    flagged = ev.withColumn("pmax", F.max("en").over(prev)).withColumn(
+        "brk",
+        F.when(
+            F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
+        ).otherwise(0),
+    )
+    return (
+        flagged.withColumn("isl", F.sum("brk").over(run))
+        .groupBy(*part_cols, "isl")
+        .agg(F.min("s").alias("st"), F.max("en").alias("e2"))
+    )
+
+
+@register(
+    "q_interval_overlap_sessions_bursts",
+    oracle=_OVERLAP_ORACLE,
+    tags=("join", "intervals", "overlap", "events"),
+)
+def q_interval_overlap_sessions_bursts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval × interval OVERLAP join: which user activity sessions
+    overlap a global error burst, and for how long — the incident-
+    impact question ("whose sessions were exposed to the outage?")
+    that a point-in-interval range join cannot answer. Both interval
+    sets derive from the same tested gaps-and-islands merge
+    (``_islands``): per-user activity islands, and GLOBAL bursts from
+    error events only (the global window sorts |error events| rows —
+    rate-bounded, not corpus-bounded; shard by coarse time first if
+    errors themselves reach data scale).
+
+    The join itself is the scalable part: instead of the naive
+    inequality join (a nested-loop over |sessions|×|bursts|), each
+    interval explodes into its 1-hour grid cells and the pair stream
+    is an EQUI-join on cell id with the exact overlap predicate as a
+    post-filter, deduped per (session, burst) — shuffle keys are
+    (cell, id) ints, volume Σ⌈duration/1h⌉. The oracle states the
+    definitional inequality join; this plan is the same relation,
+    bucketed. All arithmetic integral micros; overlap length
+    Σ(min(end)−max(start)) in exact BIGINTs.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + F.lit(IDLE_GAP_US)).alias("en"),
+    )
+    sess = _islands(ev, ["user_id"])
+    bursts = _islands(
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.unix_micros("ts").alias("s"),
+            (F.unix_micros("ts") + F.lit(IDLE_GAP_US)).alias("en"),
+        ),
+        [],
+    ).select(F.col("isl").alias("bid"), F.col("st").alias("bs"), F.col("e2").alias("b2"))
+
+    cell = lambda lo, hi: F.explode(  # noqa: E731
+        F.sequence(
+            F.floor(F.col(lo) / F.lit(OVERLAP_CELL_US)),
+            F.floor((F.col(hi) - 1) / F.lit(OVERLAP_CELL_US)),
+        )
+    ).alias("cell")
+    s_cells = sess.select("user_id", "isl", "st", "e2", cell("st", "e2"))
+    b_cells = bursts.select("bid", "bs", "b2", cell("bs", "b2"))
+    hits = (
+        s_cells.join(b_cells, "cell")
+        .filter((F.col("st") < F.col("b2")) & (F.col("bs") < F.col("e2")))
+        .select("user_id", "isl", "st", "e2", "bid", "bs", "b2")
+        .distinct()
+        .groupBy("user_id", "isl")
+        .agg(
+            F.sum(
+                F.least("e2", "b2") - F.greatest("st", "bs")
+            ).alias("ov_us")
+        )
+    )
+    return (
+        sess.join(hits, ["user_id", "isl"], "left")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(F.col("ov_us").isNotNull().cast("int"))
+            .cast("long")
+            .alias("n_hit_sessions"),
+            F.coalesce(F.sum("ov_us"), F.lit(0))
+            .cast("long")
+            .alias("overlap_us"),
+        )
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            "n_sessions",
+            "n_hit_sessions",
+            "overlap_us",
+        )
+    )

@@ -211,3 +211,40 @@ def test_setsim_no_text_or_shingles_in_any_exchange(spark, sf_smoke):
     exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
     assert exchange_lines, "expected shuffles in the prefix-join plan"
     assert not any("text" in l or "shingle" in l for l in exchange_lines)
+
+
+def test_interval_overlap_halfopen_boundary_and_lengths(spark, tmp_path):
+    """Constructed incident: a burst [1000, 1300)s (one error). A
+    session ending exactly AT the burst start must NOT count
+    (half-open intervals: touching is not overlapping); a session
+    entering the burst overlaps by the exact intersection length; the
+    error's own activity overlaps fully; an early session not at all."""
+    import datetime as dt
+
+    from cost_of_living_data_etl_spark.plans.structural import (
+        q_interval_overlap_sessions_bursts,
+    )
+
+    t = lambda sec: dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)  # noqa: E731
+    rows = [
+        # (event_id, ts, user_id, event_type)
+        (1, t(200), 1, "view"),   # session [200, 500) — ends before burst
+        (2, t(900), 2, "view"),   # session [900, 1200) — overlaps 200s
+        (3, t(700), 3, "view"),   # session [700, 1000) — TOUCHES burst start
+        (9, t(1000), 9, "error"), # burst [1000, 1300); user 9 session too
+    ]
+    spark.createDataFrame(
+        [(i, ts, uid, et, 1.0, "{}") for (i, ts, uid, et) in rows],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r["user_id"]: (r["n_sessions"], r["n_hit_sessions"], r["overlap_us"])
+        for r in q_interval_overlap_sessions_bursts(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got[1] == (1, 0, 0)
+    assert got[2] == (1, 1, 200_000_000)
+    assert got[3] == (1, 0, 0)  # half-open: touching != overlapping
+    assert got[9] == (1, 1, 300_000_000)

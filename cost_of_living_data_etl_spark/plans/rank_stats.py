@@ -661,3 +661,170 @@ def q_wasserstein_arm_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(area AS DOUBLE) / (CAST(na AS DOUBLE) * nb * 100.0)"
         ).alias("w1_distance"),
     )
+
+
+# --- isotonic calibration: dup probability vs quality score ------------------
+
+#: fixed-width score bins over quality ∈ [0,1]; 20 keeps the PAVA grid
+#: constant-size (≤20 rows of state) at any corpus size.
+ISO_BINS = 20
+
+#: shared float fragments — executed verbatim on both engines so the
+#: single division per value is bit-identical (see AUC/Spearman above).
+_ISO_BIN_EXPR = "least({top}, CAST(floor(({q}) * {b}) AS BIGINT))"
+_ISO_MEAN_EXPR = "CAST({cpj} - {cpi} AS DOUBLE) / ({cnj} - {cni})"
+_ISO_RATE_EXPR = "CAST(pos AS DOUBLE) / n"
+
+_ISO_ORACLE = f"""
+WITH pairs_ AS MATERIALIZED (
+    SELECT doc_id_1, doc_id_2 FROM ( {{minhash}} )
+),
+dup_ids AS (
+    SELECT doc_id_1 AS doc_id FROM pairs_
+    UNION SELECT doc_id_2 FROM pairs_
+),
+scored AS (
+    SELECT {_ISO_BIN_EXPR.format(top=ISO_BINS - 1, q=_QUALITY_SQL, b=ISO_BINS)}
+             AS bin,
+           CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup
+    FROM documents LEFT JOIN dup_ids d ON documents.doc_id = d.doc_id
+),
+binned AS (
+    SELECT bin, count(*) AS n, sum(is_dup) AS pos FROM scored GROUP BY bin
+),
+idx AS (
+    SELECT bin, n, pos, row_number() OVER (ORDER BY bin) AS r FROM binned
+),
+pre AS (
+    SELECT r, sum(n) OVER (ORDER BY r) AS cn,
+              sum(pos) OVER (ORDER BY r) AS cp
+    FROM idx
+),
+pre0 AS (SELECT * FROM pre UNION ALL SELECT 0, 0, 0),
+pairs AS (
+    SELECT a.r + 1 AS i, b.r AS j,
+           {_ISO_MEAN_EXPR.format(cpj="b.cp", cpi="a.cp",
+                                  cnj="b.cn", cni="a.cn")} AS m
+    FROM pre0 a JOIN pre b ON a.r < b.r
+),
+inner_ AS (
+    SELECT k.r AS k, p.i, max(p.m) AS mx
+    FROM pairs p JOIN idx k ON p.i <= k.r AND p.j >= k.r
+    GROUP BY 1, 2
+),
+fit AS (SELECT k, min(mx) AS iso FROM inner_ GROUP BY k)
+SELECT CAST(idx.bin AS BIGINT) AS bin,
+       CAST(idx.n AS BIGINT) AS n_docs,
+       {_ISO_RATE_EXPR} AS raw_dup_rate,
+       fit.iso AS iso_dup_rate
+FROM idx JOIN fit ON fit.k = idx.r
+"""
+
+
+def antitonic_fit(binned: DataFrame) -> DataFrame:
+    """Weighted antitonic (nonincreasing) L2 isotonic regression of the
+    per-bin positive rate ``pos/n`` over the ``bin`` order — classic
+    pool-adjacent-violators, computed by the closed-form min-max
+    identity ``f[k] = min_{i<=k} max_{j>=k} mean(y[i..j])`` instead of
+    the sequential PAVA sweep, so it is pure joins over the
+    constant-size bin grid (m ≤ ISO_BINS ⇒ ≤ m² pair means, ≤ m³ grid
+    tuples — driver-free and engine-portable). min/max are
+    order-independent, so unlike sum folds this needs no ordering
+    discipline for cross-engine parity; each pair mean is ONE division
+    of exact BIGINT prefix-sum deltas.
+
+    Input: (bin, n, pos). Output: (bin, n, pos, raw rate, iso rate).
+    """
+    idx = binned.withColumn("r", F.row_number().over(Window.orderBy("bin")))
+    run = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
+    pre = idx.select(
+        "r", F.sum("n").over(run).alias("cn"), F.sum("pos").over(run).alias("cp")
+    )
+    pre0 = pre.unionByName(
+        pre.sparkSession.range(1).select(
+            F.lit(0).cast("int").alias("r"),
+            F.lit(0).cast("bigint").alias("cn"),
+            F.lit(0).cast("bigint").alias("cp"),
+        )
+    )
+    a, b = pre0.alias("a"), pre.alias("b")
+    pairs = a.join(b, F.col("a.r") < F.col("b.r")).select(
+        (F.col("a.r") + 1).alias("i"),
+        F.col("b.r").alias("j"),
+        F.expr(
+            _ISO_MEAN_EXPR.format(cpj="b.cp", cpi="a.cp", cnj="b.cn", cni="a.cn")
+        ).alias("m"),
+    )
+    k = idx.select(F.col("r").alias("k"))
+    inner = (
+        pairs.join(
+            F.broadcast(k),
+            (F.col("i") <= F.col("k")) & (F.col("j") >= F.col("k")),
+        )
+        .groupBy("k", "i")
+        .agg(F.max("m").alias("mx"))
+    )
+    fit = inner.groupBy("k").agg(F.min("mx").alias("iso"))
+    return idx.join(fit, idx.r == fit.k).select(
+        "bin",
+        "n",
+        "pos",
+        F.expr(_ISO_RATE_EXPR).alias("raw_rate"),
+        F.col("iso").alias("iso_rate"),
+    )
+
+
+@register(
+    "q_isotonic_calibration_quality_dup",
+    oracle=_ISO_ORACLE.format(minhash=_MINHASH_ORACLE),
+    tags=("statistics", "calibration", "isotonic", "curation-eval"),
+)
+def q_isotonic_calibration_quality_dup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Isotonic calibration curve of NEAR-duplicate probability as a
+    function of the heuristic quality score: the AUC companion that
+    turns "does quality separate dups?" (q_auc_quality_dup, same
+    MinHash-LSH pair label) into a usable calibrated mapping
+    score-bin → P(dup), with monotonicity (lower quality ⇒ no lower
+    dup rate) ENFORCED by weighted pool-adjacent-violators — the raw
+    per-bin rates are noisy at the tails, and a threshold picked off
+    a non-monotone curve flaps. Fit is antitonic (nonincreasing in
+    quality) via the min-max identity over ≤ ISO_BINS fixed-width
+    bins; see ``antitonic_fit``.
+
+    100 TB: one text pass computes the quality score map-side — text
+    never enters an Exchange; the dup label is a LEFT join against
+    the (small) LSH pair-id set; everything after the bin rollup is a
+    ≤20-row constant-size grid no matter the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_pair_plan(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    dup_ids = (
+        pairs.select(F.col("doc_id_1").alias("doc_id"))
+        .union(pairs.select(F.col("doc_id_2")))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    scored = (
+        docs.join(dup_ids, "doc_id", "left")
+        .select(
+            quality_score(F.col("text")).alias("q"),
+            F.coalesce(F.col("hit"), F.lit(0)).alias("is_dup"),
+        )
+        .select(
+            F.expr(
+                _ISO_BIN_EXPR.format(top=ISO_BINS - 1, q="q", b=ISO_BINS)
+            ).alias("bin"),
+            "is_dup",
+        )
+    )
+    binned = scored.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("is_dup").alias("pos")
+    )
+    return antitonic_fit(binned).select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("raw_rate").alias("raw_dup_rate"),
+        F.col("iso_rate").alias("iso_dup_rate"),
+    )

@@ -398,3 +398,43 @@ def test_wasserstein_identical_arms_is_zero(spark, tmp_path):
     ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
     r = q_wasserstein_arm_shift(spark, str(tmp_path)).collect()[0]
     assert r["w1_distance"] == 0.0
+
+
+def test_antitonic_fit_pools_violators_weighted(spark):
+    """Hand-computed PAVA: rates (0.9, 0.2, 0.4, 0.1) with weights
+    (10, 10, 10, 10) violate nonincreasing at bins 2→3; the fit pools
+    exactly that adjacent pair to its weighted mean 0.3 and leaves the
+    rest untouched. A second, weighted case: rates (0.0, 2/3) with
+    weights (1, 3) pool to (0+2)/4 = 0.5 for BOTH bins (antitonic ⇒
+    an increasing pair always collapses to one level)."""
+    from cost_of_living_data_etl_spark.plans.rank_stats import antitonic_fit
+
+    binned = spark.createDataFrame(
+        [(0, 10, 9), (1, 10, 2), (2, 10, 4), (3, 10, 1)],
+        "bin long, n long, pos long",
+    )
+    got = {r["bin"]: (r["raw_rate"], r["iso_rate"])
+           for r in antitonic_fit(binned).collect()}
+    assert got[0] == (0.9, 0.9)
+    assert got[1] == (0.2, 0.3)
+    assert got[2] == (0.4, 0.3)
+    assert got[3] == (0.1, 0.1)
+
+    binned2 = spark.createDataFrame(
+        [(0, 1, 0), (1, 3, 2)], "bin long, n long, pos long"
+    )
+    got2 = {r["bin"]: r["iso_rate"] for r in antitonic_fit(binned2).collect()}
+    assert got2[0] == got2[1] == 0.5
+
+
+def test_antitonic_fit_identity_on_monotone_input(spark):
+    """An already-nonincreasing rate sequence is a fixed point of the
+    PAVA projection — no pooling, fit equals raw everywhere."""
+    from cost_of_living_data_etl_spark.plans.rank_stats import antitonic_fit
+
+    binned = spark.createDataFrame(
+        [(0, 4, 4), (1, 8, 4), (2, 10, 2), (3, 5, 0)],
+        "bin long, n long, pos long",
+    )
+    for r in antitonic_fit(binned).collect():
+        assert r["iso_rate"] == r["raw_rate"]

@@ -55,4 +55,5 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     # round5 LAST: its 13 queries take the sample slots AFTER the 37
     # still-pending round-3/4 rows (37 + 13 = the driver's 50-sample)
     round5,
+    attribution_markov,
 )

@@ -685,3 +685,34 @@ def test_source_modularity_no_text_in_any_exchange(spark, sf_smoke):
     assert not any(
         "text" in l or "shingle" in l for l in exchange_lines
     )
+
+
+def test_interval_overlap_join_is_bucketed_equi_join(spark, sf_smoke):
+    """The session × burst overlap join must run as an equi-join on
+    grid cells — never a nested-loop inequality join — and nothing
+    event-payload-sized may cross any Exchange."""
+    plan = plan_of(spark, "q_interval_overlap_sessions_bursts", sf_smoke)
+    assert "CartesianProduct" not in plan
+    exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exchange_lines
+    assert not any("props" in l or "event_type" in l for l in exchange_lines)
+
+
+def test_isotonic_calibration_text_never_in_exchange(spark, sf_smoke):
+    """Quality score and dup label are computed map-side: document
+    text must not enter any Exchange; post-rollup the PAVA grid is
+    constant-size."""
+    plan = plan_of(spark, "q_isotonic_calibration_quality_dup", sf_smoke)
+    exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exchange_lines
+    assert not any("text" in l or "shingle" in l for l in exchange_lines)
+
+
+def test_markov_solve_reads_checkpointed_counts_not_events(spark, sf_smoke):
+    """The value-iteration solve runs entirely over the materialized
+    ≤30-row (src, dst, cnt) table: its plan contains NO parquet scan
+    (the events pass happened once, behind the checkpoint) and no
+    per-event columns in any Exchange."""
+    plan = plan_of(spark, "q_markov_removal_attribution", sf_smoke)
+    assert "Scan parquet" not in plan
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan

@@ -26,6 +26,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from cost_of_living_data_etl_spark.functions.columns import det_sum
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.sources.tables import load_table
 
@@ -996,3 +997,137 @@ def q_triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
+
+
+# ---------------------------------------------------------------------------
+# local clustering-coefficient / transitivity profile of the dup graph
+# ---------------------------------------------------------------------------
+
+#: per-node coefficient, ONE shared division of exact ints (t = the
+#: node's triangle memberships, d its degree; wedges centered at the
+#: node = d(d-1)/2, closed ones = t, so cc = 2t / d(d-1))
+_CC_EXPR = "CAST(2 * t AS DOUBLE) / (d * (d - 1))"
+
+_CLUSTERING_ORACLE = f"""
+WITH pairs AS MATERIALIZED (
+    SELECT doc_id_1, doc_id_2 FROM ( {_MINHASH_ORACLE} )
+),
+deg AS (
+    SELECT doc_id, count(*) AS d
+    FROM (SELECT doc_id_1 AS doc_id FROM pairs
+          UNION ALL SELECT doc_id_2 FROM pairs) e
+    GROUP BY 1
+),
+tri AS (
+    SELECT ab.doc_id_1 AS a, ab.doc_id_2 AS b, bc.doc_id_2 AS c
+    FROM pairs ab
+    JOIN pairs bc ON bc.doc_id_1 = ab.doc_id_2
+    JOIN pairs ac ON ac.doc_id_1 = ab.doc_id_1 AND ac.doc_id_2 = bc.doc_id_2
+),
+members AS (
+    SELECT a AS doc_id FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+),
+tcnt AS (SELECT doc_id, count(*) AS t FROM members GROUP BY 1),
+nodes AS (
+    SELECT deg.doc_id, deg.d, coalesce(tcnt.t, 0) AS t
+    FROM deg LEFT JOIN tcnt USING (doc_id)
+    WHERE deg.d >= 2
+)
+SELECT CAST(least(8, d) AS BIGINT) AS deg_bucket,
+       CAST(count(*) AS BIGINT) AS n_nodes,
+       CAST(sum(t) AS BIGINT) AS tri_memberships,
+       CAST(2 * sum(t) AS DOUBLE) / sum(d * (d - 1)) AS wedge_closure,
+       list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           list_sort(list({_CC_EXPR}))),
+           (a, b) -> a + b) / CAST(count(*) AS DOUBLE) AS avg_local_cc
+FROM nodes GROUP BY 1
+"""
+
+
+def clustering_profile(pairs: DataFrame) -> DataFrame:
+    """Degree-bucketed local-clustering profile of an oriented
+    (doc_id_1 < doc_id_2) edge list: for every node of degree ≥ 2,
+    its local clustering coefficient 2t/d(d−1); per degree bucket
+    (degree capped at 8) both aggregate views of closure — the
+    ratio-of-sums ``wedge_closure`` (bucket transitivity: closed
+    wedges / wedges, robust to hubs) and the mean-of-ratios
+    ``avg_local_cc`` (Watts-Strogatz average, hub-insensitive).
+    Exactness: t, d, Σt, Σd(d−1) are BIGINTs; each output float is
+    one shared-text division (det_sum fold for the coefficient mean).
+    """
+    deg = (
+        pairs.select(F.col("doc_id_1").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_id_2").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    ab = pairs.select(F.col("doc_id_1").alias("a"), F.col("doc_id_2").alias("b"))
+    bc = pairs.select(F.col("doc_id_1").alias("b"), F.col("doc_id_2").alias("c"))
+    ac = pairs.select(F.col("doc_id_1").alias("a2"), F.col("doc_id_2").alias("c2"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, (F.col("a") == F.col("a2")) & (F.col("c") == F.col("c2")))
+        .select("a", "b", "c")
+    )
+    tcnt = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    nodes = (
+        deg.filter(F.col("d") >= 2)
+        .join(tcnt, "doc_id", "left")
+        .select("doc_id", "d", F.coalesce(F.col("t"), F.lit(0)).alias("t"))
+    )
+    return (
+        nodes.groupBy(F.least(F.lit(8), F.col("d")).alias("deg_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("t").alias("tri_memberships"),
+            F.sum(F.col("d") * (F.col("d") - 1)).alias("wedges2"),
+            det_sum(_CC_EXPR).alias("cc_fold"),
+        )
+        .select(
+            F.col("deg_bucket").cast("long").alias("deg_bucket"),
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("tri_memberships").cast("long").alias("tri_memberships"),
+            F.expr(
+                "CAST(2 * tri_memberships AS DOUBLE) / wedges2"
+            ).alias("wedge_closure"),
+            F.expr("cc_fold / CAST(n_nodes AS DOUBLE)").alias("avg_local_cc"),
+        )
+    )
+
+
+@register(
+    "q_dupgraph_clustering_profile",
+    oracle=_CLUSTERING_ORACLE,
+    tags=("graph", "clustering-coefficient", "transitivity", "dedup"),
+)
+def q_dupgraph_clustering_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Local clustering-coefficient profile of the near-dup pair graph
+    by degree bucket: are a node's neighbours ALSO near-dups of each
+    other? High closure at high degree = template families (dense
+    cliques — dedup by one representative rule); low closure at high
+    degree = hub contamination (one boilerplate page matching many
+    unrelated docs — the LSH false-positive smell worth auditing).
+    Completes the dup-graph diagnostics next to triangle membership,
+    degree assortativity, k-core, PageRank, and source modularity,
+    and reports BOTH closure estimators per bucket (ratio-of-sums
+    transitivity vs mean-of-ratios Watts-Strogatz; their gap is
+    itself the hub signal). Exact-int sums; see `clustering_profile`.
+
+    Scale: everything runs on the pair graph (orders of magnitude
+    smaller than the corpus), joins on 8-byte ids; the oriented
+    two-path + closing-edge triangle join is the same plan the
+    triangle-count query ships, and the LSH bucket cap bounds its
+    skew upstream.
+    """
+    pairs = (
+        minhash_pair_plan(spark, sf_dir).select("doc_id_1", "doc_id_2").persist()
+    )
+    return clustering_profile(pairs).orderBy("deg_bucket")

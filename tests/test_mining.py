@@ -146,3 +146,42 @@ def test_mutual_nn_ann_guard_refuses_fixed_k_blowup(spark, monkeypatch):
     monkeypatch.setattr(round4, "MAX_MNN_ANN_ROWS", 10)
     with pytest.raises(ValueError, match="k ∝ N"):
         round4.q_mutual_nn_ann(spark, f"{TESTDATA}/sf0.01")
+
+
+def test_clustering_profile_triangle_plus_pendant(spark):
+    """Hand graph: triangle {1,2,3} plus pendant edge (3,4). Degree-2
+    nodes 1 and 2 close their single wedge (cc = 1); node 3 (degree 3)
+    closes one of its three wedges (cc = 1/3); node 4 (degree 1) is
+    excluded. Both closure estimators are exactly known per bucket."""
+    from cost_of_living_data_etl_spark.operators.dedup import (
+        clustering_profile,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 4)], "doc_id_1 long, doc_id_2 long"
+    )
+    got = {r["deg_bucket"]: r for r in clustering_profile(pairs).collect()}
+    assert set(got) == {2, 3}
+    b2, b3 = got[2], got[3]
+    assert (b2["n_nodes"], b2["tri_memberships"]) == (2, 2)
+    assert b2["wedge_closure"] == 1.0 and b2["avg_local_cc"] == 1.0
+    assert (b3["n_nodes"], b3["tri_memberships"]) == (1, 1)
+    assert b3["wedge_closure"] == 2 / 6 and b3["avg_local_cc"] == 1 / 3
+
+
+def test_clustering_profile_triangle_free_graph_is_all_zero(spark):
+    """A path graph has wedges but no triangles: every closure
+    statistic must be exactly 0, not NULL (the t=0 left-join path)."""
+    from cost_of_living_data_etl_spark.operators.dedup import (
+        clustering_profile,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "doc_id_1 long, doc_id_2 long"
+    )
+    rows = clustering_profile(pairs).collect()
+    assert rows, "degree-2 interior nodes must appear"
+    for r in rows:
+        assert r["tri_memberships"] == 0
+        assert r["wedge_closure"] == 0.0
+        assert r["avg_local_cc"] == 0.0

@@ -56,4 +56,5 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     # still-pending round-3/4 rows (37 + 13 = the driver's 50-sample)
     round5,
     attribution_markov,
+    data_shapley,
 )

@@ -828,3 +828,155 @@ def q_isotonic_calibration_quality_dup(
         F.col("raw_rate").alias("raw_dup_rate"),
         F.col("iso_rate").alias("iso_dup_rate"),
     )
+
+
+# --- Brier score + Murphy decomposition --------------------------------------
+
+#: shared fragments: risk score (quality is in [0,1], so 1-q is a
+#: probability-shaped dup-risk prediction), per-row squared error,
+#: and the bin id over the SAME ISO_BINS fixed-width grid as the
+#: isotonic query (binned by the PREDICTION p, as Murphy requires)
+_BRIER_SQERR = "(p - CAST(y AS DOUBLE)) * (p - CAST(y AS DOUBLE))"
+
+_BRIER_ORACLE = f"""
+WITH pairs_ AS MATERIALIZED (
+    SELECT doc_id_1, doc_id_2 FROM ( {{minhash}} )
+),
+dup_ids AS (
+    SELECT doc_id_1 AS doc_id FROM pairs_
+    UNION SELECT doc_id_2 FROM pairs_
+),
+scored AS (
+    SELECT CAST(1.0 AS DOUBLE) - ({_QUALITY_SQL}) AS p,
+           CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END AS y
+    FROM documents LEFT JOIN dup_ids d ON documents.doc_id = d.doc_id
+),
+per_bin AS (
+    SELECT {_ISO_BIN_EXPR.format(top=ISO_BINS - 1, q="p", b=ISO_BINS)} AS bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(y) AS BIGINT) AS pos,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_sort(list(p))), (a, b) -> a + b) AS p_sum
+    FROM scored GROUP BY 1
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(y) AS BIGINT) AS npos,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+               list_sort(list({_BRIER_SQERR}))), (a, b) -> a + b) AS sq_sum
+    FROM scored
+),
+comps AS (
+    SELECT t.nn, t.npos, t.sq_sum,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(
+               n * (p_sum / n - CAST(pos AS DOUBLE) / n)
+                 * (p_sum / n - CAST(pos AS DOUBLE) / n)))),
+               (a, b) -> a + b) AS rel_sum,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_sort(list(
+               n * (CAST(pos AS DOUBLE) / n - CAST(t.npos AS DOUBLE) / t.nn)
+                 * (CAST(pos AS DOUBLE) / n - CAST(t.npos AS DOUBLE) / t.nn)))),
+               (a, b) -> a + b) AS res_sum
+    FROM per_bin, tot t
+    GROUP BY t.nn, t.npos, t.sq_sum
+)
+SELECT CAST(nn AS BIGINT) AS n_docs,
+       CAST(npos AS DOUBLE) / nn AS base_rate,
+       sq_sum / nn AS brier,
+       rel_sum / nn AS reliability,
+       res_sum / nn AS resolution,
+       (CAST(npos AS DOUBLE) / nn) * (CAST(1.0 AS DOUBLE)
+           - CAST(npos AS DOUBLE) / nn) AS uncertainty,
+       sq_sum / nn - (rel_sum / nn - res_sum / nn
+           + (CAST(npos AS DOUBLE) / nn) * (CAST(1.0 AS DOUBLE)
+              - CAST(npos AS DOUBLE) / nn)) AS within_bin_gap
+FROM comps
+"""
+
+
+def brier_murphy(scored: DataFrame) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score of (p, y) rows
+    over the fixed ISO_BINS prediction grid: BS = REL − RES + UNC +
+    within-bin dispersion. REL (reliability, lower better) penalizes
+    bins whose mean prediction p̄ₖ misses the observed rate ȳₖ; RES
+    (resolution, higher better) rewards bins whose rates differ from
+    the base rate; UNC = ȳ(1−ȳ) is the data's irreducible floor. The
+    textbook identity is exact only when p is constant within a bin,
+    so the residual is REPORTED (`within_bin_gap` = mean within-bin
+    variance of p, ≥ 0) instead of silently absorbed. All counts
+    exact BIGINTs; every float sum a det_sum fold of shared text."""
+    binned = scored.groupBy(
+        F.expr(_ISO_BIN_EXPR.format(top=ISO_BINS - 1, q="p", b=ISO_BINS)).alias(
+            "bin"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("pos"),
+        det_sum("p").alias("p_sum"),
+    )
+    tot = scored.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("nn"),
+        F.sum("y").cast("long").alias("npos"),
+        det_sum(_BRIER_SQERR).alias("sq_sum"),
+    )
+    comps = (
+        binned.crossJoin(F.broadcast(tot))
+        .groupBy("nn", "npos", "sq_sum")
+        .agg(
+            det_sum(
+                "n * (p_sum / n - CAST(pos AS DOUBLE) / n)"
+                " * (p_sum / n - CAST(pos AS DOUBLE) / n)"
+            ).alias("rel_sum"),
+            det_sum(
+                "n * (CAST(pos AS DOUBLE) / n - CAST(npos AS DOUBLE) / nn)"
+                " * (CAST(pos AS DOUBLE) / n - CAST(npos AS DOUBLE) / nn)"
+            ).alias("res_sum"),
+        )
+    )
+    return comps.selectExpr(
+        "CAST(nn AS BIGINT) AS n_docs",
+        "CAST(npos AS DOUBLE) / nn AS base_rate",
+        "sq_sum / nn AS brier",
+        "rel_sum / nn AS reliability",
+        "res_sum / nn AS resolution",
+        "(CAST(npos AS DOUBLE) / nn) * (CAST(1.0 AS DOUBLE)"
+        " - CAST(npos AS DOUBLE) / nn) AS uncertainty",
+        "sq_sum / nn - (rel_sum / nn - res_sum / nn"
+        " + (CAST(npos AS DOUBLE) / nn) * (CAST(1.0 AS DOUBLE)"
+        " - CAST(npos AS DOUBLE) / nn)) AS within_bin_gap",
+    )
+
+
+@register(
+    "q_brier_murphy_quality_dup",
+    oracle=_BRIER_ORACLE.format(minhash=_MINHASH_ORACLE),
+    tags=("statistics", "calibration", "brier", "curation-eval"),
+)
+def q_brier_murphy_quality_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score + Murphy decomposition of the dup-risk prediction
+    p = 1 − quality against near-duplicate membership (same MinHash-
+    LSH label and bin grid as `q_isotonic_calibration_quality_dup`):
+    completes the calibration triad — AUC answers "does the score
+    RANK dups higher?", the isotonic curve answers "what probability
+    does each score level MEAN?", and the Murphy components answer
+    "how much of the squared-error loss is miscalibration (REL) vs
+    lost sharpness (RES) vs the irreducible base-rate floor (UNC)?" —
+    the decision inputs for whether to recalibrate the filter or
+    retrain it. See `brier_murphy` for the exactness contract.
+
+    100 TB: one text pass map-side (score + squared error), the dup
+    label a broadcast-sized LSH pair-id join, then a ≤20-row grid —
+    the isotonic query's exact scale shape."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_pair_plan(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    dup_ids = (
+        pairs.select(F.col("doc_id_1").alias("doc_id"))
+        .union(pairs.select(F.col("doc_id_2")))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    scored = docs.join(dup_ids, "doc_id", "left").select(
+        (F.expr("CAST(1.0 AS DOUBLE)") - quality_score(F.col("text"))).alias(
+            "p"
+        ),
+        F.coalesce(F.col("hit"), F.lit(0)).alias("y"),
+    )
+    return brier_murphy(scored)

@@ -438,3 +438,35 @@ def test_antitonic_fit_identity_on_monotone_input(spark):
     )
     for r in antitonic_fit(binned).collect():
         assert r["iso_rate"] == r["raw_rate"]
+
+
+def test_brier_murphy_exact_decompositions(spark):
+    """Three hand cases: a perfect sharp forecaster (BS=0, REL=0,
+    RES=UNC); a constant-0.5 forecaster on a balanced label (BS=0.25,
+    all structure in UNC); and a single-bin case whose within-bin
+    prediction dispersion is exactly the reported gap."""
+    from cost_of_living_data_etl_spark.plans.rank_stats import brier_murphy
+
+    perfect = spark.createDataFrame(
+        [(0.0, 0), (1.0, 1)], "p double, y int"
+    )
+    r = brier_murphy(perfect).collect()[0]
+    assert r["brier"] == 0.0 and r["reliability"] == 0.0
+    assert r["resolution"] == 0.25 and r["uncertainty"] == 0.25
+    assert r["within_bin_gap"] == 0.0
+
+    flat = spark.createDataFrame([(0.5, 0), (0.5, 1)], "p double, y int")
+    r = brier_murphy(flat).collect()[0]
+    assert r["brier"] == 0.25
+    assert r["reliability"] == 0.0 and r["resolution"] == 0.0
+    assert r["uncertainty"] == 0.25 and r["within_bin_gap"] == 0.0
+
+    dispersed = spark.createDataFrame(
+        [(0.0, 0), (0.04, 0)], "p double, y int"
+    )
+    r = brier_murphy(dispersed).collect()[0]
+    # brier = (0 + 0.0016)/2 = 8e-4; rel = (0.02)^2 = 4e-4; gap = var(p)
+    assert abs(r["brier"] - 8e-4) < 1e-15
+    assert abs(r["reliability"] - 4e-4) < 1e-15
+    assert r["resolution"] == 0.0 and r["uncertainty"] == 0.0
+    assert abs(r["within_bin_gap"] - 4e-4) < 1e-15

@@ -945,3 +945,90 @@ def pit_enrich_stream(union_stream: DataFrame) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming journey-string builder (twin of plans/sequence_patterns.py)
+# ---------------------------------------------------------------------------
+
+#: Python mirror of plans/sequence_patterns._INITIAL_CASE — one initial
+#: per event type, 'x' for anything unknown
+_EVENT_INITIALS = {
+    "click": "c",
+    "error": "e",
+    "purchase": "p",
+    "signup": "s",
+    "view": "v",
+}
+
+
+class _JourneyStringProcessor:
+    """Streaming twin of ``plans/sequence_patterns.journey_strings``:
+    maintain each (user, day) journey's event-initial string as O(|day
+    events|) typed state, folding every micro-batch in (ts, event_id)
+    order and re-emitting the journey's CURRENT string (update mode —
+    the latest emission per key is the longest). Pattern matching
+    stays downstream in Spark SQL (`RLIKE` against the same pattern
+    dimension), so batch and stream match with the SAME regex engine —
+    the processor only builds strings, it never interprets patterns
+    (a Python `re` here would be a THIRD regex dialect to reconcile).
+
+    In-order replay of the same files yields byte-identical strings;
+    out-of-order arrival is outside this operator's contract (the
+    batch form is the replayable source of truth), matching the PIT
+    enricher's discipline.
+    """
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("journey", "s STRING")
+
+    def handleInputRows(self, key, rows, timerValues):
+        s = self._state.get()[0] if self._state.exists() else ""
+        batch = pd.concat(list(rows)).sort_values(["ts", "event_id"])
+        s += "".join(
+            _EVENT_INITIALS.get(et, "x") for et in batch["event_type"]
+        )
+        self._state.update((s,))
+        yield pd.DataFrame(
+            {
+                "user_id": pd.array([int(key[0])], dtype="Int64"),
+                "day": [pd.Timestamp(key[1])],
+                "s": [s],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+    def handleInitialState(self, key, initialState, timerValues) -> None:
+        pass
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        return iter(())
+
+
+def journey_strings_stream(events: DataFrame) -> DataFrame:
+    """Update-mode stream of (user_id, day, s): each micro-batch
+    re-emits the current event-initial string of every journey it
+    touched — the ingest-time mirror of the batch
+    ``journey_strings`` build, which is what lets the same
+    MATCH_RECOGNIZE-lite pattern dimension run on live journeys
+    (latest emission per key = current journey state)."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc = type(
+        "JourneyStringProcessor", (_JourneyStringProcessor, StatefulProcessor), {}
+    )()
+    keyed = events.select(
+        "user_id",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "ts",
+        "event_id",
+        "event_type",
+    )
+    return keyed.groupBy("user_id", "day").transformWithStateInPandas(
+        proc,
+        outputStructType="user_id BIGINT, day TIMESTAMP, s STRING",
+        outputMode="update",
+        timeMode="none",
+    )

@@ -1096,3 +1096,87 @@ def test_dedup_at_ingest_equals_full_batch_mining(spark, tmp_path):
     b1 = docs.join(b1_ids, "doc_id").localCheckpoint()
     ingest_dedup_batch(spark, b1, root, 1)
     assert pair_set(read_ingested_pairs(spark, root)) == want
+
+
+def test_tws_journey_strings_equal_batch_and_patterns_match(spark, tmp_path):
+    """Streaming the fixture events in two in-order micro-batches
+    through the typed-state journey builder must reproduce EXACTLY the
+    batch journey strings (latest emission per key = final string),
+    and therefore the same MATCH_RECOGNIZE-lite pattern counts when
+    the same RLIKE dimension runs on the streamed finals."""
+    from cost_of_living_data_etl_spark.plans.sequence_patterns import (
+        SESSION_PATTERNS,
+        journey_strings,
+        q_session_pattern_match,
+    )
+    from cost_of_living_data_etl_spark.sources.tables import load_table
+    from cost_of_living_data_etl_spark.streaming.events import (
+        journey_strings_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    cut = events.selectExpr(
+        "percentile(CAST(ts AS DOUBLE), 0.5) p"
+    ).collect()[0]["p"]
+    src = tmp_path / "journey_events"
+    events.filter(F.col("ts").cast("double") <= cut).coalesce(1).write.parquet(
+        f"{src}/b0"
+    )
+    events.filter(F.col("ts").cast("double") > cut).coalesce(1).write.parquet(
+        f"{src}/b1"
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        name = f"tws_journey_{uuid.uuid4().hex[:8]}"
+        q = (
+            journey_strings_stream(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        # latest emission per journey = the longest string
+        finals = {}
+        for r in spark.table(name).collect():
+            k = (r["user_id"], r["day"])
+            if k not in finals or len(r["s"]) > len(finals[k]):
+                finals[k] = r["s"]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    want = {
+        (r["user_id"], r["day"]): r["s"]
+        for r in journey_strings(spark, sf).collect()
+    }
+    assert finals == want
+
+    # same pattern dimension over the streamed finals == the batch query
+    finals_df = spark.createDataFrame(
+        [(s,) for s in finals.values()], "s string"
+    )
+    got_counts = {}
+    for pname, rx in SESSION_PATTERNS:
+        got_counts[pname] = finals_df.filter(
+            F.expr(f"s RLIKE '{rx}'")
+        ).count()
+    want_counts = {
+        r["pattern_name"]: r["n_matched"]
+        for r in q_session_pattern_match(spark, sf).collect()
+    }
+    assert got_counts == want_counts

@@ -29,7 +29,7 @@ shuffle signatures not vectors, verify only candidates.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.sources.tables import load_table
@@ -1427,4 +1427,199 @@ def q_semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_kept",
             "retention",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF tuning curve: recall@k and scan cost as a function of nprobe
+# ---------------------------------------------------------------------------
+
+NPROBE_GRID = (1, 2, 3, 4)  # the knob values the curve sweeps
+RECALL_NQ = 20  # fixed query panel: vec_id < RECALL_NQ
+
+
+def _nprobe_curve_oracle() -> str:
+    """DuckDB replay: same Lloyd fit (shared chain), brute-force
+    ground truth over the query panel, IVF candidates per nprobe,
+    exact-integer recall and scanned-fraction ratios."""
+    ip = "list_inner_product"
+    chain, final_a, final_c = _lloyd_cte_chain()
+    return (
+        chain
+        + f""",
+    qs AS (
+        SELECT vec_id AS qid, emb AS qemb, norm AS qnorm
+        FROM e WHERE vec_id < {RECALL_NQ}
+    ),
+    gt AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+                   row_number() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {ip}(e.emb, q.qemb) / (e.norm * q.qnorm) DESC,
+                                e.vec_id
+                   ) AS rn
+            FROM e, qs q WHERE e.vec_id <> q.qid
+        ) WHERE rn <= {TOPK}
+    ),
+    crank AS (
+        SELECT qid, cell,
+               row_number() OVER (
+                   PARTITION BY qid
+                   ORDER BY {ip}(c.c, q.qemb)
+                              / (sqrt({ip}(c.c, c.c)) * q.qnorm) DESC,
+                            cell
+               ) AS rk
+        FROM {final_c} c, qs q
+    ),
+    nps(np) AS (VALUES (1), (2), (3), (4)),
+    probed AS (
+        SELECT qid, np, cell FROM crank JOIN nps ON crank.rk <= nps.np
+    ),
+    csize AS (SELECT cell, count(*) AS sz FROM {final_a} GROUP BY cell),
+    cand AS (
+        SELECT p.qid, p.np, a.vec_id,
+               row_number() OVER (
+                   PARTITION BY p.qid, p.np
+                   ORDER BY {ip}(e.emb, q.qemb) / (e.norm * q.qnorm) DESC,
+                            a.vec_id
+               ) AS rn
+        FROM probed p
+        JOIN {final_a} a USING (cell)
+        JOIN e ON e.vec_id = a.vec_id
+        JOIN qs q ON q.qid = p.qid
+        WHERE a.vec_id <> p.qid
+    ),
+    ivf_top AS (SELECT qid, np, vec_id FROM cand WHERE rn <= {TOPK}),
+    nq AS (SELECT CAST(count(*) AS BIGINT) AS n FROM qs),
+    ncorp AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+    hits AS (
+        SELECT np, CAST(count(*) AS BIGINT) AS h
+        FROM ivf_top JOIN gt USING (qid, vec_id) GROUP BY np
+    ),
+    scan AS (
+        SELECT np, CAST(sum(sz) AS BIGINT) AS s
+        FROM probed JOIN csize USING (cell) GROUP BY np
+    )
+    SELECT CAST(nps.np AS BIGINT) AS nprobe,
+           CAST(COALESCE(h, 0) AS DOUBLE) / (nq.n * {TOPK}) AS recall_at_10,
+           CAST(s AS DOUBLE) / (nq.n * ncorp.n) AS scanned_frac,
+           nq.n AS n_queries
+    FROM nps
+    LEFT JOIN hits ON hits.np = nps.np
+    JOIN scan ON scan.np = nps.np
+    CROSS JOIN nq CROSS JOIN ncorp
+    ORDER BY nprobe"""
+    )
+
+
+@register(
+    "q_ivf_nprobe_recall_curve",
+    oracle=_nprobe_curve_oracle(),
+    tags=("similarity", "ann", "ivf", "tuning", "evaluation"),
+)
+def q_ivf_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF operator's TUNING CURVE: recall@10 against brute-force
+    ground truth AND the fraction of the corpus scanned, for each
+    nprobe in NPROBE_GRID over a fixed RECALL_NQ-query panel — the
+    measured accuracy/cost trade-off behind choosing `IVF_NPROBE`
+    (q_ann_ivf_probe ships one point of this curve; capacity planning
+    needs the whole frontier). Both ratios are single divisions of
+    exact BIGINT counts (hit intersections, probed cell sizes), so the
+    row hashes replay bit-for-bit; every top-k is tie-broken
+    (cos DESC, vec_id) on cosines both engines compute from the same
+    expression tree.
+
+    Scale: the quantizer fit is the shared cached artifact; candidate
+    generation per (query, nprobe) scans only the probed cells. The
+    brute-force ground truth is the VALIDATION instrument — its cost
+    is |panel| × corpus on a fixed-size panel (the LSH-blocking-
+    quality precedent), not a production path.
+    """
+    e = with_norm(load_table(spark, sf_dir, "embeddings"))
+    cents = _fit_ivf_centroids(e, cache_key=corpus_cache_key(sf_dir))
+    assigned = _assign_cells(e, cents)
+    cdf = spark.createDataFrame(cents, "cell int, c array<double>")
+    centroids = cdf.withColumn("cnorm", F.sqrt(dot_expr("c", "c")))
+
+    qs = e.filter(F.col("vec_id") < RECALL_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qemb"),
+        F.col("norm").alias("qnorm"),
+    )
+    gtw = Window.partitionBy("qid").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    gt = (
+        e.crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            cosine_expr("embedding", "qemb", "norm", "qnorm").alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(gtw))
+        .filter(F.col("rn") <= TOPK)
+        .select("qid", "vec_id")
+    )
+    crw = Window.partitionBy("qid").orderBy(
+        F.col("cdist").desc(), F.col("cell")
+    )
+    crank = (
+        centroids.crossJoin(F.broadcast(qs))
+        .select(
+            "qid",
+            "cell",
+            cosine_expr("c", "qemb", "cnorm", "qnorm").alias("cdist"),
+        )
+        .withColumn("rk", F.row_number().over(crw))
+    )
+    nps = spark.createDataFrame([(n,) for n in NPROBE_GRID], "np int")
+    probed = crank.join(
+        F.broadcast(nps), F.col("rk") <= F.col("np")
+    ).select("qid", "np", "cell")
+    csize = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("sz"))
+    cw = Window.partitionBy("qid", "np").orderBy(
+        F.col("cos").desc(), F.col("vec_id")
+    )
+    ivf_top = (
+        F.broadcast(probed)
+        .join(assigned, "cell")
+        .join(F.broadcast(qs), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "np",
+            "vec_id",
+            cosine_expr("embedding", "qemb", "norm", "qnorm").alias("cos"),
+        )
+        .withColumn("rn", F.row_number().over(cw))
+        .filter(F.col("rn") <= TOPK)
+        .select("qid", "np", "vec_id")
+    )
+    n_q = qs.count()
+    n_corp = e.count()
+    hits = ivf_top.join(gt, ["qid", "vec_id"]).groupBy("np").agg(
+        F.count(F.lit(1)).cast("long").alias("h")
+    )
+    scan = (
+        probed.join(csize, "cell")
+        .groupBy("np")
+        .agg(F.sum("sz").cast("long").alias("s"))
+    )
+    return (
+        F.broadcast(nps)
+        .join(hits, "np", "left")
+        .join(scan, "np")
+        .select(
+            F.col("np").cast("long").alias("nprobe"),
+            F.expr(
+                f"CAST(COALESCE(h, 0) AS DOUBLE) / ({n_q} * {TOPK})"
+            ).alias("recall_at_10"),
+            F.expr(f"CAST(s AS DOUBLE) / ({n_q} * {n_corp})").alias(
+                "scanned_frac"
+            ),
+            F.lit(n_q).cast("long").alias("n_queries"),
+        )
+        .orderBy("nprobe")
     )

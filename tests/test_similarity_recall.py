@@ -175,3 +175,27 @@ def test_quantizer_cache_invalidates_on_fixture_rewrite(spark, tmp_path):
     assert any(abs(b - 10 * a) < 1e-6 and abs(b) > 1e-9
                for a, b in zip(flat1, flat2)) or flat1 != flat2
     assert flat2 != flat1
+
+
+def test_nprobe_curve_monotone_and_bounded(spark, sf_smoke):
+    """The tuning curve's defining invariants: probing more cells can
+    only ADD candidates, so recall@10 is non-decreasing and the
+    scanned fraction strictly increasing in nprobe; both live in
+    [0, 1]; the panel is the full RECALL_NQ."""
+    from cost_of_living_data_etl_spark.operators.similarity import (
+        RECALL_NQ,
+        q_ivf_nprobe_recall_curve,
+    )
+
+    rows = sorted(
+        q_ivf_nprobe_recall_curve(spark, sf_smoke).collect(),
+        key=lambda r: r["nprobe"],
+    )
+    assert [r["nprobe"] for r in rows] == [1, 2, 3, 4]
+    for r in rows:
+        assert 0.0 <= r["recall_at_10"] <= 1.0
+        assert 0.0 < r["scanned_frac"] <= 1.0
+        assert r["n_queries"] == RECALL_NQ
+    for a, b in zip(rows, rows[1:]):
+        assert b["recall_at_10"] >= a["recall_at_10"]
+        assert b["scanned_frac"] > a["scanned_frac"]

@@ -58,4 +58,5 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     attribution_markov,
     data_shapley,
     sequence_patterns,
+    ts_features,
 )

@@ -62,6 +62,10 @@ from cost_of_living_data_etl_spark.sources.tables import load_table
 N_GROUPS = 4
 FULL_MASK = (1 << N_GROUPS) - 1
 
+#: fixed held-out panel size (smallest doc_ids of the test split) —
+#: eval cost is constant in corpus size by construction
+EVAL_PANEL = 200
+
 #: deterministic player assignment: source names are 'src{i}'
 _GRP_EXPR = "CAST(substring(source, 4) AS INT) % 4"
 
@@ -121,8 +125,12 @@ docs AS (
 ),
 train AS (SELECT * FROM docs WHERE {_NB_BUCKET_SQL} < {_TRAIN_CUT}),
 test AS (
+    -- FIXED-SIZE eval panel (deterministic doc_id order): the whole
+    -- point of held-out evaluation is that its cost does not grow
+    -- with the corpus — the cap makes that literal at any SF
     SELECT doc_id, lang AS true_lang, t
     FROM docs WHERE {_NB_BUCKET_SQL} >= {_TEST_CUT}
+    ORDER BY doc_id LIMIT {EVAL_PANEL}
 ),
 train_tokens AS (
     SELECT grp, lang, unnest(string_split_regex(t, '\\s+')) AS word
@@ -269,8 +277,11 @@ def q_data_shapley_source_groups(
     )
     bucket = F.expr(_NB_BUCKET_SPARK)
     train = docs.filter(bucket < _TRAIN_CUT)
-    test = docs.filter(bucket >= _TEST_CUT).select(
-        "doc_id", F.col("lang").alias("true_lang"), "t"
+    test = (
+        docs.filter(bucket >= _TEST_CUT)
+        .select("doc_id", F.col("lang").alias("true_lang"), "t")
+        .orderBy("doc_id")
+        .limit(EVAL_PANEL)
     )
 
     train_tokens = train.select(

@@ -59,4 +59,5 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     data_shapley,
     sequence_patterns,
     ts_features,
+    raking,
 )

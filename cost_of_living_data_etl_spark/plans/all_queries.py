@@ -60,4 +60,5 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     sequence_patterns,
     ts_features,
     raking,
+    causal_obs,
 )

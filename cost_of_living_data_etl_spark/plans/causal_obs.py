@@ -1,0 +1,156 @@
+"""Observational causal inference: subclassification (stratified) ATE.
+
+The catalog's experimentation family (Welch/CUPED/DiD/QTE/SPRT) all
+assume RANDOMIZED treatment. This operator is the observational
+counterpart: when treatment take-up depends on covariates, the naive
+treated-vs-control mean difference confounds the effect with the
+composition, and the classic fix (Cochran 1968 subclassification —
+the nonparametric core of propensity-score stratification) estimates
+ATE = Σ_cells (n_cell/N) · (ȳ_T(cell) − ȳ_C(cell)) over covariate
+cells, dropping cells without COMMON SUPPORT (both arms present) and
+reporting how much mass was dropped — the honesty knob pure modeling
+hides.
+
+Fixture design: treatment is a deterministic md5-bucket rule whose
+RATE depends on a covariate (urgent-priority orders enroll at 70%,
+others at 30%) — observational selection with guaranteed overlap, no
+RNG, replayable on both engines. Covariate cells are the
+(priority × status) grid; outcome is the order value.
+
+Exactness: arm/cell counts and sums are exact (det_sum-folded value
+sums); each cell mean is one division; the weighted combination is a
+det_sum fold over ≤15 shared-text terms. The naive difference is
+computed beside the estimate so the confounding gap is the readout.
+
+100 TB: one partial-agg pass to the covariate-cell × arm rollup
+(bounded by the category product), then constant-size arithmetic.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cost_of_living_data_etl_spark.functions.columns import det_sum
+from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.plans.mllite import _DSUM_SQL
+from cost_of_living_data_etl_spark.plans.reshape import (
+    _BUCKET_SPARK,
+    _BUCKET_SQL,
+)
+from cost_of_living_data_etl_spark.sources.tables import load_table
+
+#: covariate-dependent enrolment: urgent-ish priorities at 70%,
+#: everything else at 30% — deterministic observational selection
+_TREAT_PRED = (
+    "(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')"
+    " THEN {b} < 70 ELSE {b} < 30 END)"
+)
+
+#: shared per-cell term: weight × within-cell arm contrast
+_CELL_TERM = (
+    "CAST(n_cell AS DOUBLE) * (sum_t / n_t - sum_c / n_c)"
+)
+
+_ATE_ORACLE = f"""
+WITH scored AS (
+    SELECT o_orderpriority AS prio, o_orderstatus AS status,
+           CASE WHEN {_TREAT_PRED.format(b=_BUCKET_SQL.format(k="o_orderkey"))}
+                THEN 1 ELSE 0 END AS treated,
+           o_totalprice AS y
+    FROM orders
+),
+cells AS (
+    SELECT prio, status,
+           CAST(count(*) AS BIGINT) AS n_cell,
+           CAST(sum(treated) AS BIGINT) AS n_t,
+           CAST(sum(1 - treated) AS BIGINT) AS n_c,
+           {_DSUM_SQL.format(x="CASE WHEN treated = 1 THEN y ELSE CAST(0.0 AS DOUBLE) END")} AS sum_t,
+           {_DSUM_SQL.format(x="CASE WHEN treated = 0 THEN y ELSE CAST(0.0 AS DOUBLE) END")} AS sum_c
+    FROM scored GROUP BY 1, 2
+),
+overall AS (
+    SELECT CAST(sum(treated) AS BIGINT) AS nt,
+           CAST(sum(1 - treated) AS BIGINT) AS nc,
+           {_DSUM_SQL.format(x="CASE WHEN treated = 1 THEN y ELSE CAST(0.0 AS DOUBLE) END")} AS st,
+           {_DSUM_SQL.format(x="CASE WHEN treated = 0 THEN y ELSE CAST(0.0 AS DOUBLE) END")} AS sc
+    FROM scored
+),
+supported AS (SELECT * FROM cells WHERE n_t > 0 AND n_c > 0),
+agg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_cells_supported,
+           CAST(sum(n_cell) AS BIGINT) AS n_supported,
+           {_DSUM_SQL.format(x=_CELL_TERM)} AS wsum
+    FROM supported
+),
+tot AS (SELECT CAST(sum(n_cell) AS BIGINT) AS n_all,
+               CAST(count(*) AS BIGINT) AS n_cells_all
+        FROM cells)
+SELECT o.nt AS n_treated,
+       o.nc AS n_control,
+       o.st / o.nt - o.sc / o.nc AS naive_diff,
+       a.wsum / a.n_supported AS ate_subclass,
+       a.n_cells_supported,
+       t.n_cells_all - a.n_cells_supported AS n_cells_dropped,
+       CAST(t.n_all - a.n_supported AS DOUBLE) / t.n_all AS dropped_share
+FROM overall o, agg a, tot t
+"""
+
+
+@register(
+    "q_subclassification_ate",
+    oracle=_ATE_ORACLE,
+    tags=("causal", "observational", "stratification", "ate"),
+)
+def q_subclassification_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subclassification ATE of a covariate-dependent treatment on
+    order value: within-cell arm contrasts weighted by cell mass over
+    the (priority × status) grid, restricted to common-support cells,
+    reported beside the naive difference (their gap IS the measured
+    confounding) and the dropped-mass share. See the module docstring
+    for the selection rule and exactness contract."""
+    bucket = _BUCKET_SPARK.format(k="o_orderkey")
+    scored = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.col("o_orderstatus").alias("status"),
+        F.expr(
+            f"CASE WHEN {_TREAT_PRED.format(b=bucket)} THEN 1 ELSE 0 END"
+        ).alias("treated"),
+        F.col("o_totalprice").alias("y"),
+    )
+    cells = scored.groupBy("prio", "status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cell"),
+        F.sum("treated").cast("long").alias("n_t"),
+        F.sum(1 - F.col("treated")).cast("long").alias("n_c"),
+        det_sum("CASE WHEN treated = 1 THEN y ELSE CAST(0.0 AS DOUBLE) END").alias("sum_t"),
+        det_sum("CASE WHEN treated = 0 THEN y ELSE CAST(0.0 AS DOUBLE) END").alias("sum_c"),
+    )
+    overall = scored.groupBy().agg(
+        F.sum("treated").cast("long").alias("nt"),
+        F.sum(1 - F.col("treated")).cast("long").alias("nc"),
+        det_sum("CASE WHEN treated = 1 THEN y ELSE CAST(0.0 AS DOUBLE) END").alias("st"),
+        det_sum("CASE WHEN treated = 0 THEN y ELSE CAST(0.0 AS DOUBLE) END").alias("sc"),
+    )
+    supported = cells.filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
+    agg = supported.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells_supported"),
+        F.sum("n_cell").cast("long").alias("n_supported"),
+        det_sum(_CELL_TERM).alias("wsum"),
+    )
+    tot = cells.groupBy().agg(
+        F.sum("n_cell").cast("long").alias("n_all"),
+        F.count(F.lit(1)).cast("long").alias("n_cells_all"),
+    )
+    return (
+        overall.crossJoin(F.broadcast(agg))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "nt AS n_treated",
+            "nc AS n_control",
+            "st / nt - sc / nc AS naive_diff",
+            "wsum / n_supported AS ate_subclass",
+            "n_cells_supported",
+            "n_cells_all - n_cells_supported AS n_cells_dropped",
+            "CAST(n_all - n_supported AS DOUBLE) / n_all AS dropped_share",
+        )
+    )

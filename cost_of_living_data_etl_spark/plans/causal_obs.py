@@ -17,13 +17,16 @@ others at 30%) — observational selection with guaranteed overlap, no
 RNG, replayable on both engines. Covariate cells are the
 (priority × status) grid; outcome is the order value.
 
-Exactness: arm/cell counts and sums are exact (det_sum-folded value
-sums); each cell mean is one division; the weighted combination is a
-det_sum fold over ≤15 shared-text terms. The naive difference is
-computed beside the estimate so the confounding gap is the readout.
+Exactness: order values live on the cent grid, so every value sum is
+an exact BIGINT cent sum (order-free — no float fold discipline needed
+anywhere on the data path); each mean is one shared-text division, and
+only the ≤15 per-cell weighted terms take a det_sum fold. The naive
+difference is computed beside the estimate so the confounding gap is
+the readout.
 
-100 TB: one partial-agg pass to the covariate-cell × arm rollup
-(bounded by the category product), then constant-size arithmetic.
+100 TB: ONE integer partial-agg pass to the covariate-cell × arm
+rollup (bounded by the category product), then constant-size
+arithmetic — no data-scale float collection anywhere.
 """
 
 from __future__ import annotations
@@ -47,9 +50,11 @@ _TREAT_PRED = (
     " THEN {b} < 70 ELSE {b} < 30 END)"
 )
 
-#: shared per-cell term: weight × within-cell arm contrast
+#: shared per-cell term: weight × within-cell arm contrast (cent sums
+#: → one division each, /100 back to currency units)
 _CELL_TERM = (
-    "CAST(n_cell AS DOUBLE) * (sum_t / n_t - sum_c / n_c)"
+    "CAST(n_cell AS DOUBLE) * ((CAST(sum_t AS DOUBLE) / n_t"
+    " - CAST(sum_c AS DOUBLE) / n_c) / CAST(100.0 AS DOUBLE))"
 )
 
 _ATE_ORACLE = f"""
@@ -57,7 +62,7 @@ WITH scored AS (
     SELECT o_orderpriority AS prio, o_orderstatus AS status,
            CASE WHEN {_TREAT_PRED.format(b=_BUCKET_SQL.format(k="o_orderkey"))}
                 THEN 1 ELSE 0 END AS treated,
-           o_totalprice AS y
+           CAST(round(o_totalprice * 100) AS BIGINT) AS yc
     FROM orders
 ),
 cells AS (
@@ -65,15 +70,15 @@ cells AS (
            CAST(count(*) AS BIGINT) AS n_cell,
            CAST(sum(treated) AS BIGINT) AS n_t,
            CAST(sum(1 - treated) AS BIGINT) AS n_c,
-           {_DSUM_SQL.format(x="CASE WHEN treated = 1 THEN y ELSE CAST(0.0 AS DOUBLE) END")} AS sum_t,
-           {_DSUM_SQL.format(x="CASE WHEN treated = 0 THEN y ELSE CAST(0.0 AS DOUBLE) END")} AS sum_c
+           CAST(sum(CASE WHEN treated = 1 THEN yc ELSE 0 END) AS BIGINT) AS sum_t,
+           CAST(sum(CASE WHEN treated = 0 THEN yc ELSE 0 END) AS BIGINT) AS sum_c
     FROM scored GROUP BY 1, 2
 ),
 overall AS (
     SELECT CAST(sum(treated) AS BIGINT) AS nt,
            CAST(sum(1 - treated) AS BIGINT) AS nc,
-           {_DSUM_SQL.format(x="CASE WHEN treated = 1 THEN y ELSE CAST(0.0 AS DOUBLE) END")} AS st,
-           {_DSUM_SQL.format(x="CASE WHEN treated = 0 THEN y ELSE CAST(0.0 AS DOUBLE) END")} AS sc
+           CAST(sum(CASE WHEN treated = 1 THEN yc ELSE 0 END) AS BIGINT) AS st,
+           CAST(sum(CASE WHEN treated = 0 THEN yc ELSE 0 END) AS BIGINT) AS sc
     FROM scored
 ),
 supported AS (SELECT * FROM cells WHERE n_t > 0 AND n_c > 0),
@@ -88,7 +93,8 @@ tot AS (SELECT CAST(sum(n_cell) AS BIGINT) AS n_all,
         FROM cells)
 SELECT o.nt AS n_treated,
        o.nc AS n_control,
-       o.st / o.nt - o.sc / o.nc AS naive_diff,
+       (CAST(o.st AS DOUBLE) / o.nt - CAST(o.sc AS DOUBLE) / o.nc)
+         / CAST(100.0 AS DOUBLE) AS naive_diff,
        a.wsum / a.n_supported AS ate_subclass,
        a.n_cells_supported,
        t.n_cells_all - a.n_cells_supported AS n_cells_dropped,
@@ -116,20 +122,20 @@ def q_subclassification_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"CASE WHEN {_TREAT_PRED.format(b=bucket)} THEN 1 ELSE 0 END"
         ).alias("treated"),
-        F.col("o_totalprice").alias("y"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("yc"),
     )
     cells = scored.groupBy("prio", "status").agg(
         F.count(F.lit(1)).cast("long").alias("n_cell"),
         F.sum("treated").cast("long").alias("n_t"),
         F.sum(1 - F.col("treated")).cast("long").alias("n_c"),
-        det_sum("CASE WHEN treated = 1 THEN y ELSE CAST(0.0 AS DOUBLE) END").alias("sum_t"),
-        det_sum("CASE WHEN treated = 0 THEN y ELSE CAST(0.0 AS DOUBLE) END").alias("sum_c"),
+        F.expr("CAST(sum(CASE WHEN treated = 1 THEN yc ELSE 0 END) AS BIGINT)").alias("sum_t"),
+        F.expr("CAST(sum(CASE WHEN treated = 0 THEN yc ELSE 0 END) AS BIGINT)").alias("sum_c"),
     )
     overall = scored.groupBy().agg(
         F.sum("treated").cast("long").alias("nt"),
         F.sum(1 - F.col("treated")).cast("long").alias("nc"),
-        det_sum("CASE WHEN treated = 1 THEN y ELSE CAST(0.0 AS DOUBLE) END").alias("st"),
-        det_sum("CASE WHEN treated = 0 THEN y ELSE CAST(0.0 AS DOUBLE) END").alias("sc"),
+        F.expr("CAST(sum(CASE WHEN treated = 1 THEN yc ELSE 0 END) AS BIGINT)").alias("st"),
+        F.expr("CAST(sum(CASE WHEN treated = 0 THEN yc ELSE 0 END) AS BIGINT)").alias("sc"),
     )
     supported = cells.filter((F.col("n_t") > 0) & (F.col("n_c") > 0))
     agg = supported.groupBy().agg(
@@ -147,7 +153,8 @@ def q_subclassification_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "nt AS n_treated",
             "nc AS n_control",
-            "st / nt - sc / nc AS naive_diff",
+            "(CAST(st AS DOUBLE) / nt - CAST(sc AS DOUBLE) / nc)"
+            " / CAST(100.0 AS DOUBLE) AS naive_diff",
             "wsum / n_supported AS ate_subclass",
             "n_cells_supported",
             "n_cells_all - n_cells_supported AS n_cells_dropped",

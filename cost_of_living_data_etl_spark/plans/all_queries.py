@@ -61,4 +61,5 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     ts_features,
     raking,
     causal_obs,
+    record_linkage,
 )

@@ -1,0 +1,241 @@
+"""Fellegi-Sunter probabilistic record-linkage scoring.
+
+The missing middle of the entity-resolution pipeline: blocking finds
+CANDIDATE pairs (`q_fuzzy_name_pairs`), survivorship merges DECIDED
+clusters (`q_golden_record_survivorship`) — Fellegi-Sunter (1969) is
+the decision layer between them, scoring each candidate by the
+log-likelihood ratio of its field-agreement pattern:
+w = Σ_f ln(m_f/u_f) over agreeing fields + ln((1−m_f)/(1−u_f)) over
+disagreeing ones, then match / possible / non-match by thresholds.
+
+Linkage grain: one PROFILE per distinct part name — the modal
+(brand, type, size) with deterministic (count DESC, value) tiebreaks —
+because the fixture's name vocabulary is small and heavily repeated
+(64 names over 20k records at sf0.1): raw-record blocking is
+quadratic in the repetition factor (a first cut measured 25M candidate
+pairs at sf0.1 where the profile grain has < 100), while the profile
+table is bounded by the name vocabulary at ANY corpus size — the same
+scale contract the fuzzy name join ships. Candidates use that join's
+exact blocking (last name token, Levenshtein ≤ FUZZY_MAX_DIST).
+
+The u-probabilities (chance agreement between unrelated profiles) are
+estimated EXACTLY from the profile marginals — u_f = Σ_i nᵢ(nᵢ−1) /
+N(N−1), pure BIGINTs with one division — the standard frequency
+estimator. The m-probabilities are declared domain constants (`FS_M`;
+with no labeled pairs the alternative is EM, this operator's extension
+point); agreement and disagreement constants are independent literals,
+so both engines parse identical doubles. Weight terms sum in fixed
+literal field order; every ln() input is a shared-text division of
+exact integers or a shared literal, so scores hash-replay.
+
+100 TB: the profile rollup is one partial-agg pass (name-vocabulary
+bounded); u estimation and candidate scoring run on the bounded
+profile table with a 1-row u frame broadcast.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from cost_of_living_data_etl_spark.plans.advanced_joins import FUZZY_MAX_DIST
+from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.sources.tables import load_table
+
+#: m-probabilities: P(field agrees | profiles are a true match) —
+#: declared domain constants with explicit disagreement complements
+FS_M = {
+    "brand": ("0.95", "0.05"),
+    "type": ("0.9", "0.1"),
+    "size": ("0.85", "0.15"),
+}
+FS_FIELDS = ("brand", "type", "size")
+FS_MATCH_T = 4.0     # w ≥ this ⇒ match
+FS_POSSIBLE_T = 0.0  # w in [possible, match) ⇒ clerical review
+
+
+def _w_expr(f: str) -> str:
+    m, m1 = FS_M[f]
+    return (
+        f"CASE WHEN a_{f} THEN ln(CAST({m} AS DOUBLE) / u_{f})"
+        f" ELSE ln(CAST({m1} AS DOUBLE)"
+        f" / (CAST(1.0 AS DOUBLE) - u_{f})) END"
+    )
+
+
+_FS_WEIGHT = " + ".join(f"({_w_expr(f)})" for f in FS_FIELDS)
+_FS_DECISION = (
+    f"CASE WHEN fs_weight >= {FS_MATCH_T} THEN 'match'"
+    f" WHEN fs_weight >= {FS_POSSIBLE_T} THEN 'possible'"
+    f" ELSE 'nonmatch' END"
+)
+_N_AGREE = (
+    "CAST(a_brand AS INT) + CAST(a_type AS INT) + CAST(a_size AS INT)"
+)
+
+#: modal field value per name, (count DESC, value) tiebreak — the CTE
+#: is per-engine (window syntax identical, only quoting of the source
+#: column differs), generated from one template
+_MODE_CTE = """
+mode_{f} AS (
+    SELECT name, val AS {f} FROM (
+        SELECT name, val, row_number() OVER (
+            PARTITION BY name ORDER BY c DESC, val
+        ) AS rk
+        FROM (SELECT p_name AS name, {col} AS val, count(*) AS c
+              FROM part GROUP BY 1, 2) g
+    ) r WHERE rk = 1
+)"""
+
+_FIELD_COLS = (("brand", "p_brand"), ("type", "p_type"), ("size", "p_size"))
+
+
+def _u_cte(f: str) -> str:
+    return f"""
+u_{f}_n AS (
+    SELECT CAST(sum(n * (n - 1)) AS BIGINT) AS agree
+    FROM (SELECT count(*) AS n FROM prof GROUP BY {f}) g
+)"""
+
+
+_FS_ORACLE = f"""
+WITH {",".join(_MODE_CTE.format(f=f, col=col) for f, col in _FIELD_COLS)},
+names AS (
+    SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_records,
+           string_split(p_name, ' ')[-1] AS blk
+    FROM part GROUP BY 1
+),
+prof AS (
+    SELECT names.name, names.n_records, names.blk, brand, type, size
+    FROM names
+    JOIN mode_brand USING (name)
+    JOIN mode_type USING (name)
+    JOIN mode_size USING (name)
+),
+{",".join(_u_cte(f) for f in FS_FIELDS)},
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM prof),
+u AS (
+    SELECT CAST(u_brand_n.agree AS DOUBLE) / (tot.n * (tot.n - 1.0))
+             AS u_brand,
+           CAST(u_type_n.agree AS DOUBLE) / (tot.n * (tot.n - 1.0))
+             AS u_type,
+           CAST(u_size_n.agree AS DOUBLE) / (tot.n * (tot.n - 1.0))
+             AS u_size
+    FROM u_brand_n, u_type_n, u_size_n, tot
+),
+cands AS (
+    SELECT a.name AS name_1, b.name AS name_2,
+           a.n_records AS n_records_1, b.n_records AS n_records_2,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist,
+           a.brand = b.brand AS a_brand,
+           a.type = b.type AS a_type,
+           a.size = b.size AS a_size
+    FROM prof a JOIN prof b
+      ON a.blk = b.blk AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
+),
+scored AS (
+    SELECT name_1, name_2, n_records_1, n_records_2, edit_dist,
+           CAST({_N_AGREE} AS BIGINT) AS n_agree,
+           {_FS_WEIGHT} AS fs_weight
+    FROM cands, u
+)
+SELECT name_1, name_2, n_records_1, n_records_2, edit_dist, n_agree,
+       fs_weight, {_FS_DECISION} AS decision
+FROM scored
+"""
+
+
+def _modal(part: DataFrame, col: str, out: str) -> DataFrame:
+    w = Window.partitionBy("name").orderBy(F.col("c").desc(), "val")
+    return (
+        part.select(F.col("p_name").alias("name"), F.col(col).alias("val"))
+        .groupBy("name", "val")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("name", F.col("val").alias(out))
+    )
+
+
+@register(
+    "q_fellegi_sunter_linkage",
+    oracle=_FS_ORACLE,
+    tags=("entity-resolution", "record-linkage", "fellegi-sunter", "fuzzy"),
+)
+def q_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter log-likelihood-ratio scores and match decisions
+    over blocked near-miss NAME-PROFILE pairs: per candidate pair, the
+    (brand, type, size) agreement pattern weighted by ln(m/u) and
+    ln((1−m)/(1−u)), u estimated exactly from profile marginals — the
+    probabilistic decision layer between blocking and survivorship.
+    See the module docstring for the grain and estimator contracts."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy(F.col("p_name").alias("name")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_records")
+    ).withColumn("blk", F.expr("element_at(split(name, ' '), -1)"))
+    prof = (
+        names.join(_modal(part, "p_brand", "brand"), "name")
+        .join(_modal(part, "p_type", "type"), "name")
+        .join(_modal(part, "p_size", "size"), "name")
+        .localCheckpoint()  # vocabulary-bounded; read 4× below
+    )
+    n = prof.count()
+    us = []
+    for f in FS_FIELDS:
+        agree = (
+            prof.groupBy(f)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum(F.col("n") * (F.col("n") - 1)).cast("long").alias("a"))
+            .collect()[0]["a"]
+        )
+        us.append((f, agree))
+    u = spark.range(1).selectExpr(
+        *[
+            f"CAST({a} AS DOUBLE) / ({n} * ({n} - 1.0)) AS u_{f}"
+            for f, a in us
+        ]
+    )
+    a, b = prof.alias("a"), prof.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .filter(F.expr("levenshtein(a.name, b.name)") <= FUZZY_MAX_DIST)
+        .select(
+            F.col("a.name").alias("name_1"),
+            F.col("b.name").alias("name_2"),
+            F.col("a.n_records").alias("n_records_1"),
+            F.col("b.n_records").alias("n_records_2"),
+            F.expr("CAST(levenshtein(a.name, b.name) AS BIGINT)").alias(
+                "edit_dist"
+            ),
+            (F.col("a.brand") == F.col("b.brand")).alias("a_brand"),
+            (F.col("a.type") == F.col("b.type")).alias("a_type"),
+            (F.col("a.size") == F.col("b.size")).alias("a_size"),
+        )
+    )
+    return (
+        cands.crossJoin(F.broadcast(u))
+        .selectExpr(
+            "name_1",
+            "name_2",
+            "n_records_1",
+            "n_records_2",
+            "edit_dist",
+            f"CAST({_N_AGREE} AS BIGINT) AS n_agree",
+            f"{_FS_WEIGHT} AS fs_weight",
+        )
+        .selectExpr(
+            "name_1",
+            "name_2",
+            "n_records_1",
+            "n_records_2",
+            "edit_dist",
+            "n_agree",
+            "fs_weight",
+            f"{_FS_DECISION} AS decision",
+        )
+    )

@@ -53,6 +53,14 @@ FS_FIELDS = ("brand", "type", "size")
 FS_MATCH_T = 4.0     # w ≥ this ⇒ match
 FS_POSSIBLE_T = 0.0  # w in [possible, match) ⇒ clerical review
 
+#: blocking hygiene: blocks holding more DISTINCT names than this are
+#: excluded from candidate generation (standard oversized-block rule —
+#: a block of b names is b² comparisons; on corpora whose name space
+#: grows with size, unguarded blocks go quadratic: the local sf1.0
+#: generator makes every name unique and its largest block held 6,452
+#: names = 41M candidate comparisons before this guard)
+FS_MAX_BLOCK = 200
+
 
 def _w_expr(f: str) -> str:
     m, m1 = FS_M[f]
@@ -105,6 +113,10 @@ names AS (
            string_split(p_name, ' ')[-1] AS blk
     FROM part GROUP BY 1
 ),
+blk_ok AS (
+    SELECT blk FROM names GROUP BY blk
+    HAVING count(*) <= {FS_MAX_BLOCK}
+),
 prof AS (
     SELECT names.name, names.n_records, names.blk, brand, type, size
     FROM names
@@ -130,8 +142,9 @@ cands AS (
            a.brand = b.brand AS a_brand,
            a.type = b.type AS a_type,
            a.size = b.size AS a_size
-    FROM prof a JOIN prof b
-      ON a.blk = b.blk AND a.name < b.name
+    FROM prof a
+    JOIN blk_ok ON blk_ok.blk = a.blk
+    JOIN prof b ON a.blk = b.blk AND a.name < b.name
     WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
 ),
 scored AS (
@@ -196,7 +209,13 @@ def q_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             for f, a in us
         ]
     )
-    a, b = prof.alias("a"), prof.alias("b")
+    blk_ok = (
+        names.groupBy("blk")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= FS_MAX_BLOCK)
+        .select("blk")
+    )
+    a, b = prof.join(F.broadcast(blk_ok), "blk").alias("a"), prof.alias("b")
     cands = (
         a.join(
             b,

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from cost_of_living_data_etl_spark.plans.advanced_joins import FUZZY_MAX_DIST
 from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.plans.mllite import _DSUM_SQL
 from cost_of_living_data_etl_spark.sources.tables import load_table
 
 #: m-probabilities: P(field agrees | profiles are a true match) —
@@ -106,8 +107,10 @@ u_{f}_n AS (
 )"""
 
 
-_FS_ORACLE = f"""
-WITH {",".join(_MODE_CTE.format(f=f, col=col) for f, col in _FIELD_COLS)},
+#: shared oracle front half: profile build, u estimation, guarded
+#: blocked candidates — reused verbatim by the scorer and EM oracles
+_FS_CAND_CTES = f"""
+{",".join(_MODE_CTE.format(f=f, col=col) for f, col in _FIELD_COLS)},
 names AS (
     SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_records,
            string_split(p_name, ' ')[-1] AS blk
@@ -146,7 +149,10 @@ cands AS (
     JOIN blk_ok ON blk_ok.blk = a.blk
     JOIN prof b ON a.blk = b.blk AND a.name < b.name
     WHERE levenshtein(a.name, b.name) <= {FUZZY_MAX_DIST}
-),
+)"""
+
+_FS_ORACLE = f"""
+WITH {_FS_CAND_CTES},
 scored AS (
     SELECT name_1, name_2, n_records_1, n_records_2, edit_dist,
            CAST({_N_AGREE} AS BIGINT) AS n_agree,
@@ -171,18 +177,13 @@ def _modal(part: DataFrame, col: str, out: str) -> DataFrame:
     )
 
 
-@register(
-    "q_fellegi_sunter_linkage",
-    oracle=_FS_ORACLE,
-    tags=("entity-resolution", "record-linkage", "fellegi-sunter", "fuzzy"),
-)
-def q_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fellegi-Sunter log-likelihood-ratio scores and match decisions
-    over blocked near-miss NAME-PROFILE pairs: per candidate pair, the
-    (brand, type, size) agreement pattern weighted by ln(m/u) and
-    ln((1−m)/(1−u)), u estimated exactly from profile marginals — the
-    probabilistic decision layer between blocking and survivorship.
-    See the module docstring for the grain and estimator contracts."""
+def fs_candidates(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(candidate pairs with agreement flags, 1-row u-probability
+    frame) — the shared front half of the FS scorer and the EM
+    fitter; see the module docstring for the grain, blocking, and
+    u-estimator contracts."""
     part = load_table(spark, sf_dir, "part")
     names = part.groupBy(F.col("p_name").alias("name")).agg(
         F.count(F.lit(1)).cast("long").alias("n_records")
@@ -236,6 +237,22 @@ def q_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.size") == F.col("b.size")).alias("a_size"),
         )
     )
+    return cands, u
+
+
+@register(
+    "q_fellegi_sunter_linkage",
+    oracle=_FS_ORACLE,
+    tags=("entity-resolution", "record-linkage", "fellegi-sunter", "fuzzy"),
+)
+def q_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter log-likelihood-ratio scores and match decisions
+    over blocked near-miss NAME-PROFILE pairs: per candidate pair, the
+    (brand, type, size) agreement pattern weighted by ln(m/u) and
+    ln((1−m)/(1−u)), u estimated exactly from profile marginals — the
+    probabilistic decision layer between blocking and survivorship.
+    See the module docstring for the grain and estimator contracts."""
+    cands, u = fs_candidates(spark, sf_dir)
     return (
         cands.crossJoin(F.broadcast(u))
         .selectExpr(
@@ -257,4 +274,165 @@ def q_fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fs_weight",
             f"{_FS_DECISION} AS decision",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# EM-fitted m/u/λ for the Fellegi-Sunter model
+# ---------------------------------------------------------------------------
+
+EM_ROUNDS = 3  # unrolled EM iterations (statistic defined at K)
+
+#: per-pattern class likelihoods and responsibility — ONE scalar text
+#: both engines evaluate identically (CASE products, no pow)
+_EM_WM = (
+    "lam"
+    " * (CASE WHEN a_brand THEN m_brand"
+    " ELSE CAST(1.0 AS DOUBLE) - m_brand END)"
+    " * (CASE WHEN a_type THEN m_type"
+    " ELSE CAST(1.0 AS DOUBLE) - m_type END)"
+    " * (CASE WHEN a_size THEN m_size"
+    " ELSE CAST(1.0 AS DOUBLE) - m_size END)"
+)
+_EM_WU = (
+    "(CAST(1.0 AS DOUBLE) - lam)"
+    " * (CASE WHEN a_brand THEN u_brand"
+    " ELSE CAST(1.0 AS DOUBLE) - u_brand END)"
+    " * (CASE WHEN a_type THEN u_type"
+    " ELSE CAST(1.0 AS DOUBLE) - u_type END)"
+    " * (CASE WHEN a_size THEN u_size"
+    " ELSE CAST(1.0 AS DOUBLE) - u_size END)"
+)
+_EM_G = f"(({_EM_WM}) / (({_EM_WM}) + ({_EM_WU})))"
+
+#: parameter clamps (standard EM stabilization at probability bounds)
+_EM_CLAMP_P = "least(CAST(0.99 AS DOUBLE), greatest(CAST(0.01 AS DOUBLE), {x}))"
+_EM_CLAMP_L = (
+    "least(CAST(0.999 AS DOUBLE), greatest(CAST(0.001 AS DOUBLE), {x}))"
+)
+
+_PARAM_COLS = (
+    "lam", "m_brand", "m_type", "m_size", "u_brand", "u_type", "u_size"
+)
+
+
+def _em_suffix(fold) -> str:
+    """EM chain over the 8-row agreement-pattern table: p0 initializes
+    λ and the m's at literals and the u's at the exact marginal
+    estimates; each round aggregates responsibility-weighted counts
+    (det-ordered folds) and re-derives clamped parameters. `fold` is
+    the per-engine det-sum renderer (identical fold ORDER, per-engine
+    spelling); every scalar expression is one shared text."""
+    params = ", ".join(_PARAM_COLS)
+    sums = ",\n           ".join(
+        [
+            f"{fold(f'CAST(c AS DOUBLE) * {_EM_G}')} AS sg",
+            f"{fold(f'CAST(c AS DOUBLE) * {_EM_G} * CAST(a_brand AS INT)')} AS sgb",
+            f"{fold(f'CAST(c AS DOUBLE) * {_EM_G} * CAST(a_type AS INT)')} AS sgt",
+            f"{fold(f'CAST(c AS DOUBLE) * {_EM_G} * CAST(a_size AS INT)')} AS sgs",
+            f"{fold(f'CAST(c AS DOUBLE) * (CAST(1.0 AS DOUBLE) - {_EM_G})')} AS su",
+            f"{fold(f'CAST(c AS DOUBLE) * (CAST(1.0 AS DOUBLE) - {_EM_G}) * CAST(a_brand AS INT)')} AS sub",
+            f"{fold(f'CAST(c AS DOUBLE) * (CAST(1.0 AS DOUBLE) - {_EM_G}) * CAST(a_type AS INT)')} AS sut",
+            f"{fold(f'CAST(c AS DOUBLE) * (CAST(1.0 AS DOUBLE) - {_EM_G}) * CAST(a_size AS INT)')} AS sus",
+            "CAST(sum(c) AS BIGINT) AS n",
+        ]
+    )
+    its = [
+        """p0 AS (
+    SELECT CAST(0.5 AS DOUBLE) AS lam,
+           CAST(0.9 AS DOUBLE) AS m_brand,
+           CAST(0.9 AS DOUBLE) AS m_type,
+           CAST(0.9 AS DOUBLE) AS m_size,
+           u_brand, u_type, u_size
+    FROM {u}
+)"""
+    ]
+    upd = {
+        "lam": _EM_CLAMP_L.format(x="sg / CAST(n AS DOUBLE)"),
+        "m_brand": _EM_CLAMP_P.format(x="sgb / sg"),
+        "m_type": _EM_CLAMP_P.format(x="sgt / sg"),
+        "m_size": _EM_CLAMP_P.format(x="sgs / sg"),
+        "u_brand": _EM_CLAMP_P.format(x="sub / su"),
+        "u_type": _EM_CLAMP_P.format(x="sut / su"),
+        "u_size": _EM_CLAMP_P.format(x="sus / su"),
+    }
+    upd_cols = ",\n           ".join(f"{e} AS {k}" for k, e in upd.items())
+    for k in range(1, EM_ROUNDS + 1):
+        its.append(
+            f"""s{k} AS (
+    SELECT {sums}
+    FROM {{pat}} CROSS JOIN p{k - 1}
+    GROUP BY {params}
+)"""
+        )
+        its.append(
+            f"""p{k} AS (
+    SELECT {upd_cols}
+    FROM s{k}
+)"""
+        )
+    body = ",\n".join(its)
+    return f"""
+{body}
+SELECT np.n_pairs, lam AS lambda_hat,
+       m_brand, m_type, m_size, u_brand, u_type, u_size
+FROM p{EM_ROUNDS}
+CROSS JOIN (SELECT CAST(sum(c) AS BIGINT) AS n_pairs FROM {{pat}}) np
+"""
+
+
+def _fold_duck(x: str) -> str:
+    return _DSUM_SQL.format(x=x)
+
+
+def _fold_spark(x: str) -> str:
+    return (
+        f"aggregate(array_sort(collect_list({x})), CAST(0.0 AS DOUBLE),"
+        " (a, x) -> a + x)"
+    )
+
+
+_EM_PAT_SQL = """
+SELECT a_brand, a_type, a_size, CAST(count(*) AS BIGINT) AS c
+FROM cands GROUP BY 1, 2, 3
+"""
+
+_FS_EM_ORACLE = (
+    f"WITH {_FS_CAND_CTES},\npat AS ({_EM_PAT_SQL}),"
+    + _em_suffix(_fold_duck).format(pat="pat", u="u")
+)
+
+
+@register(
+    "q_fs_em_parameters",
+    oracle=_FS_EM_ORACLE,
+    tags=("entity-resolution", "record-linkage", "em", "fellegi-sunter"),
+)
+def q_fs_em_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EM-fitted Fellegi-Sunter parameters — the unsupervised upgrade
+    of `q_fellegi_sunter_linkage`'s declared m constants: EM_ROUNDS
+    unrolled EM iterations over the candidate pairs' agreement-pattern
+    COUNT table (≤2³ rows — the classic trick that makes FS-EM
+    corpus-size-free: responsibilities depend only on the pattern, so
+    the E-step runs on pattern counts, never pairs) estimating the
+    match prevalence λ and per-field m/u probabilities, initialized at
+    the exact marginal u's and literal m's, parameters clamped to
+    probability bounds each round. The statistic is DEFINED at
+    EM_ROUNDS, so cross-engine parity never depends on convergence;
+    folds are det-ordered, scalar updates one shared text.
+
+    100 TB: everything after the (already bounded) candidate stage is
+    an 8-row computation; even with sampled-pair inputs the pattern
+    rollup is one partial-agg pass."""
+    cands, u = fs_candidates(spark, sf_dir)
+    pat = cands.groupBy("a_brand", "a_type", "a_size").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    pat.localCheckpoint().createOrReplaceTempView("fs_em_pat_v")
+    u.createOrReplaceTempView("fs_em_u_v")
+    return spark.sql(
+        "WITH "
+        + _em_suffix(_fold_spark)
+        .format(pat="fs_em_pat_v", u="fs_em_u_v")
+        .lstrip("\n")
     )

@@ -55,3 +55,36 @@ def test_fs_match_and_nonmatch_closed_form(spark, tmp_path):
     nm = got[("rad gear", "red gear")]
     assert nm["n_agree"] == 0 and nm["decision"] == "nonmatch"
     assert abs(nm["fs_weight"] - w_nonmatch) < 1e-12
+
+
+def test_fs_em_separates_clean_mixture(spark, tmp_path):
+    """A constructed mixture of 2 all-agree duplicate pairs and 6
+    all-disagree near-miss pairs (one candidate pair per block): EM
+    must recover prevalence λ ≈ 2/8 and push the m's toward 1 and the
+    u's toward 0 (both hitting their probability clamps on this
+    perfectly separated data)."""
+    from cost_of_living_data_etl_spark.plans.record_linkage import (
+        q_fs_em_parameters,
+    )
+
+    parts, key = [], 1
+    for k in range(1, 9):
+        agree = k <= 2
+        for v, pref in ((0, "aa"), (1, "ab")):
+            brand = f"Brand#{k}" if agree else f"Brand#{k}_{v}"
+            typ = f"T{k}" if agree else f"T{k}_{v}"
+            size = 10 * k if agree else 10 * k + v
+            parts.append((key, f"{pref} tok{k}", brand, typ, size))
+            key += 1
+    spark.createDataFrame(
+        [(k, n, b, t, s, 900.0) for (k, n, b, t, s) in parts],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+
+    r = q_fs_em_parameters(spark, str(tmp_path)).collect()[0]
+    assert r["n_pairs"] == 8
+    assert 0.2 < r["lambda_hat"] < 0.3
+    for f in ("brand", "type", "size"):
+        assert r[f"m_{f}"] >= 0.95
+        assert r[f"u_{f}"] <= 0.02

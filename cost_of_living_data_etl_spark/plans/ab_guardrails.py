@@ -1,0 +1,200 @@
+"""A/B experimentation guardrails: SRM check and MDE/power readout.
+
+Two pre-analysis gates every experimentation platform runs BEFORE the
+significance tests the catalog already ships (Welch, CUPED, BH-FDR,
+SPRT, bootstrap):
+
+- **Sample-ratio mismatch** (`q_ab_srm_check`): the randomizer-health
+  chi-square of the observed per-arm UNIT counts against the intended
+  50/50 split. A biased split silently invalidates every downstream
+  readout, which is why SRM uses a far stricter alarm threshold
+  (p < 0.001, the industry convention) than any effect test. For a
+  two-arm 50/50 design the statistic collapses algebraically to
+  (n₀−n₁)²/(n₀+n₁) — one division of exact BIGINTs — and its 1-df
+  p-value is 2·Q(√χ²), the SAME shared Abramowitz-Stegun 26.2.17 tail
+  text the BH family uses.
+
+- **Minimum detectable effect** (`q_ab_power_mde`): given the
+  observed per-user metric variance and arm sizes, the smallest true
+  difference the standard two-sample test would detect at α = 0.05
+  with 80% power: MDE = (z_{{α/2}} + z_{{β}})·s_pooled·√(1/n₀+1/n₁).
+  The z constants are shared literals; the pooled variance comes from
+  det-ordered moment folds over the per-user rollup (the Welch
+  query's exactness pattern) with the same degenerate-margin guards.
+
+Both run on the catalog's standard md5-parity arm assignment over
+users. 100 TB: one partial-agg pass to per-user rows, then per-arm
+moments — the Welch scale shape; the SRM path shuffles only distinct
+user ids.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from cost_of_living_data_etl_spark.functions.columns import det_sum
+from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.plans.mllite import _DSUM_SQL
+from cost_of_living_data_etl_spark.plans.round4_stats import _AS_P
+from cost_of_living_data_etl_spark.plans.stats_analytics import (
+    _ARM_SPARK,
+    _ARM_SQL,
+)
+from cost_of_living_data_etl_spark.sources.tables import load_table
+
+SRM_ALPHA = 0.001  # industry-standard SRM alarm threshold
+
+#: z_{α/2} at α=0.05 and z_β at 80% power — shared literals (repr of
+#: the standard normal quantiles)
+Z_ALPHA_2 = "1.959963984540054"
+Z_BETA = "0.8416212335729143"
+
+_SRM_CHI2 = "CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1)"
+_SRM_P = _AS_P.format(t="sqrt(chi2)")
+
+_SRM_ORACLE = f"""
+WITH users AS (
+    SELECT DISTINCT user_id, {_ARM_SQL.format(k="user_id")} AS arm
+    FROM events
+),
+counts AS (
+    SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+           CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+    FROM users
+),
+c2 AS (SELECT n0, n1, {_SRM_CHI2} AS chi2 FROM counts)
+SELECT n0 AS n_arm0, n1 AS n_arm1, chi2 AS srm_chi2,
+       {_SRM_P} AS srm_p,
+       {_SRM_P} < {SRM_ALPHA} AS srm_flag
+FROM c2
+"""
+
+
+@register(
+    "q_ab_srm_check",
+    oracle=_SRM_ORACLE,
+    tags=("experimentation", "srm", "guardrail", "ab-test"),
+)
+def q_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guardrail for the standard md5-parity
+    arm assignment: per-arm distinct-user counts, the 50/50 chi-square
+    (one exact-integer division), its 1-df p-value via the shared A&S
+    tail text, and the p < 0.001 alarm flag. See the module
+    docstring."""
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(F.expr(_ARM_SPARK.format(k="user_id")).alias("arm"))
+    )
+    counts = users.groupBy().agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    return counts.selectExpr("n0", "n1", f"{_SRM_CHI2} AS chi2").selectExpr(
+        "n0 AS n_arm0",
+        "n1 AS n_arm1",
+        "chi2 AS srm_chi2",
+        f"{_SRM_P} AS srm_p",
+        f"{_SRM_P} < {SRM_ALPHA} AS srm_flag",
+    )
+
+
+#: pooled two-sample variance from per-arm moments, with the Welch
+#: family's degenerate guards (n ≤ 1 arms contribute 0 df)
+_POOLED_VAR = (
+    "CASE WHEN n0 + n1 > 2 THEN"
+    " (greatest(ssq0 - s0 * s0 / n0, CAST(0.0 AS DOUBLE))"
+    "  + greatest(ssq1 - s1 * s1 / n1, CAST(0.0 AS DOUBLE)))"
+    " / (n0 + n1 - 2.0) ELSE CAST(0.0 AS DOUBLE) END"
+)
+_MDE_ABS = (
+    f"(CAST({Z_ALPHA_2} AS DOUBLE) + CAST({Z_BETA} AS DOUBLE))"
+    " * sqrt(pooled_var) * sqrt(1.0 / n0 + 1.0 / n1)"
+)
+
+_MDE_ORACLE = f"""
+WITH per_user AS (
+    SELECT user_id, {_ARM_SQL.format(k="user_id")} AS arm,
+           {_DSUM_SQL.format(x="value")} AS metric
+    FROM events GROUP BY user_id
+),
+m AS (
+    SELECT
+        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        {_DSUM_SQL.format(x="CASE WHEN arm = 0 THEN metric ELSE CAST(0.0 AS DOUBLE) END")} AS s0,
+        {_DSUM_SQL.format(x="CASE WHEN arm = 1 THEN metric ELSE CAST(0.0 AS DOUBLE) END")} AS s1,
+        {_DSUM_SQL.format(x="CASE WHEN arm = 0 THEN metric * metric ELSE CAST(0.0 AS DOUBLE) END")} AS ssq0,
+        {_DSUM_SQL.format(x="CASE WHEN arm = 1 THEN metric * metric ELSE CAST(0.0 AS DOUBLE) END")} AS ssq1
+    FROM per_user
+),
+v AS (SELECT n0, n1, s0, s1, {_POOLED_VAR} AS pooled_var FROM m)
+SELECT n0 AS n_arm0, n1 AS n_arm1,
+       sqrt(pooled_var) AS pooled_sd,
+       {_MDE_ABS} AS mde_abs,
+       CASE WHEN s0 + s1 > 0 THEN ({_MDE_ABS})
+            / ((s0 + s1) / (n0 + n1)) ELSE CAST(0.0 AS DOUBLE) END
+         AS mde_rel
+FROM v
+"""
+
+
+@register(
+    "q_ab_power_mde",
+    oracle=_MDE_ORACLE,
+    tags=("experimentation", "power", "mde", "ab-test"),
+)
+def q_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect of the per-user event-value metric at
+    α = 0.05 / 80% power given the observed arm sizes and pooled
+    variance — the "is this experiment even big enough?" readout run
+    before any significance test. Moments are det-ordered folds over
+    the per-user rollup; the z quantiles are shared literals. See the
+    module docstring."""
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(det_sum("value").alias("metric"))
+        .select(
+            F.expr(_ARM_SPARK.format(k="user_id")).alias("arm"), "metric"
+        )
+    )
+    m = per_user.groupBy().agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        det_sum(
+            "CASE WHEN arm = 0 THEN metric ELSE CAST(0.0 AS DOUBLE) END"
+        ).alias("s0"),
+        det_sum(
+            "CASE WHEN arm = 1 THEN metric ELSE CAST(0.0 AS DOUBLE) END"
+        ).alias("s1"),
+        det_sum(
+            "CASE WHEN arm = 0 THEN metric * metric"
+            " ELSE CAST(0.0 AS DOUBLE) END"
+        ).alias("ssq0"),
+        det_sum(
+            "CASE WHEN arm = 1 THEN metric * metric"
+            " ELSE CAST(0.0 AS DOUBLE) END"
+        ).alias("ssq1"),
+    )
+    return m.selectExpr(
+        "n0", "n1", "s0", "s1", f"{_POOLED_VAR} AS pooled_var"
+    ).selectExpr(
+        "n0 AS n_arm0",
+        "n1 AS n_arm1",
+        "sqrt(pooled_var) AS pooled_sd",
+        f"{_MDE_ABS} AS mde_abs",
+        f"CASE WHEN s0 + s1 > 0 THEN ({_MDE_ABS})"
+        " / ((s0 + s1) / (n0 + n1)) ELSE CAST(0.0 AS DOUBLE) END"
+        " AS mde_rel",
+    )

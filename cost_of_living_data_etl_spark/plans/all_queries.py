@@ -62,4 +62,5 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     raking,
     causal_obs,
     record_linkage,
+    ab_guardrails,
 )

@@ -1,0 +1,83 @@
+"""Closed-form pins for the experimentation guardrails: a forced
+80/20 arm imbalance yields chi2 = exactly 36 and trips the SRM alarm
+(a balanced split scores exactly 0 and does not); a constructed
+two-user-per-arm metric with known pooled variance reproduces the MDE
+formula to the last bit (recomputed independently in the test)."""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import pyspark.sql.functions as F
+
+from cost_of_living_data_etl_spark.plans.ab_guardrails import (
+    q_ab_power_mde,
+    q_ab_srm_check,
+)
+from cost_of_living_data_etl_spark.plans.stats_analytics import _ARM_SPARK
+
+BASE = datetime.datetime(2024, 1, 1)
+
+_EVENTS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def _users_by_arm(spark, n0, n1):
+    rows = (
+        spark.range(1, 20000)
+        .select(F.col("id").alias("u"))
+        .withColumn("arm", F.expr(_ARM_SPARK.format(k="u")))
+        .collect()
+    )
+    a0 = [r["u"] for r in rows if r["arm"] == 0][:n0]
+    a1 = [r["u"] for r in rows if r["arm"] == 1][:n1]
+    assert len(a0) == n0 and len(a1) == n1
+    return a0, a1
+
+
+def _write_events(spark, tmp_path, user_values):
+    spark.createDataFrame(
+        [
+            (i, BASE, u, "view", v, "{}")
+            for i, (u, v) in enumerate(user_values)
+        ],
+        _EVENTS_SCHEMA,
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+
+def test_srm_flags_forced_imbalance_and_passes_balance(spark, tmp_path):
+    a0, a1 = _users_by_arm(spark, 80, 20)
+    _write_events(spark, tmp_path, [(u, 1.0) for u in a0 + a1])
+    r = q_ab_srm_check(spark, str(tmp_path)).collect()[0]
+    assert (r["n_arm0"], r["n_arm1"]) == (80, 20)
+    assert r["srm_chi2"] == 36.0  # (80-20)^2 / 100 exactly
+    assert r["srm_p"] < 1e-8 and r["srm_flag"] is True
+
+    b0, b1 = _users_by_arm(spark, 50, 50)
+    _write_events(spark, tmp_path, [(u, 1.0) for u in b0 + b1])
+    r = q_ab_srm_check(spark, str(tmp_path)).collect()[0]
+    assert r["srm_chi2"] == 0.0
+    assert r["srm_flag"] is False
+
+
+def test_mde_matches_hand_formula(spark, tmp_path):
+    a0, a1 = _users_by_arm(spark, 2, 2)
+    _write_events(
+        spark,
+        tmp_path,
+        [(a0[0], 0.0), (a0[1], 2.0), (a1[0], 0.0), (a1[1], 2.0)],
+    )
+    r = q_ab_power_mde(spark, str(tmp_path)).collect()[0]
+    assert (r["n_arm0"], r["n_arm1"]) == (2, 2)
+    # per arm: ssq − s²/n = 4 − 2 = 2; pooled = (2+2)/(4−2) = 2
+    assert r["pooled_sd"] == math.sqrt(2.0)
+    want = (
+        (1.959963984540054 + 0.8416212335729143)
+        * math.sqrt(2.0)
+        * math.sqrt(1.0 / 2 + 1.0 / 2)
+    )
+    assert abs(r["mde_abs"] - want) < 1e-12
+    assert abs(r["mde_rel"] - want / 1.0) < 1e-12  # grand mean = 1.0

@@ -153,3 +153,156 @@ def q_spatial_nn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return best.orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# Moran's I spatial autocorrelation over the customer grid
+# ---------------------------------------------------------------------------
+
+MORAN_CELL = 100_000  # 10×10 aggregation grid over the coordinate plane
+
+#: shared texts: grid-cell id (exact: coords < 1e6 divide exactly in
+#: doubles), cell mean from exact cent sums, and the I ratio
+_GCELL = f"CAST(floor({{c}} / CAST({MORAN_CELL} AS DOUBLE)) AS INT)"
+_CELL_MEAN = "CAST(cents AS DOUBLE) / (CAST(100.0 AS DOUBLE) * n)"
+_MORAN_I = (
+    "CASE WHEN z2 > 0 AND w > 0 THEN"
+    " (CAST(n_cells AS DOUBLE) / w) * (cross_sum / z2)"
+    " ELSE NULL END"
+)
+_MORAN_E = (
+    "CASE WHEN n_cells > 1 THEN"
+    " CAST(-1.0 AS DOUBLE) / (n_cells - 1) ELSE NULL END"
+)
+
+_MORAN_ORACLE = f"""
+WITH pts AS (
+    SELECT {_GCELL.format(c=_COORD_SQL.format(axis="x", key="c_custkey"))} AS gx,
+           {_GCELL.format(c=_COORD_SQL.format(axis="y", key="c_custkey"))} AS gy,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS yc
+    FROM customer
+),
+cells AS (
+    SELECT gx, gy, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(yc) AS BIGINT) AS cents
+    FROM pts GROUP BY 1, 2
+),
+vals AS (SELECT gx, gy, {_CELL_MEAN} AS v FROM cells),
+st AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           {{fold_v}} / count(*) AS vbar
+    FROM vals
+),
+zc AS (SELECT gx, gy, v - vbar AS z FROM vals, st),
+adj AS (
+    SELECT CAST(count(*) AS BIGINT) AS w, {{fold_cross}} AS cross_sum
+    FROM zc a JOIN zc b
+      ON abs(a.gx - b.gx) + abs(a.gy - b.gy) = 1
+),
+z2t AS (SELECT {{fold_z2}} AS z2 FROM zc)
+SELECT st.n_cells, adj.w AS n_adjacent_pairs,
+       {_MORAN_I} AS moran_i, {_MORAN_E} AS expected_i
+FROM st, adj, z2t
+""".format(
+    fold_v="list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_sort(list(v))), (a, b) -> a + b)",
+    fold_cross="list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_sort(list(a.z * b.z))), (a, b) -> a + b)",
+    fold_z2="list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_sort(list(z * z))), (a, b) -> a + b)",
+)
+
+
+def moran_i(vals: DataFrame) -> DataFrame:
+    """Moran's I over (gx, gy, v) grid cells with binary rook
+    adjacency: I = (n/W)·Σ_adj z_i z_j / Σ z_i², z = v − v̄. All sums
+    are det-ordered folds over the bounded cell grid; NULL when the
+    values are constant (zero variance) or no cell has a neighbour —
+    the statistic is undefined there, not zero. Expected value under
+    no autocorrelation E[I] = −1/(n−1) emitted beside it."""
+    st = vals.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (
+            F.expr(
+                "aggregate(array_sort(collect_list(v)),"
+                " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            )
+            / F.count(F.lit(1))
+        ).alias("vbar"),
+    )
+    zc = vals.crossJoin(F.broadcast(st)).select(
+        "gx", "gy", (F.col("v") - F.col("vbar")).alias("z")
+    )
+    a, b = zc.alias("a"), zc.alias("b")
+    adj = (
+        a.join(
+            b,
+            (
+                F.abs(F.col("a.gx") - F.col("b.gx"))
+                + F.abs(F.col("a.gy") - F.col("b.gy"))
+            )
+            == 1,
+        )
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("w"),
+            F.expr(
+                "aggregate(array_sort(collect_list(a.z * b.z)),"
+                " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            ).alias("cross_sum"),
+        )
+    )
+    z2t = zc.groupBy().agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(z * z)),"
+            " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+        ).alias("z2")
+    )
+    return (
+        st.crossJoin(F.broadcast(adj))
+        .crossJoin(F.broadcast(z2t))
+        .selectExpr(
+            "n_cells",
+            "w AS n_adjacent_pairs",
+            f"{_MORAN_I} AS moran_i",
+            f"{_MORAN_E} AS expected_i",
+        )
+    )
+
+
+@register(
+    "q_moran_i_customer_balance",
+    oracle=_MORAN_ORACLE,
+    tags=("spatial", "autocorrelation", "moran", "statistics"),
+)
+def q_moran_i_customer_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Moran's I spatial autocorrelation of mean customer account
+    balance over the 10×10 grid of the synthetic coordinate plane —
+    the "is this attribute spatially clustered?" statistic beside the
+    spatial NN join (I > E[I]: clustering; ≈ E[I] = −1/(n−1): spatial
+    randomness — which is the truth here, since md5 coordinates are
+    independent of balances, making the fixture a null-calibration
+    check). Cell means come from exact cent sums; every float sum is
+    a det-ordered fold over the ≤100-cell grid; rook-adjacency weights
+    are exact counts. See `moran_i`.
+
+    100 TB: one partial-agg pass to the bounded cell grid (cells are
+    geohash/S2 buckets in production); the statistic is grid-bounded
+    regardless of point count."""
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.expr(
+            _GCELL.format(c=_COORD.format(axis="x", key="c_custkey"))
+        ).alias("gx"),
+        F.expr(
+            _GCELL.format(c=_COORD.format(axis="y", key="c_custkey"))
+        ).alias("gy"),
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("yc"),
+    )
+    cells = pts.groupBy("gx", "gy").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yc").cast("long").alias("cents"),
+    )
+    vals = cells.select("gx", "gy", F.expr(_CELL_MEAN).alias("v"))
+    return moran_i(vals)

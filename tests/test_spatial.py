@@ -54,3 +54,38 @@ def test_spatial_nn_matches_python_bruteforce(spark, sf_smoke):
     }
     assert got == want
     assert len(got) > 0  # the radius actually matches someone
+
+
+def test_moran_checkerboard_is_exactly_minus_one(spark):
+    """2×2 checkerboard (±1): every rook pair is opposite-signed —
+    perfect negative autocorrelation, I = (4/8)·(−8/4) = −1 exactly."""
+    from cost_of_living_data_etl_spark.plans.spatial import moran_i
+
+    vals = spark.createDataFrame(
+        [(0, 0, 1.0), (0, 1, -1.0), (1, 0, -1.0), (1, 1, 1.0)],
+        "gx int, gy int, v double",
+    )
+    r = moran_i(vals).collect()[0]
+    assert (r["n_cells"], r["n_adjacent_pairs"]) == (4, 8)
+    assert r["moran_i"] == -1.0
+    assert r["expected_i"] == -1.0 / 3
+
+
+def test_moran_clustered_line_and_degenerate_null(spark):
+    """1×4 line (1, 1, −1, −1): neighbours mostly share sign —
+    I = (4/6)·(2/4) exactly (same op order as the shared text). A
+    constant surface has zero variance: I is NULL, not 0."""
+    from cost_of_living_data_etl_spark.plans.spatial import moran_i
+
+    line = spark.createDataFrame(
+        [(0, 0, 1.0), (1, 0, 1.0), (2, 0, -1.0), (3, 0, -1.0)],
+        "gx int, gy int, v double",
+    )
+    r = moran_i(line).collect()[0]
+    assert r["n_adjacent_pairs"] == 6
+    assert r["moran_i"] == (4.0 / 6.0) * (2.0 / 4.0)
+
+    flat = spark.createDataFrame(
+        [(0, 0, 5.0), (1, 0, 5.0), (0, 1, 5.0)], "gx int, gy int, v double"
+    )
+    assert moran_i(flat).collect()[0]["moran_i"] is None

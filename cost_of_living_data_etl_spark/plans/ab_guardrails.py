@@ -37,11 +37,18 @@ from cost_of_living_data_etl_spark.functions.columns import det_sum
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.plans.mllite import _DSUM_SQL
 from cost_of_living_data_etl_spark.plans.round4_stats import _AS_P
+from cost_of_living_data_etl_spark.plans.reshape import (
+    _BUCKET_SPARK,
+    _BUCKET_SQL,
+)
 from cost_of_living_data_etl_spark.plans.stats_analytics import (
     _ARM_SPARK,
     _ARM_SQL,
 )
 from cost_of_living_data_etl_spark.sources.tables import load_table
+
+_BUCKET_SPARK_K = _BUCKET_SPARK.format(k="o_orderkey")
+_BUCKET_SQL_K = _BUCKET_SQL.format(k="o_orderkey")
 
 SRM_ALPHA = 0.001  # industry-standard SRM alarm threshold
 
@@ -197,4 +204,103 @@ def q_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"CASE WHEN s0 + s1 > 0 THEN ({_MDE_ABS})"
         " / ((s0 + s1) / (n0 + n1)) ELSE CAST(0.0 AS DOUBLE) END"
         " AS mde_rel",
+    )
+
+
+# ---------------------------------------------------------------------------
+# approximate query processing: sampled SUM with honest error bars
+# ---------------------------------------------------------------------------
+
+AQP_PCT = 10  # deterministic md5-bucket sample: buckets < AQP_PCT
+
+#: scale-up factor and CLT half-width, ONE shared text each. The
+#: half-width is for the SUM estimator N·x̄_s: N·z·s/√n_s with the
+#: finite-population correction √((N−n)/(N−1)) — on a 10% sample the
+#: FPC tightens the bar ~5%, and leaving it out is the classic AQP
+#: overcoverage bug.
+_AQP_EST = "CAST(n_all AS DOUBLE) * (CAST(s_cents AS DOUBLE) / n_s) / 100.0"
+_AQP_HW = (
+    "CAST(n_all AS DOUBLE) * CAST(1.959963984540054 AS DOUBLE)"
+    " * sqrt((CASE WHEN n_s > 1 THEN"
+    " greatest(CAST(ssq_cents AS DOUBLE) / 10000.0"
+    " - (CAST(s_cents AS DOUBLE) / 100.0) * (CAST(s_cents AS DOUBLE) / 100.0)"
+    " / n_s, CAST(0.0 AS DOUBLE)) / (n_s - 1.0)"
+    " ELSE CAST(0.0 AS DOUBLE) END) / n_s)"
+    " * sqrt(CAST(n_all - n_s AS DOUBLE) / (n_all - 1.0))"
+)
+
+_AQP_ORACLE = f"""
+WITH base AS (
+    SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS yc,
+           CASE WHEN ({{bucket}}) < {AQP_PCT} THEN 1 ELSE 0 END AS in_s
+    FROM orders
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_all,
+           CAST(sum(yc) AS BIGINT) AS exact_cents,
+           CAST(sum(in_s) AS BIGINT) AS n_s,
+           CAST(sum(CASE WHEN in_s = 1 THEN yc ELSE 0 END) AS BIGINT)
+             AS s_cents,
+           sum(CASE WHEN in_s = 1 THEN CAST(yc AS HUGEINT) * yc
+                    ELSE 0 END) AS ssq_cents
+    FROM base
+)
+SELECT n_all AS n_rows, n_s AS n_sampled,
+       CAST(exact_cents AS DOUBLE) / 100.0 AS exact_sum,
+       {_AQP_EST} AS est_sum,
+       {_AQP_HW} AS ci_halfwidth,
+       abs({_AQP_EST} - CAST(exact_cents AS DOUBLE) / 100.0)
+         <= {_AQP_HW} AS within_ci
+FROM m
+"""
+
+
+@register(
+    "q_aqp_sample_sum_error",
+    oracle=_AQP_ORACLE.format(bucket=_BUCKET_SQL_K),
+    tags=("aqp", "sampling", "approximation", "diagnostics"),
+)
+def q_aqp_sample_sum_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate query processing with honest error accounting: the
+    total order value estimated from the deterministic md5 {AQP_PCT}%
+    sample (N·x̄_s), its 95% CLT half-width WITH the finite-population
+    correction, and — because the fixture affords it — the exact
+    answer and whether it landed inside the interval. The point of the
+    operator is the error bar, not the estimate: an AQP layer that
+    can't bound its error is a random-number generator. All inputs are
+    exact BIGINT cent sums (values live on the money grid), so the
+    whole row hash-replays; at 100 TB the exact column is the one you
+    DON'T compute — the sample scan is the product.
+
+    Scale: one partial-agg pass computing both branches (sample
+    membership is a map-side flag, never a separate scan)."""
+    base = load_table(spark, sf_dir, "orders").select(
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("yc"),
+        F.expr(
+            f"CASE WHEN ({_BUCKET_SPARK_K}) < {AQP_PCT} THEN 1 ELSE 0 END"
+        ).alias("in_s"),
+    )
+    m = base.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_all"),
+        F.sum("yc").cast("long").alias("exact_cents"),
+        F.sum("in_s").cast("long").alias("n_s"),
+        F.expr(
+            "CAST(sum(CASE WHEN in_s = 1 THEN yc ELSE 0 END) AS BIGINT)"
+        ).alias("s_cents"),
+        # cents² exceeds int64 at fixture magnitudes: accumulate in
+        # DECIMAL(38,0) (Spark) / HUGEINT (oracle); downstream reads it
+        # through one CAST-to-double, identical on both engines
+        F.expr(
+            "sum(CASE WHEN in_s = 1 THEN CAST(yc AS DECIMAL(38,0)) * yc"
+            " ELSE 0 END)"
+        ).alias("ssq_cents"),
+    )
+    return m.selectExpr(
+        "n_all AS n_rows",
+        "n_s AS n_sampled",
+        "CAST(exact_cents AS DOUBLE) / 100.0 AS exact_sum",
+        f"{_AQP_EST} AS est_sum",
+        f"{_AQP_HW} AS ci_halfwidth",
+        f"abs({_AQP_EST} - CAST(exact_cents AS DOUBLE) / 100.0)"
+        f" <= {_AQP_HW} AS within_ci",
     )

@@ -81,3 +81,78 @@ def test_mde_matches_hand_formula(spark, tmp_path):
     )
     assert abs(r["mde_abs"] - want) < 1e-12
     assert abs(r["mde_rel"] - want / 1.0) < 1e-12  # grand mean = 1.0
+
+
+def test_aqp_constant_values_estimate_exact_zero_width(spark, tmp_path):
+    """All orders worth the same amount: the sample mean IS the
+    population mean, so the scaled estimate equals the exact sum and
+    the CI half-width is exactly 0 (guarded zero variance)."""
+    from cost_of_living_data_etl_spark.plans.ab_guardrails import (
+        _BUCKET_SPARK_K,
+        q_aqp_sample_sum_error,
+    )
+
+    rows = (
+        spark.range(1, 20000)
+        .select(F.col("id").alias("k"))
+        .withColumn("b", F.expr(_BUCKET_SPARK_K.replace("o_orderkey", "k")))
+        .collect()
+    )
+    ins = [r["k"] for r in rows if r["b"] < 10][:3]
+    outs = [r["k"] for r in rows if r["b"] >= 10][:5]
+    orders = [(k, 1, "O", 250.0, BASE, "5-LOW") for k in ins + outs]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    r = q_aqp_sample_sum_error(spark, str(tmp_path)).collect()[0]
+    assert (r["n_rows"], r["n_sampled"]) == (8, 3)
+    assert r["exact_sum"] == 2000.0
+    assert r["est_sum"] == 2000.0  # 8 · 250, exactly
+    assert r["ci_halfwidth"] == 0.0
+    assert r["within_ci"] is True
+
+
+def test_aqp_halfwidth_matches_hand_formula(spark, tmp_path):
+    """Two sampled orders (100, 200) among four: the CLT half-width
+    with finite-population correction recomputed independently must
+    match to the last bits."""
+    from cost_of_living_data_etl_spark.plans.ab_guardrails import (
+        _BUCKET_SPARK_K,
+        q_aqp_sample_sum_error,
+    )
+
+    rows = (
+        spark.range(1, 20000)
+        .select(F.col("id").alias("k"))
+        .withColumn("b", F.expr(_BUCKET_SPARK_K.replace("o_orderkey", "k")))
+        .collect()
+    )
+    ins = [r["k"] for r in rows if r["b"] < 10][:2]
+    outs = [r["k"] for r in rows if r["b"] >= 10][:2]
+    vals = dict(zip(ins + outs, [100.0, 200.0, 100.0, 200.0]))
+    spark.createDataFrame(
+        [(k, 1, "O", v, BASE, "5-LOW") for k, v in vals.items()],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    r = q_aqp_sample_sum_error(spark, str(tmp_path)).collect()[0]
+    assert (r["n_rows"], r["n_sampled"]) == (4, 2)
+    assert r["exact_sum"] == 600.0
+    assert r["est_sum"] == 600.0  # 4 · 150
+    import math
+
+    n_all, n_s = 4, 2
+    s_cents, ssq_cents = 30000, 100_000_000 + 400_000_000
+    var = (ssq_cents / 10000.0 - (s_cents / 100.0) * (s_cents / 100.0) / n_s) / (
+        n_s - 1.0
+    )
+    want = (
+        n_all
+        * 1.959963984540054
+        * math.sqrt(var / n_s)
+        * math.sqrt((n_all - n_s) / (n_all - 1.0))
+    )
+    assert abs(r["ci_halfwidth"] - want) < 1e-9
+    assert r["within_ci"] is True

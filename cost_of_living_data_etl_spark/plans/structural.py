@@ -653,3 +653,108 @@ def q_interval_overlap_sessions_bursts(
             "overlap_us",
         )
     )
+
+
+# --- dedup threshold tuning curve -------------------------------------------
+
+#: the thresholds swept — all ≥ SETSIM_T, so every curve point derives
+#: from the ONE exact pair set the prefix join already computes
+DEDUP_TAUS = ("0.5", "0.6", "0.7", "0.8", "0.9")
+
+_TAU_GRID = " UNION ALL ".join(
+    f"SELECT CAST({t} AS DOUBLE) AS tau" for t in DEDUP_TAUS
+)
+
+_DEDUP_CURVE_ORACLE = f"""
+WITH pairs AS ({_SETSIM_ORACLE.replace("ORDER BY doc_id_1, doc_id_2", "")}),
+taus AS ({_TAU_GRID}),
+ndocs AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+hits AS (
+    SELECT t.tau, p.doc_id_1, p.doc_id_2
+    FROM taus t JOIN pairs p ON p.jaccard >= t.tau
+),
+agg AS (
+    SELECT tau,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(count(DISTINCT doc_id_2) AS BIGINT) AS n_removed_greedy
+    FROM hits GROUP BY tau
+),
+aff AS (
+    SELECT tau, CAST(count(DISTINCT d) AS BIGINT) AS n_docs_affected
+    FROM (SELECT tau, doc_id_1 AS d FROM hits
+          UNION ALL SELECT tau, doc_id_2 FROM hits) u
+    GROUP BY tau
+)
+SELECT t.tau AS threshold,
+       COALESCE(agg.n_pairs, 0) AS n_pairs,
+       COALESCE(aff.n_docs_affected, 0) AS n_docs_affected,
+       COALESCE(agg.n_removed_greedy, 0) AS n_removed_greedy,
+       CAST(COALESCE(agg.n_removed_greedy, 0) AS DOUBLE) / ndocs.n_docs
+         AS removed_share
+FROM taus t
+LEFT JOIN agg ON agg.tau = t.tau
+LEFT JOIN aff ON aff.tau = t.tau
+CROSS JOIN ndocs
+ORDER BY threshold
+"""
+
+
+@register(
+    "q_dedup_threshold_curve",
+    oracle=_DEDUP_CURVE_ORACLE,
+    tags=("dedup", "tuning", "jaccard", "curve", "training-data"),
+)
+def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup THRESHOLD tuning curve — the Jaccard sibling of the
+    IVF nprobe curve: for each τ in DEDUP_TAUS, how many exact
+    shingle-Jaccard pairs survive, how many documents they touch, and
+    how many docs the greedy keep-smallest-id rule would remove (with
+    its corpus share) — the measured aggressiveness/coverage frontier
+    behind picking a near-dup threshold. Every point derives from the
+    ONE exact pair set the PPJoin prefix join computes at the base
+    threshold (τ ≥ SETSIM_T pairs are a subset by monotonicity), so
+    the sweep costs one small grid join, not five pair computations.
+    Counts are exact BIGINTs; `removed_share` is one division;
+    Jaccards are bit-identical across engines by the prefix join's own
+    contract.
+
+    100 TB: inherits the prefix join's scale shape (shuffles carry id
+    + token hashes, quadratic bounded to rarest-first prefix buckets);
+    the sweep itself runs on the pair set × a 5-row constant."""
+    pairs = q_setsim_prefix_join(spark, sf_dir).localCheckpoint()
+    taus = spark.createDataFrame(
+        [(float(t),) for t in DEDUP_TAUS], "tau double"
+    )
+    n_docs = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy()
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    hits = F.broadcast(taus).join(
+        pairs, F.col("jaccard") >= F.col("tau")
+    )
+    agg = hits.groupBy("tau").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.count_distinct("doc_id_2").cast("long").alias("n_removed_greedy"),
+    )
+    aff = (
+        hits.select("tau", F.col("doc_id_1").alias("d"))
+        .unionByName(hits.select("tau", F.col("doc_id_2").alias("d")))
+        .groupBy("tau")
+        .agg(F.count_distinct("d").cast("long").alias("n_docs_affected"))
+    )
+    return (
+        F.broadcast(taus)
+        .join(agg, "tau", "left")
+        .join(aff, "tau", "left")
+        .crossJoin(F.broadcast(n_docs))
+        .selectExpr(
+            "tau AS threshold",
+            "COALESCE(n_pairs, 0) AS n_pairs",
+            "COALESCE(n_docs_affected, 0) AS n_docs_affected",
+            "COALESCE(n_removed_greedy, 0) AS n_removed_greedy",
+            "CAST(COALESCE(n_removed_greedy, 0) AS DOUBLE) / n_docs"
+            " AS removed_share",
+        )
+        .orderBy("threshold")
+    )

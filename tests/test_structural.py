@@ -248,3 +248,33 @@ def test_interval_overlap_halfopen_boundary_and_lengths(spark, tmp_path):
     assert got[2] == (1, 1, 200_000_000)
     assert got[3] == (1, 0, 0)  # half-open: touching != overlapping
     assert got[9] == (1, 1, 300_000_000)
+
+
+def test_dedup_threshold_curve_graded_pairs(spark, tmp_path):
+    """Constructed corpus with one exact duplicate pair (J = 1) and
+    one partial pair (two of ten words changed ⇒ shingle Jaccard
+    exactly 6/10): the curve keeps both pairs through τ = 0.6 and only
+    the exact pair from τ = 0.7 up — monotone non-increasing by
+    construction, with exact greedy-removal counts."""
+    from cost_of_living_data_etl_spark.plans.structural import (
+        q_dedup_threshold_curve,
+    )
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    partial = (
+        "alpha bravo charlie delta echo foxtrot golf hotel yankee zulu"
+    )
+    texts = [base, partial, "the same exact duplicate text here",
+             "the same exact duplicate text here",
+             "a completely different document about other things"]
+    spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    got = {
+        r["threshold"]: (r["n_pairs"], r["n_removed_greedy"])
+        for r in q_dedup_threshold_curve(spark, str(tmp_path)).collect()
+    }
+    assert got[0.5] == (2, 2) and got[0.6] == (2, 2)
+    assert got[0.7] == (1, 1) and got[0.8] == (1, 1) and got[0.9] == (1, 1)

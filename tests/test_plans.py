@@ -716,3 +716,32 @@ def test_markov_solve_reads_checkpointed_counts_not_events(spark, sf_smoke):
     plan = plan_of(spark, "q_markov_removal_attribution", sf_smoke)
     assert "Scan parquet" not in plan
     assert "ExistingRDD" in plan or "LogicalRDD" in plan
+
+
+def test_data_shapley_text_never_in_exchange(spark, sf_smoke):
+    """The Data Shapley training pass tokenizes map-side: document
+    text must not cross any Exchange; what shuffles is (grp, lang,
+    word) count state bounded by the vocabulary."""
+    plan = plan_of(spark, "q_data_shapley_source_groups", sf_smoke)
+    exchange_lines = [l for l in plan.splitlines() if "Exchange" in l]
+    assert exchange_lines
+    assert not any("text" in l for l in exchange_lines)
+
+
+def test_aqp_is_single_scan_for_both_branches(spark, sf_smoke):
+    """Sample membership is a map-side flag: exact and sampled
+    aggregates must come from ONE parquet scan of orders, not a scan
+    per branch."""
+    plan = plan_of(spark, "q_aqp_sample_sum_error", sf_smoke)
+    # formatted explain prints each scan twice (tree line + details)
+    assert plan.count("Scan parquet") == 2
+
+
+def test_threshold_curve_reuses_checkpointed_pairs(spark, sf_smoke):
+    """The tau sweep must read the materialized exact pair set (plus
+    one documents scan for the denominator) — never recompute the
+    PPJoin per threshold."""
+    plan = plan_of(spark, "q_dedup_threshold_curve", sf_smoke)
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan
+    # one logical scan = two formatted-explain mentions (tree + details)
+    assert plan.count("Scan parquet") == 2  # the n_docs denominator only

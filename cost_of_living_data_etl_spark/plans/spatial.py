@@ -306,3 +306,156 @@ def q_moran_i_customer_balance(
     )
     vals = cells.select("gx", "gy", F.expr(_CELL_MEAN).alias("v"))
     return moran_i(vals)
+
+
+# ---------------------------------------------------------------------------
+# Getis-Ord G* hotspot scores (local complement of the global Moran's I)
+# ---------------------------------------------------------------------------
+
+#: G*ᵢ z-score, ONE shared text over exact neighbourhood sums:
+#: (Σ_j w_ij v_j − v̄·Wᵢ) / (S·√((n·Wᵢ − Wᵢ²)/(n−1))), wᵢᵢ = 1
+#: (the star variant includes the cell itself); Wᵢ = |neighbourhood|.
+_GSTAR = (
+    "CASE WHEN n_cells > 1 AND (CAST(n_cells AS DOUBLE) * wi - wi * wi) > 0"
+    " AND s2 > 0 THEN"
+    " (nsum - vbar * wi)"
+    " / (sqrt(s2) * sqrt((CAST(n_cells AS DOUBLE) * wi - wi * wi)"
+    " / (n_cells - 1.0)))"
+    " ELSE NULL END"
+)
+
+_GSTAR_ORACLE = f"""
+WITH pts AS (
+    SELECT {_GCELL.format(c=_COORD_SQL.format(axis="x", key="c_custkey"))} AS gx,
+           {_GCELL.format(c=_COORD_SQL.format(axis="y", key="c_custkey"))} AS gy,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS yc
+    FROM customer
+),
+cells AS (
+    SELECT gx, gy, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(yc) AS BIGINT) AS cents
+    FROM pts GROUP BY 1, 2
+),
+vals AS (SELECT gx, gy, {_CELL_MEAN} AS v FROM cells),
+st AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_cells,
+           {{fold_v}} / count(*) AS vbar,
+           {{fold_v2}} / count(*) AS v2bar
+    FROM vals
+),
+nb AS (
+    SELECT a.gx, a.gy,
+           CAST(count(*) AS BIGINT) AS wi,
+           {{fold_nsum}} AS nsum
+    FROM vals a JOIN vals b
+      ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1
+    GROUP BY a.gx, a.gy
+),
+z AS (
+    SELECT nb.gx, nb.gy, nb.wi, st.n_cells,
+           nb.nsum, st.vbar,
+           greatest(st.v2bar - st.vbar * st.vbar, CAST(0.0 AS DOUBLE)) AS s2
+    FROM nb, st
+)
+SELECT CAST(gx AS INT) AS gx, CAST(gy AS INT) AS gy,
+       CAST(wi AS BIGINT) AS n_neighbourhood,
+       {_GSTAR} AS gstar_z
+FROM z
+""".format(
+    fold_v="list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_sort(list(v))), (a, b) -> a + b)",
+    fold_v2="list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_sort(list(v * v))), (a, b) -> a + b)",
+    fold_nsum="list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_sort(list(b.v))), (a, b) -> a + b)",
+)
+
+
+def gstar_scores(vals: DataFrame) -> DataFrame:
+    """Getis-Ord G*ᵢ z-scores over (gx, gy, v) cells with binary
+    queen-neighbourhood weights (Chebyshev ≤ 1, self included): per
+    cell, how far its NEIGHBOURHOOD total sits from what spatial
+    randomness predicts — positive = hot spot, negative = cold spot;
+    NULL on zero-variance surfaces or degenerate denominators. All
+    sums det-ordered folds over the bounded grid; one shared z text."""
+    st = vals.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        (
+            F.expr(
+                "aggregate(array_sort(collect_list(v)),"
+                " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            )
+            / F.count(F.lit(1))
+        ).alias("vbar"),
+        (
+            F.expr(
+                "aggregate(array_sort(collect_list(v * v)),"
+                " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            )
+            / F.count(F.lit(1))
+        ).alias("v2bar"),
+    )
+    a, b = vals.alias("a"), vals.alias("b")
+    nb = (
+        a.join(
+            b,
+            (F.abs(F.col("a.gx") - F.col("b.gx")) <= 1)
+            & (F.abs(F.col("a.gy") - F.col("b.gy")) <= 1),
+        )
+        .groupBy(F.col("a.gx").alias("gx"), F.col("a.gy").alias("gy"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("wi"),
+            F.expr(
+                "aggregate(array_sort(collect_list(b.v)),"
+                " CAST(0.0 AS DOUBLE), (a, b) -> a + b)"
+            ).alias("nsum"),
+        )
+    )
+    z = nb.crossJoin(F.broadcast(st)).select(
+        "gx",
+        "gy",
+        "wi",
+        "n_cells",
+        "nsum",
+        "vbar",
+        F.expr(
+            "greatest(v2bar - vbar * vbar, CAST(0.0 AS DOUBLE))"
+        ).alias("s2"),
+    )
+    return z.selectExpr(
+        "CAST(gx AS INT) AS gx",
+        "CAST(gy AS INT) AS gy",
+        "CAST(wi AS BIGINT) AS n_neighbourhood",
+        f"{_GSTAR} AS gstar_z",
+    )
+
+
+@register(
+    "q_gstar_hotspots_customer_balance",
+    oracle=_GSTAR_ORACLE,
+    tags=("spatial", "hotspot", "getis-ord", "statistics"),
+)
+def q_gstar_hotspots_customer_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Getis-Ord G* hotspot map of mean customer balance over the
+    synthetic 10×10 grid — the LOCAL complement of the global Moran's
+    I: per cell, the z-score of its queen-neighbourhood total against
+    spatial randomness (hot/cold spots the global statistic averages
+    away). Same exact-cent cell means, det-ordered folds, bounded-grid
+    scale shape as `q_moran_i_customer_balance`; see `gstar_scores`."""
+    pts = load_table(spark, sf_dir, "customer").select(
+        F.expr(
+            _GCELL.format(c=_COORD.format(axis="x", key="c_custkey"))
+        ).alias("gx"),
+        F.expr(
+            _GCELL.format(c=_COORD.format(axis="y", key="c_custkey"))
+        ).alias("gy"),
+        F.expr("CAST(round(c_acctbal * 100) AS BIGINT)").alias("yc"),
+    )
+    cells = pts.groupBy("gx", "gy").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yc").cast("long").alias("cents"),
+    )
+    vals = cells.select("gx", "gy", F.expr(_CELL_MEAN).alias("v"))
+    return gstar_scores(vals).orderBy("gx", "gy")

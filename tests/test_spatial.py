@@ -89,3 +89,47 @@ def test_moran_clustered_line_and_degenerate_null(spark):
         [(0, 0, 5.0), (1, 0, 5.0), (0, 1, 5.0)], "gx int, gy int, v double"
     )
     assert moran_i(flat).collect()[0]["moran_i"] is None
+
+
+def test_gstar_single_hot_cell_and_flat_null(spark):
+    """4×4 flat field with one hot cell: the hot cell's G* is the
+    maximum and matches the hand formula; a far corner scores
+    negative; a constant surface yields NULL everywhere."""
+    import math
+
+    from cost_of_living_data_etl_spark.plans.spatial import gstar_scores
+
+    cells = [
+        (x, y, 16.0 if (x, y) == (1, 1) else 0.0)
+        for x in range(4)
+        for y in range(4)
+    ]
+    got = {
+        (r["gx"], r["gy"]): r["gstar_z"]
+        for r in gstar_scores(
+            spark.createDataFrame(cells, "gx int, gy int, v double")
+        ).collect()
+    }
+    n, vbar, v2bar = 16, 1.0, 16.0
+    s2 = v2bar - vbar * vbar  # 15
+    def z(wi, nsum):
+        return (nsum - vbar * wi) / (
+            math.sqrt(s2) * math.sqrt((n * wi - wi * wi) / (n - 1.0))
+        )
+    assert abs(got[(1, 1)] - z(9, 16.0)) < 1e-12
+    # the MAX z belongs to a small neighbourhood containing the hot
+    # cell (the corner sees it through wi = 4, not 9) — G* rewards
+    # concentration, which is exactly its point; every cell whose
+    # neighbourhood misses the hot value scores negative
+    best = max(got, key=got.get)
+    assert max(abs(best[0] - 1), abs(best[1] - 1)) <= 1
+    for (x, y), v in got.items():
+        if max(abs(x - 1), abs(y - 1)) > 1:
+            assert v < 0, ((x, y), v)
+    assert abs(got[(3, 3)] - z(4, 0.0)) < 1e-12
+
+    flat = [(x, y, 7.0) for x in range(4) for y in range(4)]
+    for r in gstar_scores(
+        spark.createDataFrame(flat, "gx int, gy int, v double")
+    ).collect():
+        assert r["gstar_z"] is None

@@ -161,3 +161,116 @@ def q_subclassification_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_all - n_supported AS DOUBLE) / n_all AS dropped_share",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IPW (Horvitz-Thompson / Hájek) ATE under the KNOWN enrolment design
+# ---------------------------------------------------------------------------
+
+#: the enrolment rule's DESIGN probabilities — known by construction
+#: (the md5 rule enrols urgent-ish priorities at 70%, the rest at 30%),
+#: which is what makes this the design-based estimator rather than a
+#: modeled-propensity one. Shared literals.
+_P_HI = "0.7"
+_P_LO = "0.3"
+_PC = (
+    "CASE WHEN prio IN ('1-URGENT', '2-HIGH')"
+    f" THEN CAST({_P_HI} AS DOUBLE) ELSE CAST({_P_LO} AS DOUBLE) END"
+)
+
+#: per-propensity-class Horvitz-Thompson terms from exact cent sums —
+#: the weights attach to CLASS AGGREGATES (p is constant within a
+#: class), so no data-scale float sum exists anywhere
+_HT_T1 = "(CAST(s_t AS DOUBLE) / CAST(100.0 AS DOUBLE)) / pc"
+_HT_T0 = (
+    "(CAST(s_c AS DOUBLE) / CAST(100.0 AS DOUBLE))"
+    " / (CAST(1.0 AS DOUBLE) - pc)"
+)
+_HW_T1 = "CAST(n_t AS DOUBLE) / pc"
+_HW_T0 = "CAST(n_c AS DOUBLE) / (CAST(1.0 AS DOUBLE) - pc)"
+
+_IPW_ORACLE = f"""
+WITH scored AS (
+    SELECT o_orderpriority AS prio,
+           CASE WHEN {_TREAT_PRED.format(b=_BUCKET_SQL.format(k="o_orderkey"))}
+                THEN 1 ELSE 0 END AS treated,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS yc
+    FROM orders
+),
+classes AS (
+    SELECT {_PC} AS pc,
+           CAST(count(*) AS BIGINT) AS n_class,
+           CAST(sum(treated) AS BIGINT) AS n_t,
+           CAST(sum(1 - treated) AS BIGINT) AS n_c,
+           CAST(sum(CASE WHEN treated = 1 THEN yc ELSE 0 END) AS BIGINT)
+             AS s_t,
+           CAST(sum(CASE WHEN treated = 0 THEN yc ELSE 0 END) AS BIGINT)
+             AS s_c
+    FROM scored GROUP BY 1
+),
+agg AS (
+    SELECT CAST(sum(n_class) AS BIGINT) AS n,
+           {_DSUM_SQL.format(x=_HT_T1)} AS y1,
+           {_DSUM_SQL.format(x=_HT_T0)} AS y0,
+           {_DSUM_SQL.format(x=_HW_T1)} AS w1,
+           {_DSUM_SQL.format(x=_HW_T0)} AS w0
+    FROM classes
+)
+SELECT n AS n_orders,
+       y1 / n - y0 / n AS ate_ipw_ht,
+       CASE WHEN w1 > 0 AND w0 > 0 THEN y1 / w1 - y0 / w0
+            ELSE CAST(0.0 AS DOUBLE) END AS ate_ipw_hajek
+FROM agg
+"""
+
+
+@register(
+    "q_ipw_ate",
+    oracle=_IPW_ORACLE,
+    tags=("causal", "observational", "ipw", "horvitz-thompson", "ate"),
+)
+def q_ipw_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-propensity-weighted ATE under the KNOWN enrolment
+    design — the design-based companion to `q_subclassification_ate`
+    on the same covariate-dependent treatment: Horvitz-Thompson
+    (1/N normalization, unbiased but variance-prone) and Hájek
+    (self-normalized, the production default) estimates, both from
+    per-propensity-class exact cent sums so the inverse weights attach
+    to class aggregates and no data-scale float sum exists. Two
+    estimators + subclassification agreeing is the standard
+    observational-robustness check.
+
+    100 TB: one integer partial-agg pass to the ≤2 propensity classes,
+    then constant-size arithmetic."""
+    bucket = _BUCKET_SPARK.format(k="o_orderkey")
+    scored = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("prio"),
+        F.expr(
+            f"CASE WHEN {_TREAT_PRED.format(b=bucket)} THEN 1 ELSE 0 END"
+        ).alias("treated"),
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("yc"),
+    )
+    classes = scored.groupBy(F.expr(_PC).alias("pc")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_class"),
+        F.sum("treated").cast("long").alias("n_t"),
+        F.sum(1 - F.col("treated")).cast("long").alias("n_c"),
+        F.expr(
+            "CAST(sum(CASE WHEN treated = 1 THEN yc ELSE 0 END) AS BIGINT)"
+        ).alias("s_t"),
+        F.expr(
+            "CAST(sum(CASE WHEN treated = 0 THEN yc ELSE 0 END) AS BIGINT)"
+        ).alias("s_c"),
+    )
+    agg = classes.groupBy().agg(
+        F.sum("n_class").cast("long").alias("n"),
+        det_sum(_HT_T1).alias("y1"),
+        det_sum(_HT_T0).alias("y0"),
+        det_sum(_HW_T1).alias("w1"),
+        det_sum(_HW_T0).alias("w0"),
+    )
+    return agg.selectExpr(
+        "n AS n_orders",
+        "y1 / n - y0 / n AS ate_ipw_ht",
+        "CASE WHEN w1 > 0 AND w0 > 0 THEN y1 / w1 - y0 / w0"
+        " ELSE CAST(0.0 AS DOUBLE) END AS ate_ipw_hajek",
+    )

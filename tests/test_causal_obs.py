@@ -53,3 +53,41 @@ def test_confounded_null_effect_recovered(spark, tmp_path):
     assert r["ate_subclass"] == 0.0   # zero within-cell effect, exactly
     assert r["n_cells_supported"] == 2 and r["n_cells_dropped"] == 0
     assert r["dropped_share"] == 0.0
+
+
+def test_ipw_null_effect_with_design_exact_rates(spark, tmp_path):
+    """Same confounded-null corpus as the subclassification test, with
+    realized enrolment EXACTLY at the design rates (7/10 at 0.7, 3/10
+    at 0.3): both IPW estimators must recover a zero effect — and
+    because weights attach to class aggregates, the cancellation is
+    to float round-off, not statistical noise."""
+    from cost_of_living_data_etl_spark.plans.causal_obs import q_ipw_ate
+    from cost_of_living_data_etl_spark.plans.reshape import _BUCKET_SPARK
+
+    rows = (
+        spark.range(1, 20000)
+        .select(F.col("id").alias("k"))
+        .withColumn("b", F.expr(_BUCKET_SPARK.format(k="k")))
+        .collect()
+    )
+    lt30 = [r["k"] for r in rows if r["b"] < 30]
+    b30_70 = [r["k"] for r in rows if 30 <= r["b"] < 70]
+    ge70 = [r["k"] for r in rows if r["b"] >= 70]
+    orders = []
+    for k in (lt30[:4] + b30_70[:3]):
+        orders.append((k, 1, "O", 500.0, BASE, "1-URGENT"))
+    for k in ge70[:3]:
+        orders.append((k, 1, "O", 500.0, BASE, "1-URGENT"))
+    for k in lt30[4:7]:
+        orders.append((k, 1, "O", 100.0, BASE, "5-LOW"))
+    for k in (b30_70[3:7] + ge70[3:6]):
+        orders.append((k, 1, "O", 100.0, BASE, "5-LOW"))
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    r = q_ipw_ate(spark, str(tmp_path)).collect()[0]
+    assert r["n_orders"] == 20
+    assert abs(r["ate_ipw_ht"]) < 1e-9
+    assert abs(r["ate_ipw_hajek"]) < 1e-9

@@ -304,3 +304,103 @@ def q_aqp_sample_sum_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"abs({_AQP_EST} - CAST(exact_cents AS DOUBLE) / 100.0)"
         f" <= {_AQP_HW} AS within_ci",
     )
+
+
+# ---------------------------------------------------------------------------
+# capture-recapture population estimation (Lincoln-Petersen / Chapman)
+# ---------------------------------------------------------------------------
+
+CAPTURE_PCT = 30  # each frame captures ~30% of units
+
+#: two INDEPENDENT deterministic capture frames: axis-salted md5
+#: streams (the spatial-coordinate idiom) so membership in one frame
+#: carries no information about the other
+_CAP_SPARK = (
+    "cast(conv(substring(md5(concat('{salt}:', cast(user_id AS STRING))),"
+    f" 1, 15), 16, 10) AS BIGINT) % 100 < {CAPTURE_PCT}"
+)
+_CAP_SQL = (
+    "CAST(('0x' || substr(md5('{salt}:' || CAST(user_id AS VARCHAR)),"
+    f" 1, 15)) AS BIGINT) % 100 < {CAPTURE_PCT}"
+)
+
+#: estimators, ONE shared text each over exact BIGINT counts. The
+#: Chapman form is defined even at m = 0 (its +1s are the point);
+#: Lincoln-Petersen needs the m > 0 guard.
+_LP_EST = (
+    "CASE WHEN m > 0 THEN CAST(n1 AS DOUBLE) * n2 / m ELSE NULL END"
+)
+_CHAPMAN_EST = (
+    "(CAST(n1 + 1 AS DOUBLE) * (n2 + 1)) / (m + 1) - CAST(1.0 AS DOUBLE)"
+)
+
+_CAPTURE_ORACLE = f"""
+WITH users AS (
+    SELECT user_id,
+           CASE WHEN {_CAP_SQL.format(salt="c1")} THEN 1 ELSE 0 END AS c1,
+           CASE WHEN {_CAP_SQL.format(salt="c2")} THEN 1 ELSE 0 END AS c2
+    FROM (SELECT DISTINCT user_id FROM events) u
+),
+m AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_true,
+           CAST(sum(c1) AS BIGINT) AS n1,
+           CAST(sum(c2) AS BIGINT) AS n2,
+           CAST(sum(c1 * c2) AS BIGINT) AS m
+    FROM users
+)
+SELECT n_true, n1 AS n_capture1, n2 AS n_capture2, m AS n_both,
+       {_LP_EST} AS lp_estimate,
+       {_CHAPMAN_EST} AS chapman_estimate,
+       ({_CHAPMAN_EST} - n_true) / n_true AS chapman_rel_err
+FROM m
+"""
+
+
+@register(
+    "q_capture_recapture_users",
+    oracle=_CAPTURE_ORACLE,
+    tags=("estimation", "capture-recapture", "population", "diagnostics"),
+)
+def q_capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-recapture estimate of the distinct-user population from
+    two independent deterministic ~{CAPTURE_PCT}% hash frames —
+    Lincoln-Petersen n₁n₂/m and the bias-corrected Chapman
+    (n₁+1)(n₂+1)/(m+1) − 1 — the classic "how many units does the
+    whole system have, given two overlapping partial views" estimator
+    (log coverage, crawl frontier size, mark-resight). The fixture
+    affords the true count, so the row doubles as a calibration check
+    (Chapman relative error reported). Exact BIGINT counts, one shared
+    division per estimator, LP guarded NULL at zero overlap.
+
+    100 TB: both frame memberships are map-side flags over one
+    distinct-user pass; the estimators run on a single row — and in
+    the real use case the full distinct count is exactly what you
+    CANNOT afford, which is why the two cheap frames exist."""
+    users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select(
+            F.expr(
+                f"CASE WHEN {_CAP_SPARK.format(salt='c1')} THEN 1 ELSE 0 END"
+            ).alias("c1"),
+            F.expr(
+                f"CASE WHEN {_CAP_SPARK.format(salt='c2')} THEN 1 ELSE 0 END"
+            ).alias("c2"),
+        )
+    )
+    m = users.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("n_true"),
+        F.sum("c1").cast("long").alias("n1"),
+        F.sum("c2").cast("long").alias("n2"),
+        F.sum(F.col("c1") * F.col("c2")).cast("long").alias("m"),
+    )
+    return m.selectExpr(
+        "n_true",
+        "n1 AS n_capture1",
+        "n2 AS n_capture2",
+        "m AS n_both",
+        f"{_LP_EST} AS lp_estimate",
+        f"{_CHAPMAN_EST} AS chapman_estimate",
+        f"({_CHAPMAN_EST} - n_true) / n_true AS chapman_rel_err",
+    )

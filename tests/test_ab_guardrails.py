@@ -156,3 +156,39 @@ def test_aqp_halfwidth_matches_hand_formula(spark, tmp_path):
     )
     assert abs(r["ci_halfwidth"] - want) < 1e-9
     assert r["within_ci"] is True
+
+
+def test_capture_recapture_closed_form(spark, tmp_path):
+    """Users chosen by their salted capture buckets: 3 in both frames,
+    3 only-frame-1, 2 only-frame-2, 2 in neither ⇒ n₁=6, n₂=5, m=3:
+    Lincoln-Petersen = 6·5/3 = 10 (exactly the truth here) and
+    Chapman = 7·6/4 − 1 = 9.5, both exact."""
+    from cost_of_living_data_etl_spark.plans.ab_guardrails import (
+        _CAP_SPARK,
+        q_capture_recapture_users,
+    )
+
+    rows = (
+        spark.range(1, 50000)
+        .select(F.col("id").alias("user_id"))
+        .withColumn("c1", F.expr(_CAP_SPARK.format(salt="c1")))
+        .withColumn("c2", F.expr(_CAP_SPARK.format(salt="c2")))
+        .collect()
+    )
+    both = [r["user_id"] for r in rows if r["c1"] and r["c2"]][:3]
+    only1 = [r["user_id"] for r in rows if r["c1"] and not r["c2"]][:3]
+    only2 = [r["user_id"] for r in rows if r["c2"] and not r["c1"]][:2]
+    neither = [r["user_id"] for r in rows if not r["c1"] and not r["c2"]][:2]
+    users = both + only1 + only2 + neither
+    spark.createDataFrame(
+        [(i, BASE, u, "view", 1.0, "{}") for i, u in enumerate(users)],
+        _EVENTS_SCHEMA,
+    ).write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+
+    r = q_capture_recapture_users(spark, str(tmp_path)).collect()[0]
+    assert (r["n_true"], r["n_capture1"], r["n_capture2"], r["n_both"]) == (
+        10, 6, 5, 3,
+    )
+    assert r["lp_estimate"] == 10.0
+    assert r["chapman_estimate"] == 9.5
+    assert r["chapman_rel_err"] == -0.05

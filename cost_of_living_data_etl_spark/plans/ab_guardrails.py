@@ -404,3 +404,86 @@ def q_capture_recapture_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_CHAPMAN_EST} AS chapman_estimate",
         f"({_CHAPMAN_EST} - n_true) / n_true AS chapman_rel_err",
     )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary saturation: Good-Turing unseen mass + Chao1 richness
+# ---------------------------------------------------------------------------
+
+#: estimators over the frequency-of-frequencies, ONE shared text each:
+#: Good-Turing unseen probability mass P₀ = n₁/N, and the
+#: bias-corrected Chao1 richness S_obs + n₁(n₁−1)/(2(n₂+1)) — defined
+#: even when no doubletons exist
+_GT_P0 = "CAST(n1 AS DOUBLE) / n_tokens"
+_CHAO1 = (
+    "CAST(s_obs AS DOUBLE)"
+    " + CAST(n1 AS DOUBLE) * (n1 - 1) / (CAST(2.0 AS DOUBLE) * (n2 + 1))"
+)
+
+_VOCAB_SAT_ORACLE = f"""
+WITH toks AS (
+    SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+    FROM documents WHERE trim(text) <> ''
+),
+freq AS (SELECT word, CAST(count(*) AS BIGINT) AS f FROM toks GROUP BY 1),
+fof AS (
+    SELECT CAST(count(*) AS BIGINT) AS s_obs,
+           CAST(sum(f) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN f = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+    FROM freq
+)
+SELECT n_tokens, s_obs AS vocab_observed, n1 AS n_singletons,
+       n2 AS n_doubletons,
+       {_GT_P0} AS unseen_mass_gt,
+       {_CHAO1} AS chao1_richness,
+       ({_CHAO1} - s_obs) / s_obs AS unseen_vocab_share
+FROM fof
+"""
+
+
+@register(
+    "q_vocab_saturation",
+    oracle=_VOCAB_SAT_ORACLE,
+    tags=("text", "vocabulary", "good-turing", "chao1", "training-data"),
+)
+def q_vocab_saturation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary saturation diagnostics — "will more data still add
+    new words?": the Good-Turing unseen probability mass P₀ = n₁/N
+    (the chance the NEXT token is a never-seen word) and the
+    bias-corrected Chao1 richness estimate of the TOTAL vocabulary,
+    both read off the token frequency-of-frequencies. High P₀ /
+    unseen share ⇒ the corpus is still discovering its vocabulary
+    (more data pays); near zero ⇒ saturated (more data only re-weights
+    known tokens). Same whitespace tokenizer as the NB family; counts
+    exact BIGINTs, one shared division per estimator (Chao1's +1 keeps
+    it defined with no doubletons).
+
+    100 TB: one token shuffle bounded by the vocabulary, then a
+    4-number state — the wordcount scale shape."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.trim(F.col("text")).alias("t"))
+        .filter(F.col("t") != "")
+        .select(F.explode(F.split("t", r"\s+")).alias("word"))
+    )
+    freq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("f"))
+    fof = freq.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("s_obs"),
+        F.sum("f").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("f") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("f") == 2, 1).otherwise(0))
+        .cast("long")
+        .alias("n2"),
+    )
+    return fof.selectExpr(
+        "n_tokens",
+        "s_obs AS vocab_observed",
+        "n1 AS n_singletons",
+        "n2 AS n_doubletons",
+        f"{_GT_P0} AS unseen_mass_gt",
+        f"{_CHAO1} AS chao1_richness",
+        f"({_CHAO1} - s_obs) / s_obs AS unseen_vocab_share",
+    )

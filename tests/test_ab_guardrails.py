@@ -192,3 +192,23 @@ def test_capture_recapture_closed_form(spark, tmp_path):
     assert r["lp_estimate"] == 10.0
     assert r["chapman_estimate"] == 9.5
     assert r["chapman_rel_err"] == -0.05
+
+
+def test_vocab_saturation_closed_form(spark, tmp_path):
+    """Corpus 'a a a b b c d': N = 7 tokens, S = 4 words, 2 singletons,
+    1 doubleton ⇒ Good-Turing unseen mass 2/7, Chao1 = 4 + 2·1/(2·2)
+    = 4.5, unseen vocab share 0.125 — all exact."""
+    from cost_of_living_data_etl_spark.plans.ab_guardrails import (
+        q_vocab_saturation,
+    )
+
+    spark.createDataFrame(
+        [(1, "a a a b", "en", "s", 7), (2, "b c d", "en", "s", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    r = q_vocab_saturation(spark, str(tmp_path)).collect()[0]
+    assert (r["n_tokens"], r["vocab_observed"]) == (7, 4)
+    assert (r["n_singletons"], r["n_doubletons"]) == (2, 1)
+    assert r["unseen_mass_gt"] == 2.0 / 7.0
+    assert r["chao1_richness"] == 4.5
+    assert r["unseen_vocab_share"] == 0.125

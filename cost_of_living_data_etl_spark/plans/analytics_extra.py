@@ -1055,3 +1055,154 @@ def q_seasonal_adjusted_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.abs(F.col("residual")).desc(), F.col("day"))
         .limit(ANOMALY_TOPK)
     )
+
+
+# --- price-volume-mix revenue bridge -----------------------------------------
+
+PVM_Y1, PVM_Y2 = 1996, 1997  # compared periods (both fully covered)
+
+#: per-part unit values from exact cent/quantity sums, and the
+#: Laspeyres-convention effects — ONE shared text each. Unit value
+#: uv = revenue / qty; price effect prices the NEW volume at the price
+#: CHANGE, volume effect prices the volume change at OLD prices.
+_PVM_UV = "(CAST({r} AS DOUBLE) / CAST(100.0 AS DOUBLE)) / {q}"
+_PVM_PRICE = f"({_PVM_UV.format(r='r2', q='q2')} - {_PVM_UV.format(r='r1', q='q1')}) * q2"
+_PVM_VOLUME = f"(q2 - q1) * {_PVM_UV.format(r='r1', q='q1')}"
+
+_PVM_ORACLE = f"""
+WITH li AS (
+    SELECT l.l_partkey AS pk, p.p_brand AS brand,
+           year(l.l_shipdate) AS y,
+           CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS r_cents,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS q
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE year(l.l_shipdate) IN ({PVM_Y1}, {PVM_Y2})
+    GROUP BY 1, 2, 3
+),
+w AS (
+    SELECT COALESCE(a.pk, b.pk) AS pk, COALESCE(a.brand, b.brand) AS brand,
+           COALESCE(a.r_cents, 0) AS r1, COALESCE(a.q, 0) AS q1,
+           COALESCE(b.r_cents, 0) AS r2, COALESCE(b.q, 0) AS q2
+    FROM (SELECT * FROM li WHERE y = {PVM_Y1}) a
+    FULL OUTER JOIN (SELECT * FROM li WHERE y = {PVM_Y2}) b
+      ON a.pk = b.pk
+),
+eff AS (
+    SELECT brand,
+           r1, r2,
+           CASE WHEN q1 > 0 AND q2 > 0 THEN {_PVM_PRICE}
+                ELSE CAST(0.0 AS DOUBLE) END AS price_eff,
+           CASE WHEN q1 > 0 AND q2 > 0 THEN {_PVM_VOLUME}
+                ELSE CAST(0.0 AS DOUBLE) END AS vol_eff
+    FROM w
+)
+SELECT brand,
+       CAST(sum(r1) AS DOUBLE) / 100.0 AS revenue_y1,
+       CAST(sum(r2) AS DOUBLE) / 100.0 AS revenue_y2,
+       {{fold_p}} AS price_effect,
+       {{fold_v}} AS volume_effect,
+       (CAST(sum(r2) AS DOUBLE) / 100.0 - CAST(sum(r1) AS DOUBLE) / 100.0)
+         - ({{fold_p}}) - ({{fold_v}}) AS mix_and_churn_effect
+FROM eff GROUP BY brand
+""".format(
+    fold_p="list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_sort(list(price_eff))), (a, b) -> a + b)",
+    fold_v="list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_sort(list(vol_eff))), (a, b) -> a + b)",
+)
+
+
+@register(
+    "q_pvm_revenue_bridge",
+    oracle=_PVM_ORACLE,
+    tags=("analytics", "pvm", "bridge", "finance"),
+)
+def q_pvm_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix revenue bridge between {PVM_Y1} and {PVM_Y2}
+    per brand — the FP&A decomposition behind every "why did revenue
+    move?" review, and the decomposition sibling of the catalog's
+    Laspeyres index: for parts sold in BOTH years, the price effect
+    ((uv₂−uv₁)·q₂) and volume effect ((q₂−q₁)·uv₁) from per-part unit
+    values; everything else (mix shifts into new parts, churn of
+    discontinued ones) lands in the explicitly-named residual, so the
+    three effects sum EXACTLY to the revenue delta — a bridge that
+    doesn't reconcile is an error, not a rounding note. Unit values
+    are one division of exact cent/quantity sums; per-brand effect
+    sums are det-ordered folds.
+
+    100 TB: one partial-agg pass to the (part, year) grain (bounded
+    by catalog size), a part-keyed full outer join, then brand
+    rollups."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.expr(f"year(l_shipdate) IN ({PVM_Y1}, {PVM_Y2})"))
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "part").select(
+                    "p_partkey", "p_brand"
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy(
+            F.col("l_partkey").alias("pk"),
+            F.col("p_brand").alias("brand"),
+            F.expr("year(l_shipdate)").alias("y"),
+        )
+        .agg(
+            F.expr(
+                "CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("r_cents"),
+            F.expr("CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)").alias(
+                "q"
+            ),
+        )
+    )
+    a = li.filter(F.col("y") == PVM_Y1).select(
+        "pk", "brand", F.col("r_cents").alias("r1"), F.col("q").alias("q1")
+    )
+    b = li.filter(F.col("y") == PVM_Y2).select(
+        F.col("pk").alias("pk2"),
+        F.col("brand").alias("brand2"),
+        F.col("r_cents").alias("r2"),
+        F.col("q").alias("q2"),
+    )
+    w = (
+        a.join(b, a.pk == b.pk2, "full_outer")
+        .select(
+            F.coalesce(F.col("brand"), F.col("brand2")).alias("brand"),
+            F.coalesce(F.col("r1"), F.lit(0)).alias("r1"),
+            F.coalesce(F.col("q1"), F.lit(0)).alias("q1"),
+            F.coalesce(F.col("r2"), F.lit(0)).alias("r2"),
+            F.coalesce(F.col("q2"), F.lit(0)).alias("q2"),
+        )
+    )
+    eff = w.select(
+        "brand",
+        "r1",
+        "r2",
+        F.expr(
+            f"CASE WHEN q1 > 0 AND q2 > 0 THEN {_PVM_PRICE}"
+            " ELSE CAST(0.0 AS DOUBLE) END"
+        ).alias("price_eff"),
+        F.expr(
+            f"CASE WHEN q1 > 0 AND q2 > 0 THEN {_PVM_VOLUME}"
+            " ELSE CAST(0.0 AS DOUBLE) END"
+        ).alias("vol_eff"),
+    )
+    return eff.groupBy("brand").agg(
+        F.expr("CAST(sum(r1) AS DOUBLE) / 100.0").alias("revenue_y1"),
+        F.expr("CAST(sum(r2) AS DOUBLE) / 100.0").alias("revenue_y2"),
+        det_sum("price_eff").alias("price_effect"),
+        det_sum("vol_eff").alias("volume_effect"),
+    ).selectExpr(
+        "brand",
+        "revenue_y1",
+        "revenue_y2",
+        "price_effect",
+        "volume_effect",
+        "(revenue_y2 - revenue_y1) - price_effect - volume_effect"
+        " AS mix_and_churn_effect",
+    )

@@ -132,3 +132,60 @@ def test_cohort_ltv_december_cohort_label(spark, tmp_path):
         (1995, 12, 2): (1, 50.0, 150.0),
         (1996, 1, 0): (1, 70.0, 70.0),
     }
+
+
+def test_pvm_bridge_closed_form_and_reconciliation(spark, tmp_path):
+    """One part repricing 10→11 with volume 10→12 decomposes into a
+    price effect of exactly 12 and a volume effect of exactly 20
+    (residual 0); a discontinued part's entire −50 lands in the
+    mix/churn residual — and every brand row reconciles to its
+    revenue delta by construction."""
+    import datetime
+
+    from cost_of_living_data_etl_spark.plans.analytics_extra import (
+        PVM_Y1,
+        PVM_Y2,
+        q_pvm_revenue_bridge,
+    )
+
+    d1 = datetime.datetime(PVM_Y1, 6, 1)
+    d2 = datetime.datetime(PVM_Y2, 6, 1)
+    li = [
+        # (orderkey, partkey, suppkey, line, qty, extprice, disc, tax, rf, ls, ship)
+        (1, 1, 1, 1, 10.0, 100.0, 0.0, 0.0, "N", "O", d1),
+        (2, 1, 1, 1, 12.0, 132.0, 0.0, 0.0, "N", "O", d2),
+        (3, 2, 1, 1, 5.0, 50.0, 0.0, 0.0, "N", "O", d1),  # discontinued
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        [(1, "widget one", "B1", "T", 5, 900.0),
+         (2, "widget two", "B2", "T", 5, 900.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+
+    got = {
+        r["brand"]: r
+        for r in q_pvm_revenue_bridge(spark, str(tmp_path)).collect()
+    }
+    b1 = got["B1"]
+    assert (b1["revenue_y1"], b1["revenue_y2"]) == (100.0, 132.0)
+    assert b1["price_effect"] == 12.0   # (11−10)·12
+    assert b1["volume_effect"] == 20.0  # (12−10)·10
+    assert b1["mix_and_churn_effect"] == 0.0
+    b2 = got["B2"]
+    assert (b2["revenue_y1"], b2["revenue_y2"]) == (50.0, 0.0)
+    assert b2["price_effect"] == 0.0 and b2["volume_effect"] == 0.0
+    assert b2["mix_and_churn_effect"] == -50.0
+    for r in got.values():  # the bridge must reconcile exactly
+        assert (
+            r["revenue_y2"] - r["revenue_y1"]
+            - r["price_effect"] - r["volume_effect"]
+            - r["mix_and_churn_effect"]
+        ) == 0.0

@@ -20,6 +20,25 @@ from pyspark.sql.types import StructType
 
 
 
+def _sql_literal(v) -> str:
+    """Render a Python value as a Spark-SQL literal. repr() is NOT
+    safe here: it picks Python-style quoting (double quotes around
+    O'Brien, backslash escapes) that Spark SQL parses differently, so
+    a right-to-be-forgotten sweep could silently miss rows. Strings
+    get single quotes with '' doubling and backslash doubling (Spark
+    accepts both escapes); ints/floats/bools render bare; None is
+    rejected (NULL never matches an IN-list — a silent no-op the
+    caller must not mistake for a deletion)."""
+    if v is None:
+        raise ValueError("forget_subject: None subject_id would never match")
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return str(v)
+    s = str(v).replace("\\", "\\\\").replace("'", "''")
+    return f"'{s}'"
+
+
 def _read_target_or_none(spark: SparkSession, target_path: str):
     """Read an upsert target, returning None ONLY when the table truly
     does not exist yet. Any other failure (permissions, a corrupt
@@ -232,7 +251,7 @@ class Warehouse:
         to the parquet scan (deletion batches are thousands of ids —
         broadcastable), so each rewrite is one filtered scan + write.
         """
-        quoted = ", ".join(repr(v) for v in subject_ids)
+        quoted = ", ".join(_sql_literal(v) for v in subject_ids)
         return {
             table: self.delete_where(
                 spark, table, f"{col} IN ({quoted})"

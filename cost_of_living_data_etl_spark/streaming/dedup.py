@@ -14,9 +14,17 @@ near-dup consumer reads instead of re-shingling text): each micro-batch
 
 Prior-batch-internal pairs are never recomputed, so total mining work
 across the stream's life is the SAME band-join volume the one-shot
-batch run pays, just paid incrementally; the union of all per-batch
-pair partitions equals the full-corpus mining exactly (pinned by
-test). At 100 TB/day this is dedup-at-the-door: a new crawl slice is
+batch run pays, just paid incrementally. With ``max_bucket=None`` the
+union of all per-batch pair partitions equals the full-corpus mining
+EXACTLY (pinned by test). With ``max_bucket`` set the equality is
+deliberately one-sided: the cap is re-evaluated on the cumulative
+signature set each batch, so pairs mined while a bucket was still
+under the cap are KEPT even after later arrivals push that bucket
+over it (the one-shot run would drop the whole bucket). That is the
+intended at-the-door semantics — a pair already emitted to downstream
+consumers cannot be un-emitted — so capped streaming output is a
+SUPERSET of capped one-shot output, never a subset of the uncapped
+one (also pinned by test). At 100 TB/day this is dedup-at-the-door: a new crawl slice is
 checked against the whole historical corpus by joining 16-hash
 signatures on short band keys — document text never leaves the scan
 stage, and the historical side is the persisted signature table, not

@@ -1180,3 +1180,48 @@ def test_tws_journey_strings_equal_batch_and_patterns_match(spark, tmp_path):
         for r in q_session_pattern_match(spark, sf).collect()
     }
     assert got_counts == want_counts
+
+
+def test_dedup_at_ingest_capped_is_superset_of_oneshot_capped(spark, tmp_path):
+    """Intended max_bucket semantics at the door (ADVICE r05): the cap
+    is re-evaluated on the CUMULATIVE signature set each batch, so a
+    pair emitted while its bucket was still under the cap stays emitted
+    even after later arrivals push the bucket over. Pins: streaming
+    capped output ⊇ one-shot capped output, ⊆ one-shot UNCAPPED output,
+    and (on a fixture engineered to cross the cap mid-stream) strictly
+    between the two."""
+    from cost_of_living_data_etl_spark.operators.dedup import (
+        minhash_signatures,
+        neardup_pairs_from_sigs,
+    )
+    from cost_of_living_data_etl_spark.streaming.dedup import (
+        ingest_dedup_batch,
+        read_ingested_pairs,
+    )
+
+    # 12 near-identical docs (one shared boilerplate template) → they
+    # band-hash into the same buckets; cap of 6 passes batch 1's 5 docs
+    # but fails the cumulative 12 in batch 2's re-evaluation.
+    rows = [
+        (i, "common boilerplate header text shared by every page variant %d" % (i % 2))
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cap = 6
+    root = str(tmp_path / "capped_root")
+    ingest_dedup_batch(spark, docs.filter("doc_id < 5"), root, 0, max_bucket=cap)
+    ingest_dedup_batch(spark, docs.filter("doc_id >= 5"), root, 1, max_bucket=cap)
+
+    def pair_set(df):
+        return {(r["doc_id_1"], r["doc_id_2"]) for r in df.collect()}
+
+    streamed = pair_set(read_ingested_pairs(spark, root))
+    sigs = minhash_signatures(docs)
+    oneshot_capped = pair_set(neardup_pairs_from_sigs(sigs, max_bucket=cap))
+    oneshot_uncapped = pair_set(neardup_pairs_from_sigs(sigs, max_bucket=None))
+    assert oneshot_capped <= streamed <= oneshot_uncapped
+    # fixture is engineered so both inclusions are strict: batch-0's
+    # internal pairs were mined under the cap and survive, while the
+    # cumulative bucket blocks batch-1's new pairs
+    assert streamed - oneshot_capped, "batch-0 pairs should survive the cap"
+    assert oneshot_uncapped - streamed, "cumulative cap should block batch-1 pairs"

@@ -191,3 +191,47 @@ def test_prop_nested_request_roundtrip_and_stability(name, schema, ttl):
         assert got.ttl.durationMs == ttl
     # serialize(parse(x)) is byte-stable (fields emit in number order)
     assert back.SerializeToString() == data
+
+
+def _synthetic_cls(ftype, label=3, name="xs"):
+    fd = minipb.FieldDef()
+    fd.name, fd.number, fd.type, fd.label = name, 1, ftype, label
+    md = minipb.MsgDef("S", ".S")
+    md.fields = [fd]
+    md.index()
+    return type("S", (minipb.Message,), {"__slots__": (), "_msgdef": md})
+
+
+def test_repeated_scalar_packed_roundtrip_all_wire_widths():
+    """ADVICE r05: repeated sint/fixed/float/double must SERIALIZE (packed)
+    and parse back — no parse/serialize asymmetry."""
+    cases = [
+        (minipb.T_SINT64, [-3, 0, 7, -(1 << 40)]),
+        (minipb.T_SFIXED64, [-9, 0, 1 << 40]),
+        (minipb.T_SFIXED32, [-9, 0, 1 << 20]),
+        (minipb.T_DOUBLE, [0.5, -2.25, 1e300]),
+        (minipb.T_FLOAT, [0.5, -2.25, 1024.0]),
+    ]
+    for ftype, vals in cases:
+        cls = _synthetic_cls(ftype)
+        m = cls(xs=list(vals))
+        back = cls()
+        back.ParseFromString(m.SerializeToString())
+        assert back.xs == vals, ftype
+
+
+def test_truncated_fixed_width_fields_raise_clear_decode_error():
+    """ADVICE r05: a truncated fixed64/fixed32 must surface as a clear
+    ValueError from _walk, not an opaque struct.unpack error later."""
+    import pytest
+
+    cls64 = _synthetic_cls(minipb.T_DOUBLE, label=1)
+    with pytest.raises(ValueError, match="truncated fixed64"):
+        cls64().ParseFromString(b"\x09\x01\x02\x03")  # wt1, only 3 bytes
+    cls32 = _synthetic_cls(minipb.T_FLOAT, label=1)
+    with pytest.raises(ValueError, match="truncated fixed32"):
+        cls32().ParseFromString(b"\x0d\x01\x02")  # wt5, only 2 bytes
+    # packed blob whose length is not a multiple of the element width
+    clsp = _synthetic_cls(minipb.T_SFIXED32)
+    with pytest.raises(ValueError, match="packed fixed32"):
+        clsp().ParseFromString(b"\x0a\x05\x01\x02\x03\x04\x05")

@@ -464,3 +464,26 @@ def test_forget_subject_propagates_across_tables(spark, tmp_path):
     assert audit["ghost"] == {"before": 0, "deleted": 0, "after": 0}
     assert wh.read(spark, "facts_a").filter("user_id IN (7, 9)").count() == 0
     assert wh.read(spark, "facts_b").filter("uid IN (7, 9)").count() == 0
+
+
+def test_forget_subject_hostile_string_ids(spark, tmp_path):
+    """ADVICE r05: subject ids containing quotes/backslashes must be
+    escaped for Spark SQL, not Python repr() — O'Brien and a
+    backslashed id must be deleted exactly, siblings untouched, and a
+    None id must be rejected loudly (NULL never matches an IN-list)."""
+    import pytest
+
+    from cost_of_living_data_etl_spark.sources.warehouse import Warehouse
+
+    wh = Warehouse(str(tmp_path / "wh"))
+    ids = ["O'Brien", 'say "hi"', r"back\slash", "plain", "keep'me"]
+    df = spark.createDataFrame([(s, i) for i, s in enumerate(ids)], "subj string, v long")
+    wh.append(df, "t")
+    audit = wh.forget_subject(
+        spark, {"t": "subj"}, ["O'Brien", 'say "hi"', r"back\slash"]
+    )
+    assert audit["t"] == {"before": 5, "deleted": 3, "after": 2}
+    left = {r["subj"] for r in wh.read(spark, "t").collect()}
+    assert left == {"plain", "keep'me"}
+    with pytest.raises(ValueError, match="None subject_id"):
+        wh.forget_subject(spark, {"t": "subj"}, [None])

@@ -1,0 +1,455 @@
+"""Round-6 catalog additions.
+
+Five operators, deliberately capped (round-5 verdict item 1: ≤14 new
+registrations so the driver's 50-query unverified-first sample closes
+the 36-query backlog this round). Registered LAST in
+plans/all_queries.py for the same reason.
+
+1-2. Batch twins of the two transformWithStateInPandas operators
+     (streaming/events.py::ewma_user_value / user_profile_typed_state)
+     — verdict item 5: §2.7's typed-state rows enter the driver hash
+     gate, not just pytest. The twins share the streaming kernels'
+     constants (EWMA_STREAM_ALPHA, RECENT_K) and fold order
+     (ts, event_id), so streaming-final-state == batch-twin is pinned
+     by tests/test_streaming.py and the twins' values are
+     driver-hash-verified.
+3.   n-gram novelty by source — the "how much NEW text does each
+     source contribute" curve a training-data mixture designer reads
+     before weighting sources.
+4.   Differentially-private release of event counts with
+     DETERMINISTIC hash-seeded Laplace noise (inverse-CDF on an
+     md5-derived uniform) — same mechanism shape as production DP
+     releases, but reproducible, so both engines derive the identical
+     noised value and the hash gate can verify the mechanism.
+5.   Embedding-norm outlier audit per label — the cheap first-pass
+     hygiene check before any ANN/semantic stage (broken encoders
+     show up as norm outliers long before cosine metrics move).
+
+Float discipline follows the house parity recipes: shared fold order
+on both engines (array_sort / ORDER BY on the same keys), folds
+seeded with CAST(0.0 AS DOUBLE), counts cast to BIGINT on both sides,
+single-division ratios at the end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cost_of_living_data_etl_spark.operators.dedup import (
+    SHINGLES_SQL,
+    shingle_docs,
+)
+from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.sources.tables import load_table
+from cost_of_living_data_etl_spark.streaming.events import (
+    EWMA_STREAM_ALPHA,
+    RECENT_K,
+)
+
+# --------------------------------------------------------------------------
+# 1. TWS batch twin: lifetime per-user EWMA of event values
+# --------------------------------------------------------------------------
+
+_EWMA_TWIN_ORACLE = f"""
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list(value ORDER BY ts, event_id)),
+           (acc, x) -> {EWMA_STREAM_ALPHA} * x
+                       + {1 - EWMA_STREAM_ALPHA} * acc
+       ) AS ewma_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register(
+    "q_tws_ewma_user_twin",
+    oracle=_EWMA_TWIN_ORACLE,
+    tags=("streaming-twin", "typed-state", "recurrence"),
+)
+def q_tws_ewma_user_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/events.py::ewma_user_value: the FINAL
+    per-user (n_events, ewma) the TWS ValueState holds after the whole
+    events table has streamed through. Same α (EWMA_STREAM_ALPHA),
+    same fold order (ts, event_id) — the streaming kernel sorts each
+    micro-batch on exactly these keys, and chaining ordered batch
+    folds is associative over concatenation, so final streaming state
+    == one batch fold (pinned by
+    tests/test_streaming.py::test_tws_ewma_final_state_equals_batch_twin).
+
+    Scale: one groupBy(user) — per-key state is the value list for the
+    fold; the streaming form is the one that holds O(1) state per key,
+    this twin exists to hash-verify the kernel's arithmetic.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.expr(
+            "aggregate("
+            "  transform(array_sort(collect_list(struct(ts, event_id, value))),"
+            "            s -> s.value),"
+            "  CAST(0.0 AS DOUBLE),"
+            f"  (acc, x) -> {EWMA_STREAM_ALPHA} * x"
+            f"              + {1 - EWMA_STREAM_ALPHA} * acc"
+            ")"
+        ).alias("ewma_value"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. TWS batch twin: typed-state user profile (Value+List+Map states)
+# --------------------------------------------------------------------------
+
+_PROFILE_TWIN_ORACLE = f"""
+WITH vs AS (
+    SELECT user_id, list(value ORDER BY ts, event_id) AS v
+    FROM events GROUP BY user_id
+),
+base AS (
+    SELECT user_id,
+           CAST(length(v) AS BIGINT) AS n_events,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), v),
+                       (a, x) -> a + x) AS total_value,
+           list_reduce(list_prepend(CAST(0.0 AS DOUBLE), v[-{RECENT_K}:]),
+                       (a, x) -> a + x)
+               / least(length(v), {RECENT_K}) AS recent_mean
+    FROM vs
+),
+tc AS (
+    SELECT user_id, event_type, count(*) AS cnt
+    FROM events GROUP BY user_id, event_type
+),
+top AS (
+    SELECT user_id, event_type AS top_type,
+           CAST(cnt AS BIGINT) AS top_type_count,
+           row_number() OVER (
+               PARTITION BY user_id ORDER BY cnt DESC, event_type ASC
+           ) AS rn
+    FROM tc
+),
+nt AS (
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_types FROM tc GROUP BY user_id
+)
+SELECT b.user_id, b.n_events, b.total_value, b.recent_mean,
+       nt.n_types, top.top_type, top.top_type_count
+FROM base b
+JOIN nt USING (user_id)
+JOIN top ON top.user_id = b.user_id AND top.rn = 1
+"""
+
+
+@register(
+    "q_tws_user_profile_twin",
+    oracle=_PROFILE_TWIN_ORACLE,
+    tags=("streaming-twin", "typed-state", "profile"),
+)
+def q_tws_user_profile_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/events.py::user_profile_typed_state —
+    the final profile all three TWS state kinds hold after the full
+    table streams through: lifetime count + det-ordered value total
+    (ValueState), mean of the last RECENT_K values in (ts, event_id)
+    order (ListState), distinct-type count and the deterministic top
+    type — count desc, name asc (MapState). Equality with the
+    streaming operator's last emission per user is pinned by
+    tests/test_streaming.py::test_tws_profile_final_state_equals_batch_twin.
+
+    Scale: one groupBy(user) + one groupBy(user, type) + a per-user
+    top-1 window on the tiny type rollup; no raw-event re-shuffle
+    beyond the two grouped passes.
+    """
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    vs = events.groupBy("user_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id, value))),"
+            " s -> s.value)"
+        ).alias("v")
+    )
+    base = vs.select(
+        "user_id",
+        F.expr("CAST(size(v) AS BIGINT)").alias("n_events"),
+        F.expr(
+            "aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        ).alias("total_value"),
+        F.expr(
+            f"aggregate(slice(v, greatest(1, size(v) - {RECENT_K - 1}),"
+            f" {RECENT_K}), CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+            f" / least(size(v), {RECENT_K})"
+        ).alias("recent_mean"),
+    )
+    tc = events.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    top = (
+        tc.selectExpr(
+            "user_id",
+            "event_type AS top_type",
+            "CAST(cnt AS BIGINT) AS top_type_count",
+            "row_number() OVER (PARTITION BY user_id"
+            " ORDER BY cnt DESC, event_type ASC) AS rn",
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    nt = tc.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types")
+    )
+    return base.join(nt, "user_id").join(top, "user_id")
+
+
+# --------------------------------------------------------------------------
+# 3. n-gram novelty by source: who contributes NEW text?
+# --------------------------------------------------------------------------
+
+_NOVELTY_ORACLE = f"""
+WITH sh AS (
+    SELECT doc_id, unnest({SHINGLES_SQL}) AS shingle FROM documents
+),
+first_seen AS (
+    SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle
+),
+per_doc AS (
+    SELECT sh.doc_id,
+           count(*) AS n_sh,
+           sum(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+    FROM sh JOIN first_seen f USING (shingle)
+    GROUP BY sh.doc_id
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.n_sh) AS BIGINT) AS n_shingles,
+       CAST(sum(p.n_novel) AS BIGINT) AS n_novel,
+       sum(p.n_novel) * 1.0 / sum(p.n_sh) AS novelty_rate
+FROM per_doc p JOIN documents d USING (doc_id)
+GROUP BY d.source
+"""
+
+
+@register(
+    "q_ngram_novelty_by_source",
+    oracle=_NOVELTY_ORACLE,
+    tags=("llm-pipeline", "novelty", "mixture-design"),
+)
+def q_ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source n-gram novelty: of each source's word-3-gram shingle
+    occurrences (the dedup family's shingle recipe, doc-distinct), how
+    many are introduced by that doc — i.e. their global first
+    occurrence (min doc_id) IS this doc. A source full of boilerplate
+    already seen elsewhere scores low; a source of genuinely new text
+    scores high — the curve a mixture designer reads before weighting
+    sources, complementing q_dedup_inflation_factor (how much is
+    duplicated) with WHERE novelty originates.
+
+    Scale: shingle explode → one groupBy(shingle) min + one semi-wide
+    re-join on the shingle string — the identical shuffle class the
+    MinHash signature build already pays; shingles are short strings,
+    text never crosses an Exchange. Counts are exact ints; the single
+    ratio divides two BIGINTs once.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = shingle_docs(docs).select(
+        "doc_id", F.explode("shingles").alias("shingle")
+    )
+    first = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sh"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_sh").cast("long").alias("n_shingles"),
+            F.sum("n_novel").cast("long").alias("n_novel"),
+            (F.sum("n_novel") * F.lit(1.0) / F.sum("n_sh")).alias(
+                "novelty_rate"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. deterministic differentially-private count release
+# --------------------------------------------------------------------------
+
+DP_EPSILON = 1.0  # Laplace scale b = sensitivity/ε = 1.0 for counting
+
+# A reproducible uniform in (0, 1) from the group key: first 6 md5 hex
+# digits → integer in [0, 2^24), centered. Both engines derive the
+# SAME u, so the inverse-CDF Laplace draw is identical — the mechanism
+# is real DP shape-wise (noise ~ Laplace(1/ε)), with the RNG replaced
+# by a keyed hash so the release is auditable by replay. Production
+# would swap the hash seed for a secret per-release salt.
+_DP_U = "((u_int + 0.5) / 16777216.0)"
+_DP_NOISE = (
+    f"(-1.0 / {DP_EPSILON}) * sign({_DP_U} - 0.5)"
+    f" * ln(1.0 - 2.0 * abs({_DP_U} - 0.5))"
+)
+
+_DP_ORACLE = f"""
+WITH c AS (
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_true
+    FROM events GROUP BY event_type
+),
+h AS (
+    SELECT event_type, n_true,
+           CAST(CAST('0x' || substring(md5(event_type), 1, 6) AS INTEGER)
+                AS BIGINT) AS u_int
+    FROM c
+)
+SELECT event_type, n_true,
+       {_DP_NOISE} AS laplace_noise,
+       n_true + {_DP_NOISE} AS n_released,
+       {DP_EPSILON} AS epsilon
+FROM h
+"""
+
+
+@register(
+    "q_dp_release_event_counts",
+    oracle=_DP_ORACLE,
+    tags=("privacy", "differential-privacy", "release"),
+)
+def q_dp_release_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP count release over event types via the Laplace mechanism,
+    with the noise drawn by inverse CDF from an md5-keyed uniform
+    instead of an RNG — deterministic, so the release is replayable
+    and both engines hash-match (the audit property k-anonymity and
+    t-closeness queries in this catalog already have; this adds the
+    NOISE-calibrated release). Complements q_k_anonymity_audit /
+    q_t_closeness_audit: those measure re-identification risk of an
+    exact release, this produces the protected release itself.
+
+    Scale: one partial-agg count per type + a map-side noise
+    expression — no extra shuffle over the rollup.
+    """
+    events = load_table(spark, sf_dir, "events")
+    c = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_true")
+    )
+    h = c.withColumn(
+        "u_int",
+        F.expr(
+            "CAST(conv(substring(md5(event_type), 1, 6), 16, 10) AS BIGINT)"
+        ),
+    )
+    return h.select(
+        "event_type",
+        "n_true",
+        F.expr(_DP_NOISE).alias("laplace_noise"),
+        F.expr(f"n_true + {_DP_NOISE}").alias("n_released"),
+        F.lit(DP_EPSILON).alias("epsilon"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 5. embedding-norm outlier audit per label
+# --------------------------------------------------------------------------
+
+_NORM_SQL = (
+    "sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), embedding),"
+    " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+)
+
+_NORM_ORACLE = f"""
+WITH norms AS (
+    SELECT label, vec_id, {_NORM_SQL} AS nrm FROM embeddings
+),
+r AS (
+    SELECT label, nrm,
+           row_number() OVER (PARTITION BY label ORDER BY nrm, vec_id) AS rn,
+           count(*) OVER (PARTITION BY label) AS n
+    FROM norms
+),
+q AS (
+    SELECT label,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT))
+               THEN nrm END) AS q1,
+           max(CASE WHEN rn = greatest(1, CAST(ceil(0.75 * n) AS BIGINT))
+               THEN nrm END) AS q3
+    FROM r GROUP BY label
+)
+SELECT r.label,
+       CAST(max(r.n) AS BIGINT) AS n_vecs,
+       max(q.q1) AS q1,
+       max(q.q3) AS q3,
+       CAST(sum(CASE WHEN r.nrm < q.q1 - 1.5 * (q.q3 - q.q1)
+                       OR r.nrm > q.q3 + 1.5 * (q.q3 - q.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM r JOIN q USING (label)
+GROUP BY r.label
+"""
+
+
+@register(
+    "q_embedding_norm_outliers",
+    oracle=_NORM_ORACLE,
+    tags=("llm-pipeline", "embeddings", "hygiene"),
+)
+def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding L2-norm outlier audit per label: exact rank-based
+    Q1/Q3 of the norms (ceil(q·n) order statistic, vec_id tiebreak —
+    the q_iqr_outlier_fences recipe) and the count outside Tukey
+    1.5·IQR fences. Norm pathologies (zero vectors, exploded scales)
+    are the cheapest early signal of a broken encoder batch — this is
+    the first-pass hygiene gate before any ANN / SemDeDup stage
+    trusts the vectors.
+
+    Float parity: the norm is a fold over the vector in INDEX order
+    seeded with 0.0 on both engines (same float32→double widening,
+    same add order → bit-identical), so the rank order and quartiles
+    agree exactly.
+
+    Scale: map-side norm + one per-label window sort of scalar norms
+    (vectors never cross the Exchange) + one grouped pass.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "label",
+        "vec_id",
+        F.expr(
+            "sqrt(aggregate(embedding, CAST(0.0 AS DOUBLE),"
+            " (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+        ).alias("nrm"),
+    )
+    r = norms.selectExpr(
+        "label",
+        "nrm",
+        "row_number() OVER (PARTITION BY label ORDER BY nrm, vec_id) AS rn",
+        "count(*) OVER (PARTITION BY label) AS n",
+    )
+    q = r.groupBy("label").agg(
+        F.expr(
+            "max(CASE WHEN rn = greatest(1, CAST(ceil(0.25 * n) AS BIGINT))"
+            " THEN nrm END)"
+        ).alias("q1"),
+        F.expr(
+            "max(CASE WHEN rn = greatest(1, CAST(ceil(0.75 * n) AS BIGINT))"
+            " THEN nrm END)"
+        ).alias("q3"),
+    )
+    return (
+        r.join(q, "label")
+        .groupBy("label")
+        .agg(
+            F.expr("CAST(max(n) AS BIGINT)").alias("n_vecs"),
+            F.max("q1").alias("q1"),
+            F.max("q3").alias("q3"),
+            F.expr(
+                "CAST(sum(CASE WHEN nrm < q1 - 1.5 * (q3 - q1)"
+                " OR nrm > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            ).alias("n_outliers"),
+        )
+    )

@@ -1225,3 +1225,110 @@ def test_dedup_at_ingest_capped_is_superset_of_oneshot_capped(spark, tmp_path):
     # cumulative bucket blocks batch-1's new pairs
     assert streamed - oneshot_capped, "batch-0 pairs should survive the cap"
     assert oneshot_uncapped - streamed, "cumulative cap should block batch-1 pairs"
+
+
+def _stream_tws_over_two_batches(spark, tmp_path, op, subdir):
+    """Split the fixture events at the median ts into two IN-ORDER
+    micro-batches, run a TWS operator over them against RocksDB state,
+    and return every emission. Time-ordered batches matter: chaining
+    per-batch (ts, event_id) folds equals one global fold only when
+    batch boundaries respect the global order — the same contract the
+    production stream (a time-ordered log) provides."""
+    from cost_of_living_data_etl_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    cut = events.selectExpr(
+        "percentile(CAST(ts AS DOUBLE), 0.5) p"
+    ).collect()[0]["p"]
+    src = tmp_path / subdir
+    events.filter(F.col("ts").cast("double") <= cut).coalesce(1).write.parquet(
+        f"{src}/b0"
+    )
+    events.filter(F.col("ts").cast("double") > cut).coalesce(1).write.parquet(
+        f"{src}/b1"
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        name = f"tws_twin_{uuid.uuid4().hex[:8]}"
+        q = (
+            op(stream)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _await(q)
+        return spark.table(name).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_tws_ewma_final_state_equals_batch_twin(spark, tmp_path):
+    """The catalog's q_tws_ewma_user_twin (driver-hash-verified vs
+    DuckDB) must equal the FINAL streamed TWS state — this chains the
+    typed-state operator into the oracle gate (round-5 verdict item 5)."""
+    from cost_of_living_data_etl_spark.plans.round6 import q_tws_ewma_user_twin
+    from cost_of_living_data_etl_spark.streaming.events import ewma_user_value
+
+    rows = _stream_tws_over_two_batches(spark, tmp_path, ewma_user_value, "ewma")
+    finals = {}
+    for r in rows:  # latest emission per user = max n_events (monotone)
+        if r["user_id"] not in finals or r["n_events"] > finals[r["user_id"]][0]:
+            finals[r["user_id"]] = (r["n_events"], r["ewma_value"])
+    want = {
+        r["user_id"]: (r["n_events"], r["ewma_value"])
+        for r in q_tws_ewma_user_twin(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert set(finals) == set(want) and len(want) > 0
+    for uid in want:
+        assert finals[uid][0] == want[uid][0], uid
+        assert abs(finals[uid][1] - want[uid][1]) < 1e-12, uid
+
+
+def test_tws_profile_final_state_equals_batch_twin(spark, tmp_path):
+    """q_tws_user_profile_twin must equal the final streamed profile
+    across all three TWS state kinds (Value+List+Map)."""
+    from cost_of_living_data_etl_spark.plans.round6 import (
+        q_tws_user_profile_twin,
+    )
+    from cost_of_living_data_etl_spark.streaming.events import (
+        user_profile_typed_state,
+    )
+
+    rows = _stream_tws_over_two_batches(
+        spark, tmp_path, user_profile_typed_state, "profile"
+    )
+    finals = {}
+    for r in rows:
+        if r["user_id"] not in finals or r["n_events"] > finals[r["user_id"]]["n_events"]:
+            finals[r["user_id"]] = r.asDict()
+    want = {
+        r["user_id"]: r.asDict()
+        for r in q_tws_user_profile_twin(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(finals) == set(want) and len(want) > 0
+    for uid, w in want.items():
+        g = finals[uid]
+        assert g["n_events"] == w["n_events"], uid
+        assert g["n_types"] == w["n_types"], uid
+        assert g["top_type"] == w["top_type"], uid
+        assert g["top_type_count"] == w["top_type_count"], uid
+        assert abs(g["total_value"] - w["total_value"]) < 1e-9, uid
+        assert abs(g["recent_mean"] - w["recent_mean"]) < 1e-9, uid

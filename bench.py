@@ -256,6 +256,18 @@ def main() -> None:
         "sf": SF_DIR,
     }
     Path(_REPO, "BENCH_LOCAL.json").write_text(json.dumps(full, indent=1))
+    # Per-round FULL snapshot (round-5 verdict item 4): BENCH_LOCAL.json
+    # is overwritten per run and the driver's BENCH_r{N}.json keeps only
+    # the ~40 slowest timings, which made cross-round regression
+    # analysis a biased sample. The round about to be recorded is
+    # 1 + the number of driver artifacts already on disk; re-runs
+    # within a round overwrite the same snapshot (latest wins).
+    round_n = 1 + len(list(Path(_REPO).glob("BENCH_r*.json")))
+    hist = Path(_REPO, "history")
+    hist.mkdir(exist_ok=True)
+    (hist / f"bench_full_r{round_n:02d}.json").write_text(
+        json.dumps(full, indent=1)
+    )
     print(json.dumps({"detail": "cold_run", "queries_cold": cold}))
     print(json.dumps({"detail": "warm_run", "queries": timings}))
 

@@ -536,12 +536,17 @@ _IVF_CENT_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
 
 
 def _fit_ivf_centroids(
-    e: DataFrame, cache_key: str | None = None
+    e: DataFrame,
+    cache_key: str | None = None,
+    k: int = IVF_K,
+    iters: int = IVF_ITERS,
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic Lloyd's k-means: init = the IVF_K lowest vec_ids'
-    vectors, then IVF_ITERS rounds of assign → per-cell mean. No RNG,
-    no seed-dependent init, so the DuckDB oracle replays the identical
-    fit with unrolled CTEs.
+    """Deterministic Lloyd's k-means: init = the k lowest vec_ids'
+    vectors (default IVF_K), then ``iters`` rounds of assign →
+    per-cell mean (default IVF_ITERS). No RNG, no seed-dependent init,
+    so the DuckDB oracle replays the identical fit with unrolled CTEs.
+    The offline k ∝ N path (``fit_quantizer``) calls this with a large
+    k; the catalog queries keep the pinned defaults for oracle replay.
 
     Each round collects only the k×dims centroid matrix (≤ 8×64
     doubles) to the driver — the quantizer is an offline artifact at
@@ -561,11 +566,11 @@ def _fit_ivf_centroids(
     e.persist(StorageLevel.MEMORY_AND_DISK)
     cents = [
         (int(r["vec_id"]), [float(v) for v in r["embedding"]])
-        for r in e.filter(F.col("vec_id") < IVF_K)
+        for r in e.filter(F.col("vec_id") < k)
         .select("vec_id", "embedding")
         .collect()
     ]
-    for _ in range(IVF_ITERS):
+    for _ in range(iters):
         members = _assign_cells(e, cents).select(
             "cell", F.posexplode("embedding").alias("dim", "v")
         )
@@ -584,6 +589,75 @@ def _fit_ivf_centroids(
     if cache_key is not None:
         _IVF_CENT_CACHE[cache_key] = cents
     return cents
+
+
+def fit_quantizer(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    k: int = IVF_K,
+    iters: int = IVF_ITERS,
+    table: str = "embeddings",
+) -> str:
+    """Offline quantizer job: fit the deterministic Lloyd coarse
+    quantizer over ``{sf_dir}/{table}.parquet`` and publish the
+    centroids as a parquet artifact (``cell INT, c ARRAY<DOUBLE>``).
+
+    This is the k ∝ N scale path the ANN guards name: at corpus sizes
+    where the fixed-k catalog queries refuse (SemDeDup, mutual-NN),
+    run this once with k sized to the corpus (SemDeDup used k = 50k
+    for LAION), then prime consumers from the artifact with
+    ``use_quantizer_artifact`` — IVF probe, k-means cell profile,
+    SemDeDup, and ANN mutual-NN all read the quantizer through the
+    same cache, so none of them refit.
+
+    Runnable form (the guards print it):
+
+        python -m cost_of_living_data_etl_spark.jobs.fit_quantizer \\
+            --sf-dir /root/testdata/sf0.1 --k 8 --out /tmp/quantizer
+
+    The fit itself is the distributed `_fit_ivf_centroids` job — only
+    the k×dims centroid matrix ever reaches the driver.
+    """
+    from cost_of_living_data_etl_spark.sources.tables import load_table
+
+    e = with_norm(load_table(spark, sf_dir, table))
+    cents = _fit_ivf_centroids(e, k=k, iters=iters)
+    (
+        spark.createDataFrame(cents, "cell int, c array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(out_path)
+    )
+    return out_path
+
+
+def load_quantizer(
+    spark: SparkSession, path: str
+) -> list[tuple[int, list[float]]]:
+    """Read a ``fit_quantizer`` parquet artifact back into the centroid
+    list shape every quantizer consumer takes, sorted by cell id (the
+    artifact's row order is not part of its contract)."""
+    return sorted(
+        (int(r["cell"]), [float(v) for v in r["c"]])
+        for r in spark.read.parquet(path).collect()
+    )
+
+
+def use_quantizer_artifact(
+    spark: SparkSession, sf_dir: str, path: str, table: str = "embeddings"
+) -> None:
+    """Prime the in-session quantizer cache for ``sf_dir`` from an
+    offline artifact: after this, every consumer keyed on
+    ``corpus_cache_key(sf_dir, table)`` (IVF probe, k-means cells,
+    SemDeDup, ANN mutual-NN) uses the artifact's centroids instead of
+    refitting. The in-session fit and the artifact are bit-identical
+    for the same (corpus, k, iters) — pinned by
+    tests/test_quantizer_artifact.py — so this swap is semantics-free.
+    """
+    _IVF_CENT_CACHE[corpus_cache_key(sf_dir, table)] = load_quantizer(
+        spark, path
+    )
 
 
 def _lloyd_cte_chain() -> tuple[str, str, str]:
@@ -1354,9 +1428,12 @@ def q_semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError(
             f"q_semdedup_cluster_prune pins IVF_K={IVF_K} for oracle replay, "
             f"so within-cell pairwise work is quadratic in the corpus — at "
-            f"> {SEMDEDUP_MAX_ROWS} vectors scale the cluster count k ∝ N "
-            f"(SemDeDup §: k = 50k for LAION) instead of running this "
-            f"fixed-k catalog query."
+            f"> {SEMDEDUP_MAX_ROWS} vectors fit a k ∝ N quantizer offline "
+            f"(SemDeDup §: k = 50k for LAION): `python -m "
+            f"cost_of_living_data_etl_spark.jobs.fit_quantizer --sf-dir "
+            f"<dir> --k <N/1000> --out <path>`, then prime the session via "
+            f"operators.similarity.use_quantizer_artifact(spark, <dir>, "
+            f"<path>) instead of running this fixed-k catalog query."
         )
     cents = _fit_ivf_centroids(e, cache_key=corpus_cache_key(sf_dir))
     cdf = e.sparkSession.createDataFrame(cents, "cell int, c array<double>")

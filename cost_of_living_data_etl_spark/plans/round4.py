@@ -139,9 +139,13 @@ def q_mutual_nn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise ValueError(
             f"q_mutual_nn_ann pins IVF_K={IVF_K} for oracle replay, so "
             f"same-cell pair work grows quadratically/k — at "
-            f"> {MAX_MNN_ANN_ROWS} vectors scale the cell count k ∝ N "
+            f"> {MAX_MNN_ANN_ROWS} vectors fit a k ∝ N quantizer offline "
             f"(constant-size Voronoi cells keep the candidate stream "
-            f"near-linear) instead of running this fixed-k catalog query."
+            f"near-linear): `python -m "
+            f"cost_of_living_data_etl_spark.jobs.fit_quantizer --sf-dir "
+            f"<dir> --k <N/1000> --out <path>`, then prime the session via "
+            f"operators.similarity.use_quantizer_artifact(spark, <dir>, "
+            f"<path>) instead of running this fixed-k catalog query."
         )
     cents = _fit_ivf_centroids(e, cache_key=corpus_cache_key(sf_dir))
     assigned = _assign_cells(e, cents)

@@ -1,9 +1,9 @@
 """Round-6 catalog additions.
 
-Five operators, deliberately capped (round-5 verdict item 1: ≤14 new
+Seven operators, deliberately capped (round-5 verdict item 1: ≤14 new
 registrations so the driver's 50-query unverified-first sample closes
-the 36-query backlog this round). Registered LAST in
-plans/all_queries.py for the same reason.
+the 36-query backlog this round — 36 + 7 = 43 < 50). Registered LAST
+in plans/all_queries.py for the same reason.
 
 1-2. Batch twins of the two transformWithStateInPandas operators
      (streaming/events.py::ewma_user_value / user_profile_typed_state)
@@ -24,6 +24,11 @@ plans/all_queries.py for the same reason.
 5.   Embedding-norm outlier audit per label — the cheap first-pass
      hygiene check before any ANN/semantic stage (broken encoders
      show up as norm outliers long before cosine metrics move).
+6.   Johnson-Lindenstrauss distortion audit of the deterministic
+     ±1 projection (certifies the 4× cheaper 16-d prefilter distance
+     the sign-LSH planes imply).
+7.   Directed cross-source duplication-flow matrix — WHICH sources
+     feed which with near-dups (provenance for mixture design).
 
 Float discipline follows the house parity recipes: shared fold order
 on both engines (array_sort / ORDER BY on the same keys), folds
@@ -466,4 +471,220 @@ def q_embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS BIGINT)"
             ).alias("n_outliers"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# 6. Johnson-Lindenstrauss projection distortion audit
+# --------------------------------------------------------------------------
+
+JL_K = 16          # projected dims = the sign-LSH plane count
+JL_PANEL = 50      # audit panel: the 50 lowest vec_ids -> 1225 pairs
+_JL_SCALE = 0.25   # 1/sqrt(JL_K), exact in binary
+
+
+def _jl_proj_spark() -> str:
+    from cost_of_living_data_etl_spark.operators.similarity import (
+        _planes_literal,
+    )
+
+    return (
+        f"transform(sequence(1, {JL_K}), j -> aggregate("
+        f"zip_with(embedding, element_at({_planes_literal(64)}, j),"
+        " (x, p) -> CAST(x AS DOUBLE) * p),"
+        " CAST(0.0 AS DOUBLE), (a, v) -> a + v)"
+        f" * {_JL_SCALE})"
+    )
+
+
+def _jl_proj_duckdb() -> str:
+    from cost_of_living_data_etl_spark.operators.similarity import (
+        _plane_sql_literal,
+    )
+
+    planes = "[" + ", ".join(_plane_sql_literal(j, 64) for j in range(JL_K)) + "]"
+    return (
+        f"list_transform(range(1, {JL_K} + 1), j -> list_reduce("
+        f"list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, 65),"
+        f" i -> CAST(embedding[i] AS DOUBLE) * (({planes})[j])[i])),"
+        f" (a, v) -> a + v) * {_JL_SCALE})"
+    )
+
+
+def _sq_dist(a: str, b: str, n: int, engine: str) -> str:
+    """Σ(a_i - b_i)² folded in INDEX order — the same IEEE op sequence
+    on both engines (shared-literal house recipe)."""
+    if engine == "spark":
+        return (
+            f"aggregate(transform(sequence(1, {n}), i ->"
+            f" (CAST(element_at({a}, i) AS DOUBLE) - CAST(element_at({b}, i) AS DOUBLE))"
+            f" * (CAST(element_at({a}, i) AS DOUBLE) - CAST(element_at({b}, i) AS DOUBLE))),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(1, {n} + 1), i ->"
+        f" (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))"
+        f" * (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))),"
+        " (acc, v) -> acc + v)"
+    )
+
+
+def _jl_oracle() -> str:
+    from cost_of_living_data_etl_spark.plans.mllite import _DSUM_SQL
+
+    return f"""
+WITH p AS (
+    SELECT vec_id, embedding, {_jl_proj_duckdb()} AS proj
+    FROM embeddings WHERE vec_id < {JL_PANEL}
+),
+pairs AS (
+    SELECT sqrt({_sq_dist('b.proj', 'a.proj', JL_K, 'duckdb')}
+                / {_sq_dist('b.embedding', 'a.embedding', 64, 'duckdb')}) AS ratio
+    FROM p a JOIN p b ON a.vec_id < b.vec_id
+    WHERE {_sq_dist('b.embedding', 'a.embedding', 64, 'duckdb')} > 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       {_DSUM_SQL.format(x='ratio')} / count(*) AS mean_ratio,
+       min(ratio) AS min_ratio,
+       max(ratio) AS max_ratio,
+       CAST(sum(CASE WHEN ratio BETWEEN 0.7 AND 1.3 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_within_30pct
+FROM pairs
+"""
+
+
+@register(
+    "q_jl_projection_distortion",
+    oracle=_jl_oracle(),
+    tags=("llm-pipeline", "dim-reduction", "johnson-lindenstrauss"),
+)
+def q_jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss audit of the engine's deterministic ±1
+    projection: project 64-d embeddings to JL_K=16 dims with the SAME
+    md5-derived hyperplanes the sign-LSH index uses (scaled 1/√k), and
+    measure pairwise-distance distortion ||y_a−y_b||/||x_a−x_b|| on a
+    fixed {JL_PANEL}-vector panel. This certifies the dim-reduction
+    half of the LSH design: if the ratio concentrates near 1, the
+    16-plane projection preserves geometry and a 4× cheaper prefilter
+    distance (16 mults vs 64) is available to every ANN consumer.
+
+    Scale: the projection is a map-side expression over literal
+    planes (zero shuffle — same shape as the LSH signature); the
+    audit panel is fixed-size regardless of corpus (1,225 pairs), so
+    the pair join is broadcast-trivial at any SF.
+
+    Float parity: projection, squared distances, and the mean fold
+    all run in INDEX order from shared literals on both engines.
+    """
+    from cost_of_living_data_etl_spark.functions.columns import det_sum
+
+    e = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < JL_PANEL)
+        .select("vec_id", "embedding", F.expr(_jl_proj_spark()).alias("proj"))
+    )
+    a = e.select(
+        F.col("vec_id").alias("vid_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("proj").alias("proj_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vid_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("proj").alias("proj_b"),
+    )
+    d2o = _sq_dist("emb_b", "emb_a", 64, "spark")
+    d2p = _sq_dist("proj_b", "proj_a", JL_K, "spark")
+    pairs = (
+        a.join(F.broadcast(b), F.col("vid_a") < F.col("vid_b"))
+        .filter(F.expr(d2o) > 0)
+        .select(F.expr(f"sqrt(({d2p}) / ({d2o}))").alias("ratio"))
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (det_sum("ratio") / F.count(F.lit(1))).alias("mean_ratio"),
+        F.min("ratio").alias("min_ratio"),
+        F.max("ratio").alias("max_ratio"),
+        F.sum(
+            F.when(F.col("ratio").between(0.7, 1.3), 1).otherwise(0)
+        ).cast("long").alias("n_within_30pct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 7. directed cross-source duplication-flow matrix
+# --------------------------------------------------------------------------
+
+
+def _flow_oracle() -> str:
+    from cost_of_living_data_etl_spark.operators.dedup import _MINHASH_ORACLE
+
+    return f"""
+WITH pairs AS (
+    SELECT doc_id_1, doc_id_2 FROM ( {_MINHASH_ORACLE} )
+),
+f AS (
+    SELECT d1.source AS src_source, d2.source AS dst_source,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN documents d1 ON d1.doc_id = p.doc_id_1
+    JOIN documents d2 ON d2.doc_id = p.doc_id_2
+    GROUP BY d1.source, d2.source
+)
+SELECT src_source, dst_source, n_pairs,
+       n_pairs * 1.0 / sum(n_pairs) OVER (PARTITION BY dst_source)
+           AS share_of_dst_dups
+FROM f
+"""
+
+
+@register(
+    "q_source_dup_flow_matrix",
+    oracle=_flow_oracle(),
+    tags=("dedup", "provenance", "mixture-design"),
+)
+def q_source_dup_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed duplication flows between sources: for every near-dup
+    pair, credit the EARLIER doc (smaller doc_id = earlier crawl) as
+    the origin and the later one as the copier, and roll up to a
+    (src_source, dst_source) matrix with each cell's share of the
+    destination's dup intake. q_dupgraph_source_modularity answers
+    "is duplication within or across sources"; this names WHICH
+    sources feed which — the provenance evidence a mixture designer
+    uses to decide which feed to drop when two overlap.
+
+    Scale: reuses the persisted-signature band-join pair plan (the
+    shared LSH shuffle discipline); the source stamp joins 8-byte
+    doc_ids on the sub-linear pair set, then a |sources|² rollup.
+    """
+    from cost_of_living_data_etl_spark.operators.dedup import (
+        minhash_pair_plan,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = minhash_pair_plan(spark, sf_dir).select("doc_id_1", "doc_id_2")
+    f = (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("doc_id_1"),
+                F.col("source").alias("src_source"),
+            ),
+            "doc_id_1",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_id_2"),
+                F.col("source").alias("dst_source"),
+            ),
+            "doc_id_2",
+        )
+        .groupBy("src_source", "dst_source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    return f.selectExpr(
+        "src_source",
+        "dst_source",
+        "n_pairs",
+        "CAST(n_pairs AS DOUBLE) / sum(n_pairs)"
+        " OVER (PARTITION BY dst_source) AS share_of_dst_dups",
     )

@@ -21,6 +21,14 @@ The headline ``value`` is the WARM total: at the 100 TB design point
 the 0.5-3 s one-time compile per plan is noise against minutes of
 scan/shuffle, so steady-state engine cost is the number that predicts
 cluster behavior. Both totals are printed for transparency.
+
+``--changed-only`` (local iteration; the driver's plain run is always
+full): re-times only queries whose normalized ANALYZED-plan
+fingerprint differs from the last run at the same SF, reusing prior
+timings for the rest — measured 285/286 reuse on an unchanged catalog
+(the one exception, q_bucketed_colocated_join, embeds a
+session-keyed managed-table name by design and legitimately re-runs).
+Fingerprints live in history/plan_fingerprints.json.
 """
 
 from __future__ import annotations
@@ -210,12 +218,86 @@ _LEGACY_HEADLINE = [
 ]
 
 
+def _fingerprint(df) -> str:
+    """Stable hash of the ANALYZED logical plan. Physical plans embed
+    session state that churns without any code change (InMemoryRelation
+    appears wherever a shared intermediate happens to be cached at
+    explain time, plan_id / exprId counters differ per session), which
+    made a physical fingerprint re-run ~30% of an unchanged catalog.
+    The analyzed plan is pre-cache-substitution and pre-planning: it
+    changes exactly when the QUERY changes — the semantics
+    --changed-only wants. Expression ids are normalized away."""
+    import hashlib
+    import re
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    plan = re.sub(r"#\d+[L]?", "#", plan)  # per-session expression ids
+    plan = re.sub(r"LogicalRDD \[[^\]]*\]", "LogicalRDD", plan)
+    # lambda variable names carry a global counter (lambda x_1#, x_2#…)
+    # that churns across plan builds of the SAME query
+    plan = re.sub(r"\b(lambda )?([A-Za-z]\w*?)_\d+#", r"\1\2_#", plan)
+    # CTE definition ids are a session-global counter too
+    plan = re.sub(r"\bCTERelation(Def|Ref) \d+", r"CTERelation\1 ", plan)
+    return hashlib.md5(plan.encode()).hexdigest()
+
+
 def main() -> None:
+    # --changed-only (round-5 verdict item 8): re-time only queries
+    # whose optimized plan fingerprint differs from the last FULL run
+    # at the same SF, reusing the previous timings for the rest — the
+    # full cold+warm catalog run costs ~10 min at sf0.1 and iterating
+    # on one operator should not pay it. The driver's plain
+    # `python bench.py` is unchanged (always full). Fingerprints are
+    # recorded on every run; the flag is a no-op (full run) when no
+    # prior fingerprint map exists for this SF.
+    changed_only = "--changed-only" in sys.argv
+
     spark = get_spark(app_name="cost-of-living-bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = catalog()
     HEADLINE.extend(specs)  # the full catalog, registration order
     timings: dict[str, float] = {}
+
+    fp_path = Path(_REPO, "history", "plan_fingerprints.json")
+    prior_fp: dict[str, str] = {}
+    prior_timings: dict[str, float] = {}
+    prior_cold: dict[str, float] = {}
+    if changed_only and fp_path.exists():
+        try:
+            rec = json.loads(fp_path.read_text())
+            if rec.get("sf") == SF_DIR:
+                prior_fp = rec.get("fingerprints", {})
+                prior = json.loads(Path(_REPO, "BENCH_LOCAL.json").read_text())
+                if prior.get("sf") == SF_DIR:
+                    prior_timings = prior.get("queries", {})
+                    prior_cold = prior.get("queries_cold", {})
+        except (OSError, ValueError):
+            pass
+
+    fingerprints: dict[str, str] = {}
+    if changed_only:
+        # selection pass: building fn() pays any driver-side fit cost
+        # once — acceptable for the local iteration flag; the driver's
+        # full run never takes this branch.
+        fingerprints = {
+            name: _fingerprint(specs[name].fn(spark, SF_DIR))
+            for name in HEADLINE
+        }
+        to_run = [
+            name
+            for name in HEADLINE
+            if fingerprints.get(name) != prior_fp.get(name)
+            or name not in prior_timings
+        ]
+    else:
+        to_run = list(HEADLINE)
+    reused = [n for n in HEADLINE if n not in to_run]
+    if changed_only:
+        print(
+            json.dumps(
+                {"detail": "changed_only", "rerun": len(to_run), "reused": len(reused)}
+            )
+        )
 
     # warm the JVM/codegen path once so timings measure the engine,
     # not first-call class-loading
@@ -225,16 +307,32 @@ def main() -> None:
 
     cold: dict[str, float] = {}
 
-    def run_once(name: str) -> float:
+    def run_once(name: str):
+        """Timed end-to-end run; fn() construction stays INSIDE the
+        timer (fit-heavy queries pay their driver-side passes here,
+        same contract as every prior round's numbers). Returns the
+        built df so the warm run can fingerprint it for free."""
         t0 = time.perf_counter()
-        specs[name].fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        df = specs[name].fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0, df
 
-    for name in HEADLINE:
-        cold[name] = round(run_once(name), 3)
+    for name in reused:
+        cold[name] = prior_cold.get(name, 0.0)
+        timings[name] = prior_timings[name]
+    for name in to_run:
+        c, _ = run_once(name)
+        cold[name] = round(c, 3)
         spark.catalog.clearCache()
-        timings[name] = round(run_once(name), 3)
+        w, df = run_once(name)
+        timings[name] = round(w, 3)
+        fingerprints[name] = _fingerprint(df)
         spark.catalog.clearCache()
+
+    fp_path.parent.mkdir(exist_ok=True)
+    fp_path.write_text(
+        json.dumps({"sf": SF_DIR, "fingerprints": fingerprints}, indent=1)
+    )
 
     # The recorder keeps only a bounded TAIL of stdout (~2000 chars in
     # BENCH_r03), so a final line carrying all 130 per-query timings can

@@ -1397,7 +1397,9 @@ LM_TOPK = 25
 #: ln P(w2|w1) with add-one smoothing over the hashed vocab — ONE text.
 _LM_LOGP = "ln((c2 + 1.0) / (c1 + CAST({B} AS DOUBLE)))".format(B=LM_BUCKETS)
 
-_LM_ORACLE = f"""
+# Shared CTE chain: per-doc bigram-LM score (reused by round6's
+# perplexity-filter retention curve — keep ONE text of the model)
+_LM_SCORED_CTES = f"""
 WITH toks AS (
     SELECT doc_id,
            list_transform(string_split_regex(trim(lower(text)), '\\s+'),
@@ -1423,6 +1425,9 @@ scored AS (
     FROM big b JOIN c2t USING (w1, w2) JOIN c1t USING (w1)
     GROUP BY b.doc_id
 )
+"""
+
+_LM_ORACLE = f"""{_LM_SCORED_CTES}
 SELECT CAST(doc_id AS BIGINT) AS doc_id, n_bigrams,
        nll / n_bigrams AS cross_entropy,
        exp(nll / n_bigrams) AS perplexity
@@ -1430,6 +1435,43 @@ FROM scored
 ORDER BY perplexity DESC, doc_id
 LIMIT {LM_TOPK}
 """
+
+
+def lm_scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram-LM score frame (doc_id, n_bigrams, nll): the
+    corpus-trained add-one-smoothed hashed-bigram model shared by
+    q_bigram_lm_perplexity and round6's filter-retention curve. One
+    model, one Spark shape, one oracle CTE text (_LM_SCORED_CTES)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # \\s doubled for Spark's escape-processing string literals
+    toks = docs.selectExpr(
+        "doc_id",
+        r"transform(split(trim(lower(text)), '\\s+'),"
+        f" w -> CAST(conv(substr(md5(w), 1, 13), 16, 10) AS BIGINT)"
+        f" % {LM_BUCKETS}) AS ws",
+    )
+    big = (
+        toks.filter("size(ws) >= 2")
+        .selectExpr(
+            "doc_id",
+            "explode(arrays_zip(slice(ws, 1, size(ws) - 1),"
+            " slice(ws, 2, size(ws) - 1))) AS bg",
+        )
+        .selectExpr("doc_id", "bg.`0` AS w1", "bg.`1` AS w2")
+    )
+    c2t = big.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    c1t = big.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    return (
+        big.join(c2t, ["w1", "w2"])
+        .join(c1t, ["w1"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            det_sum(f"-({_LM_LOGP})").alias("nll"),
+        )
+    )
 
 
 @register(
@@ -1456,38 +1498,8 @@ def q_bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in corpus tokens. Per-doc NLL is a det_sum fold; the final
     top-k is a TakeOrdered, not a global sort.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    # \\s doubled for Spark's escape-processing string literals
-    toks = docs.selectExpr(
-        "doc_id",
-        r"transform(split(trim(lower(text)), '\\s+'),"
-        f" w -> CAST(conv(substr(md5(w), 1, 13), 16, 10) AS BIGINT)"
-        f" % {LM_BUCKETS}) AS ws",
-    )
-    big = (
-        toks.filter("size(ws) >= 2")
-        .selectExpr(
-            "doc_id",
-            "explode(arrays_zip(slice(ws, 1, size(ws) - 1),"
-            " slice(ws, 2, size(ws) - 1))) AS bg",
-        )
-        .selectExpr("doc_id", "bg.`0` AS w1", "bg.`1` AS w2")
-    )
-    c2t = big.groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).cast("long").alias("c2")
-    )
-    c1t = big.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("c1"))
-    scored = (
-        big.join(c2t, ["w1", "w2"])
-        .join(c1t, ["w1"])
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            det_sum(f"-({_LM_LOGP})").alias("nll"),
-        )
-    )
     return (
-        scored.selectExpr(
+        lm_scored_docs(spark, sf_dir).selectExpr(
             "CAST(doc_id AS BIGINT) AS doc_id",
             "n_bigrams",
             "nll / n_bigrams AS cross_entropy",

@@ -1,8 +1,8 @@
 """Round-6 catalog additions.
 
-Seven operators, deliberately capped (round-5 verdict item 1: ≤14 new
+Ten operators, deliberately capped (round-5 verdict item 1: ≤14 new
 registrations so the driver's 50-query unverified-first sample closes
-the 36-query backlog this round — 36 + 7 = 43 < 50). Registered LAST
+the 36-query backlog this round — 36 + 10 = 46 < 50). Registered LAST
 in plans/all_queries.py for the same reason.
 
 1-2. Batch twins of the two transformWithStateInPandas operators
@@ -29,6 +29,13 @@ in plans/all_queries.py for the same reason.
      the sign-LSH planes imply).
 7.   Directed cross-source duplication-flow matrix — WHICH sources
      feed which with near-dups (provenance for mixture design).
+8.   Winnowing (MOSS) span-overlap mining — rolling-hash k-gram
+     fingerprints with the window-min guarantee; SPAN-level copying
+     detection where MinHash sees whole-document sets.
+9.   Boilerplate n-gram coverage — repeated-span mass that survives
+     doc-level dedup (the CCNet line-dedup pass generalized).
+10.  Perplexity-filter retention curve — tokens kept per ppl cutoff,
+     the tuning instrument behind every CCNet/Gopher-style LM gate.
 
 Float discipline follows the house parity recipes: shared fold order
 on both engines (array_sort / ORDER BY on the same keys), folds
@@ -687,4 +694,353 @@ def q_source_dup_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         "CAST(n_pairs AS DOUBLE) / sum(n_pairs)"
         " OVER (PARTITION BY dst_source) AS share_of_dst_dups",
+    )
+
+
+# --------------------------------------------------------------------------
+# 8. winnowing fingerprints + span-overlap pair mining (MOSS)
+# --------------------------------------------------------------------------
+
+WINNOW_K = 8        # char k-gram width
+WINNOW_W = 4        # winnowing window (fingerprint density guarantee)
+WINNOW_MIN_SHARED = 3
+WINNOW_MAX_DF = 5   # IDF gate: fingerprints in > MAX_DF docs are too
+                    # common to be evidence of copying (and each join
+                    # bucket is df² — the LSH max_bucket discipline)
+
+# char-gram hash: MOSS-style polynomial rolling hash — 8-step integer
+# Horner (h = h*257 + ascii(char) mod 2^31-1), identical arithmetic on
+# both engines and ~10× cheaper than an md5 per position (measured
+# 106 s → seconds at sf0.1). Intermediate values stay < P*257 ≈ 5.5e11:
+# no int64 overflow. Collisions (~1e-3 per million grams) are
+# deterministic, so both engines see the identical fingerprint sets —
+# the same trade MOSS itself makes.
+_WIN_H_SPARK = "((((((((((((((CAST(ascii(substr(t, i, 1)) AS BIGINT)) * 257 + ascii(substr(t, i + 1, 1))) % 2147483647) * 257 + ascii(substr(t, i + 2, 1))) % 2147483647) * 257 + ascii(substr(t, i + 3, 1))) % 2147483647) * 257 + ascii(substr(t, i + 4, 1))) % 2147483647) * 257 + ascii(substr(t, i + 5, 1))) % 2147483647) * 257 + ascii(substr(t, i + 6, 1))) % 2147483647) * 257 + ascii(substr(t, i + 7, 1))) % 2147483647"
+_WIN_H_DUCK = "((((((((((((((CAST(ascii(substring(t, CAST(i AS INT), 1)) AS BIGINT)) * 257 + ascii(substring(t, CAST(i + 1 AS INT), 1))) % 2147483647) * 257 + ascii(substring(t, CAST(i + 2 AS INT), 1))) % 2147483647) * 257 + ascii(substring(t, CAST(i + 3 AS INT), 1))) % 2147483647) * 257 + ascii(substring(t, CAST(i + 4 AS INT), 1))) % 2147483647) * 257 + ascii(substring(t, CAST(i + 5 AS INT), 1))) % 2147483647) * 257 + ascii(substring(t, CAST(i + 6 AS INT), 1))) % 2147483647) * 257 + ascii(substring(t, CAST(i + 7 AS INT), 1))) % 2147483647"
+
+_WINNOW_ORACLE = f"""
+WITH fp AS (
+    SELECT doc_id,
+           list_distinct(list_transform(
+               range(1, greatest(length(hs) - {WINNOW_W - 1}, 1) + 1),
+               w -> list_min(hs[CAST(w AS INT):CAST(w + {WINNOW_W - 1} AS INT)])
+           )) AS fps
+    FROM (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(length(t) - {WINNOW_K - 1}, 1) + 1),
+                   i -> {_WIN_H_DUCK}) AS hs
+        FROM (SELECT doc_id, rpad(trim(text), 8, ' ') AS t FROM documents)
+    )
+),
+sizes AS (SELECT doc_id, CAST(length(fps) AS BIGINT) AS n_fp FROM fp),
+ex0 AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+rare AS (
+    SELECT f FROM ex0 GROUP BY f
+    HAVING count(DISTINCT doc_id) <= {WINNOW_MAX_DF}
+),
+ex AS (SELECT doc_id, f FROM ex0 JOIN rare USING (f)),
+shared AS (
+    SELECT a.doc_id AS doc_id_1, b.doc_id AS doc_id_2,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM ex a JOIN ex b ON a.f = b.f AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {WINNOW_MIN_SHARED}
+)
+SELECT s.doc_id_1, s.doc_id_2, s.n_shared,
+       CAST(s.n_shared AS DOUBLE) / least(z1.n_fp, z2.n_fp) AS containment
+FROM shared s
+JOIN sizes z1 ON z1.doc_id = s.doc_id_1
+JOIN sizes z2 ON z2.doc_id = s.doc_id_2
+"""
+
+
+@register(
+    "q_winnowing_overlap_pairs",
+    oracle=_WINNOW_ORACLE,
+    tags=("dedup", "winnowing", "fingerprinting"),
+)
+def q_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) span-overlap mining: per doc, hash every char
+    {WINNOW_K}-gram, keep the minimum of each sliding {WINNOW_W}-window
+    (the winnowing guarantee: any shared substring of length
+    k+w-1 = {WINNOW_K + WINNOW_W - 1} yields at least one shared
+    fingerprint), then mine doc pairs sharing ≥{WINNOW_MIN_SHARED}
+    fingerprints with a containment score. This is SPAN-level overlap
+    — the plagiarism/quotation detector — where MinHash answers
+    whole-document set similarity: two docs sharing one long verbatim
+    passage score near zero Jaccard but light up here.
+
+    Scale shape: gram hashing and window minima are ALL in-row HOFs
+    (zero shuffle until fingerprints — ~1/{WINNOW_W} of char count —
+    explode); the pair stage is the same fingerprint equi-join
+    discipline as the LSH band join, and the same bucket-cap guard
+    applies to boilerplate fingerprints at production scale
+    (operators/dedup.py::neardup_pairs_from_sigs max_bucket).
+    """
+    fp = (
+        load_table(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "rpad(trim(text), 8, ' ') AS t")
+        .selectExpr(
+            "doc_id",
+            f"transform(sequence(1, greatest(length(t) - {WINNOW_K - 1}, 1)),"
+            f" i -> {_WIN_H_SPARK}) AS hs",
+        )
+        .selectExpr(
+            "doc_id",
+            # window minima via zip_with of shifted slices, NOT a
+            # transform-over-positions lambda: a lambda referencing hs
+            # re-evaluates the WHOLE gram-hash array per window
+            # (O(L²) md5s per doc — measured as a hang at 500 docs);
+            # zip_with's array arguments are row-level expressions,
+            # evaluated once per row. W=4 as a least-tree.
+            "array_distinct(CASE WHEN size(hs) < 4 THEN array(array_min(hs))"
+            " ELSE zip_with("
+            "   zip_with(slice(hs, 1, size(hs) - 3), slice(hs, 2, size(hs) - 3),"
+            "            (a, b) -> least(a, b)),"
+            "   zip_with(slice(hs, 3, size(hs) - 3), slice(hs, 4, size(hs) - 3),"
+            "            (a, b) -> least(a, b)),"
+            "   (x, y) -> least(x, y)) END) AS fps",
+        )
+    )
+    sizes = fp.selectExpr("doc_id", "CAST(size(fps) AS BIGINT) AS n_fp")
+    ex0 = fp.selectExpr("doc_id", "explode(fps) AS f")
+    rare = (
+        ex0.groupBy("f")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") <= WINNOW_MAX_DF)
+        .select("f")
+    )
+    ex = ex0.join(rare, "f", "left_semi")
+    shared = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_id_1"),
+            F.col("b.doc_id").alias("doc_id_2"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+    return (
+        shared.join(
+            sizes.selectExpr("doc_id AS doc_id_1", "n_fp AS n_fp_1"),
+            "doc_id_1",
+        )
+        .join(
+            sizes.selectExpr("doc_id AS doc_id_2", "n_fp AS n_fp_2"),
+            "doc_id_2",
+        )
+        .selectExpr(
+            "doc_id_1",
+            "doc_id_2",
+            "n_shared",
+            "CAST(n_shared AS DOUBLE) / least(n_fp_1, n_fp_2) AS containment",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 9. boilerplate n-gram coverage by source
+# --------------------------------------------------------------------------
+
+BOILER_DF_FRAC = 0.01  # a gram in >1% of docs is boilerplate
+
+_BOILER_ORACLE = f"""
+WITH sh AS (
+    SELECT source, doc_id, unnest({SHINGLES_SQL}) AS shingle FROM documents
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+df AS (
+    SELECT shingle, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+    FROM sh GROUP BY shingle
+),
+flagged AS (
+    SELECT sh.source,
+           CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(sum(CASE WHEN df.df >= ceil({BOILER_DF_FRAC} * nd.n_docs)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+    FROM sh JOIN df USING (shingle) CROSS JOIN nd
+    GROUP BY sh.source
+)
+SELECT source, n_occ, n_boiler,
+       CAST(n_boiler AS DOUBLE) / n_occ AS boiler_share
+FROM flagged
+"""
+
+
+@register(
+    "q_boilerplate_ngram_coverage",
+    oracle=_BOILER_ORACLE,
+    tags=("curation", "boilerplate", "quality"),
+)
+def q_boilerplate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate load: the share of word-3-gram
+    occurrences whose document frequency exceeds {BOILER_DF_FRAC:.0%}
+    of the corpus — the repeated-span mass (navboxes, legal footers,
+    templates) that survives DOC-level dedup because each hosting doc
+    is unique. The CCNet line-dedup pass generalized to n-grams
+    (fixture text has no line structure); a source scoring high here
+    needs span-level cleanup before training, however novel its docs
+    look to q_ngram_novelty_by_source.
+
+    Scale shape: one groupBy(shingle) distinct-doc count (the MinHash
+    shuffle class) re-joined to the occurrence stream; the corpus doc
+    count is a 1-row broadcast. Counts exact ints, one division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select("source", "doc_id", F.trim(F.col("text")).alias("t"))
+        .select("source", "doc_id", "t", F.split("t", r"\s+").alias("ws"))
+        .select(
+            "source",
+            "doc_id",
+            F.explode(F.expr(_SHINGLES_FROM_WS)).alias("shingle"),
+        )
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    df = sh.groupBy("shingle").agg(
+        F.count_distinct("doc_id").cast("long").alias("df")
+    )
+    return (
+        sh.join(df, "shingle")
+        .crossJoin(F.broadcast(nd))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.sum(
+                F.when(
+                    F.col("df")
+                    >= F.ceil(F.lit(BOILER_DF_FRAC) * F.col("n_docs")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_boiler"),
+        )
+        .selectExpr(
+            "source",
+            "n_occ",
+            "n_boiler",
+            "CAST(n_boiler AS DOUBLE) / n_occ AS boiler_share",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 10. perplexity-filter retention curve
+# --------------------------------------------------------------------------
+
+PPL_GRID = (0.5, 0.75, 0.9, 0.95, 0.99)
+
+
+def _ppl_curve_oracle() -> str:
+    from cost_of_living_data_etl_spark.plans.round5 import _LM_SCORED_CTES
+
+    qs = ", ".join(f"({q})" for q in PPL_GRID)
+    return f"""{_LM_SCORED_CTES}
+, ppl AS (
+    SELECT doc_id, n_bigrams, exp(nll / n_bigrams) AS perplexity
+    FROM scored
+),
+r AS (
+    SELECT *, row_number() OVER (ORDER BY perplexity, doc_id) AS rn,
+           count(*) OVER () AS n
+    FROM ppl
+),
+grid AS (SELECT unnest([{qs}]) AS q),
+thresholds AS (
+    SELECT g.q,
+           max(CASE WHEN r.rn = greatest(1, CAST(ceil(g.q * r.n) AS BIGINT))
+               THEN r.perplexity END) AS ppl_cut
+    FROM grid g CROSS JOIN r
+    GROUP BY g.q
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS docs_total,
+           CAST(sum(n_bigrams) AS BIGINT) AS tokens_total
+    FROM ppl
+)
+SELECT t.q, t.ppl_cut,
+       CAST(sum(CASE WHEN p.perplexity <= t.ppl_cut THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_kept,
+       CAST(sum(CASE WHEN p.perplexity <= t.ppl_cut THEN p.n_bigrams
+                ELSE 0 END) AS BIGINT) AS tokens_kept,
+       CAST(sum(CASE WHEN p.perplexity <= t.ppl_cut THEN p.n_bigrams
+                ELSE 0 END) AS DOUBLE) / tot.tokens_total AS token_share
+FROM thresholds t CROSS JOIN ppl p CROSS JOIN tot
+GROUP BY t.q, t.ppl_cut, tot.tokens_total
+"""
+
+
+@register(
+    "q_ppl_filter_retention_curve",
+    oracle=_ppl_curve_oracle(),
+    tags=("curation", "perplexity", "filter-tuning"),
+)
+def q_ppl_filter_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-filter tuning curve: for cutoffs at the corpus ppl
+    quantiles {PPL_GRID}, how many documents and TOKENS survive a
+    "drop everything above the cutoff" filter. The decision instrument
+    behind every CCNet/Gopher-style ppl gate — the question is never
+    "is 1200 a good perplexity" but "what fraction of my token budget
+    does each cutoff keep". Reuses the exact bigram-LM score frame of
+    q_bigram_lm_perplexity (plans/round5.py::lm_scored_docs — one
+    model, one SQL text).
+
+    Scale shape: inherits the LM's vocab-bounded shuffles; the ppl
+    frame is |docs| rows; cutoffs are ceil-rank order statistics
+    (doc_id tiebreak — identical row on both engines) and the curve
+    is a 5-row grid joined against the per-doc frame once.
+    """
+    from cost_of_living_data_etl_spark.plans.round5 import lm_scored_docs
+
+    ppl = lm_scored_docs(spark, sf_dir).selectExpr(
+        "doc_id", "n_bigrams", "exp(nll / n_bigrams) AS perplexity"
+    )
+    r = ppl.selectExpr(
+        "*",
+        "row_number() OVER (ORDER BY perplexity, doc_id) AS rn",
+        "count(*) OVER () AS n",
+    )
+    grid = spark.createDataFrame([(q,) for q in PPL_GRID], "q double")
+    thresholds = (
+        grid.crossJoin(r)
+        .groupBy("q")
+        .agg(
+            F.expr(
+                "max(CASE WHEN rn = greatest(1, CAST(ceil(q * n) AS BIGINT))"
+                " THEN perplexity END)"
+            ).alias("ppl_cut")
+        )
+    )
+    tot = ppl.agg(
+        F.count(F.lit(1)).cast("long").alias("docs_total"),
+        F.sum("n_bigrams").cast("long").alias("tokens_total"),
+    )
+    return (
+        F.broadcast(thresholds)
+        .crossJoin(ppl)
+        .crossJoin(F.broadcast(tot))
+        .groupBy("q", "ppl_cut", "tokens_total")
+        .agg(
+            F.sum(
+                F.when(F.col("perplexity") <= F.col("ppl_cut"), 1).otherwise(0)
+            ).cast("long").alias("docs_kept"),
+            F.sum(
+                F.when(
+                    F.col("perplexity") <= F.col("ppl_cut"),
+                    F.col("n_bigrams"),
+                ).otherwise(0)
+            ).cast("long").alias("tokens_kept"),
+        )
+        .selectExpr(
+            "q",
+            "ppl_cut",
+            "docs_kept",
+            "tokens_kept",
+            "CAST(tokens_kept AS DOUBLE) / tokens_total AS token_share",
+        )
     )

@@ -63,7 +63,8 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     causal_obs,
     record_linkage,
     ab_guardrails,
-    # round6 LAST: 5 queries, capped so 36 pending + 5 new = 41 < the
-    # driver's 50-sample — this round's sample closes the whole catalog
+    # round6 LAST: 10 + 4 queries, capped so 36 pending + 14 new = 50
+    # = the driver's sample — this round's sample closes the catalog
     round6,
+    round6b,
 )

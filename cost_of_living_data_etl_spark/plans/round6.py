@@ -1,9 +1,11 @@
-"""Round-6 catalog additions.
+"""Round-6 catalog additions (first block; see round6b.py for the
+late four).
 
-Ten operators, deliberately capped (round-5 verdict item 1: ≤14 new
-registrations so the driver's 50-query unverified-first sample closes
-the 36-query backlog this round — 36 + 10 = 46 < 50). Registered LAST
-in plans/all_queries.py for the same reason.
+Ten operators here + four in round6b, deliberately capped (round-5
+verdict item 1: ≤14 new registrations so the driver's 50-query
+unverified-first sample closes the 36-query backlog this round —
+36 + 14 = 50). Registered LAST in plans/all_queries.py for the same
+reason.
 
 1-2. Batch twins of the two transformWithStateInPandas operators
      (streaming/events.py::ewma_user_value / user_profile_typed_state)

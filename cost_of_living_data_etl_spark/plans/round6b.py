@@ -123,14 +123,16 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     context window or an eval panel from filling with near-duplicates
     of the single best hit.
 
-    Plan: one map-only broadcast-cosine scan feeds a
-    TakeOrderedAndProject candidate pool; everything after is
-    constant-size ({MMR_POOL} candidates, {MMR_POOL}² sims, K unrolled
-    argmax steps over tiny frames). The pool, the sim matrix, and each
-    step's selected set are localCheckpoint-ed (the SCALE.md §7
+    Plan: ONE map-only broadcast-cosine scan feeds a
+    TakeOrderedAndProject candidate pool that carries the vectors
+    (per-partition heap of {MMR_POOL} wide rows — no second corpus
+    scan to re-fetch them); everything after is constant-size
+    ({MMR_POOL} candidates, {MMR_POOL}² sims, K unrolled argmax steps
+    over tiny frames). The pool, the sim matrix, and each step's
+    selected set are localCheckpoint-ed (the SCALE.md §7
     multi-consumer-intermediate rule): without it the unrolled lineage
     re-ran the corpus scan per greedy branch (measured 8.3 s warm at
-    sf0.1; 0.9 s after). At 100 TB the corpus scan is the only
+    sf0.1; ~1.4 s after). At 100 TB the corpus scan is the only
     data-scale stage — exactly the q_ann_bruteforce_topk shape — and
     the greedy is O(K·POOL) regardless of corpus size; for query
     BATCHES the same greedy runs per query-group over grouped
@@ -149,28 +151,29 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             cosine_expr("embedding", "qemb", "norm", "qnorm").alias("rel"),
+            "embedding",
+            "norm",
         )
     )
-    # The ONE data-scale job: score + pool. Checkpoint so the K
-    # unrolled greedy branches below never re-run the corpus scan.
-    cand = rel.orderBy(F.col("rel").desc(), "vec_id").limit(MMR_POOL).localCheckpoint()
-    cv = cand.join(e.select("vec_id", "embedding", "norm"), "vec_id")
-    a, b = cv.alias("a"), cv.alias("b")
+    # The ONE data-scale job: score + pool, vectors carried through the
+    # top-k (the per-partition heap holds POOL wide rows) so the pool
+    # never re-scans the corpus to recover them. Checkpoint so the K
+    # unrolled greedy branches below never re-run this scan either.
+    cand = (
+        rel.orderBy(F.col("rel").desc(), "vec_id").limit(MMR_POOL).localCheckpoint()
+    )
+    a, b = cand.alias("a"), cand.alias("b")
     sims = (
         a.join(b, F.col("a.vec_id") != F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("va"),
             F.col("b.vec_id").alias("vb"),
-            (
-                F.expr(
-                    "aggregate(zip_with(a.embedding, b.embedding,"
-                    " (x, y) -> cast(x AS DOUBLE) * cast(y AS DOUBLE)),"
-                    " cast(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-                )
-                / (F.col("a.norm") * F.col("b.norm"))
-            ).alias("sim"),
+            cosine_expr("a.embedding", "b.embedding", "a.norm", "b.norm").alias(
+                "sim"
+            ),
         )
     ).localCheckpoint()  # POOL² rows, reused by every greedy step
+    cand = cand.select("vec_id", "rel")
     selected = (
         cand.orderBy(F.col("rel").desc(), "vec_id")
         .limit(1)
@@ -223,7 +226,9 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DIVERSITY_ORACLE = r"""
 WITH ws AS (
-    SELECT source, string_split_regex(trim(text), '\s+') AS w FROM documents
+    SELECT source,
+           list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS w
+    FROM documents
 ),
 g AS (
     SELECT source, n,
@@ -276,7 +281,15 @@ def q_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     exploded = (
-        docs.select("source", F.split(F.trim(F.col("text")), r"\s+").alias("ws"))
+        docs.select(
+            "source",
+            # drop the phantom '' token an empty/whitespace-only text
+            # produces from split (house corpus_prep guard), so empty
+            # docs contribute zero n-grams at every n
+            F.expr(
+                r"filter(split(trim(text), '\\s+'), x -> x != '')"
+            ).alias("ws"),
+        )
         .select(
             "source",
             F.explode(
@@ -361,17 +374,18 @@ def q_padding_waste_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE shiftleft(CAST(1 AS BIGINT), length(bin(n_tokens - 1)))"
         " END AS bucket_cap",
     )
+    cap = F.col("bucket_cap")  # grouping key, directly referencable
     return b.groupBy("bucket_cap").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_tokens").cast("long").alias("token_sum"),
-        (F.count(F.lit(1)) * F.first("bucket_cap")).cast("long").alias("slot_sum"),
-        (F.count(F.lit(1)) * F.first("bucket_cap") - F.sum("n_tokens"))
+        (F.count(F.lit(1)) * cap).cast("long").alias("slot_sum"),
+        (F.count(F.lit(1)) * cap - F.sum("n_tokens"))
         .cast("long")
         .alias("padding_tokens"),
         (
-            (F.count(F.lit(1)) * F.first("bucket_cap") - F.sum("n_tokens"))
+            (F.count(F.lit(1)) * cap - F.sum("n_tokens"))
             * F.lit(1.0)
-            / (F.count(F.lit(1)) * F.first("bucket_cap"))
+            / (F.count(F.lit(1)) * cap)
         ).alias("waste_frac"),
     )
 
@@ -385,7 +399,8 @@ WITH w AS (
     SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS word
     FROM documents
 ),
-c AS (SELECT source, word, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY source, word),
+c AS (SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+      FROM w WHERE word <> '' GROUP BY source, word),
 tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS total FROM c GROUP BY source),
 p AS (
     SELECT c.source, c.word, c.cnt * 1.0 / tot.total AS p
@@ -431,6 +446,11 @@ def q_source_unigram_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select(
         "source",
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("word"),
+    ).filter(
+        # empty/whitespace-only texts split to [''] — a phantom token
+        # that would make two otherwise-disjoint sources "share" a word
+        F.col("word")
+        != ""
     )
     c = words.groupBy("source", "word").agg(
         F.count(F.lit(1)).cast("long").alias("cnt")

@@ -146,6 +146,35 @@ def test_jsd_identical_zero_disjoint_absent_known_value(spark, tmp_path):
     assert all(0.0 <= v <= 1.0 + 1e-12 for v in got.values())
 
 
+def test_empty_docs_are_no_phantom_tokens(spark, tmp_path):
+    """split(trim(''), '\\s+') yields [''] on both engines; the ''
+    token must NOT become a shared word (JSD) or an n-gram
+    (diversity). Two vocabulary-disjoint sources each holding an
+    empty doc stay disjoint — no JSD row — and the empty docs add
+    zero n-grams."""
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a b", "en", "A", 3),
+            (2, "", "en", "A", 0),
+            (3, "x y", "en", "B", 3),
+            (4, "   ", "en", "B", 3),
+        ],
+    )
+    jsd = catalog()["q_source_unigram_jsd"].fn(spark, str(tmp_path)).collect()
+    assert jsd == [], jsd  # disjoint sources share nothing, '' included
+    div = {
+        (r["source"], r["n"]): r["total_ngrams"]
+        for r in catalog()["q_distinct_ngram_diversity"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert div[("A", 1)] == 2  # just "a b"; the empty doc adds nothing
+    assert div[("B", 1)] == 2
+    assert ("A", 3) not in div and ("B", 3) not in div
+
+
 def test_jsd_shared_word_count(spark, tmp_path):
     """n_shared_words counts the vocabulary INTERSECTION, not tokens."""
     _write_docs(

@@ -218,16 +218,25 @@ _LEGACY_HEADLINE = [
 ]
 
 
-def _fingerprint(df) -> str:
-    """Stable hash of the ANALYZED logical plan. Physical plans embed
-    session state that churns without any code change (InMemoryRelation
-    appears wherever a shared intermediate happens to be cached at
-    explain time, plan_id / exprId counters differ per session), which
-    made a physical fingerprint re-run ~30% of an unchanged catalog.
-    The analyzed plan is pre-cache-substitution and pre-planning: it
-    changes exactly when the QUERY changes — the semantics
-    --changed-only wants. Expression ids are normalized away."""
+def _fingerprint(df, fn=None) -> str:
+    """Stable hash of the ANALYZED logical plan (+ the builder's
+    source). Physical plans embed session state that churns without
+    any code change (InMemoryRelation appears wherever a shared
+    intermediate happens to be cached at explain time, plan_id /
+    exprId counters differ per session), which made a physical
+    fingerprint re-run ~30% of an unchanged catalog. The analyzed
+    plan is pre-cache-substitution and pre-planning: it changes
+    exactly when the QUERY changes — the semantics --changed-only
+    wants. Expression ids are normalized away.
+
+    The lambda-counter normalization below is lossy: it also collapses
+    GENUINE column names ending in _<digits> (doc_id_1/doc_id_2 both
+    become doc_id_#), so a change expressed only in such names would
+    fingerprint identical. Folding in the builder function's source
+    text closes that hole (round-6 review catch): any edit to the
+    query's code re-times it, at worst slightly over-eagerly."""
     import hashlib
+    import inspect
     import re
 
     plan = df._jdf.queryExecution().analyzed().toString()
@@ -238,6 +247,11 @@ def _fingerprint(df) -> str:
     plan = re.sub(r"\b(lambda )?([A-Za-z]\w*?)_\d+#", r"\1\2_#", plan)
     # CTE definition ids are a session-global counter too
     plan = re.sub(r"\bCTERelation(Def|Ref) \d+", r"CTERelation\1 ", plan)
+    if fn is not None:
+        try:
+            plan += inspect.getsource(fn)
+        except (OSError, TypeError):
+            pass
     return hashlib.md5(plan.encode()).hexdigest()
 
 
@@ -276,13 +290,22 @@ def main() -> None:
 
     fingerprints: dict[str, str] = {}
     if changed_only:
-        # selection pass: building fn() pays any driver-side fit cost
-        # once — acceptable for the local iteration flag; the driver's
-        # full run never takes this branch.
+        # selection pass: building fn() runs any driver-side fit code
+        # (IVF centroids, PQ codebooks) and memoizes it in the
+        # quantizer caches — so those caches are EXPLICITLY cleared
+        # below before the timed loop, or a changed fit-heavy query
+        # would be re-timed without its fit cost and the fake
+        # improvement would land in BENCH_LOCAL.json and the round's
+        # history snapshot (round-6 review catch).
         fingerprints = {
-            name: _fingerprint(specs[name].fn(spark, SF_DIR))
+            name: _fingerprint(specs[name].fn(spark, SF_DIR), specs[name].fn)
             for name in HEADLINE
         }
+        from cost_of_living_data_etl_spark.operators.similarity import (
+            clear_quantizer_caches,
+        )
+
+        clear_quantizer_caches()
         to_run = [
             name
             for name in HEADLINE
@@ -326,7 +349,7 @@ def main() -> None:
         spark.catalog.clearCache()
         w, df = run_once(name)
         timings[name] = round(w, 3)
-        fingerprints[name] = _fingerprint(df)
+        fingerprints[name] = _fingerprint(df, specs[name].fn)
         spark.catalog.clearCache()
 
     fp_path.parent.mkdir(exist_ok=True)

@@ -73,6 +73,7 @@ def clear_quantizer_caches() -> None:
     theoretical, but the hook makes intent explicit and free)."""
     _IVF_CENT_CACHE.clear()
     _PQ_BOOK_CACHE.clear()
+    _ARTIFACT_PRIMED.clear()
 
 # cosine(a, b) with double accumulation, written identically on both engines
 _DOT = (
@@ -533,6 +534,9 @@ def _assign_cells(
 #: shared quantizer (IVF probe, cell profile, SemDeDup) re-ran the
 #: 2·IVF_ITERS+1 fit jobs — 5-9 s each at sf0.1, measured.
 _IVF_CENT_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
+#: corpus keys primed from an OFFLINE artifact (use_quantizer_artifact)
+#: — the only keys for which the oversized-corpus guards stand down
+_ARTIFACT_PRIMED: set[str] = set()
 
 
 def _fit_ivf_centroids(
@@ -645,19 +649,45 @@ def load_quantizer(
 
 
 def use_quantizer_artifact(
-    spark: SparkSession, sf_dir: str, path: str, table: str = "embeddings"
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    table: str = "embeddings",
+    allow_nonstandard_k: bool = False,
 ) -> None:
     """Prime the in-session quantizer cache for ``sf_dir`` from an
     offline artifact: after this, every consumer keyed on
     ``corpus_cache_key(sf_dir, table)`` (IVF probe, k-means cells,
     SemDeDup, ANN mutual-NN) uses the artifact's centroids instead of
-    refitting. The in-session fit and the artifact are bit-identical
-    for the same (corpus, k, iters) — pinned by
-    tests/test_quantizer_artifact.py — so this swap is semantics-free.
+    refitting — and the oversized-corpus guards in SemDeDup /
+    mutual-NN stand down, since a primed k ∝ N quantizer is exactly
+    their named scale path.
+
+    The swap is semantics-free ONLY for a same-(k, iters) artifact
+    (in-session fit and artifact are bit-identical then — pinned by
+    tests/test_quantizer_artifact.py). An artifact with k ≠ IVF_K
+    changes cell geometry, and every catalog query whose DuckDB oracle
+    replays the pinned IVF_K={IVF_K} Lloyd chain would hash-MISMATCH —
+    so that requires ``allow_nonstandard_k=True``, the production
+    escape hatch that takes the session off the oracle-replayable
+    path (round-6 review catch: silently accepting any k broke the
+    under-cap consumers' parity).
     """
-    _IVF_CENT_CACHE[corpus_cache_key(sf_dir, table)] = load_quantizer(
-        spark, path
-    )
+    cents = load_quantizer(spark, path)
+    if len(cents) != IVF_K and not allow_nonstandard_k:
+        raise ValueError(
+            f"quantizer artifact at {path} has k={len(cents)}, but the "
+            f"catalog queries' oracles replay the pinned IVF_K={IVF_K} "
+            f"fit — priming it would hash-mismatch every under-cap IVF "
+            f"consumer. Pass allow_nonstandard_k=True for the k ∝ N "
+            f"production path (no oracle replay)."
+        )
+    key = corpus_cache_key(sf_dir, table)
+    _IVF_CENT_CACHE[key] = cents
+    # guards consult THIS set, not the fit cache: ordinary in-session
+    # fits memoize into _IVF_CENT_CACHE under the same keys, and an
+    # incidental fit must not stand a size guard down
+    _ARTIFACT_PRIMED.add(key)
 
 
 def _lloyd_cte_chain() -> tuple[str, str, str]:
@@ -1422,8 +1452,13 @@ def q_semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = with_norm(load_table(spark, sf_dir, "embeddings"))
     # bounded guard action (scans ≤ MAX+1 rows), same contract as
     # q_embed_neardup_pairs: fixed k makes cells — and the within-cell
-    # quadratic — grow with the corpus
-    n = e.limit(SEMDEDUP_MAX_ROWS + 1).count()
+    # quadratic — grow with the corpus. A session primed via
+    # use_quantizer_artifact (k ∝ N) IS the guard's named scale path,
+    # so the refusal stands down then (round-6 review catch: the guard
+    # used to fire before the primed cache was ever consulted, making
+    # its own advertised workflow unreachable).
+    primed = corpus_cache_key(sf_dir) in _ARTIFACT_PRIMED
+    n = 0 if primed else e.limit(SEMDEDUP_MAX_ROWS + 1).count()
     if n > SEMDEDUP_MAX_ROWS:
         raise ValueError(
             f"q_semdedup_cluster_prune pins IVF_K={IVF_K} for oracle replay, "

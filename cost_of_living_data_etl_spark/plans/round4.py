@@ -134,7 +134,14 @@ def q_mutual_nn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 14.9 s @ 16k (4.3× per doubling, a constant ≈8× under the dense
     # instrument). The production form is unchanged code with k ∝ N
     # (constant-size cells ⇒ near-linear pair stream).
-    n = e.limit(MAX_MNN_ANN_ROWS + 1).count()
+    # a session primed via use_quantizer_artifact (k ∝ N) is this
+    # guard's named scale path — stand down and use it
+    from cost_of_living_data_etl_spark.operators.similarity import (
+        _ARTIFACT_PRIMED,
+    )
+
+    primed = corpus_cache_key(sf_dir) in _ARTIFACT_PRIMED
+    n = 0 if primed else e.limit(MAX_MNN_ANN_ROWS + 1).count()
     if n > MAX_MNN_ANN_ROWS:
         raise ValueError(
             f"q_mutual_nn_ann pins IVF_K={IVF_K} for oracle replay, so "

@@ -31,7 +31,7 @@ reason.
      the sign-LSH planes imply).
 7.   Directed cross-source duplication-flow matrix — WHICH sources
      feed which with near-dups (provenance for mixture design).
-8.   Winnowing (MOSS) span-overlap mining — rolling-hash k-gram
+8.   Winnowing (MOSS) span-overlap mining — md5 char-k-gram
      fingerprints with the window-min guarantee; SPAN-level copying
      detection where MinHash sees whole-document sets.
 9.   Boilerplate n-gram coverage — repeated-span mass that survives
@@ -238,9 +238,10 @@ nd AS (
     SELECT source, CAST(count(*) AS BIGINT) AS n_docs
     FROM documents GROUP BY source
 )
-SELECT nd.source, nd.n_docs, occ.n_shingles, novel.n_novel,
-       novel.n_novel * 1.0 / occ.n_shingles AS novelty_rate
-FROM nd JOIN occ USING (source) JOIN novel USING (source)
+SELECT nd.source, nd.n_docs, occ.n_shingles,
+       CAST(COALESCE(novel.n_novel, 0) AS BIGINT) AS n_novel,
+       COALESCE(novel.n_novel, 0) * 1.0 / occ.n_shingles AS novelty_rate
+FROM nd JOIN occ USING (source) LEFT JOIN novel USING (source)
 """
 
 
@@ -294,15 +295,20 @@ def q_ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         nd.join(occ, "source")
-        .join(novel, "source")
+        # LEFT join: a source whose every shingle first occurred in an
+        # earlier source has NO novel row — it must surface as 0.0
+        # novelty, not vanish from the curve (round-6 review catch)
+        .join(novel, "source", "left")
         .select(
             "source",
             "n_docs",
             "n_shingles",
-            "n_novel",
-            (F.col("n_novel") * F.lit(1.0) / F.col("n_shingles")).alias(
-                "novelty_rate"
-            ),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            (
+                F.coalesce(F.col("n_novel"), F.lit(0))
+                * F.lit(1.0)
+                / F.col("n_shingles")
+            ).alias("novelty_rate"),
         )
     )
 
@@ -319,7 +325,13 @@ DP_EPSILON = 1.0  # Laplace scale b = sensitivity/ε = 1.0 for counting
 # is real DP shape-wise (noise ~ Laplace(1/ε)), with the RNG replaced
 # by a keyed hash so the release is auditable by replay. Production
 # would swap the hash seed for a secret per-release salt.
-_DP_U = "((u_int + 0.5) / 16777216.0)"
+# CAST AS DOUBLE up front: with a bare `u_int + 0.5`, Spark parses the
+# decimal literal as DECIMAL and carries decimal precision through the
+# division (scale-rounded), while DuckDB computes in DOUBLE — a
+# ~1e-12-relative divergence mid-range that blows up to ~1e-4 when u
+# lands near 0 or 1 (ln of a tiny argument). Forcing double makes the
+# arithmetic bit-identical on both engines (round-6 review catch).
+_DP_U = "((CAST(u_int AS DOUBLE) + 0.5) / 16777216.0)"
 _DP_NOISE = (
     f"(-1.0 / {DP_EPSILON}) * sign({_DP_U} - 0.5)"
     f" * ln(1.0 - 2.0 * abs({_DP_U} - 0.5))"
@@ -703,22 +715,43 @@ def q_source_dup_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 8. winnowing fingerprints + span-overlap pair mining (MOSS)
 # --------------------------------------------------------------------------
 
-WINNOW_K = 8        # char k-gram width
+WINNOW_K = 25       # char k-gram width (~5 words: the MOSS/quotation
+                    # regime; 8 chars saturated the synthetic 30-word
+                    # vocabulary — at 50k docs every 2-word window was
+                    # corpus-common and the IDF gate left zero pairs)
 WINNOW_W = 4        # winnowing window (fingerprint density guarantee)
 WINNOW_MIN_SHARED = 3
-WINNOW_MAX_DF = 5   # IDF gate: fingerprints in > MAX_DF docs are too
-                    # common to be evidence of copying (and each join
-                    # bucket is df² — the LSH max_bucket discipline)
+WINNOW_MIN_DF_CAP = 5     # IDF gate floor …
+WINNOW_DF_FRAC = 0.01     # … and its relative form: fingerprints in
+                          # > max(5, 1% of docs) docs are too common to
+                          # be evidence of copying (and each join
+                          # bucket is df² — the LSH max_bucket
+                          # discipline). A fixed absolute cap
+                          # degenerated to zero pairs as the corpus
+                          # grew (everything common at 50k docs);
+                          # the relative gate keeps the instrument
+                          # corpus-size-robust while equal to the old
+                          # cap (5) at the 500-doc verification SFs.
 
-# char-gram hash: MOSS-style polynomial rolling hash — 8-step integer
-# Horner (h = h*257 + ascii(char) mod 2^31-1), identical arithmetic on
-# both engines and ~10× cheaper than an md5 per position (measured
-# 106 s → seconds at sf0.1). Intermediate values stay < P*257 ≈ 5.5e11:
-# no int64 overflow. Collisions (~1e-3 per million grams) are
-# deterministic, so both engines see the identical fingerprint sets —
-# the same trade MOSS itself makes.
-_WIN_H_SPARK = "((((((((((((((CAST(ascii(substr(t, i, 1)) AS BIGINT)) * 257 + ascii(substr(t, i + 1, 1))) % 2147483647) * 257 + ascii(substr(t, i + 2, 1))) % 2147483647) * 257 + ascii(substr(t, i + 3, 1))) % 2147483647) * 257 + ascii(substr(t, i + 4, 1))) % 2147483647) * 257 + ascii(substr(t, i + 5, 1))) % 2147483647) * 257 + ascii(substr(t, i + 6, 1))) % 2147483647) * 257 + ascii(substr(t, i + 7, 1))) % 2147483647"
-_WIN_H_DUCK = "((((((((((((((CAST(ascii(substring(t, CAST(i AS INT), 1)) AS BIGINT)) * 257 + ascii(substring(t, CAST(i + 1 AS INT), 1))) % 2147483647) * 257 + ascii(substring(t, CAST(i + 2 AS INT), 1))) % 2147483647) * 257 + ascii(substring(t, CAST(i + 3 AS INT), 1))) % 2147483647) * 257 + ascii(substring(t, CAST(i + 4 AS INT), 1))) % 2147483647) * 257 + ascii(substring(t, CAST(i + 5 AS INT), 1))) % 2147483647) * 257 + ascii(substring(t, CAST(i + 6 AS INT), 1))) % 2147483647) * 257 + ascii(substring(t, CAST(i + 7 AS INT), 1))) % 2147483647"
+# char-gram hash: md5 of each overlapping k-gram string, first 15 hex
+# digits mod 2^31-1 — the MINHASH shingle-hash recipe, so both engines
+# see identical fingerprint sets by construction. The k-gram strings
+# come from ONE native pass per engine: a zero-width-lookahead
+# regexp_extract_all on Spark (RE2-based DuckDB lacks lookahead, so
+# the oracle builds the same strings with a substring lambda). A
+# previous revision hashed per-position with an 8-step Horner tree:
+# higher-order-function lambdas are interpreted, not codegen'd, and
+# the ~30-node tree measured ~12 s warm at sf0.1 vs ~2 s for the
+# single JVM md5 call per gram.
+_WIN_GRAMS_SPARK = (  # (?s): '.' must cross newlines, like substring does
+    f"regexp_extract_all(t, '(?s)(?=(.{{{WINNOW_K}}}))', 1)"
+)
+_WIN_HASH_LAMBDA_SPARK = (
+    "g -> cast(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT) % 2147483647"
+)
+_WIN_HS_DUCK = f"""list_transform(
+                   range(1, greatest(length(t) - {WINNOW_K - 1}, 1) + 1),
+                   i -> CAST(('0x' || substr(md5(substring(t, CAST(i AS INT), {WINNOW_K})), 1, 15)) AS BIGINT) % 2147483647)"""
 
 _WINNOW_ORACLE = f"""
 WITH fp AS (
@@ -729,17 +762,21 @@ WITH fp AS (
            )) AS fps
     FROM (
         SELECT doc_id,
-               list_transform(
-                   range(1, greatest(length(t) - {WINNOW_K - 1}, 1) + 1),
-                   i -> {_WIN_H_DUCK}) AS hs
-        FROM (SELECT doc_id, rpad(trim(text), 8, ' ') AS t FROM documents)
+               {_WIN_HS_DUCK} AS hs
+        FROM (SELECT doc_id,
+                     CASE WHEN length(t0) < {WINNOW_K}
+                          THEN rpad(t0, {WINNOW_K}, ' ') ELSE t0 END AS t
+              FROM (SELECT doc_id, trim(text) AS t0 FROM documents))
     )
 ),
 sizes AS (SELECT doc_id, CAST(length(fps) AS BIGINT) AS n_fp FROM fp),
+nd AS (SELECT greatest({WINNOW_MIN_DF_CAP},
+                       CAST(ceil({WINNOW_DF_FRAC} * count(*)) AS BIGINT))
+         AS max_df FROM documents),
 ex0 AS (SELECT doc_id, unnest(fps) AS f FROM fp),
 rare AS (
-    SELECT f FROM ex0 GROUP BY f
-    HAVING count(DISTINCT doc_id) <= {WINNOW_MAX_DF}
+    SELECT f FROM ex0 CROSS JOIN nd GROUP BY f, nd.max_df
+    HAVING count(DISTINCT doc_id) <= nd.max_df
 ),
 ex AS (SELECT doc_id, f FROM ex0 JOIN rare USING (f)),
 shared AS (
@@ -782,11 +819,19 @@ def q_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     fp = (
         load_table(spark, sf_dir, "documents")
-        .selectExpr("doc_id", "rpad(trim(text), 8, ' ') AS t")
+        # pad-ONLY-short-docs to k chars: rpad alone also TRUNCATES
+        # longer strings (round-6 review catch: plain rpad(t, 8) cut
+        # every doc to its first 8 chars and the miner returned zero
+        # rows on every corpus)
+        .selectExpr("doc_id", "trim(text) AS t0")
         .selectExpr(
             "doc_id",
-            f"transform(sequence(1, greatest(length(t) - {WINNOW_K - 1}, 1)),"
-            f" i -> {_WIN_H_SPARK}) AS hs",
+            f"CASE WHEN length(t0) < {WINNOW_K}"
+            f" THEN rpad(t0, {WINNOW_K}, ' ') ELSE t0 END AS t",
+        )
+        .selectExpr(
+            "doc_id",
+            f"transform({_WIN_GRAMS_SPARK}, {_WIN_HASH_LAMBDA_SPARK}) AS hs",
         )
         .selectExpr(
             "doc_id",
@@ -804,13 +849,27 @@ def q_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "            (a, b) -> least(a, b)),"
             "   (x, y) -> least(x, y)) END) AS fps",
         )
+        # materialize before the self-join: every downstream reference
+        # (ex ×2 sides, rare, sizes ×2) would otherwise re-inline the
+        # whole Horner+window-min expression tree — past codegen's
+        # size limits the interpreted fallback turned sf0.01 into a
+        # multi-minute job (review catch); one checkpointed
+        # fingerprint table is the dedup-family persist discipline
+        .localCheckpoint()
     )
     sizes = fp.selectExpr("doc_id", "CAST(size(fps) AS BIGINT) AS n_fp")
+    nd = fp.agg(
+        F.greatest(
+            F.lit(WINNOW_MIN_DF_CAP).cast("long"),
+            F.ceil(F.lit(WINNOW_DF_FRAC) * F.count(F.lit(1))).cast("long"),
+        ).alias("max_df")
+    )
     ex0 = fp.selectExpr("doc_id", "explode(fps) AS f")
     rare = (
         ex0.groupBy("f")
         .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") <= WINNOW_MAX_DF)
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("df") <= F.col("max_df"))
         .select("f")
     )
     ex = ex0.join(rare, "f", "left_semi")

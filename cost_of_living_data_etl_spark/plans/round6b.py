@@ -268,7 +268,8 @@ def q_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial aggregation — gram strings cross the exchange (like the
     novelty query), so the 100-TB variant swaps grams for 64-bit
     hashes with an identical plan shape. Integer counts, one final
-    division.
+    division. North-star extension (SURVEY.md §2.8 text analysis);
+    no reference analogue.
     """
     docs = load_table(spark, sf_dir, "documents")
 
@@ -362,6 +363,8 @@ def q_padding_waste_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bit-length of n_tokens−1, then a shift) — no float log2 at the
     exact-power-of-two boundaries. Map-only until a
     |buckets|-cardinality aggregate; integer sums, one division.
+    North-star extension (SURVEY.md §2.8 training-data prep); no
+    reference analogue.
     """
     docs = load_table(spark, sf_dir, "documents")
     t = docs.selectExpr(
@@ -440,7 +443,9 @@ def q_source_unigram_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     1). Shuffles are vocabulary-bounded: (source, word) counts are
     partial-aggregated map-side; the word self-join carries
     |V|·k²/2 rows worst case for k sources. The per-pair double sum
-    is det_sum-folded for oracle replay.
+    is det_sum-folded for oracle replay. North-star extension
+    (SURVEY.md §2.8 text analysis / mixture design); no reference
+    analogue.
     """
     docs = load_table(spark, sf_dir, "documents")
     words = docs.select(

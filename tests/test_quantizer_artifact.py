@@ -83,3 +83,48 @@ def test_cli_main_writes_artifact(spark, tmp_path, capsys):
     assert got == out
     assert "wrote 2 centroids" in capsys.readouterr().out
     assert len(load_quantizer(spark, out)) == 2
+
+
+def test_nonstandard_k_requires_explicit_escape_hatch(spark, tmp_path):
+    """Round-6 review: a k != IVF_K artifact changes cell geometry, so
+    every under-cap consumer whose oracle replays the pinned IVF_K fit
+    would hash-mismatch — priming must refuse it by default and accept
+    it only through the named production flag."""
+    import pytest
+
+    out = str(tmp_path / "q_k5")
+    fit_quantizer(spark, SF, out, k=5)
+    clear_quantizer_caches()
+    with pytest.raises(ValueError, match="allow_nonstandard_k"):
+        use_quantizer_artifact(spark, SF, out)
+    assert corpus_cache_key(SF) not in _IVF_CENT_CACHE  # refusal primes nothing
+    use_quantizer_artifact(spark, SF, out, allow_nonstandard_k=True)
+    assert len(_IVF_CENT_CACHE[corpus_cache_key(SF)]) == 5
+    clear_quantizer_caches()
+
+
+def test_guards_stand_down_for_a_primed_session(spark, tmp_path, monkeypatch):
+    """Round-6 review: the SemDeDup / mutual-NN oversized-corpus guards
+    advertise the artifact workflow, so a primed session must actually
+    get PAST them (previously the refusal fired before the cache was
+    consulted, making the advertised path unreachable)."""
+    import pytest
+
+    from cost_of_living_data_etl_spark.operators import similarity
+    from cost_of_living_data_etl_spark.plans import round4
+
+    # make the tiny fixture look "oversized" to both guards
+    monkeypatch.setattr(similarity, "SEMDEDUP_MAX_ROWS", 3)
+    monkeypatch.setattr(round4, "MAX_MNN_ANN_ROWS", 3)
+    clear_quantizer_caches()
+    with pytest.raises(ValueError, match="fit a k ∝ N quantizer"):
+        similarity.q_semdedup_cluster_prune(spark, SF).collect()
+    with pytest.raises(ValueError, match="fit a k ∝ N quantizer"):
+        round4.q_mutual_nn_ann(spark, SF).collect()
+
+    out = str(tmp_path / "q_std")
+    fit_quantizer(spark, SF, out)  # k = IVF_K: oracle-replayable
+    use_quantizer_artifact(spark, SF, out)
+    assert similarity.q_semdedup_cluster_prune(spark, SF).count() >= 0
+    assert round4.q_mutual_nn_ann(spark, SF).count() >= 0
+    clear_quantizer_caches()

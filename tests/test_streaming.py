@@ -954,7 +954,7 @@ def test_tws_pit_enrichment_equals_batch_assembly(spark, tmp_path):
         pit_enrich_stream,
     )
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF
     events = load_table(spark, sf, "events")
     orders = load_table(spark, sf, "orders")
     union = events.selectExpr(
@@ -1056,7 +1056,7 @@ def test_dedup_at_ingest_equals_full_batch_mining(spark, tmp_path):
         read_ingested_pairs,
     )
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     n = docs.count()
     src = tmp_path / "docs_stream"
@@ -1114,7 +1114,7 @@ def test_tws_journey_strings_equal_batch_and_patterns_match(spark, tmp_path):
         journey_strings_stream,
     )
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF
     events = load_table(spark, sf, "events")
     cut = events.selectExpr(
         "percentile(CAST(ts AS DOUBLE), 0.5) p"
@@ -1236,7 +1236,7 @@ def _stream_tws_over_two_batches(spark, tmp_path, op, subdir):
     production stream (a time-ordered log) provides."""
     from cost_of_living_data_etl_spark.sources.tables import load_table
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF
     events = load_table(spark, sf, "events")
     cut = events.selectExpr(
         "percentile(CAST(ts AS DOUBLE), 0.5) p"
@@ -1292,7 +1292,7 @@ def test_tws_ewma_final_state_equals_batch_twin(spark, tmp_path):
             finals[r["user_id"]] = (r["n_events"], r["ewma_value"])
     want = {
         r["user_id"]: (r["n_events"], r["ewma_value"])
-        for r in q_tws_ewma_user_twin(spark, "/root/testdata/sf0.001").collect()
+        for r in q_tws_ewma_user_twin(spark, SF).collect()
     }
     assert set(finals) == set(want) and len(want) > 0
     for uid in want:
@@ -1320,7 +1320,7 @@ def test_tws_profile_final_state_equals_batch_twin(spark, tmp_path):
     want = {
         r["user_id"]: r.asDict()
         for r in q_tws_user_profile_twin(
-            spark, "/root/testdata/sf0.001"
+            spark, SF
         ).collect()
     }
     assert set(finals) == set(want) and len(want) > 0

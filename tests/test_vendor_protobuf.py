@@ -220,6 +220,35 @@ def test_repeated_scalar_packed_roundtrip_all_wire_widths():
         assert back.xs == vals, ftype
 
 
+def test_unsigned_fixed_values_roundtrip_parse_then_serialize():
+    """Round-6 review: the T_FIXED64/T_FIXED32 decoder is unsigned
+    ('<Q'/'<I'), so parse→serialize of a valid uint64 ≥ 2^63 (or
+    uint32 ≥ 2^31) must not crash in struct.pack — the encoder masks
+    and packs unsigned. Negative sfixed values keep round-tripping
+    through the same masked path (two's complement)."""
+    cases = [
+        (minipb.T_FIXED64, [(1 << 63), (1 << 64) - 1, 0, 7]),
+        (minipb.T_FIXED32, [0x80000000, 0xFFFFFFFF, 0, 7]),
+        (minipb.T_SFIXED64, [-(1 << 62), -1, 5]),
+        (minipb.T_SFIXED32, [-(1 << 30), -1, 5]),
+    ]
+    for ftype, vals in cases:
+        # packed repeated
+        cls = _synthetic_cls(ftype)
+        back = cls()
+        back.ParseFromString(cls(xs=list(vals)).SerializeToString())
+        assert back.xs == vals, ftype
+        # double round-trip (parse → serialize → parse) is stable
+        again = cls()
+        again.ParseFromString(back.SerializeToString())
+        assert again.xs == vals, ftype
+        # scalar
+        cls1 = _synthetic_cls(ftype, label=1)
+        b1 = cls1()
+        b1.ParseFromString(cls1(xs=vals[0]).SerializeToString())
+        assert b1.xs == vals[0], ftype
+
+
 def test_truncated_fixed_width_fields_raise_clear_decode_error():
     """ADVICE r05: a truncated fixed64/fixed32 must surface as a clear
     ValueError from _walk, not an opaque struct.unpack error later."""

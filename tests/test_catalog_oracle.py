@@ -23,11 +23,29 @@ def _sf_dir(sf_smoke, sf_oracle):
     return sf_oracle if os.environ.get("ORACLE_SF_FULL") else sf_smoke
 
 
+#: Queries allowed to return ZERO rows on the verification fixtures.
+#: Everything else must produce output: the hash gate is blind to a
+#: query that degenerates to empty on BOTH engines (round-6 lesson —
+#: q_winnowing_overlap_pairs shipped as a no-op that returned zero
+#: rows on every corpus, and every oracle comparison "passed").
+#: q22: the fixtures have no dormant high-balance customer until
+#: sf0.1 (verified directly against the parquet), so its emptiness is
+#: a data property, not a plan defect.
+EMPTY_OK = {"q22_dormant_high_balance"}
+
+
 @pytest.mark.parametrize("spec", ORACLE_SPECS, ids=[s.name for s in ORACLE_SPECS])
 def test_oracle_match(spark, sf_smoke, sf_oracle, spec):
     sf = _sf_dir(sf_smoke, sf_oracle)
     df = spec.fn(spark, sf)
     assert_matches_oracle(df, spec.oracle, sf)
+    if spec.name not in EMPTY_OK:
+        assert df.limit(1).count() > 0, (
+            f"{spec.name} returned ZERO rows at {sf} — the oracle gate "
+            "cannot distinguish a degenerate empty-on-both-engines query "
+            "from a correct one; if emptiness is a genuine fixture "
+            "property, add the query to EMPTY_OK with a justification"
+        )
 
 
 def test_every_query_has_an_oracle():

@@ -1602,7 +1602,8 @@ WITH checks AS (
                OR o_orderdate < CAST('1990-01-01' AS TIMESTAMP)
                OR o_orderdate >= CAST('2030-01-01' AS TIMESTAMP)
              THEN 1 ELSE 0 END AS bad_date,
-        CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+        CASE WHEN o_orderstatus IS NULL
+               OR o_orderstatus NOT IN ('O', 'F', 'P')
              THEN 1 ELSE 0 END AS bad_status,
         CASE WHEN o_orderpriority IS NULL OR trim(o_orderpriority) = ''
              THEN 1 ELSE 0 END AS bad_priority
@@ -1646,7 +1647,10 @@ def q_data_contract_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         " OR o_orderdate < CAST('1990-01-01' AS TIMESTAMP)"
         " OR o_orderdate >= CAST('2030-01-01' AS TIMESTAMP)"
         " THEN 1 ELSE 0 END AS bad_date",
-        "CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')"
+        # IS NULL spelled out: NULL NOT IN (...) is NULL, which the
+        # CASE would silently treat as compliant (review catch)
+        "CASE WHEN o_orderstatus IS NULL"
+        " OR o_orderstatus NOT IN ('O', 'F', 'P')"
         " THEN 1 ELSE 0 END AS bad_status",
         "CASE WHEN o_orderpriority IS NULL OR trim(o_orderpriority) = ''"
         " THEN 1 ELSE 0 END AS bad_priority",

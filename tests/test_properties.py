@@ -655,3 +655,125 @@ def test_assign_cells_matches_bruteforce_argmin(spark, k, dims, n, rnd):
         ]
         want = min(scores)[1]
         assert got[i] == want, (i, x, scores, got[i])
+
+
+# ---------------------------------------------------------------------------
+# round-6 late-addition properties
+# ---------------------------------------------------------------------------
+
+_word = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+_doc_text = st.lists(_word, min_size=1, max_size=12).map(" ".join)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(_doc_text, min_size=1, max_size=8),
+    st.lists(_doc_text, min_size=1, max_size=8),
+)
+def test_jsd_matches_python_reference_and_is_bounded(spark, tmp_path_factory, a_docs, b_docs):
+    """q_source_unigram_jsd equals an independent Python JSD (standard
+    H(m) − ½(H(p)+H(q)) form, NOT the query's inner-join identity) and
+    sits in [0, 1] bits; the pair row is absent iff vocabularies are
+    disjoint."""
+    import math
+    from collections import Counter
+
+    from cost_of_living_data_etl_spark.plans.catalog import catalog
+
+    tmp = tmp_path_factory.mktemp("jsd")
+    rows = [
+        (i, t, "en", src, len(t))
+        for i, (src, t) in enumerate(
+            [("A", t) for t in a_docs] + [("B", t) for t in b_docs]
+        )
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    got = {
+        (r["source_a"], r["source_b"]): r["jsd_bits"]
+        for r in catalog()["q_source_unigram_jsd"].fn(spark, str(tmp)).collect()
+    }
+
+    ca = Counter(w for t in a_docs for w in t.split())
+    cb = Counter(w for t in b_docs for w in t.split())
+    shared = set(ca) & set(cb)
+    if not shared:
+        assert got == {}, got
+        return
+    na, nb = sum(ca.values()), sum(cb.values())
+
+    def h(dist):
+        return -sum(p * math.log2(p) for p in dist if p > 0)
+
+    vocab = set(ca) | set(cb)
+    pa = {w: ca[w] / na for w in vocab}
+    pb = {w: cb[w] / nb for w in vocab}
+    m = {w: (pa[w] + pb[w]) / 2 for w in vocab}
+    want = h(m.values()) - 0.5 * (h(pa.values()) + h(pb.values()))
+    assert ("A", "B") in got
+    assert abs(got[("A", "B")] - want) < 1e-9
+    assert -1e-12 <= got[("A", "B")] <= 1.0 + 1e-12
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(min_value=0, max_value=300), min_size=1, max_size=20))
+def test_padding_waste_conserves_tokens_and_caps_are_tight(
+    spark, tmp_path_factory, token_counts
+):
+    """Conservation: Σ token_sum + Σ padding == Σ slot_sum; every cap
+    is a power of two; every doc's tokens fit its cap and would NOT
+    fit the next cap down (tightness)."""
+    from cost_of_living_data_etl_spark.plans.catalog import catalog
+
+    tmp = tmp_path_factory.mktemp("pad")
+    rows = [
+        (i, " ".join(["w"] * n) if n else "", "en", "S", 2 * n)
+        for i, n in enumerate(token_counts)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    out = catalog()["q_padding_waste_buckets"].fn(spark, str(tmp)).collect()
+    assert sum(r["token_sum"] for r in out) + sum(r["padding_tokens"] for r in out) == sum(
+        r["slot_sum"] for r in out
+    )
+    for r in out:
+        cap = r["bucket_cap"]
+        assert cap & (cap - 1) == 0 and cap >= 1  # power of two
+    # tightness per doc, from the independent Python rule
+    want_caps = sorted(
+        1 if n <= 1 else 1 << (n - 1).bit_length() for n in token_counts
+    )
+    got_caps = sorted(
+        c for r in out for c in [r["bucket_cap"]] * r["n_docs"]
+    )
+    assert got_caps == want_caps
+
+
+@settings(**_SETTINGS)
+@given(st.integers(min_value=0, max_value=2**24 - 1))
+def test_dp_laplace_inverse_cdf_reference(spark, u_int):
+    """The DP release's deterministic Laplace draw equals the textbook
+    inverse CDF for ANY 24-bit hash value — including the near-0 /
+    near-1 extremes where the decimal-literal bug used to diverge."""
+    import math
+
+    from cost_of_living_data_etl_spark.plans.round6 import _DP_NOISE, DP_EPSILON
+
+    row = (
+        spark.range(1)
+        .selectExpr(f"CAST({u_int} AS BIGINT) AS u_int")
+        .selectExpr(f"{_DP_NOISE} AS noise")
+        .collect()[0]
+    )
+    u = (u_int + 0.5) / 16777216.0
+    want = (
+        (-1.0 / DP_EPSILON)
+        * math.copysign(1.0, u - 0.5)
+        * math.log(1.0 - 2.0 * abs(u - 0.5))
+    )
+    # JVM Math.log and CPython/libm log may disagree by one ulp at the
+    # distribution's extremes; the driver gate absorbs 1e-9 rel, so a
+    # 1e-12 band still pins the mechanism while allowing libm ulps
+    assert math.isclose(row["noise"], want, rel_tol=1e-12, abs_tol=1e-300)

@@ -132,6 +132,9 @@ def test_dp_release_noise_matches_closed_form(spark, tmp_path):
             * math.copysign(1.0, u - 0.5)
             * math.log(1.0 - 2.0 * abs(u - 0.5))
         )
-        assert r["laplace_noise"] == expected, (etype, r["laplace_noise"], expected)
-        assert r["n_released"] == r["n_true"] + expected
+        # 1e-12 band: JVM vs CPython libm ln can differ by an ulp
+        assert math.isclose(r["laplace_noise"], expected, rel_tol=1e-12), (
+            etype, r["laplace_noise"], expected)
+        assert math.isclose(r["n_released"], r["n_true"] + r["laplace_noise"],
+                            rel_tol=1e-12)
         assert r["epsilon"] == DP_EPSILON

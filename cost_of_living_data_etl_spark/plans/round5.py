@@ -744,7 +744,7 @@ SELECT t.source,
        CAST(sum(CASE WHEN t.doc_id = r.rep_id THEN t.n_tokens ELSE 0 END)
             AS BIGINT) AS unique_tokens,
        sum(t.n_tokens) * 1.0
-         / sum(CASE WHEN t.doc_id = r.rep_id THEN t.n_tokens ELSE 0 END)
+         / nullif(sum(CASE WHEN t.doc_id = r.rep_id THEN t.n_tokens ELSE 0 END), 0)
          AS token_inflation
 FROM t JOIN reps r USING (h)
 GROUP BY t.source
@@ -784,7 +784,12 @@ def q_dedup_inflation_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("h").cast("long").alias("n_unique_texts"),
         F.sum("n_tokens").cast("long").alias("raw_tokens"),
         uniq_tokens.cast("long").alias("unique_tokens"),
-        (F.sum("n_tokens") * 1.0 / uniq_tokens).alias("token_inflation"),
+        # nullif: a degenerate source can zero the denominator — ANSI
+        # Spark raises on /0 while DuckDB NULLs, so NULL explicitly on
+        # both engines (round-6 review catch)
+        (F.sum("n_tokens") * 1.0 / F.nullif(uniq_tokens, F.lit(0))).alias(
+            "token_inflation"
+        ),
     )
 
 
@@ -792,8 +797,13 @@ def q_dedup_inflation_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 12. log-log price elasticity per brand (closed-form OLS)
 # --------------------------------------------------------------------------
 
+# nullif on the variance term: a brand whose kept lines all share one
+# exact unit price has n*sxx - sx*sx == 0.0 EXACTLY (n > 1 does not
+# exclude it) — ANSI Spark raises on /0 while DuckDB NULLs, so both
+# engines emit a NULL slope for the no-price-variation brand instead
+# of crash-vs-row divergence (round-6 review catch)
 _ELASTICITY_SLOPE = (
-    "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    "(n * sxy - sx * sy) / nullif(n * sxx - sx * sx, 0.0)"
 )
 
 _ELASTICITY_ORACLE = f"""
@@ -1043,7 +1053,7 @@ SELECT lang,
        CAST(sum(n_words) AS BIGINT) AS total_words,
        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        sum(n_tokens) * 1.0 / sum(n_words) AS tokens_per_word,
-       sum(n_chars) * 1.0 / sum(n_tokens) AS chars_per_token
+       sum(n_chars) * 1.0 / nullif(sum(n_tokens), 0) AS chars_per_token
 FROM t GROUP BY lang
 """
 
@@ -1079,7 +1089,13 @@ def q_tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame
         F.sum("n_words").cast("long").alias("total_words"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         (F.sum("n_tokens") * 1.0 / F.sum("n_words")).alias("tokens_per_word"),
-        (F.sum("n_chars") * 1.0 / F.sum("n_tokens")).alias("chars_per_token"),
+        # n_words >= 1 always (split yields at least one element) but
+        # n_tokens CAN sum to 0 for a lang of all-whitespace/symbol-free
+        # docs — nullif on both engines instead of ANSI crash-vs-NULL
+        # divergence (round-6 review catch)
+        (
+            F.sum("n_chars") * 1.0 / F.nullif(F.sum("n_tokens"), F.lit(0))
+        ).alias("chars_per_token"),
     )
 
 
@@ -1097,7 +1113,9 @@ WITH t AS (
 tot AS (SELECT sum(toks) AS n FROM t)
 SELECT CAST(count(*) AS BIGINT) AS n_sources,
        CAST(max(tot.n) AS BIGINT) AS total_tokens,
-       1.0 / sum((toks * 1.0 / tot.n) * (toks * 1.0 / tot.n))
+       1.0 / list_reduce(
+           list_sort(list((toks * 1.0 / tot.n) * (toks * 1.0 / tot.n))),
+           (a, b) -> a + b)
          AS effective_sources,
        max(toks) * 1.0 / max(tot.n) AS max_share
 FROM t CROSS JOIN tot
@@ -1114,10 +1132,10 @@ def q_effective_source_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares: 1/Σs² — equals k when k sources contribute equally,
     collapses toward 1 as one source dominates. The single number a
     mixture design review asks for first (20 sources at effective 2.3
-    is a monoculture). The Simpson sum folds |sources| exact-ratio
-    squares — at 20 terms the sum is order-insensitive-enough ONLY
-    with identical addends, so both engines sum the identical doubles
-    over the same 20-row frame; count/total are exact BIGINTs.
+    is a monoculture). The Simpson sum is det_sum-folded on both
+    engines (the house double-sum discipline — a plain partial-agg
+    sum adds in partition order and last-ulp drift depends on the
+    scheduler); count/total are exact BIGINTs.
     """
     docs = load_table(spark, sf_dir, "documents")
     t = docs.groupBy("source").agg(
@@ -1126,20 +1144,19 @@ def q_effective_source_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("toks")
     )
     tot = t.agg(F.sum("toks").alias("n"))
-    return (
-        t.crossJoin(F.broadcast(tot))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_sources"),
-            F.expr("CAST(max(n) AS BIGINT)").alias("total_tokens"),
-            (
-                F.lit(1.0)
-                / F.sum(
-                    (F.col("toks") * 1.0 / F.col("n"))
-                    * (F.col("toks") * 1.0 / F.col("n"))
-                )
-            ).alias("effective_sources"),
-            (F.max("toks") * 1.0 / F.max("n")).alias("max_share"),
-        )
+    terms = t.crossJoin(F.broadcast(tot)).select(
+        "toks",
+        "n",
+        (
+            (F.col("toks") * 1.0 / F.col("n"))
+            * (F.col("toks") * 1.0 / F.col("n"))
+        ).alias("sq"),
+    )
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.expr("CAST(max(n) AS BIGINT)").alias("total_tokens"),
+        (F.lit(1.0) / det_sum("sq")).alias("effective_sources"),
+        (F.max("toks") * 1.0 / F.max("n")).alias("max_share"),
     )
 
 
@@ -1247,7 +1264,10 @@ def q_rolling_zscore_anomaly_days(spark: SparkSession, sf_dir: str) -> DataFrame
 # 18. connected components by alternating large-star / small-star
 # --------------------------------------------------------------------------
 
-CC_STAR_MAX_ROUNDS = 12  # ≥ log²(n) for any conceivable dup graph
+CC_STAR_MAX_ROUNDS = 12  # ample for real dup graphs (alternating
+# large/small-star contracts star-like dup families in 2-4 rounds);
+# star_components RAISES if the fixed point is not reached, so a
+# pathological graph fails loudly instead of mislabeling
 
 
 @register(
@@ -1343,15 +1363,27 @@ def star_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         return out.localCheckpoint()
 
     fp = edge_fingerprint(edges)
+    converged = False
     for _ in range(CC_STAR_MAX_ROUNDS):
         edges = star(edges, large=True)
         edges = star(edges, large=False)
         nfp = edge_fingerprint(edges)
         if nfp == fp:
+            converged = True
             break
         fp = nfp
+    if not converged:
+        # falling through silently would mislabel: the post-loop code
+        # assumes every edge is (member, component-min), which only
+        # holds at the fixed point (round-6 review catch — log²(10⁶)
+        # is ~400 alternations in the worst pathological case, not 12)
+        raise RuntimeError(
+            f"star_components did not converge in {CC_STAR_MAX_ROUNDS} "
+            "large/small-star rounds; raise CC_STAR_MAX_ROUNDS for this "
+            "graph (rounds needed grow ~log² of the largest component)"
+        )
 
-    # after convergence every edge is (member, component-min)
+    # at the fixed point every edge is (member, component-min)
     labels = edges.groupBy("u").agg(F.min("v").alias("lbl"))
     members = labels.select(
         F.col("u").alias("doc_id"),
@@ -1368,19 +1400,18 @@ def star_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
 
 def _wire_star_oracle() -> None:
     """Share q_dedup_clusters' recursive-CTE oracle verbatim: both
-    algorithms must produce the identical component labeling."""
+    algorithms must produce the identical component labeling.
+    dataclasses.replace keeps every other QuerySpec field (including
+    any added later) instead of a field-by-field rebuild."""
+    import dataclasses
+
     from cost_of_living_data_etl_spark.operators.dedup import (
         _CLUSTERS_ORACLE,
     )
-    from cost_of_living_data_etl_spark.plans.catalog import _REGISTRY, QuerySpec
+    from cost_of_living_data_etl_spark.plans.catalog import _REGISTRY
 
-    spec = _REGISTRY["q_dedup_clusters_star"]
-    _REGISTRY["q_dedup_clusters_star"] = QuerySpec(
-        name=spec.name,
-        fn=spec.fn,
-        oracle=_CLUSTERS_ORACLE,
-        doc=spec.doc,
-        tags=spec.tags,
+    _REGISTRY["q_dedup_clusters_star"] = dataclasses.replace(
+        _REGISTRY["q_dedup_clusters_star"], oracle=_CLUSTERS_ORACLE
     )
 
 
@@ -1442,6 +1473,8 @@ def lm_scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-trained add-one-smoothed hashed-bigram model shared by
     q_bigram_lm_perplexity and round6's filter-retention curve. One
     model, one Spark shape, one oracle CTE text (_LM_SCORED_CTES)."""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     # \\s doubled for Spark's escape-processing string literals
     toks = docs.selectExpr(
@@ -1458,6 +1491,11 @@ def lm_scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             " slice(ws, 2, size(ws) - 1))) AS bg",
         )
         .selectExpr("doc_id", "bg.`0` AS w1", "bg.`1` AS w2")
+        # three consumers (c2t, c1t, the scoring join) — persist so the
+        # text scan + per-word md5 + explode runs once, not three times
+        # (the minhash_pair_plan multi-consumer discipline; round-6
+        # review catch)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     c2t = big.groupBy("w1", "w2").agg(
         F.count(F.lit(1)).cast("long").alias("c2")
@@ -2083,16 +2121,14 @@ def q_dupgraph_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _wire_src_mod_oracle() -> None:
-    from cost_of_living_data_etl_spark.operators.dedup import _MINHASH_ORACLE
-    from cost_of_living_data_etl_spark.plans.catalog import _REGISTRY, QuerySpec
+    import dataclasses
 
-    spec = _REGISTRY["q_dupgraph_source_modularity"]
-    _REGISTRY["q_dupgraph_source_modularity"] = QuerySpec(
-        name=spec.name,
-        fn=spec.fn,
+    from cost_of_living_data_etl_spark.operators.dedup import _MINHASH_ORACLE
+    from cost_of_living_data_etl_spark.plans.catalog import _REGISTRY
+
+    _REGISTRY["q_dupgraph_source_modularity"] = dataclasses.replace(
+        _REGISTRY["q_dupgraph_source_modularity"],
         oracle=_SRC_MOD_ORACLE.format(MINHASH=_MINHASH_ORACLE),
-        doc=spec.doc,
-        tags=spec.tags,
     )
 
 

@@ -400,3 +400,69 @@ def test_source_modularity_separates_within_from_cross_source_dup(spark, tmp_pat
     assert row.n_intra_edges == 4
     assert abs(row.cross_source_share - 8 / 12) < 1e-12
     assert row.modularity < 0.0
+
+
+def test_degenerate_denominators_yield_null_not_ansi_crash(spark, tmp_path):
+    """ANSI Spark raises DIVIDE_BY_ZERO where DuckDB returns NULL, so
+    every ratio with a plausibly-zero denominator carries an explicit
+    nullif on BOTH engines (round-6 review). Three planted degenerate
+    fixtures: a no-price-variation brand (zero OLS variance term), a
+    lang of symbol-free docs (zero token sum), and a source made
+    entirely of copies first seen elsewhere (zero unique tokens)."""
+    import datetime
+
+    from cost_of_living_data_etl_spark.plans.catalog import catalog
+
+    ts = datetime.datetime(2024, 1, 1)
+    # elasticity: brand B#1 has two lines at the IDENTICAL unit price
+    spark.createDataFrame(
+        [(1, "p1", "B#1", "t", 1, 10.0), (2, "p2", "B#2", "t", 1, 10.0)],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/part.parquet")
+    spark.createDataFrame(
+        [
+            (1, 1, 1, 1, 2.0, 20.0, 0.0, 0.0, "N", "O", ts),
+            (1, 1, 1, 2, 4.0, 40.0, 0.0, 0.0, "N", "O", ts),  # same unit price
+            (2, 2, 1, 1, 2.0, 20.0, 0.0, 0.0, "N", "O", ts),
+            (2, 2, 1, 2, 3.0, 60.0, 0.0, 0.0, "N", "O", ts),  # varying price
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    rows = {
+        r["p_brand"]: r
+        for r in catalog()["q_price_elasticity_by_brand"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert rows["B#1"]["elasticity"] is None  # NULL, not a crash
+    assert rows["B#2"]["elasticity"] is not None
+
+    # fertility + inflation share the documents fixture
+    docs = [
+        (1, "hello world text", "en", "orig", 16),
+        (2, "   ", "xx", "orig", 3),  # lang xx: zero BPE-ish tokens
+        (11, "hello world text", "en", "copycat", 16),  # pure copy
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    fert = {
+        r["lang"]: r["chars_per_token"]
+        for r in catalog()["q_tokenizer_fertility_by_lang"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert fert["xx"] is None and fert["en"] is not None
+    infl = {
+        r["source"]: r["token_inflation"]
+        for r in catalog()["q_dedup_inflation_factor"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    # every copycat text first appeared (lower doc_id) in orig, so its
+    # unique-token denominator is zero -> NULL inflation, reported row
+    assert infl["copycat"] is None and infl["orig"] is not None

@@ -296,11 +296,34 @@ def main() -> None:
         # below before the timed loop, or a changed fit-heavy query
         # would be re-timed without its fit cost and the fake
         # improvement would land in BENCH_LOCAL.json and the round's
-        # history snapshot (round-6 review catch).
-        fingerprints = {
-            name: _fingerprint(specs[name].fn(spark, SF_DIR), specs[name].fn)
-            for name in HEADLINE
-        }
+        # history snapshot (round-6 review catch). Eager
+        # localCheckpoint sites (winnowing fingerprints, MMR pool)
+        # would ALSO run near-full-scale jobs at build time (ADVICE
+        # r06) — SPARK_GRAFT_PLAN_ONLY degrades them to lazy for the
+        # duration of this pass; the analyzed plan (hence the
+        # fingerprint) is identical in both modes
+        # (functions/checkpoints.py, pinned by
+        # tests/test_bench_fingerprint.py).
+        from cost_of_living_data_etl_spark.functions.checkpoints import (
+            PLAN_ONLY_ENV,
+        )
+
+        # AQE must be OFF for the pass: under AQE, even a LAZY
+        # checkpoint materializes upstream query stages when the
+        # wrapped RDD is created (toRdd), which re-runs the very jobs
+        # plan-only mode exists to skip. Restored before the timed
+        # loop (timings keep the production AQE-on contract).
+        aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+        os.environ[PLAN_ONLY_ENV] = "1"
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            fingerprints = {
+                name: _fingerprint(specs[name].fn(spark, SF_DIR), specs[name].fn)
+                for name in HEADLINE
+            }
+        finally:
+            os.environ.pop(PLAN_ONLY_ENV, None)
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
         from cost_of_living_data_etl_spark.operators.similarity import (
             clear_quantizer_caches,
         )

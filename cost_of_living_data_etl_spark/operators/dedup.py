@@ -26,6 +26,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from cost_of_living_data_etl_spark.functions.checkpoints import (
+    eager_checkpoint,
+)
 from cost_of_living_data_etl_spark.functions.columns import det_sum
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.sources.tables import load_table
@@ -384,7 +387,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.selectExpr("doc_id_1 AS src", "doc_id_2 AS dst").unionAll(
         pairs.selectExpr("doc_id_2 AS src", "doc_id_1 AS dst")
     )
-    edges = edges.localCheckpoint()  # pair plan runs once, not per round
+    edges = edges.transform(eager_checkpoint)  # pair plan runs once, not per round
 
     # Iterate ONLY over nodes that touch an edge: documents in no pair
     # are their own cluster by definition and never change label, so
@@ -397,7 +400,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.groupBy(F.col("dst").alias("id"))
         .agg(F.min("src").alias("nlbl"))
         .select("id", F.least("id", "nlbl").alias("lbl"))
-        .localCheckpoint()
+        .transform(eager_checkpoint)
     )
     prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
     for _ in range(20):  # >= diameter of any plausible dup family
@@ -414,7 +417,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "lbl"
                 ),
             )
-            .localCheckpoint()
+            .transform(eager_checkpoint)
         )
         new_sum = labels.agg(F.sum("lbl")).collect()[0][0]
         if new_sum == prev_sum:
@@ -815,7 +818,7 @@ def q_pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         if (t + 1) % 3 == 0:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.transform(eager_checkpoint)
     return ranks.select(
         F.col("node").cast("long").alias("doc_id"), F.col("pr").alias("pagerank")
     )

@@ -535,8 +535,28 @@ def _assign_cells(
 #: 2·IVF_ITERS+1 fit jobs — 5-9 s each at sf0.1, measured.
 _IVF_CENT_CACHE: dict[str, list[tuple[int, list[float]]]] = {}
 #: corpus keys primed from an OFFLINE artifact (use_quantizer_artifact)
-#: — the only keys for which the oversized-corpus guards stand down
-_ARTIFACT_PRIMED: set[str] = set()
+#: → whether that artifact's k SCALES WITH THE CORPUS (k != IVF_K,
+#: which requires the allow_nonstandard_k escape hatch). The
+#: oversized-corpus guards stand down ONLY for scale-path primes: a
+#: standard fixed-k artifact reproduces exactly the within-cell
+#: quadratic geometry the guards exist to refuse (round-7 review
+#: catch — a k=IVF_K prime used to silently re-enable the quadratic
+#: job on an oversized corpus).
+_ARTIFACT_PRIMED: dict[str, bool] = {}
+
+
+def is_artifact_primed(
+    sf_dir: str, table: str = "embeddings", *, scale_path_only: bool = False
+) -> bool:
+    """Whether this corpus key was primed via ``use_quantizer_artifact``.
+    With ``scale_path_only=True``, additionally require the primed
+    artifact's k to scale with the corpus (k != IVF_K) — the predicate
+    the SemDeDup / mutual-NN oversized-corpus guards consult (shared
+    here so the two guard sites cannot drift)."""
+    key = corpus_cache_key(sf_dir, table)
+    if key not in _ARTIFACT_PRIMED:
+        return False
+    return _ARTIFACT_PRIMED[key] if scale_path_only else True
 
 
 def _fit_ivf_centroids(
@@ -659,9 +679,12 @@ def use_quantizer_artifact(
     offline artifact: after this, every consumer keyed on
     ``corpus_cache_key(sf_dir, table)`` (IVF probe, k-means cells,
     SemDeDup, ANN mutual-NN) uses the artifact's centroids instead of
-    refitting — and the oversized-corpus guards in SemDeDup /
-    mutual-NN stand down, since a primed k ∝ N quantizer is exactly
-    their named scale path.
+    refitting. The oversized-corpus guards in SemDeDup / mutual-NN
+    stand down ONLY when the primed artifact's k differs from the
+    pinned IVF_K (i.e. it actually scales with the corpus): a primed
+    k ∝ N quantizer is exactly their named scale path, while a primed
+    STANDARD-k artifact reproduces the quadratic within-cell geometry
+    the guards exist to refuse, so the refusal stays.
 
     The swap is semantics-free ONLY for a same-(k, iters) artifact
     (in-session fit and artifact are bit-identical then — pinned by
@@ -684,10 +707,13 @@ def use_quantizer_artifact(
         )
     key = corpus_cache_key(sf_dir, table)
     _IVF_CENT_CACHE[key] = cents
-    # guards consult THIS set, not the fit cache: ordinary in-session
+    # guards consult THIS map, not the fit cache: ordinary in-session
     # fits memoize into _IVF_CENT_CACHE under the same keys, and an
-    # incidental fit must not stand a size guard down
-    _ARTIFACT_PRIMED.add(key)
+    # incidental fit must not stand a size guard down. The recorded
+    # bool is whether k scales with the corpus — only such primes are
+    # the guards' named scale path; a standard-k artifact keeps the
+    # quadratic geometry and keeps the refusal.
+    _ARTIFACT_PRIMED[key] = len(cents) != IVF_K
 
 
 def _lloyd_cte_chain() -> tuple[str, str, str]:
@@ -1453,11 +1479,13 @@ def q_semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded guard action (scans ≤ MAX+1 rows), same contract as
     # q_embed_neardup_pairs: fixed k makes cells — and the within-cell
     # quadratic — grow with the corpus. A session primed via
-    # use_quantizer_artifact (k ∝ N) IS the guard's named scale path,
-    # so the refusal stands down then (round-6 review catch: the guard
-    # used to fire before the primed cache was ever consulted, making
-    # its own advertised workflow unreachable).
-    primed = corpus_cache_key(sf_dir) in _ARTIFACT_PRIMED
+    # use_quantizer_artifact with a k ∝ N artifact IS the guard's
+    # named scale path, so the refusal stands down then — but ONLY
+    # then: a primed STANDARD-k artifact keeps the exact quadratic
+    # geometry this guard refuses (round-7 review catch), so the
+    # stand-down predicate is scale_path_only (shared helper — the
+    # round4 mutual-NN guard uses the same one).
+    primed = is_artifact_primed(sf_dir, scale_path_only=True)
     n = 0 if primed else e.limit(SEMDEDUP_MAX_ROWS + 1).count()
     if n > SEMDEDUP_MAX_ROWS:
         raise ValueError(
@@ -1468,7 +1496,10 @@ def q_semdedup_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cost_of_living_data_etl_spark.jobs.fit_quantizer --sf-dir "
             f"<dir> --k <N/1000> --out <path>`, then prime the session via "
             f"operators.similarity.use_quantizer_artifact(spark, <dir>, "
-            f"<path>) instead of running this fixed-k catalog query."
+            f"<path>, allow_nonstandard_k=True) — the k ≠ IVF_K artifact "
+            f"needs the explicit escape hatch because it leaves the "
+            f"oracle-replayable path — instead of running this fixed-k "
+            f"catalog query."
         )
     cents = _fit_ivf_centroids(e, cache_key=corpus_cache_key(sf_dir))
     cdf = e.sparkSession.createDataFrame(cents, "cell int, c array<double>")

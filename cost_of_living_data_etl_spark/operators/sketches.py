@@ -48,6 +48,9 @@ import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from cost_of_living_data_etl_spark.functions.checkpoints import (
+    eager_checkpoint,
+)
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.sources.tables import load_table
 
@@ -808,7 +811,7 @@ def q_quantile_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         daily.withColumn(
             "cell", F.substring_index(F.col("cell"), "|", -1)
         )
-    ).localCheckpoint()  # ≤ k × |priorities| rows; bottomk_quantiles
+    ).transform(eager_checkpoint)  # ≤ k × |priorities| rows; bottomk_quantiles
     # consumes it twice (count + rank branches) — without this the
     # whole scan + sketch pass runs twice
     est = bottomk_quantiles(merged, [0.5, 0.9])

@@ -63,8 +63,11 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     causal_obs,
     record_linkage,
     ab_guardrails,
-    # round6 LAST: 10 + 4 queries, capped so 36 pending + 14 new = 50
-    # = the driver's sample — this round's sample closes the catalog
+    # round6: 10 + 4 queries, capped so 36 pending + 14 new = 50
+    # = the driver's sample — round 6's sample closed the catalog
     round6,
     round6b,
+    # round7 LAST: the catalog enters round 7 fully verified, so the
+    # driver's 50-sample starts with these new names
+    round7,
 )

@@ -33,6 +33,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from cost_of_living_data_etl_spark.functions.checkpoints import (
+    eager_checkpoint,
+)
 from cost_of_living_data_etl_spark.functions.columns import det_sum
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.sources.tables import load_table
@@ -571,6 +574,19 @@ GROUP BY date_trunc('day', ts)
 """
 
 
+def concurrency_blocks(bounds: DataFrame) -> DataFrame:
+    """Distinct (ts, delta) boundary blocks with counts and the signed
+    weight the sweep's prefix scan consumes. Factored so tests can
+    assert the pre-checkpoint plan shape (sessions → ±1 boundary
+    union → block rollup) — the catalog query materializes this frame
+    before the two-read scan."""
+    return (
+        bounds.groupBy("ts", "delta")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("w", (F.col("delta") * F.col("cnt")).cast("long"))
+    )
+
+
 @register(
     "q_concurrent_sessions_peak",
     oracle=_CONCURRENCY_ORACLE,
@@ -597,12 +613,19 @@ def q_concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     day reports its true peak of 0).
 
     Scale: sessionization shuffles on user_id (as the session query
-    does); the sweep is a single time-ordered window over 2x|sessions|
-    boundary rows. A single global sweep means one window partition —
-    the standard scale-out is per-day (or per-shard) sweeps with
-    carry-in correction, or here simply: the boundary table is tiny
-    relative to events (2 rows per SESSION, not per event).
+    does); the sweep is DISTRIBUTED: boundaries roll up to distinct
+    (ts, delta) blocks, the carried-in concurrency of each block is an
+    exclusive prefix sum over day-bucketed partitioned windows
+    (operators/distributed_rank.py), and the block's own peak is
+    closed-form (all rows in a block share delta: +1 blocks peak at
+    prefix + delta·cnt, -1 blocks at prefix − 1, probe blocks at
+    prefix) — the per-row running values never materialize, and no
+    single task sees the whole boundary table. Per-day MAX over block
+    peaks is EXACTLY the per-day max of the row-level running sum.
     """
+    from cost_of_living_data_etl_spark.operators.distributed_rank import (
+        with_prefix_sums,
+    )
     intervals = _session_intervals(spark, sf_dir)
     # day-opening probe rows (delta 0): sample the carried-in
     # concurrency at each midnight, so a day whose peak arrives from
@@ -628,17 +651,24 @@ def q_concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionAll(grid)
     )
-    sweep = bounds.withColumn(
-        "concurrency",
-        F.sum("delta").over(
-            Window.orderBy(F.col("ts"), F.col("delta").desc()).rowsBetween(
-                Window.unboundedPreceding, 0
-            )
-        ),
+    # 2 rows/session; consumed by the scan's rollup AND the join —
+    # materialize so sessionization runs once (tests inspect the
+    # pre-checkpoint plan via concurrency_blocks)
+    blocks = concurrency_blocks(bounds).transform(eager_checkpoint)
+    scanned = with_prefix_sums(
+        blocks,
+        [F.col("ts"), F.col("delta").desc()],
+        F.floor(F.col("ts").cast("double") / F.lit(86400.0)),
+        {"w": "carried_in"},
     )
-    return sweep.groupBy(
-        F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(F.max("concurrency").cast("long").alias("peak_concurrency"))
+    block_peak = F.col("carried_in") + F.when(
+        F.col("delta") > 0, F.col("w")
+    ).otherwise(F.col("delta"))
+    return (
+        scanned.withColumn("concurrency", block_peak)
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.max("concurrency").cast("long").alias("peak_concurrency"))
+    )
 
 
 # --- Matryoshka truncation recall ------------------------------------------
@@ -847,31 +877,33 @@ def q_theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("slope"),
         )
     )
-    # Selection plan notes (this was the bench's slowest query, so the
-    # shape is deliberate):
-    # - The sort carries BARE DOUBLES: rows tied on slope have the
-    #   same VALUE, and only the value is emitted — so no tie-break
-    #   columns ride the global sort (the oracle keeps its (slope,
-    #   d1, d2) tie-break, which selects the same value). Dropping
-    #   the two ints from a ~3M-row single-partition sort is a ~35%
-    #   wall-clock cut, measured.
-    # - n arrives via a parallel aggregate broadcast back, NOT a
-    #   count() over an empty window — that form forced a SECOND
-    #   whole-series single-partition pass.
-    # - A sample-bracketed selection (sort only the ~10% around the
-    #   median, full-sort fallback) was implemented and measured
-    #   SLOWER here: its driver actions re-materialize the pair join
-    #   per pass (or pay a 3 s localCheckpoint), which costs more
-    #   than the slimmed global sort. At 100x the series length the
-    #   bracket wins; at calendar-bounded n the lazy single-job plan
-    #   does.
-    n_pairs = slopes.groupBy().agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy("slope")
-    ranked = slopes.select(
-        "slope", F.row_number().over(w).alias("rk")
-    ).crossJoin(F.broadcast(n_pairs))
+    # Selection plan notes (this was once the bench's slowest query,
+    # so the shape is deliberate):
+    # - The selection carries BARE DOUBLES: rows tied on slope have
+    #   the same VALUE, and only the value is emitted — so no
+    #   tie-break columns ride the scan (the oracle keeps its (slope,
+    #   d1, d2) tie-break, which selects the same value).
+    # - The median is a DISTRIBUTED order statistic: bucket-
+    #   partitioned zipWithIndex (operators/distributed_rank.py,
+    #   floor(slope) monotone bucket) instead of a single-partition
+    #   row_number sort — no task ever holds the whole pair frame,
+    #   which is what makes the O(|days|²) pair count safe even on a
+    #   decade-long calendar.
+    # - n rides along from the position helper's per-bucket rollup
+    #   (n_col) — never a count() over an empty window, which forced
+    #   a SECOND whole-series single-partition pass.
+    from cost_of_living_data_etl_spark.operators.distributed_rank import (
+        with_global_position,
+    )
+
+    # slopes stay LAZY: re-deriving the broadcast pair join for the
+    # helper's second read is cheaper than materializing ~3M rows
+    # (measured: an eager checkpoint here cost 2× the recompute)
+    ranked = with_global_position(
+        slopes.select("slope"), ["slope"], F.floor(F.col("slope")), n_col="n"
+    )
     return ranked.filter(
-        F.col("rk") == F.floor((F.col("n") + 1) / 2)
+        F.col("pos") == F.floor((F.col("n") + 1) / 2) - 1
     ).select(
         F.col("n").cast("long").alias("n_pairs"),
         F.col("slope").alias("slope_per_day"),

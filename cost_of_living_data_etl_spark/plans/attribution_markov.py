@@ -36,6 +36,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from cost_of_living_data_etl_spark.functions.checkpoints import (
+    eager_checkpoint,
+)
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.plans.round4_stats import SHAPLEY_CHANNELS
 from cost_of_living_data_etl_spark.sources.tables import load_table
@@ -263,6 +266,5 @@ def q_markov_removal_attribution(
     parity construction."""
     # ≤30-row counts table, materialized once so the solve never
     # re-scans events (the pivot + channel join read it repeatedly)
-    markov_transition_counts(spark, sf_dir).localCheckpoint(
-    ).createOrReplaceTempView("markov_trans_v")
+    markov_transition_counts(spark, sf_dir).transform(eager_checkpoint).createOrReplaceTempView("markov_trans_v")
     return spark.sql(_markov_suffix().format(trans="markov_trans_v"))

@@ -33,6 +33,17 @@ class QuerySpec:
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
+#: Queries allowed to return ZERO rows on the verification fixtures.
+#: Everything else must produce output at every tested SF: the hash
+#: gate is blind to a query that degenerates to empty on BOTH engines
+#: (round-6 lesson — the first winnowing version shipped as a no-op
+#: that returned zero rows on every corpus and every oracle
+#: comparison "passed"). Consumed by tests/test_catalog_oracle.py and
+#: tools/census.py. q22: the fixtures hold no dormant high-balance
+#: customer until sf0.1 (verified directly against the parquet), so
+#: its emptiness is a data property, not a plan defect.
+EMPTY_OK: frozenset[str] = frozenset({"q22_dormant_high_balance"})
+
 
 def register(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
     """Decorator: add a query builder to the catalog."""

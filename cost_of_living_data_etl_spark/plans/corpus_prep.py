@@ -324,10 +324,19 @@ def q_quality_dup_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The quality expression is the SAME bit-identical Spark/DuckDB pair
     the funnel uses, so decile boundaries agree across engines. The
-    global ntile runs on (quality, doc_id) pairs after the per-doc map
-    pass — at 100 TB swap it for approx-quantile cutpoints exactly as
-    q_window_ntile_price_quartiles documents.
+    decile split is the EXACT distributed ntile (bucket-partitioned
+    zipWithIndex over floor(quality·4096) + closed-form tile math,
+    operators/distributed_rank.py) — no single-partition window over
+    the corpus.
     """
+    from cost_of_living_data_etl_spark.operators.distributed_rank import (
+        with_global_ntile,
+    )
+
+    from cost_of_living_data_etl_spark.functions.checkpoints import (
+        eager_checkpoint,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     dup_w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
     scored = docs.select(
@@ -335,11 +344,14 @@ def q_quality_dup_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         quality_score(F.col("text")).alias("quality"),
         (F.row_number().over(dup_w) > 1).alias("is_dup"),
-    )
-    decile_w = Window.orderBy("quality", "doc_id")
-    binned = scored.withColumn(
-        "decile", F.ntile(10).over(decile_w).cast("long")
-    )
+    ).transform(eager_checkpoint)  # quality+md5 text pass runs once
+    binned = with_global_ntile(
+        scored,
+        10,
+        ["quality", "doc_id"],
+        F.floor(F.col("quality") * 4096),
+        out_col="__tile",
+    ).withColumn("decile", F.col("__tile").cast("long"))
     return binned.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.count_if("is_dup") / F.count(F.lit(1)).cast("double")).alias("dup_rate"),

@@ -73,11 +73,21 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     row). Monetary is money-grid snapped before summing and the
     segment sum re-snaps, absorbing partial-agg ulp drift.
 
-    Scale: per-customer rollup is one shuffle; the three ntiles are
-    global windows over |customers| 3-column rows — at 100 TB swap for
-    approx_percentile cut points (the standard trade) or range
-    partition the window; the segment profile is ≤64 rows.
+    Scale: per-customer rollup is one shuffle; the three quartile
+    codes are EXACT distributed ntiles (bucket-partitioned
+    zipWithIndex + closed-form tile math,
+    operators/distributed_rank.py — recency buckets by day, frequency
+    and monetary by their negated values for the DESC orders), so no
+    single task ever sorts the |customers| frame; the segment profile
+    is ≤64 rows.
     """
+    from cost_of_living_data_etl_spark.operators.distributed_rank import (
+        with_global_ntile,
+    )
+    from cost_of_living_data_etl_spark.functions.checkpoints import (
+        eager_checkpoint,
+    )
+
     orders = load_table(spark, sf_dir, "orders")
     max_date = orders.groupBy().agg(F.max("o_orderdate").alias("dmax"))
     per_cust = (
@@ -90,22 +100,30 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("frequency"),
             F.round(F.sum("o_totalprice"), 2).alias("monetary"),
         )
+        # the slim per-customer rollup feeds three ntile passes (each
+        # reads it twice: bucket rollup + position join) — materialize
+        # once so the orders aggregate never recomputes
+        .transform(eager_checkpoint)
     )
-    coded = per_cust.select(
-        "monetary",
-        F.ntile(RFM_BUCKETS)
-        .over(Window.orderBy("recency_days", "o_custkey"))
-        .cast("int")
-        .alias("r_quartile"),
-        F.ntile(RFM_BUCKETS)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-        .cast("int")
-        .alias("f_quartile"),
-        F.ntile(RFM_BUCKETS)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
-        .cast("int")
-        .alias("m_quartile"),
-    )
+    coded = with_global_ntile(
+        with_global_ntile(
+            with_global_ntile(
+                per_cust,
+                RFM_BUCKETS,
+                ["recency_days", "o_custkey"],
+                F.col("recency_days"),
+                out_col="r_quartile",
+            ),
+            RFM_BUCKETS,
+            [F.desc("frequency"), F.asc("o_custkey")],
+            -F.col("frequency"),
+            out_col="f_quartile",
+        ),
+        RFM_BUCKETS,
+        [F.desc("monetary"), F.asc("o_custkey")],
+        F.floor(-F.col("monetary")),
+        out_col="m_quartile",
+    ).select("monetary", "r_quartile", "f_quartile", "m_quartile")
     return coded.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
         F.round(F.sum("monetary"), 2).alias("total_monetary"),

@@ -14,23 +14,29 @@ as a plain Catalyst plan:
    1-row aggregates, broadcast — no shuffle of the fact side);
 2. interleave the bits arithmetically (16-bit Morton code) — pure
    codegen expressions, no UDF;
-3. range-order by (z, key) and chunk into fixed-row files; per-file
+3. order by (z, key) and chunk into fixed-row files; per-file
    min/max of both dimension buckets are then the skipping manifest.
 
-At 100 TB the only change is step 3: `repartitionByRange($z)` +
-`sortWithinPartitions` + one parquet file per partition — a single
-range shuffle, the standard distributed sort. Here the file split is
-a deterministic global `row_number` so DuckDB can replay byte-for-byte
-(a range partitioner's boundaries are sampled, hence not
-oracle-stable). `tests/test_layout.py` pins the payoff: a 2-D
-predicate opens ≥2× fewer z-ordered files than date-sorted ones.
+Step 3 is fully distributed AND oracle-stable: the Morton code itself
+is a bounded monotone bucket key (2^16 values for 8+8 bits), so
+``with_global_position`` (operators/distributed_rank.py) assigns each
+row its exact global ``row_number() - 1`` under (z, key) with
+per-z-bucket partitioned windows + a bounded carry join — no
+single-partition sort, no sampled ``repartitionByRange`` boundaries
+(which would NOT be replayable in DuckDB). ``file_id = pos div
+FILE_ROWS`` is then byte-for-byte the oracle's global row_number
+chunking. `tests/test_layout.py` pins the payoff: a 2-D predicate
+opens ≥2× fewer z-ordered files than date-sorted ones.
 """
 
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession
 
+from cost_of_living_data_etl_spark.operators.distributed_rank import (
+    with_global_position,
+)
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.sources.tables import load_table
 
@@ -96,9 +102,10 @@ def zorder_files(orders: DataFrame, file_rows: int = FILE_ROWS) -> DataFrame:
     coded = b.select(
         F.col("o_orderkey").alias("k"), xb.alias("xb"), yb.alias("yb")
     ).withColumn("z", morton_z(F.col("xb"), F.col("yb")))
-    w = Window.orderBy("z", "k")
-    files = coded.withColumn(
-        "file_id", F.floor((F.row_number().over(w) - 1) / file_rows)
+    # distributed zipWithIndex keyed on the bounded Morton code: exact
+    # global (z, k) positions without a single-partition window
+    files = with_global_position(coded, ["z", "k"], F.col("z")).withColumn(
+        "file_id", F.floor(F.col("pos") / file_rows)
     )
     return files.groupBy("file_id").agg(
         F.count(F.lit(1)).alias("n_rows"),

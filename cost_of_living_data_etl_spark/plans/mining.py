@@ -27,6 +27,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from cost_of_living_data_etl_spark.functions.checkpoints import (
+    eager_checkpoint,
+)
 from cost_of_living_data_etl_spark.operators.dedup import (
     _MINHASH_ORACLE,
     minhash_pair_plan,
@@ -143,7 +146,7 @@ def q_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             dot_expr("a_emb", "b_emb") / (F.col("a_norm") * F.col("b_norm"))
         ).alias("cos_sim"),
-    ).localCheckpoint()
+    ).transform(eager_checkpoint)
     best_a = (
         pairs.groupBy("a_id")
         .agg(F.max(F.struct("cos_sim", (-F.col("b_id")).alias("nb"))).alias("m"))
@@ -314,7 +317,7 @@ def q_dupgraph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(
             F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst")
         )
-    ).localCheckpoint()  # EAGER (CC convention): degree table and the
+    ).transform(eager_checkpoint)  # EAGER (CC convention): degree table and the
     # edge join both consume edges — without it the LSH plan re-ran
     # once per reference
     deg = edges.groupBy(F.col("src").alias("node")).agg(
@@ -406,7 +409,7 @@ def q_kcore_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(
             F.col("doc_id_2").alias("src"), F.col("doc_id_1").alias("dst")
         )
-    ).localCheckpoint()  # EAGER (CC convention): LSH plan runs once —
+    ).transform(eager_checkpoint)  # EAGER (CC convention): LSH plan runs once —
     # each round references e twice (degree agg + join), and a lazy
     # checkpoint let the whole upstream re-run per reference (measured
     # 137 s -> ~10 s at sf0.001)
@@ -422,7 +425,7 @@ def q_kcore_dup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(
                 keep.select(F.col("src").alias("dst")), "dst", "left_semi"
             )
-            .localCheckpoint()
+            .transform(eager_checkpoint)
         )
     return (
         e.groupBy("src")
@@ -532,7 +535,7 @@ def q_lsh_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    mh = minhash_signatures(docs).localCheckpoint()  # sigs computed once
+    mh = minhash_signatures(docs).transform(eager_checkpoint)  # sigs computed once
     bands = mh.select(
         "doc_id",
         F.posexplode(

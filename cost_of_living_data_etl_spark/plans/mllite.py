@@ -1339,11 +1339,17 @@ def q_conformal_interval_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cramer solve (so β is oracle-hash-exact), q̂ an exact order
     statistic, coverage a ratio of exact counts.
 
-    100 TB: fit is the 9-scalar Gram reduction; calibration needs one
-    rank window over the calibration split only (at huge n_cal, the
-    quantile sketch replaces the exact rank with bounded error —
-    conformal tolerates a conservative q̂); scoring is map-side.
+    100 TB: fit is the 9-scalar Gram reduction; q̂ is a distributed
+    order statistic over the calibration split (bucket-partitioned
+    zipWithIndex, operators/distributed_rank.py — no single-partition
+    rank window; at huge n_cal the quantile sketch could replace the
+    exact rank with bounded error — conformal tolerates a conservative
+    q̂); scoring is map-side.
     """
+    from cost_of_living_data_etl_spark.functions.checkpoints import (
+        eager_checkpoint,
+    )
+
     feats = (
         load_table(spark, sf_dir, "lineitem")
         .groupBy("l_orderkey")
@@ -1360,6 +1366,10 @@ def q_conformal_interval_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x2").cast("double").alias("x2"),
             F.expr(_CONF_BUCKET_SPARK).alias("bkt"),
         )
+        # the slim (y, x1, x2, bkt) design matrix feeds FOUR branches
+        # (train Gram, calibration rank rollup + join + count, test
+        # coverage) — materialize so the lineitem join runs once
+        .transform(eager_checkpoint)
     )
     gram = (
         feats.filter(F.col("bkt") < _CONF_TRAIN_CUT)
@@ -1397,20 +1407,24 @@ def q_conformal_interval_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(beta))
         .select("n_train", pred_err.alias("resid"))
     )
-    nw = Window.orderBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
+    from cost_of_living_data_etl_spark.operators.distributed_rank import (
+        with_global_position,
     )
+
     need = F.ceil(
         (F.col("n_cal") + 1) * (1.0 - F.expr(f"CAST({CONF_ALPHA} AS DOUBLE)"))
     ).cast("long")
+    # distributed order statistic: bucket-partitioned zipWithIndex over
+    # the calibration residuals (floor(resid) is the monotone bucket;
+    # ties rank arbitrarily but the value at the target rank is unique)
+    # + a broadcast 1-row count — no single-partition rank window
+    ncal = cal.agg(F.count(F.lit(1)).alias("n_cal"))
     qhat = (
-        cal.select(
-            "n_train",
-            "resid",
-            F.row_number().over(Window.orderBy("resid")).alias("rk"),
-            F.count(F.lit(1)).over(nw).alias("n_cal"),
+        with_global_position(
+            cal, ["resid"], F.floor(F.col("resid")), pos_col="__rnk_pos"
         )
-        .filter(F.col("rk") == F.least(need, F.col("n_cal")))
+        .crossJoin(F.broadcast(ncal))
+        .filter(F.col("__rnk_pos") == F.least(need, F.col("n_cal")) - 1)
         .select(
             "n_train",
             # rank beyond n_cal -> q-hat = +infinity (cover everything);

@@ -31,6 +31,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from cost_of_living_data_etl_spark.functions.checkpoints import (
+    eager_checkpoint,
+)
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.plans.reshape import (
     _BUCKET_SPARK,
@@ -212,8 +215,8 @@ def q_raking_ipf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.lit(None).cast("long").alias("rn"), "cn")
     # ≤15-row / ≤8-row states, materialized once: the 15-branch final
     # union re-reads them, and must not re-scan orders each time
-    cells.localCheckpoint().createOrReplaceTempView("rake_cells_v")
-    rown.unionByName(coln).localCheckpoint().createOrReplaceTempView(
+    cells.transform(eager_checkpoint).createOrReplaceTempView("rake_cells_v")
+    rown.unionByName(coln).transform(eager_checkpoint).createOrReplaceTempView(
         "rake_margins_v"
     )
     return spark.sql(

@@ -26,7 +26,14 @@ from cost_of_living_data_etl_spark.operators.dedup import (
     _MINHASH_ORACLE,
     minhash_pair_plan,
 )
+from cost_of_living_data_etl_spark.functions.checkpoints import (
+    eager_checkpoint,
+)
 from cost_of_living_data_etl_spark.functions.columns import det_sum
+from cost_of_living_data_etl_spark.operators.distributed_rank import (
+    with_next_key,
+    with_prefix_sums,
+)
 from cost_of_living_data_etl_spark.operators.textstats import quality_score
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.sources.tables import load_table
@@ -73,16 +80,22 @@ SELECT CAST(n AS BIGINT) AS n_rows, {_RHO_EXPR} AS spearman_rho FROM m
 def _doubled_midranks(rows: DataFrame, col: str, out: str) -> DataFrame:
     """(value, R2) where R2 = 2·|{v < value}| + cnt(value) + 1 — the
     doubled midrank, exact BIGINT under ties, built on the distinct-
-    value rollup."""
-    counts = rows.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
-    before = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
-    return counts.select(
+    value rollup. The before-count is the distributed prefix scan
+    (operators/distributed_rank.py — floor(value) is the monotone
+    bucket), so no single task ever sorts the full distinct-value
+    frame. The rollup is materialized once (it feeds both the scan's
+    bucket rollup and the per-row join)."""
+    counts = (
+        rows.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .transform(eager_checkpoint)
+    )
+    scanned = with_prefix_sums(
+        counts, [col], F.floor(F.col(col)), {"cnt": "__before"}
+    )
+    return scanned.select(
         col,
-        (
-            2 * F.coalesce(F.sum("cnt").over(before), F.lit(0))
-            + F.col("cnt")
-            + 1
-        ).alias(out),
+        (2 * F.col("__before") + F.col("cnt") + 1).alias(out),
     )
 
 
@@ -317,20 +330,22 @@ def q_auc_quality_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("hit"), F.lit(0)).alias("is_dup"),
         )
     )
-    vals = scored.groupBy("score").agg(
-        F.count(F.lit(1)).alias("cnt"), F.sum("is_dup").alias("cnt_pos")
+    vals = (
+        scored.groupBy("score")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("is_dup").alias("cnt_pos"))
+        .transform(eager_checkpoint)  # LSH pair plan + text pass run once
     )
-    before = Window.orderBy("score").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    r = vals.select(
+    # distributed prefix scan over the distinct-score rollup (scores
+    # live in [0,1], so floor(score*4096) is the monotone bucket)
+    r = with_prefix_sums(
+        vals,
+        ["score"],
+        F.floor(F.col("score") * 4096),
+        {"cnt": "__before"},
+    ).select(
         "cnt",
         "cnt_pos",
-        (
-            2 * F.coalesce(F.sum("cnt").over(before), F.lit(0))
-            + F.col("cnt")
-            + 1
-        ).alias("r2"),
+        (2 * F.col("__before") + F.col("cnt") + 1).alias("r2"),
     )
     agg = r.groupBy().agg(
         F.sum(F.col("cnt_pos") * F.col("r2")).alias("sr2_pos"),
@@ -414,14 +429,24 @@ def q_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("na"),
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("nb"),
     )
-    cells = v.groupBy("val").agg(
-        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("ca"),
-        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("cb"),
+    cells = (
+        v.groupBy("val")
+        .agg(
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("cb"),
+        )
+        .transform(eager_checkpoint)  # rollup scanned twice by the walk
     )
-    run = Window.orderBy("val").rowsBetween(Window.unboundedPreceding, 0)
-    walk = cells.select(
-        F.sum("ca").over(run).alias("cuma"),
-        F.sum("cb").over(run).alias("cumb"),
+    # distributed ECDF walk: exclusive prefix sums + own cell counts
+    # (floor(val) is the monotone bucket over order values)
+    walk = with_prefix_sums(
+        cells,
+        ["val"],
+        F.floor(F.col("val")),
+        {"ca": "__ba", "cb": "__bb"},
+    ).select(
+        (F.col("__ba") + F.col("ca")).alias("cuma"),
+        (F.col("__bb") + F.col("cb")).alias("cumb"),
     )
     m = (
         walk.crossJoin(F.broadcast(tot))
@@ -625,17 +650,30 @@ def q_wasserstein_arm_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("na"),
         F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("nb"),
     )
-    cells = v.groupBy("cents").agg(
-        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("ca"),
-        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("cb"),
+    cells = (
+        v.groupBy("cents")
+        .agg(
+            F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("cb"),
+        )
+        .transform(eager_checkpoint)  # walk + next-key both read it twice
     )
-    run = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
-    seq = Window.orderBy("cents")
-    walk = cells.select(
+    # distributed ECDF walk + distributed lead(cents): prefix sums and
+    # next-distinct-key both via the bucketed scan (cents div 4096 is
+    # the monotone bucket), no single-partition window
+    bucket = F.floor(F.col("cents") / F.lit(4096))
+    walk = with_next_key(
+        with_prefix_sums(
+            cells, ["cents"], bucket, {"ca": "__ba", "cb": "__bb"}
+        ),
         "cents",
-        F.sum("ca").over(run).alias("cuma"),
-        F.sum("cb").over(run).alias("cumb"),
-        F.lead("cents").over(seq).alias("next_cents"),
+        bucket,
+        out_col="next_cents",
+    ).select(
+        "cents",
+        (F.col("__ba") + F.col("ca")).alias("cuma"),
+        (F.col("__bb") + F.col("cb")).alias("cumb"),
+        "next_cents",
     )
     s = (
         walk.crossJoin(F.broadcast(tot))

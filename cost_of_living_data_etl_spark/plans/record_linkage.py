@@ -38,6 +38,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from cost_of_living_data_etl_spark.functions.checkpoints import (
+    eager_checkpoint,
+)
 from cost_of_living_data_etl_spark.plans.advanced_joins import FUZZY_MAX_DIST
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.plans.mllite import _DSUM_SQL
@@ -192,7 +195,7 @@ def fs_candidates(
         names.join(_modal(part, "p_brand", "brand"), "name")
         .join(_modal(part, "p_type", "type"), "name")
         .join(_modal(part, "p_size", "size"), "name")
-        .localCheckpoint()  # vocabulary-bounded; read 4× below
+        .transform(eager_checkpoint)  # vocabulary-bounded; read 4× below
     )
     n = prof.count()
     us = []
@@ -428,7 +431,7 @@ def q_fs_em_parameters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pat = cands.groupBy("a_brand", "a_type", "a_size").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    pat.localCheckpoint().createOrReplaceTempView("fs_em_pat_v")
+    pat.transform(eager_checkpoint).createOrReplaceTempView("fs_em_pat_v")
     u.createOrReplaceTempView("fs_em_u_v")
     return spark.sql(
         "WITH "

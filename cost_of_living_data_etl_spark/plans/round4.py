@@ -38,6 +38,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from cost_of_living_data_etl_spark.functions.checkpoints import (
+    eager_checkpoint,
+)
 from cost_of_living_data_etl_spark.operators.similarity import (
     IVF_K,
     _assign_cells,
@@ -134,13 +137,15 @@ def q_mutual_nn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 14.9 s @ 16k (4.3× per doubling, a constant ≈8× under the dense
     # instrument). The production form is unchanged code with k ∝ N
     # (constant-size cells ⇒ near-linear pair stream).
-    # a session primed via use_quantizer_artifact (k ∝ N) is this
-    # guard's named scale path — stand down and use it
+    # a session primed via use_quantizer_artifact with a k ∝ N
+    # artifact is this guard's named scale path — stand down and use
+    # it. Standard-k primes keep the refusal (same shared predicate as
+    # the SemDeDup guard, so the two sites cannot drift).
     from cost_of_living_data_etl_spark.operators.similarity import (
-        _ARTIFACT_PRIMED,
+        is_artifact_primed,
     )
 
-    primed = corpus_cache_key(sf_dir) in _ARTIFACT_PRIMED
+    primed = is_artifact_primed(sf_dir, scale_path_only=True)
     n = 0 if primed else e.limit(MAX_MNN_ANN_ROWS + 1).count()
     if n > MAX_MNN_ANN_ROWS:
         raise ValueError(
@@ -152,7 +157,10 @@ def q_mutual_nn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cost_of_living_data_etl_spark.jobs.fit_quantizer --sf-dir "
             f"<dir> --k <N/1000> --out <path>`, then prime the session via "
             f"operators.similarity.use_quantizer_artifact(spark, <dir>, "
-            f"<path>) instead of running this fixed-k catalog query."
+            f"<path>, allow_nonstandard_k=True) — the k ≠ IVF_K artifact "
+            f"needs the explicit escape hatch because it leaves the "
+            f"oracle-replayable path — instead of running this fixed-k "
+            f"catalog query."
         )
     cents = _fit_ivf_centroids(e, cache_key=corpus_cache_key(sf_dir))
     assigned = _assign_cells(e, cents)
@@ -181,7 +189,7 @@ def q_mutual_nn_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dot_expr("a_emb", "b_emb") / (F.col("a_norm") * F.col("b_norm"))
             ).alias("cos_sim"),
         )
-        .localCheckpoint()
+        .transform(eager_checkpoint)
     )
     best_a = (
         pairs.groupBy("a_id")

@@ -29,6 +29,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from cost_of_living_data_etl_spark.functions.checkpoints import (
+    eager_checkpoint,
+)
 from cost_of_living_data_etl_spark.functions.columns import det_sum
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.plans.mllite import _det3, _DSUM_SQL
@@ -382,7 +385,7 @@ def q_logistic_irls_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("x1_raw").cast("double") / 100.0).alias("x1"),
             F.col("x2_raw").cast("double").alias("x2"),
         )
-        .localCheckpoint()  # consumed 2·ITERS+2 times; slim (y, x1, x2)
+        .transform(eager_checkpoint)  # consumed 2·ITERS+2 times; slim (y, x1, x2)
     )
     spark_dsum = (
         "aggregate(array_sort(collect_list({x})), CAST(0.0 AS DOUBLE),"
@@ -398,7 +401,7 @@ def q_logistic_irls_status(spark: SparkSession, sf_dir: str) -> DataFrame:
             f'{_IRLS_BETA["b0"]} / {_IRLS_DET} AS b0',
             f'{_IRLS_BETA["b1"]} / {_IRLS_DET} AS b1',
             f'{_IRLS_BETA["b2"]} / {_IRLS_DET} AS b2',
-        ).localCheckpoint()  # 1 row; pins the round's β for reuse
+        ).transform(eager_checkpoint)  # 1 row; pins the round's β for reuse
     n = feats.count()
     acc = (
         feats.crossJoin(F.broadcast(beta))
@@ -518,7 +521,7 @@ def q_cuped_adjusted_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_ARM_SPARK.format(k="first(user_id)")).alias("arm"),
         det_sum(pre_case).alias("pre"),
         det_sum(post_case).alias("post"),
-    ).localCheckpoint()  # consumed by pooled AND arm branches; slim
+    ).transform(eager_checkpoint)  # consumed by pooled AND arm branches; slim
     # (user_id, arm, pre, post) rows — without it the user-level
     # aggregate pass over raw events runs twice (no shared subplan)
     pooled = per_user.agg(
@@ -682,7 +685,7 @@ def q_shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
     journeys = bits.groupBy("user_id", "day").agg(
         F.expr("bit_or(bit)").alias("mask"),
         F.max("conv").alias("converted"),
-    ).filter(F.col("mask") != 0).localCheckpoint()  # ≤15-coalition base
+    ).filter(F.col("mask") != 0).transform(eager_checkpoint)  # ≤15-coalition base
     # consumed by v AND the total; slim (user, day, mask, converted)
     v = journeys.groupBy("mask").agg(
         F.sum("converted").cast("long").alias("conv")

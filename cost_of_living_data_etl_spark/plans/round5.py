@@ -19,6 +19,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cost_of_living_data_etl_spark.functions.checkpoints import (
+    eager_checkpoint,
+)
 from cost_of_living_data_etl_spark.functions.columns import det_sum
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.plans.mllite import _DSUM_SQL
@@ -522,15 +525,23 @@ def q_negative_sampling_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus — reproducible on any engine/partitioning (no RNG), ~
     uniform over the corpus, self-pairs dropped. The join back from
     sampled position to doc_id is the standard index-table pattern;
-    shuffle carries (pos, id) pairs only. Hard (similarity-mined)
+    shuffle carries (pos, id) pairs only. Corpus positions come from
+    the distributed zipWithIndex (operators/distributed_rank.py —
+    bucket-partitioned windows + bounded carry join), NOT a global
+    row_number window, so no single task ever sees the whole corpus. Hard (similarity-mined)
     negatives are the separate q_hard_negative_mining operator — this
     is the uniform baseline every contrastive recipe starts from.
     """
+    from cost_of_living_data_etl_spark.operators.distributed_rank import (
+        with_global_position,
+    )
+
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    idx = docs.selectExpr(
-        "doc_id",
-        "row_number() OVER (ORDER BY doc_id) - 1 AS pos",
-        "count(*) OVER () AS n",
+    # distributed zipWithIndex (exact row_number()-1 equivalent, no
+    # single-partition window): doc_id div 4096 is a deterministic
+    # monotone bucket; n rides along from the helper's bucket rollup
+    idx = with_global_position(
+        docs, ["doc_id"], F.floor(F.col("doc_id") / F.lit(4096)), n_col="n"
     )
     anchors = idx.selectExpr(
         "doc_id",
@@ -640,15 +651,32 @@ def q_quality_decile_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, then show each source's decile mix — the table a curation
     team reads to set per-source sampling weights ("src7 is 40%
     bottom-decile"). percent_rank with a doc_id tiebreak is fully
-    deterministic cross-engine. The global ORDER BY window is the
-    documented single-reducer instrument at this grain; the 100 TB
-    form replaces percent_rank with approx-quantile bucket edges
-    (q_monthly_value_percentile_bands shows that pattern).
+    deterministic cross-engine, and under a TOTAL order it reduces to
+    (row_number − 1) / (n − 1) — which the distributed zipWithIndex
+    (operators/distributed_rank.py, n_chars div 64 monotone bucket)
+    computes with the IDENTICAL single IEEE division, no
+    single-partition rank window over the corpus.
     """
+    from cost_of_living_data_etl_spark.operators.distributed_rank import (
+        with_global_position,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.selectExpr(
-        "source",
-        "percent_rank() OVER (ORDER BY n_chars, doc_id) AS pr",
+    scored = (
+        with_global_position(
+            docs.select("source", "n_chars", "doc_id"),
+            ["n_chars", "doc_id"],
+            F.floor(F.col("n_chars") / F.lit(64)),
+            n_col="n",
+        )
+        .selectExpr(
+            "source",
+            # percent_rank == (rank-1)/(n-1) and rank == row_number
+            # under the total (n_chars, doc_id) order; single-row edge
+            # pinned to percent_rank's defined 0.0
+            "CASE WHEN n > 1 THEN CAST(pos AS DOUBLE) / (n - 1)"
+            " ELSE 0.0 END AS pr",
+        )
     )
     return (
         scored.selectExpr(
@@ -1319,7 +1347,7 @@ def star_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     edges = (
         pairs.selectExpr("doc_id_1 AS u", "doc_id_2 AS v")
         .unionAll(pairs.selectExpr("doc_id_2 AS u", "doc_id_1 AS v"))
-        .localCheckpoint()
+        .transform(eager_checkpoint)
     )
 
     def edge_fingerprint(e: DataFrame) -> tuple[int, int]:
@@ -1360,7 +1388,7 @@ def star_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
                 .selectExpr("b AS u", "a AS v")
             )
         )
-        return out.localCheckpoint()
+        return out.transform(eager_checkpoint)
 
     fp = edge_fingerprint(edges)
     converged = False
@@ -1941,16 +1969,11 @@ def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell_tot = cells.groupBy("o_orderpriority", "order_year").agg(
         F.sum("cnt").alias("n_rows")
     )
-    from pyspark.sql import Window
-
-    glob = (
-        orders.groupBy("o_orderstatus")
-        .agg(F.count(F.lit(1)).alias("gcnt"))
-        .select(
-            "o_orderstatus",
-            "gcnt",
-            F.sum("gcnt").over(Window.partitionBy()).alias("n_total"),
-        )
+    status_counts = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("gcnt")
+    )
+    glob = status_counts.crossJoin(
+        F.broadcast(status_counts.agg(F.sum("gcnt").alias("n_total")))
     )
     grid = (
         cell_tot.crossJoin(F.broadcast(glob))
@@ -2056,7 +2079,7 @@ def q_dupgraph_source_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         minhash_pair_plan(spark, sf_dir)
         .select("doc_id_1", "doc_id_2")
-        .localCheckpoint()
+        .transform(eager_checkpoint)
     )
     m = pairs.agg(F.count(F.lit(1)).alias("m"))
     tagged = (

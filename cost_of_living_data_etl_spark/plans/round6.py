@@ -50,6 +50,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cost_of_living_data_etl_spark.functions.checkpoints import (
+    eager_checkpoint,
+)
 from cost_of_living_data_etl_spark.operators.dedup import (
     _SHINGLES_FROM_WS,
     SHINGLES_SQL,
@@ -855,7 +858,7 @@ def q_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         # size limits the interpreted fallback turned sf0.01 into a
         # multi-minute job (review catch); one checkpointed
         # fingerprint table is the dedup-family persist discipline
-        .localCheckpoint()
+        .transform(eager_checkpoint)
     )
     sizes = fp.selectExpr("doc_id", "CAST(size(fps) AS BIGINT) AS n_fp")
     nd = fp.agg(
@@ -1053,29 +1056,45 @@ def q_ppl_filter_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: inherits the LM's vocab-bounded shuffles; the ppl
     frame is |docs| rows; cutoffs are ceil-rank order statistics
-    (doc_id tiebreak — identical row on both engines) and the curve
-    is a 5-row grid joined against the per-doc frame once.
+    (doc_id tiebreak — identical row on both engines) extracted by the
+    distributed order-statistic path: positions come from the
+    bucket-partitioned zipWithIndex (operators/distributed_rank.py;
+    floor(perplexity·8) is the monotone bucket), the 5 target ranks
+    are a broadcast grid, and the threshold lookup is a broadcast join
+    on position — no single-partition rank window over |docs| rows.
     """
+    from cost_of_living_data_etl_spark.operators.distributed_rank import (
+        with_global_position,
+    )
     from cost_of_living_data_etl_spark.plans.round5 import lm_scored_docs
 
-    ppl = lm_scored_docs(spark, sf_dir).selectExpr(
-        "doc_id", "n_bigrams", "exp(nll / n_bigrams) AS perplexity"
+    ppl = (
+        lm_scored_docs(spark, sf_dir)
+        .selectExpr("doc_id", "n_bigrams", "exp(nll / n_bigrams) AS perplexity")
+        # slim 3-col per-doc frame consumed by FOUR branches (ranking
+        # rollup, rank join, total, final curve join) — materialize so
+        # the bigram-LM scoring pipeline runs once (dedup-family
+        # persist discipline)
+        .transform(eager_checkpoint)
     )
-    r = ppl.selectExpr(
-        "*",
-        "row_number() OVER (ORDER BY perplexity, doc_id) AS rn",
-        "count(*) OVER () AS n",
+    ranked = with_global_position(
+        ppl,
+        ["perplexity", "doc_id"],
+        F.floor(F.col("perplexity") * 8),
+        pos_col="__rnk_pos",
     )
+    n_tot = ppl.agg(F.count(F.lit(1)).alias("n"))
     grid = spark.createDataFrame([(q,) for q in PPL_GRID], "q double")
+    targets = grid.crossJoin(F.broadcast(n_tot)).selectExpr(
+        "q", "greatest(1, CAST(ceil(q * n) AS BIGINT)) AS k"
+    )
     thresholds = (
-        grid.crossJoin(r)
-        .groupBy("q")
-        .agg(
-            F.expr(
-                "max(CASE WHEN rn = greatest(1, CAST(ceil(q * n) AS BIGINT))"
-                " THEN perplexity END)"
-            ).alias("ppl_cut")
+        ranked.join(
+            F.broadcast(targets),
+            F.col("__rnk_pos") == F.col("k") - 1,
         )
+        .groupBy("q")
+        .agg(F.max("perplexity").alias("ppl_cut"))
     )
     tot = ppl.agg(
         F.count(F.lit(1)).cast("long").alias("docs_total"),

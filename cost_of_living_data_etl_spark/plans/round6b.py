@@ -35,6 +35,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from cost_of_living_data_etl_spark.functions.checkpoints import (
+    eager_checkpoint,
+)
 from cost_of_living_data_etl_spark.functions.columns import det_sum
 from cost_of_living_data_etl_spark.operators.similarity import (
     cosine_expr,
@@ -160,7 +163,7 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never re-scans the corpus to recover them. Checkpoint so the K
     # unrolled greedy branches below never re-run this scan either.
     cand = (
-        rel.orderBy(F.col("rel").desc(), "vec_id").limit(MMR_POOL).localCheckpoint()
+        rel.orderBy(F.col("rel").desc(), "vec_id").limit(MMR_POOL).transform(eager_checkpoint)
     )
     a, b = cand.alias("a"), cand.alias("b")
     sims = (
@@ -172,7 +175,7 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sim"
             ),
         )
-    ).localCheckpoint()  # POOL² rows, reused by every greedy step
+    ).transform(eager_checkpoint)  # POOL² rows, reused by every greedy step
     cand = cand.select("vec_id", "rel")
     selected = (
         cand.orderBy(F.col("rel").desc(), "vec_id")
@@ -216,7 +219,7 @@ def q_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # ≤K-row frame; checkpointing keeps step i+1's lineage flat
         # instead of recursively re-deriving every earlier pick.
-        selected = selected.unionByName(pick).localCheckpoint()
+        selected = selected.unionByName(pick).transform(eager_checkpoint)
     return selected
 
 

@@ -32,6 +32,9 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
+from cost_of_living_data_etl_spark.functions.checkpoints import (
+    eager_checkpoint,
+)
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.sources.tables import load_table
 
@@ -150,7 +153,7 @@ def q_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)"
             f" * {PCA_SCALE}) AS BIGINT))"
         ).alias("qv"),
-    ).localCheckpoint()
+    ).transform(eager_checkpoint)
     flat = q.select(
         "label", F.posexplode("qv").alias("i", "qi"), "qv"
     )

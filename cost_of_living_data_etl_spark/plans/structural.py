@@ -37,6 +37,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from cost_of_living_data_etl_spark.functions.checkpoints import (
+    eager_checkpoint,
+)
 from cost_of_living_data_etl_spark.operators.dedup import SHINGLES_SQL, shingle_docs
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.sources.tables import load_table
@@ -93,13 +96,34 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB: the shuffles carry (doc_id, token_hash) and (doc_id,
     token_hash, df) pairs — never text. The quadratic lives only
-    inside per-prefix-token buckets (rarest-first keeps them small;
-    df-capped tokens could be dropped from prefixes entirely for a
-    skew guard). This is the exact-answer complement of
-    ``q_dedup_minhash_lsh``: LSH for recall-tunable speed, prefix
+    inside per-prefix-token buckets (rarest-first keeps them small);
+    the production skew guard is ``setsim_pairs(max_prefix_df=...)``,
+    which drops df-capped tokens from prefixes entirely — proven on
+    the hostile boilerplate fixture (SCALE.md §"hostile fixture
+    through the pair consumers"). This is the exact-answer complement
+    of ``q_dedup_minhash_lsh``: LSH for recall-tunable speed, prefix
     join when the answer must be exact.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    return setsim_pairs(load_table(spark, sf_dir, "documents"))
+
+
+def setsim_pairs(
+    docs: DataFrame, max_prefix_df: int | None = None
+) -> DataFrame:
+    """Exact Jaccard >= SETSIM_T pair miner (PPJoin prefix filtering)
+    over a (doc_id, text) frame — the engine behind
+    ``q_setsim_prefix_join`` and the threshold-curve consumer.
+
+    ``max_prefix_df`` is the production skew guard the docstring above
+    names: tokens with document frequency above the cap are dropped
+    from PREFIXES (the candidate generator) — a boilerplate family
+    whose every token is df-heavy generates NO candidates instead of a
+    b² bucket. Candidates that are generated still verify on the full
+    hashed-shingle sets, so surviving pairs are exact; the trade is
+    recall on pairs whose ONLY shared prefix token is df-heavy (i.e.
+    boilerplate families — which exact dedup catches upstream). The
+    default None keeps the lossless contract and exact oracle parity.
+    """
     # ONE shingling pass: the regex split + 3-gram build is the
     # expensive kernel and this plan consumes its output on THREE
     # branches (df counts, prefix ranking, verification) — Catalyst
@@ -131,7 +155,11 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     prefix = ranked.filter(
         F.col("rn") <= F.col("n_h") - F.ceil(F.lit(SETSIM_T) * F.col("n_h")) + 1
-    ).select("doc_id", "h", "n_h", "rn")
+    )
+    if max_prefix_df is not None:
+        # skew guard: df-heavy tokens never generate candidates
+        prefix = prefix.filter(F.col("df") <= max_prefix_df)
+    prefix = prefix.select("doc_id", "h", "n_h", "rn")
     a = prefix.select(
         F.col("doc_id").alias("d1"),
         "h",
@@ -721,7 +749,7 @@ def q_dedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB: inherits the prefix join's scale shape (shuffles carry id
     + token hashes, quadratic bounded to rarest-first prefix buckets);
     the sweep itself runs on the pair set × a 5-row constant."""
-    pairs = q_setsim_prefix_join(spark, sf_dir).localCheckpoint()
+    pairs = q_setsim_prefix_join(spark, sf_dir).transform(eager_checkpoint)
     taus = spark.createDataFrame(
         [(float(t),) for t in DEDUP_TAUS], "tau double"
     )

@@ -23,7 +23,7 @@ touches the row path — every expression is a Catalyst column.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.sources.tables import load_table
@@ -386,10 +386,11 @@ def q14_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15: supplier(s) with max quarterly revenue.
 
-    The scalar subquery becomes an unpartitioned max window over the
-    per-supplier aggregate — one extra exchange over |suppliers| rows
-    (tiny post-agg), no recompute of the revenue CTE, no driver
-    round-trip.
+    The scalar subquery becomes a broadcast 1-row max aggregate
+    cross-joined against the per-supplier revenue frame — fully
+    map-side after the revenue agg (|suppliers| scales with data, so
+    an unpartitioned max window here would funnel it through one
+    task), no recompute of the revenue CTE, no driver round-trip.
     """
     lineitem = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -398,8 +399,8 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = lineitem.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_revenue()).alias("total_revenue")
     )
-    w = Window.partitionBy()
-    best = revenue.withColumn("max_rev", F.max("total_revenue").over(w)).filter(
+    mx = revenue.agg(F.max("total_revenue").alias("max_rev"))
+    best = revenue.crossJoin(F.broadcast(mx)).filter(
         F.col("total_revenue") == F.col("max_rev")
     )
     supplier = load_table(spark, sf_dir, "supplier")

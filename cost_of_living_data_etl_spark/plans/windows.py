@@ -180,14 +180,27 @@ def q_window_running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_window_ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global ntile(4) bucketing then per-bucket stats.
 
-    Global (unpartitioned) window = single-task sort; acceptable on
-    orders-sized inputs, replaced by approx quantile cutpoints at
-    100 TB (see q_percentiles_order_value note).
+    ntile is computed EXACTLY but distributed: global (price, key)
+    positions come from the bucket-partitioned zipWithIndex
+    (operators/distributed_rank.py — floor(price) is the monotone
+    bucket), and the tile is closed-form ntile arithmetic on the
+    position (the first n mod 4 tiles get ⌈n/4⌉ rows, the rest ⌊n/4⌋)
+    — bit-identical to the single-task ntile(4) window it replaces.
     """
-    w = Window.orderBy("o_totalprice", "o_orderkey")
+    from cost_of_living_data_etl_spark.operators.distributed_rank import (
+        with_global_ntile,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    tiled = with_global_ntile(
+        orders,
+        4,
+        ["o_totalprice", "o_orderkey"],
+        F.floor(F.col("o_totalprice")),
+        out_col="quartile",
+    )
     return (
-        _t(spark, sf_dir, "orders")
-        .select("o_totalprice", F.ntile(4).over(w).cast("long").alias("quartile"))
+        tiled.select("o_totalprice", F.col("quartile").cast("long").alias("quartile"))
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),

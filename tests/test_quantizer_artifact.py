@@ -103,11 +103,15 @@ def test_nonstandard_k_requires_explicit_escape_hatch(spark, tmp_path):
     clear_quantizer_caches()
 
 
-def test_guards_stand_down_for_a_primed_session(spark, tmp_path, monkeypatch):
+def test_guards_stand_down_only_for_scale_path_primes(
+    spark, tmp_path, monkeypatch
+):
     """Round-6 review: the SemDeDup / mutual-NN oversized-corpus guards
     advertise the artifact workflow, so a primed session must actually
-    get PAST them (previously the refusal fired before the cache was
-    consulted, making the advertised path unreachable)."""
+    get PAST them. Round-7 refinement: ONLY a k ∝ N (k != IVF_K) prime
+    is that scale path — a primed STANDARD-k artifact reproduces
+    exactly the quadratic within-cell geometry the guards refuse, so
+    the refusal must survive it."""
     import pytest
 
     from cost_of_living_data_etl_spark.operators import similarity
@@ -122,9 +126,39 @@ def test_guards_stand_down_for_a_primed_session(spark, tmp_path, monkeypatch):
     with pytest.raises(ValueError, match="fit a k ∝ N quantizer"):
         round4.q_mutual_nn_ann(spark, SF).collect()
 
-    out = str(tmp_path / "q_std")
-    fit_quantizer(spark, SF, out)  # k = IVF_K: oracle-replayable
-    use_quantizer_artifact(spark, SF, out)
+    # a standard-k prime does NOT stand the guards down: same fixed-k
+    # quadratic geometry, same refusal
+    out_std = str(tmp_path / "q_std")
+    fit_quantizer(spark, SF, out_std)  # k = IVF_K: oracle-replayable
+    use_quantizer_artifact(spark, SF, out_std)
+    assert similarity.is_artifact_primed(SF)
+    assert not similarity.is_artifact_primed(SF, scale_path_only=True)
+    with pytest.raises(ValueError, match="fit a k ∝ N quantizer"):
+        similarity.q_semdedup_cluster_prune(spark, SF).collect()
+    with pytest.raises(ValueError, match="fit a k ∝ N quantizer"):
+        round4.q_mutual_nn_ann(spark, SF).collect()
+
+    # a k ∝ N prime (through the documented escape hatch the guard
+    # message spells out) IS the scale path — guards stand down
+    out_scaled = str(tmp_path / "q_scaled")
+    fit_quantizer(spark, SF, out_scaled, k=5)
+    clear_quantizer_caches()
+    use_quantizer_artifact(spark, SF, out_scaled, allow_nonstandard_k=True)
+    assert similarity.is_artifact_primed(SF, scale_path_only=True)
     assert similarity.q_semdedup_cluster_prune(spark, SF).count() >= 0
     assert round4.q_mutual_nn_ann(spark, SF).count() >= 0
     clear_quantizer_caches()
+
+
+def test_guard_messages_advertise_a_runnable_priming_call():
+    """ADVICE r06: the remediation text must name the escape hatch —
+    the advertised use_quantizer_artifact call primes a k ≠ IVF_K
+    artifact, which raises without allow_nonstandard_k=True."""
+    import inspect
+
+    from cost_of_living_data_etl_spark.operators import similarity
+    from cost_of_living_data_etl_spark.plans import round4
+
+    for fn in (similarity.q_semdedup_cluster_prune, round4.q_mutual_nn_ann):
+        src = inspect.getsource(fn)
+        assert "allow_nonstandard_k=True" in src, fn.__name__

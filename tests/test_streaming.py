@@ -1332,3 +1332,54 @@ def test_tws_profile_final_state_equals_batch_twin(spark, tmp_path):
         assert g["top_type_count"] == w["top_type_count"], uid
         assert abs(g["total_value"] - w["total_value"]) < 1e-9, uid
         assert abs(g["recent_mean"] - w["recent_mean"]) < 1e-9, uid
+
+
+def test_watermark_dedup_stream_equals_twin(spark, tmp_path):
+    """Streamed dropDuplicatesWithinWatermark over the duplicate-ingest
+    scenario == the q_watermark_dedup_twin batch rule, on the
+    ts-independent projection (within one micro-batch the streaming
+    operator keeps an arbitrary copy; the copies' payloads are
+    identical, so ids / per-type counts / value totals are the
+    deterministic contract — the twin's docstring spells this out)."""
+    from cost_of_living_data_etl_spark.plans.round7 import DUP_DELAY_MIN
+
+    d = tmp_path / "dup_ingest"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "a.parquet")
+    # the late duplicate: same ids, ts shifted inside the watermark
+    spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "ts", F.col("ts") + F.expr(f"INTERVAL {DUP_DELAY_MIN} MINUTES")
+    ).write.parquet(str(d / "b.parquet"))
+
+    stream = dedup_within_watermark(read_events_stream(spark, str(d)))
+    name = f"wmtwin_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await(q)
+
+    got = {
+        (r["event_type"], r["n_unique"], round(r["value_total"], 6))
+        for r in (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_unique"),
+                F.sum("value").alias("value_total"),
+            )
+            .collect()
+        )
+    }
+    twin = {
+        (r["event_type"], r["n_unique"], round(r["value_total"], 6))
+        for r in catalog()["q_watermark_dedup_twin"].fn(spark, SF).collect()
+    }
+    assert got == twin
+    assert len(twin) > 0
+    # and the streamed kept ids are exactly the twin's id universe
+    n_ids = spark.table(name).select("event_id").distinct().count()
+    assert spark.table(name).count() == n_ids  # one row per id survived

@@ -13,7 +13,28 @@ here).
    event_id, and emit the per-type audit a pipeline would verify after
    an exactly-once-ish ingest. Streamed-output ≡ twin is pinned by
    tests/test_streaming.py::test_watermark_dedup_stream_equals_twin.
+2. ``q_doc_length_order_stats`` — EXACT p50/90/99 document length via
+   the distributed order-statistic path (no approx sketch, no
+   single-task rank window).
+3. ``q_length_decile_concentration`` — character-mass Lorenz table
+   over exact distributed length deciles.
+4. ``q_corpus_packing_offsets`` — contiguous token-stream layout
+   manifest: global token offsets as distributed exclusive prefix
+   sums (the index a pretraining data loader needs).
+5. ``q_systematic_sample_stride`` — every k-th doc of the ordered
+   corpus (deterministic spot-audit draw), positions from the
+   distributed zipWithIndex.
+6. ``q_prefix_dup_families`` — templated-intro probe: md5 of the
+   first 96 chars → multi-doc prefix family mass per source.
+7. ``q_dedup_keeper_source_shift`` — mixture-bias audit of dedup:
+   per-source corpus share before vs after near-dup clusters collapse
+   to their keeper (CC labels replayed in the oracle).
+8. ``q_cluster_safe_split`` — train/val/test split hashed on the
+   CLUSTER id so near-dup families never straddle splits, with the
+   count of documents a naive per-doc hash split would have leaked.
 
+2-6 are built on operators/distributed_rank.py (this round's
+primitive); 7-8 compose the hash-verified connected-components labels.
 Float discipline per the house recipes (det_sum fold; single
 divisions; BIGINT casts on both engines).
 """
@@ -430,4 +451,180 @@ def q_prefix_dup_families(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("fam_n")
         ).alias("templated_rate"),
         F.max("fam_n").cast("long").alias("max_family"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 7. dedup keeper source shift (mixture bias audit of the dedup stage)
+# --------------------------------------------------------------------------
+
+# the connected-components oracle (doc_id, cluster_id) reused as a
+# subquery by both cluster-composition operators below
+from cost_of_living_data_etl_spark.operators.dedup import (  # noqa: E402
+    _CLUSTERS_ORACLE,
+)
+
+_KEEPER_SHIFT_ORACLE = f"""
+WITH cl AS ( {{clusters}} ),
+j AS (
+    SELECT d.source, d.n_chars,
+           CASE WHEN d.doc_id = cl.cluster_id THEN 1 ELSE 0 END AS kept
+    FROM documents d JOIN cl ON d.doc_id = cl.doc_id
+),
+tot AS (
+    SELECT CAST(count(*) AS BIGINT) AS all_docs,
+           CAST(sum(kept) AS BIGINT) AS all_kept
+    FROM j
+)
+SELECT j.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       sum(kept) * 1.0 / count(*) AS kept_rate,
+       count(*) * 1.0 / max(t.all_docs) AS share_before,
+       sum(kept) * 1.0 / max(t.all_kept) AS share_after,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total,
+       CAST(sum(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_kept
+FROM j CROSS JOIN tot t
+GROUP BY j.source
+"""
+
+
+@register(
+    "q_dedup_keeper_source_shift",
+    oracle=_KEEPER_SHIFT_ORACLE.format(clusters=_CLUSTERS_ORACLE),
+    tags=("dedup", "mixture", "bias-audit", "training-data"),
+)
+def q_dedup_keeper_source_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-bias audit of the dedup stage: per source, how the
+    corpus share SHIFTS when near-dup clusters collapse to their
+    keeper (min doc_id of the connected component — the production
+    dedup output). A source that duplicates heavily (content farms,
+    mirrors) loses share after dedup; training-mixture weights set on
+    PRE-dedup counts silently over-weight it. share_before vs
+    share_after is the correction factor a mixture designer applies.
+
+    Composition: the hash-verified CC labels (q_dedup_clusters — same
+    iterative min-label propagation, replayed in the oracle as the
+    same recursive CTE) joined back to source labels; everything after
+    the labels is one partial-aggregated groupBy(source) plus a
+    broadcast 2-scalar total. Scale: inherits CC's edge-bounded
+    shuffles; the audit adds one |docs| join on doc_id.
+    """
+    from cost_of_living_data_etl_spark.operators.dedup import q_dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    cl = q_dedup_clusters(spark, sf_dir)
+    j = docs.join(cl, "doc_id").select(
+        "source",
+        "n_chars",
+        F.when(F.col("doc_id") == F.col("cluster_id"), 1)
+        .otherwise(0)
+        .alias("kept"),
+    )
+    tot = j.agg(
+        F.count(F.lit(1)).cast("long").alias("all_docs"),
+        F.sum("kept").cast("long").alias("all_kept"),
+    )
+    return (
+        j.crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            (F.sum("kept") * F.lit(1.0) / F.count(F.lit(1))).alias("kept_rate"),
+            (
+                F.count(F.lit(1)) * F.lit(1.0) / F.max("all_docs")
+            ).alias("share_before"),
+            (F.sum("kept") * F.lit(1.0) / F.max("all_kept")).alias(
+                "share_after"
+            ),
+            F.sum("n_chars").cast("long").alias("chars_total"),
+            F.sum(F.when(F.col("kept") == 1, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("chars_kept"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 8. cluster-safe train/val/test split (near-dup leakage prevention)
+# --------------------------------------------------------------------------
+
+_SPLIT_TRAIN_CUT = 80
+_SPLIT_VAL_CUT = 90
+
+_CSPLIT_BUCKET_SPARK = (
+    "cast(conv(substring(md5(cast({k} AS STRING)), 1, 15), 16, 10)"
+    " AS BIGINT) % 100"
+)
+_CSPLIT_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(CAST({k} AS VARCHAR)), 1, 15)) AS BIGINT) % 100"
+)
+
+_CSPLIT_CASE = (
+    "CASE WHEN {b} < " + str(_SPLIT_TRAIN_CUT) + " THEN 'train' "
+    "WHEN {b} < " + str(_SPLIT_VAL_CUT) + " THEN 'val' ELSE 'test' END"
+)
+
+_CLUSTER_SPLIT_ORACLE = f"""
+WITH cl AS ( {{clusters}} ),
+assigned AS (
+    SELECT cl.doc_id, cl.cluster_id,
+           {_CSPLIT_CASE.format(b=_CSPLIT_BUCKET_SQL.format(k="cl.cluster_id"))}
+             AS split,
+           {_CSPLIT_CASE.format(b=_CSPLIT_BUCKET_SQL.format(k="cl.doc_id"))}
+             AS naive_split
+    FROM cl
+)
+SELECT split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster_id) AS BIGINT) AS n_clusters,
+       CAST(sum(CASE WHEN naive_split <> split THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_rescued
+FROM assigned GROUP BY split
+"""
+
+
+@register(
+    "q_cluster_safe_split",
+    oracle=_CLUSTER_SPLIT_ORACLE.format(clusters=_CLUSTERS_ORACLE),
+    tags=("training-prep", "split", "dedup", "leakage"),
+)
+def q_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-leakage-safe train/val/test split: the split is a
+    deterministic md5 bucket of the CLUSTER id, so every member of a
+    near-dup family lands in the SAME split — a per-document hash
+    split leaks paraphrases of training documents into the eval sets
+    (the eval-contamination failure mode dedup papers warn about;
+    q_leakage_safe_split_by_source solves the same problem at source
+    grain, this is the fine-grained version). ``n_docs_rescued``
+    counts documents whose naive per-doc split would have DISAGREED
+    with their family's split — the leakage surface this operator
+    closes.
+
+    Scale: CC labels (edge-bounded shuffles) + one map-side md5 per
+    row + one groupBy(split) to 3 rows. Same split cuts (80/10/10)
+    and md5-bucket idiom as q_train_val_test_split, so the two
+    operators compose.
+    """
+    from cost_of_living_data_etl_spark.operators.dedup import q_dedup_clusters
+
+    cl = q_dedup_clusters(spark, sf_dir)
+    assigned = cl.selectExpr(
+        "doc_id",
+        "cluster_id",
+        _CSPLIT_CASE.format(b=_CSPLIT_BUCKET_SPARK.format(k="cluster_id"))
+        + " AS split",
+        _CSPLIT_CASE.format(b=_CSPLIT_BUCKET_SPARK.format(k="doc_id"))
+        + " AS naive_split",
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("cluster_id").cast("long").alias("n_clusters"),
+        F.sum(F.when(F.col("naive_split") != F.col("split"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_rescued"),
     )

@@ -353,6 +353,12 @@ def main() -> None:
 
     cold: dict[str, float] = {}
 
+    # NOTE (round 7): an unpersist-all-RDDs-between-queries variant was
+    # measured and REJECTED — it made the full-catalog warm total ~35%
+    # slower (blocking unpersist calls per query outweigh any block-
+    # manager pressure), and the late-session slowdown it targeted
+    # turned out to be host-state noise (untouched sentinel queries
+    # moved 2-4x between runs with zero code change; SCALE.md "Pinned").
     def run_once(name: str):
         """Timed end-to-end run; fn() construction stays INSIDE the
         timer (fit-heavy queries pay their driver-side passes here,

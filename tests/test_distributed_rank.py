@@ -109,3 +109,73 @@ def test_sparse_and_duplicate_heavy_positions(spark):
         "v", "id", (F.row_number().over(Window.orderBy("v", "id")) - 1).alias("pos")
     )
     assert _same(got, exp)
+
+
+# --- hypothesis fuzz: random data × random bucket granularity ---------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_H_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        min_size=1,
+        max_size=400,
+    ),
+    divisor=st.sampled_from([1, 7, 1000, 10**6, 10**12]),
+    sb=st.sampled_from([2, 16, 1 << 16]),
+)
+@settings(**_H_SETTINGS)
+def test_position_fuzz_matches_reference(spark, vals, divisor, sb):
+    """Any value distribution × any monotone bucket granularity ×
+    any superbucket step reproduces the exact global order — checked
+    against a pure-Python reference (no Spark window on the expected
+    side, so the test cannot share a bug with the implementation)."""
+    rows = [(v, i) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "v long, id long").repartition(5)
+    got = {
+        (r["v"], r["id"]): r["pos"]
+        for r in with_global_position(
+            df, ["v", "id"], F.floor(F.col("v") / F.lit(divisor)), sb_step=sb
+        ).collect()
+    }
+    expected = {
+        (v, i): pos for pos, (v, i) in enumerate(sorted((v, i) for v, i in rows))
+    }
+    assert got == expected
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**6), max_value=10**6),
+            st.integers(min_value=0, max_value=50),
+        ),
+        min_size=1,
+        max_size=300,
+        unique_by=lambda t: t[0],
+    ),
+    divisor=st.sampled_from([1, 13, 10**4]),
+)
+@settings(**_H_SETTINGS)
+def test_prefix_sum_fuzz_matches_reference(spark, vals, divisor):
+    df = spark.createDataFrame(vals, "k long, w long").repartition(3)
+    got = {
+        r["k"]: r["before"]
+        for r in with_prefix_sums(
+            df, ["k"], F.floor(F.col("k") / F.lit(divisor)), {"w": "before"},
+            sb_step=4,
+        ).collect()
+    }
+    acc, expected = 0, {}
+    for k, w in sorted(vals):
+        expected[k] = acc
+        acc += w
+    assert got == expected

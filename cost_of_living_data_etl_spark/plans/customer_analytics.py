@@ -79,10 +79,13 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/distributed_rank.py — recency buckets by day, frequency
     and monetary by their negated values for the DESC orders), so no
     single task ever sorts the |customers| frame; the segment profile
-    is ≤64 rows.
+    is ≤64 rows. Round 8: the three codes share ONE melted pass
+    (with_global_ntiles — one rollup, one spec-grouped carry, one
+    partitioned window for all three orderings) instead of three
+    sequential ntile pipelines; same BIGINT math, same driver hash.
     """
     from cost_of_living_data_etl_spark.operators.distributed_rank import (
-        with_global_ntile,
+        with_global_ntiles,
     )
     from cost_of_living_data_etl_spark.functions.checkpoints import (
         eager_checkpoint,
@@ -105,24 +108,31 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         # once so the orders aggregate never recomputes
         .transform(eager_checkpoint)
     )
-    coded = with_global_ntile(
-        with_global_ntile(
-            with_global_ntile(
-                per_cust,
-                RFM_BUCKETS,
+    # sort keys are ASCENDING expressions (negate for the DESC orders);
+    # position-0 keys coerce int/long/double → double, exact here
+    # (days ≤ 10^4, counts ≤ 10^5, money grid ≤ 10^7·100 ≪ 2^53);
+    # position-1 is the all-long custkey tiebreak, no coercion
+    coded = with_global_ntiles(
+        per_cust,
+        RFM_BUCKETS,
+        [
+            (
                 ["recency_days", "o_custkey"],
                 F.col("recency_days"),
-                out_col="r_quartile",
+                "r_quartile",
             ),
-            RFM_BUCKETS,
-            [F.desc("frequency"), F.asc("o_custkey")],
-            -F.col("frequency"),
-            out_col="f_quartile",
-        ),
-        RFM_BUCKETS,
-        [F.desc("monetary"), F.asc("o_custkey")],
-        F.floor(-F.col("monetary")),
-        out_col="m_quartile",
+            (
+                [-F.col("frequency"), F.col("o_custkey")],
+                -F.col("frequency"),
+                "f_quartile",
+            ),
+            (
+                [-F.col("monetary"), F.col("o_custkey")],
+                F.floor(-F.col("monetary")),
+                "m_quartile",
+            ),
+        ],
+        ["o_custkey"],
     ).select("monetary", "r_quartile", "f_quartile", "m_quartile")
     return coded.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),

@@ -14,6 +14,8 @@ import pytest
 from pyspark.sql import Window
 
 from cost_of_living_data_etl_spark.operators.distributed_rank import (
+    with_global_ntile,
+    with_global_ntiles,
     with_global_position,
     with_next_key,
     with_prefix_sums,
@@ -109,6 +111,129 @@ def test_sparse_and_duplicate_heavy_positions(spark):
         "v", "id", (F.row_number().over(Window.orderBy("v", "id")) - 1).alias("pos")
     )
     assert _same(got, exp)
+
+
+# --- bucket contract: NULL/NaN keys fail loudly (ADVICE r07) -----------------
+
+
+def test_null_bucket_raises(spark):
+    """A NULL bucket would silently drop the row at the offset
+    equi-join — the primitive must refuse instead."""
+    df = spark.createDataFrame(
+        [(1, 0), (None, 1), (3, 2)], "v long, id long"
+    )
+    with pytest.raises(Exception, match="NULL or NaN"):
+        with_global_position(df, ["v", "id"], F.col("v")).collect()
+
+
+def test_nan_bucket_raises(spark):
+    """A NaN bucket casts to 0 while windows order NaN last — refuse."""
+    df = spark.createDataFrame(
+        [(1.0, 0), (float("nan"), 1), (3.0, 2)], "v double, id long"
+    )
+    # NB: the guard sees the bucket EXPRESSION's value — a caller who
+    # wraps NaN in floor() first gets floor's own NaN→0 collapse (the
+    # documented contract covers the expression handed to the helper)
+    with pytest.raises(Exception, match="NULL or NaN"):
+        with_global_position(df, ["v", "id"], F.col("v")).collect()
+
+
+def test_valid_buckets_unaffected_by_guard(spark):
+    """The guard is a pass-through for contract-abiding inputs,
+    including negative buckets."""
+    df = _frame(spark, n=300)
+    got = with_global_position(df, ["v", "id"], F.col("v")).select(
+        "v", "id", "pos"
+    )
+    exp = df.select(
+        "v", "id", (F.row_number().over(Window.orderBy("v", "id")) - 1).alias("pos")
+    )
+    assert _same(got, exp)
+
+
+# --- multi-spec ntile: one shared pass ≡ k independent passes ----------------
+
+
+def test_multi_ntile_matches_global_windows(spark):
+    """with_global_ntiles over 3 orderings (asc, desc via negation,
+    double keys) must be bit-identical to 3 global window ntiles."""
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randint(0, 50), rng.randint(1, 900), round(rng.uniform(1, 9e4), 2))
+        for i in range(1500)
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, a long, b long, m double"
+    ).repartition(6)
+    got = with_global_ntiles(
+        df,
+        4,
+        [
+            (["a", "k"], F.col("a"), "ta"),
+            ([-F.col("b"), F.col("k")], -F.col("b"), "tb"),
+            ([-F.col("m"), F.col("k")], F.floor(-F.col("m")), "tm"),
+        ],
+        ["k"],
+        sb_step=8,
+    ).select("k", "a", "b", "m", "ta", "tb", "tm")
+    exp = df.select(
+        "k",
+        "a",
+        "b",
+        "m",
+        F.ntile(4).over(Window.orderBy("a", "k")).alias("ta"),
+        F.ntile(4).over(Window.orderBy(F.desc("b"), F.asc("k"))).alias("tb"),
+        F.ntile(4).over(Window.orderBy(F.desc("m"), F.asc("k"))).alias("tm"),
+    )
+    assert _same(got, exp)
+
+
+def test_multi_ntile_matches_single_spec_helper(spark):
+    """One melted pass ≡ sequential with_global_ntile calls (the shape
+    q_rfm_segments replaced), including payload column passthrough."""
+    df = _frame(spark, n=900).withColumn("payload", F.col("v") * 2 + 1)
+    got = with_global_ntiles(
+        df,
+        5,
+        [
+            (["v", "id"], F.col("v"), "t_asc"),
+            ([-F.col("v"), F.col("id")], -F.col("v"), "t_desc"),
+        ],
+        ["id"],
+        sb_step=16,
+    ).select("id", "v", "payload", "t_asc", "t_desc")
+    exp = with_global_ntile(
+        with_global_ntile(
+            df, 5, ["v", "id"], F.col("v"), out_col="t_asc", sb_step=16
+        ),
+        5,
+        [-F.col("v"), F.col("id")],
+        -F.col("v"),
+        out_col="t_desc",
+        sb_step=16,
+    ).select("id", "v", "payload", "t_asc", "t_desc")
+    assert _same(got, exp)
+
+
+def test_multi_ntile_is_plan_clean(spark):
+    """The shared pass must not smuggle in an unpartitioned window."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plan_audit import count_global_windows
+
+    df = _frame(spark, n=60)
+    out = with_global_ntiles(
+        df,
+        4,
+        [
+            (["v", "id"], F.col("v"), "t1"),
+            ([-F.col("v"), F.col("id")], -F.col("v"), "t2"),
+        ],
+        ["id"],
+    )
+    assert count_global_windows(out) == 0
 
 
 # --- hypothesis fuzz: random data × random bucket granularity ---------------

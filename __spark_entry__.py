@@ -11,7 +11,6 @@ just adapts the query catalog to the driver's shape.
 
 from __future__ import annotations
 
-import json
 import sys
 from collections.abc import Callable
 from pathlib import Path
@@ -23,6 +22,9 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 from cost_of_living_data_etl_spark.plans import catalog  # noqa: E402
+from cost_of_living_data_etl_spark.verification import (  # noqa: E402
+    verified_names,
+)
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 FLAGSHIP = "q1_pricing_summary"
@@ -34,24 +36,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _hash_verified_names() -> set[str]:
-    """Query names with a green hash_match in any prior CORRECTNESS_r*.json.
+    """Query names whose CURRENT plan has a green driver hash.
 
     The driver verifies a bounded sample of ``queries()`` per round, in
     dict order — so enumerate not-yet-hash-verified queries FIRST and the
     sample converges to full catalog coverage across rounds with no
     manual curation. Rows-only (no-oracle) and failed rows do NOT count
     as verified: they re-sort to the front until they earn a green row.
+
+    Round 8 (verdict item 1): "verified" is plan-fingerprint-aware — a
+    green row only counts while the query's analyzed-plan fingerprint
+    still matches the one recorded when the green was earned
+    (history/verified_fingerprints.json vs plan_fingerprints.json), so
+    a rewritten query loses its verified status and the next driver
+    sample re-hash-checks the NEW plan. Logic + maintenance in
+    cost_of_living_data_etl_spark/verification.py.
     """
-    seen: set[str] = set()
-    for p in sorted(Path(_REPO).glob("CORRECTNESS_r*.json")):
-        try:
-            data = json.loads(p.read_text())
-        except (OSError, ValueError):
-            continue
-        for name, row in data.items():
-            if isinstance(row, dict) and row.get("hash_match") is True:
-                seen.add(name)
-    return seen
+    return verified_names(Path(_REPO))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

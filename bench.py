@@ -266,6 +266,16 @@ def main() -> None:
     # prior fingerprint map exists for this SF.
     changed_only = "--changed-only" in sys.argv
 
+    # Fold any NEW driver-correctness greens into the verified-
+    # fingerprint map BEFORE this run overwrites plan_fingerprints.json
+    # — at this moment the file still holds the fingerprints of the
+    # commit the driver verified (verification.py module docstring).
+    from cost_of_living_data_etl_spark.verification import (
+        sync_verified_fingerprints,
+    )
+
+    sync_verified_fingerprints(Path(_REPO))
+
     spark = get_spark(app_name="cost-of-living-bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = catalog()
@@ -314,6 +324,7 @@ def main() -> None:
         # plan-only mode exists to skip. Restored before the timed
         # loop (timings keep the production AQE-on contract).
         aqe_prev = spark.conf.get("spark.sql.adaptive.enabled")
+        plan_only_prev = os.environ.get(PLAN_ONLY_ENV)  # restore, don't clobber (ADVICE r07)
         os.environ[PLAN_ONLY_ENV] = "1"
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
@@ -322,7 +333,10 @@ def main() -> None:
                 for name in HEADLINE
             }
         finally:
-            os.environ.pop(PLAN_ONLY_ENV, None)
+            if plan_only_prev is None:
+                os.environ.pop(PLAN_ONLY_ENV, None)
+            else:
+                os.environ[PLAN_ONLY_ENV] = plan_only_prev
             spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
         from cost_of_living_data_etl_spark.operators.similarity import (
             clear_quantizer_caches,

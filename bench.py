@@ -59,6 +59,55 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # deltas vs BENCH_r01–r04 remain interpretable.
 HEADLINE: list[str] = []  # filled from catalog() in main()
 
+# Drift canary (round-8 verdict item 3): cross-snapshot totals are
+# dominated by host noise (untouched queries moved up to 4x between
+# rounds 6 and 7 with zero code change), which turns every round's
+# perf story into re-litigation. These ~15 queries are CHEAP (~0.2-1 s
+# warm each at sf0.1), PLAN-STABLE (no session-keyed table names, no
+# fit caches), UNTOUCHED since early rounds, and span the engine's
+# families (scan+agg, join, window, pivot, text, events, dedup,
+# corpus). Their total moves with the HOST, not the code — so the
+# bench emits both the raw warm total and a canary-normalized one
+# (raw / canary_ratio), and regression claims gate on the normalized
+# number. The set includes the three round-7 drift exemplars
+# (q_pack_sequences, q_monthly_order_extremes, q_join_key_skew_profile).
+# Contract: NEVER rewrite a canary query; replace the entry here (and
+# in SCALE.md) if one must change.
+CANARY = [
+    "q1_pricing_summary",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q13_order_count_distribution",
+    "q_distinct_counts",
+    "q_pivot_priority_counts",
+    "q_word_frequency_topk",
+    "q_histogram_order_values",
+    "q_events_funnel",
+    "q_events_retention",
+    "q_text_token_counts",
+    "q_date_extraction_revenue",
+    "q_monthly_order_extremes",
+    "q_pack_sequences",
+    "q_join_key_skew_profile",
+]
+
+
+def _canary_reference(round_n: int) -> tuple[float | None, int | None]:
+    """Newest prior full-run snapshot at the same SF with every canary
+    timing present -> (canary total, its round). (None, None) if none."""
+    for r in range(round_n - 1, 0, -1):
+        p = Path(_REPO, "history", f"bench_full_r{r:02d}.json")
+        try:
+            rec = json.loads(p.read_text())
+        except (OSError, ValueError):
+            continue
+        if rec.get("sf") != SF_DIR:
+            continue
+        qs = rec.get("queries", {})
+        if all(c in qs for c in CANARY):
+            return round(sum(qs[c] for c in CANARY), 3), r
+    return None, None
+
 _LEGACY_HEADLINE = [
     "q1_pricing_summary",
     "q4_order_priority",
@@ -419,6 +468,26 @@ def main() -> None:
         "queries_cold": cold,
         "sf": SF_DIR,
     }
+    # canary-normalized total (see CANARY above): ratio ~= host drift
+    # since the reference round; normalized_value is the cross-round
+    # comparable number
+    round_n = 1 + len(list(Path(_REPO).glob("BENCH_r*.json")))
+    canary_now = (
+        round(sum(timings[c] for c in CANARY), 3)
+        if all(c in timings for c in CANARY)
+        else None
+    )
+    canary_ref, canary_ref_round = _canary_reference(round_n)
+    full["canary"] = {
+        "queries": CANARY,
+        "value": canary_now,
+        "ref_value": canary_ref,
+        "ref_round": canary_ref_round,
+    }
+    if canary_now and canary_ref:
+        ratio = round(canary_now / canary_ref, 4)
+        full["canary"]["ratio"] = ratio
+        full["normalized_value"] = round(full["value"] / ratio, 3)
     Path(_REPO, "BENCH_LOCAL.json").write_text(json.dumps(full, indent=1))
     # Per-round FULL snapshot (round-5 verdict item 4): BENCH_LOCAL.json
     # is overwritten per run and the driver's BENCH_r{N}.json keeps only
@@ -426,7 +495,6 @@ def main() -> None:
     # analysis a biased sample. The round about to be recorded is
     # 1 + the number of driver artifacts already on disk; re-runs
     # within a round overwrite the same snapshot (latest wins).
-    round_n = 1 + len(list(Path(_REPO).glob("BENCH_r*.json")))
     hist = Path(_REPO, "history")
     hist.mkdir(exist_ok=True)
     (hist / f"bench_full_r{round_n:02d}.json").write_text(
@@ -446,6 +514,10 @@ def main() -> None:
         "sf": SF_DIR,
         "queries": {},
     }
+    if "normalized_value" in full:
+        headline["normalized_value"] = full["normalized_value"]
+        headline["canary_ratio"] = full["canary"]["ratio"]
+        headline["canary_ref_round"] = full["canary"]["ref_round"]
     for name, sec in sorted(timings.items(), key=lambda kv: -kv[1]):
         headline["queries"][name] = sec
         if len(json.dumps(headline, separators=(",", ":"))) > TAIL_BUDGET:

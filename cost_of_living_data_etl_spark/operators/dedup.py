@@ -31,6 +31,7 @@ from cost_of_living_data_etl_spark.functions.checkpoints import (
 )
 from cost_of_living_data_etl_spark.functions.columns import det_sum
 from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.profiles import USE_PROFILE, resolve
 from cost_of_living_data_etl_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -205,7 +206,7 @@ WHERE length(list_intersect(s1.hset, s2.hset)) * 1.0
 
 
 def minhash_pair_plan(
-    spark: SparkSession, sf_dir: str, max_bucket: int | None = None
+    spark: SparkSession, sf_dir: str, max_bucket=USE_PROFILE
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs, Jaccard-verified.
 
@@ -214,7 +215,9 @@ def minhash_pair_plan(
     emits b² candidate pairs — boilerplate/empty documents at 100 TB
     produce million-row buckets that would dominate the join). Capped
     buckets are near-exact-dup families, which exact dedup already
-    catches upstream. Default None keeps exact oracle parity.
+    catches upstream. Defaults to the active profile's
+    ``lsh_max_bucket`` (profiles.py): None under parity — exact oracle
+    replay — and capped under SPARK_GRAFT_PROFILE=production.
 
     shingle → minhash (map-only) → band-bucket join (shuffle on band
     hash) → exact verification on candidates only. With 16 perms in
@@ -269,16 +272,21 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
 
 def neardup_pairs_from_sigs(
     mh: DataFrame,
-    max_bucket: int | None = None,
+    max_bucket=USE_PROFILE,
     touching_only: str | None = None,
 ) -> DataFrame:
     """Band-join + Jaccard-verify over an existing signature table.
+
+    ``max_bucket`` defaults to the active profile's ``lsh_max_bucket``
+    (profiles.py); an explicit value — including None for lossless —
+    always wins over the profile.
 
     ``touching_only``: name of a boolean column in ``mh``; when given,
     only pairs where at least one side has it true are mined — the
     incremental-dedup path (new batch vs corpus) where corpus-internal
     pairs are already known and must not be recomputed.
     """
+    max_bucket = resolve(max_bucket, "lsh_max_bucket")
     # one row → BANDS rows via posexplode: minhashes computed once per
     # doc (a union of per-band branches would recompute them per band)
     band_cols = ["doc_id"] + ([touching_only] if touching_only else [])

@@ -36,14 +36,25 @@ boundaries come from a reservoir sample), no ``spark_partition_id``,
 no ``monotonically_increasing_id`` — positions depend only on the data
 and the bucket expression, so replays and resumed stages agree.
 
-Bucket contract (enforced): the bucket expression must evaluate to a
-**non-NULL, non-NaN numeric** for every row. A NULL bucket would
-silently DROP the row (the offset equi-join never matches NULL keys)
-and a NaN would bucket to 0 (``CAST(NaN AS BIGINT)``) while Spark
-windows order NaN last — both silent divergences from the global
-window being replaced. Every helper therefore routes the bucket
-through a ``CASE WHEN ... ELSE raise_error`` check: invalid keys fail
-the job loudly instead of corrupting results (ADVICE r07).
+Bucket contract (enforced, ADVICE r07): a RAW bucket expression that
+evaluates to NULL would silently DROP the row (the offset equi-join
+never matches NULL keys) and a raw NaN would bucket to 0
+(``CAST(NaN AS BIGINT)``) while Spark windows order NaN last — both
+silent divergences from the global window being replaced. Every
+helper therefore routes the bucket through a total CASE that maps
+NULL → the minimum sentinel bucket (matching ASC ``NULLS FIRST``
+window order) and NaN → the maximum sentinel bucket (Spark orders NaN
+after every other double), so NULL/NaN sort keys reproduce the global
+window bit-for-bit instead of corrupting results. (A ``raise_error``
+guard was tried first and is NOT Catalyst-safe here: the bucket
+column becomes an equi-join key, ``InferFiltersFromConstraints``
+substitutes the CASE into upstream join conditions, and the error
+branch then evaluates on rows the original filter would have
+dropped.) Caveats the sentinels cannot cover — still the caller's
+responsibility: a bucket expression that collapses NaN itself (e.g.
+``floor(x)`` → 0) hides the NaN from the router; DESC orderings place
+NULLs last while the NULL sentinel sorts first; and
+:func:`with_next_key`'s min/lead chain still requires non-null keys.
 
 tools/plan_audit.py enforces the policy side: its ``gwin`` column
 counts unpartitioned Window nodes in every catalog plan, and
@@ -72,22 +83,27 @@ def _zero() -> Column:
     return F.lit(0).cast("long")
 
 
+#: sentinel buckets for NULL/NaN bucket values (module header). ±2^62
+#: keeps |bucket| / sb_step and neighbouring arithmetic overflow-free
+#: while sitting far outside any data-derived bucket range.
+NULL_BUCKET = -(1 << 62)
+NAN_BUCKET = 1 << 62
+
+
 def _checked_bucket(bucket: Column) -> Column:
-    """Enforce the module's bucket contract (see header): NULL buckets
-    silently drop rows at the offset equi-join and NaN buckets cast to
-    0 while windows order NaN last — fail loudly instead. The NULL/NaN
+    """Enforce the module's bucket contract (see header): route NULL
+    bucket values to the minimum sentinel bucket (ASC windows order
+    NULLS FIRST) and NaN to the maximum sentinel (Spark orders NaN
+    last), instead of silently dropping/mis-bucketing the rows. The
     probe goes through a double cast (always valid for numerics; a
-    non-numeric bucket casts to NULL and is rejected too)."""
+    non-numeric bucket casts to NULL and lands on the NULL sentinel).
+    Total — no raise_error — so the expression stays safe when
+    Catalyst substitutes it into upstream join conditions."""
     probe = bucket.cast("double")
-    return F.when(
-        probe.isNotNull() & ~F.isnan(probe), bucket.cast("long")
-    ).otherwise(
-        F.raise_error(
-            F.lit(
-                "distributed_rank: bucket expression evaluated to NULL or "
-                "NaN; buckets must be non-null numeric (module contract)"
-            )
-        ).cast("long")
+    return (
+        F.when(probe.isNull(), F.lit(NULL_BUCKET))
+        .when(F.isnan(probe), F.lit(NAN_BUCKET))
+        .otherwise(bucket.cast("long"))
     )
 
 

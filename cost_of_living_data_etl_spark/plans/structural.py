@@ -42,6 +42,7 @@ from cost_of_living_data_etl_spark.functions.checkpoints import (
 )
 from cost_of_living_data_etl_spark.operators.dedup import SHINGLES_SQL, shingle_docs
 from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.profiles import USE_PROFILE, resolve
 from cost_of_living_data_etl_spark.sources.tables import load_table
 
 SETSIM_T = 0.5  # exact-join Jaccard threshold
@@ -108,7 +109,7 @@ def q_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def setsim_pairs(
-    docs: DataFrame, max_prefix_df: int | None = None
+    docs: DataFrame, max_prefix_df=USE_PROFILE
 ) -> DataFrame:
     """Exact Jaccard >= SETSIM_T pair miner (PPJoin prefix filtering)
     over a (doc_id, text) frame — the engine behind
@@ -121,9 +122,13 @@ def setsim_pairs(
     b² bucket. Candidates that are generated still verify on the full
     hashed-shingle sets, so surviving pairs are exact; the trade is
     recall on pairs whose ONLY shared prefix token is df-heavy (i.e.
-    boilerplate families — which exact dedup catches upstream). The
-    default None keeps the lossless contract and exact oracle parity.
+    boilerplate families — which exact dedup catches upstream).
+    Defaults to the active profile's ``setsim_max_prefix_df``
+    (profiles.py): None under parity — the lossless contract and exact
+    oracle replay — and capped under SPARK_GRAFT_PROFILE=production;
+    an explicit argument (including None) always wins.
     """
+    max_prefix_df = resolve(max_prefix_df, "setsim_max_prefix_df")
     # ONE shingling pass: the regex split + 3-gram build is the
     # expensive kernel and this plan consumes its output on THREE
     # branches (df counts, prefix ranking, verification) — Catalyst

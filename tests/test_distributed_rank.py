@@ -113,29 +113,70 @@ def test_sparse_and_duplicate_heavy_positions(spark):
     assert _same(got, exp)
 
 
-# --- bucket contract: NULL/NaN keys fail loudly (ADVICE r07) -----------------
+# --- bucket contract: NULL/NaN keys route to sentinel buckets (ADVICE r07) ---
+# A raw NULL bucket used to silently DROP its row (the offset equi-join
+# never matches NULL) and a raw NaN bucketed to 0 while windows order
+# NaN last. The router must instead reproduce the global window
+# bit-for-bit: NULL keys first (ASC NULLS FIRST), NaN keys last.
 
 
-def test_null_bucket_raises(spark):
-    """A NULL bucket would silently drop the row at the offset
-    equi-join — the primitive must refuse instead."""
-    df = spark.createDataFrame(
-        [(1, 0), (None, 1), (3, 2)], "v long, id long"
+def test_null_bucket_keys_match_global_window(spark):
+    rng = random.Random(5)
+    rows = [(rng.choice([None, rng.randint(-50, 50)]), i) for i in range(600)]
+    df = spark.createDataFrame(rows, "v long, id long").repartition(5)
+    assert df.filter(F.col("v").isNull()).count() > 0
+    got = with_global_position(df, ["v", "id"], F.col("v"), sb_step=8).select(
+        "v", "id", "pos"
     )
-    with pytest.raises(Exception, match="NULL or NaN"):
-        with_global_position(df, ["v", "id"], F.col("v")).collect()
-
-
-def test_nan_bucket_raises(spark):
-    """A NaN bucket casts to 0 while windows order NaN last — refuse."""
-    df = spark.createDataFrame(
-        [(1.0, 0), (float("nan"), 1), (3.0, 2)], "v double, id long"
+    exp = df.select(
+        "v", "id", (F.row_number().over(Window.orderBy("v", "id")) - 1).alias("pos")
     )
-    # NB: the guard sees the bucket EXPRESSION's value — a caller who
-    # wraps NaN in floor() first gets floor's own NaN→0 collapse (the
-    # documented contract covers the expression handed to the helper)
-    with pytest.raises(Exception, match="NULL or NaN"):
-        with_global_position(df, ["v", "id"], F.col("v")).collect()
+    assert _same(got, exp)
+    assert got.count() == len(rows)  # no silent row loss
+
+
+def test_nan_bucket_keys_match_global_window(spark):
+    """NaN handed RAW to the helper (not pre-collapsed by floor) must
+    land after every finite key, exactly like the window sort."""
+    rng = random.Random(6)
+    rows = [
+        (rng.choice([float("nan"), float(rng.randint(-40, 40))]), i)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "v double, id long").repartition(4)
+    got = with_global_position(df, ["v", "id"], F.col("v"), sb_step=8).select(
+        "id", "pos"
+    )
+    exp = df.select(
+        "id", (F.row_number().over(Window.orderBy("v", "id")) - 1).alias("pos")
+    )
+    assert _same(got, exp)
+
+
+def test_bucket_router_survives_join_condition_substitution(spark):
+    """Catalyst's InferFiltersFromConstraints substitutes the bucket
+    CASE into upstream join conditions, evaluating it on rows the
+    join filter drops (d1 == d2 -> NULL slope). The router must be
+    total: the round-8 raise_error variant failed exactly here."""
+    df = spark.range(60).select(
+        F.col("id").alias("d"), (F.col("id") * 3 % 17).cast("double").alias("r")
+    )
+    a = df.select(F.col("d").alias("d1"), F.col("r").alias("r1"))
+    b = df.select(F.col("d").alias("d2"), F.col("r").alias("r2"))
+    slopes = a.join(b, F.col("d1") < F.col("d2")).select(
+        F.try_divide(F.col("r2") - F.col("r1"), F.col("d2") - F.col("d1")).alias(
+            "slope"
+        ),
+        (F.col("d1") * 1000 + F.col("d2")).alias("pair_id"),
+    )
+    got = with_global_position(
+        slopes, ["slope", "pair_id"], F.floor(F.col("slope")), sb_step=8
+    ).select("pair_id", "pos")
+    exp = slopes.select(
+        "pair_id",
+        (F.row_number().over(Window.orderBy("slope", "pair_id")) - 1).alias("pos"),
+    )
+    assert _same(got, exp)
 
 
 def test_valid_buckets_unaffected_by_guard(spark):

@@ -117,7 +117,20 @@ class LakeObjectsDataSource(DataSource):
     def reader(self, schema: StructType) -> "LakeObjectsReader":
         return LakeObjectsReader(schema, self.options)
 
-    def streamReader(self, schema: StructType) -> "LakeObjectsStreamReader":
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        if self.options.get("offset_mode") == "manifest_log":
+            if "max_objects_per_batch" in self.options:
+                # the manifest log already arrives pre-batched (one
+                # manifest per upstream commit); a second cap would
+                # need to SPLIT a manifest across offsets, which the
+                # position encoding cannot express
+                raise ValueError(
+                    "offset_mode=manifest_log batches by upstream "
+                    "manifest; max_objects_per_batch is not supported "
+                    "here (throttle the PRODUCER, or use the listing "
+                    "reader)"
+                )
+            return LakeManifestLogStreamReader(schema, self.options)
         if "max_objects_per_batch" in self.options:
             # throttled mode needs the start-aware simple-reader
             # protocol; raising here makes Spark fall back to
@@ -236,7 +249,11 @@ class LakeObjectsStreamReader(DataSourceStreamReader):
     (S3 inventory, SQS events, a catalog table) and the offset for a
     position in that log; ``partitions``/``read`` stay unchanged.
     Spark's own file source makes the identical trade (its checkpoint
-    log records every seen file).
+    log records every seen file). That variant ships as
+    :class:`LakeManifestLogStreamReader`
+    (``.option("offset_mode", "manifest_log")`` — O(1) offsets over
+    the sink's ``_commits`` log); THIS reader remains the default
+    because it needs no log producer.
     """
 
     def __init__(self, schema: StructType, options: dict):
@@ -272,6 +289,94 @@ class LakeObjectsStreamReader(DataSourceStreamReader):
     def commit(self, end: dict) -> None:
         # progress lives in the streaming checkpoint; nothing to
         # acknowledge lake-side (objects are immutable)
+        pass
+
+
+class LakeManifestLogStreamReader(DataSourceStreamReader):
+    """Manifest-log / position-offset variant of the stream reader
+    (round-7 verdict item 7 — the encoding the listing reader's
+    docstring promises for production), selected with
+    ``.option("offset_mode", "manifest_log")``.
+
+    Instead of relisting the lake and carrying the FULL seen-object
+    set in every offset (O(objects) checkpoint growth), this reader
+    tails an append-only commit log: the ``{root}/_commits/{id}.json``
+    manifests that :class:`LakeObjectsStreamWriter` publishes (stand-in
+    for S3 inventory / SQS notifications / a catalog table — each
+    manifest names the immutable objects of one upstream commit). The
+    offset is a POSITION in that log, ``{"last_batch": N}`` — O(1) per
+    batch no matter how many objects the lake holds.
+
+    ``latestOffset`` lists one directory (the log, not the lake);
+    ``partitions(start, end)`` expands the manifests with
+    ``start < id <= end`` into the usual one-InputPartition-per-object
+    fan-out, applying the same category-substring / extract-date
+    filters as the listing reader; ``read`` is byte-identical to the
+    listing reader's. Replays are deterministic because manifests are
+    immutable and never deleted: the same offset pair always expands
+    to the same object set, even after the log has grown.
+
+    Log contract (the standard position-log assumption): manifests
+    must be PUBLISHED in increasing id order — true for a streaming
+    sink's sequential micro-batches. An id that appears after a larger
+    id has been consumed would be skipped forever; multiple concurrent
+    producers therefore need separate logs (their batch ids collide
+    anyway).
+    """
+
+    def __init__(self, schema: StructType, options: dict):
+        self.schema = schema
+        self.root = options["root"]
+        self.category = options["category"]
+        self.extract_date = options.get("extract_date")
+
+    def initialOffset(self) -> dict:
+        return {"last_batch": -1}
+
+    def _log_ids(self) -> list[int]:
+        log_dir = os.path.join(self.root, "_commits")
+        if not os.path.isdir(log_dir):
+            return []
+        ids = []
+        for name in os.listdir(log_dir):
+            stem, ext = os.path.splitext(name)
+            if ext == ".json" and stem.isdigit():
+                ids.append(int(stem))
+        return sorted(ids)
+
+    def latestOffset(self) -> dict:
+        ids = self._log_ids()
+        return {"last_batch": ids[-1] if ids else -1}
+
+    def _wanted(self, obj: str) -> bool:
+        if self.category not in os.path.basename(obj):
+            return False
+        if self.extract_date is not None:
+            return os.path.basename(os.path.dirname(obj)) == self.extract_date
+        return True
+
+    def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
+        import json
+
+        lo = start.get("last_batch", -1)
+        hi = end.get("last_batch", -1)
+        paths: list[str] = []
+        for b in self._log_ids():
+            if not lo < b <= hi:
+                continue
+            with open(os.path.join(self.root, "_commits", f"{b}.json")) as f:
+                manifest = json.load(f)
+            paths.extend(p for p in manifest.get("objects", []) if self._wanted(p))
+        return [InputPartition(p) for p in sorted(paths)]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        if partition is None or partition.value is None:
+            return
+        yield from _parse_object(partition.value, self.schema)
+
+    def commit(self, end: dict) -> None:
+        # progress lives in the streaming checkpoint; the log itself is
+        # immutable (same contract as the listing reader)
         pass
 
 

@@ -574,3 +574,191 @@ def test_stream_multi_batch_ingest_hash_matches_batch_and_duckdb(
         ).fetchall()
     )
     assert streamed == oracle
+
+
+# ------------------------------------------- manifest-log offset variant
+
+
+def _publish_manifest(root, batch_id, extract_date, name, rows):
+    """Simulate one upstream commit: land an immutable object + its
+    manifest in the _commits log (the shape LakeObjectsStreamWriter
+    publishes)."""
+    import json
+    from pathlib import Path
+
+    _write_wage_csv(root, extract_date, name, rows)
+    obj = str(Path(root) / LAKE_PREFIX / extract_date / name)
+    log = Path(root) / "_commits"
+    log.mkdir(exist_ok=True)
+    (log / f"{batch_id}.json").write_text(
+        json.dumps({"batch_id": batch_id, "rows": len(rows), "objects": [obj]})
+    )
+    return obj
+
+
+def test_manifest_log_offsets_are_positions(tmp_path):
+    """Driver-side unit contract, no Spark: the offset is a log
+    position (O(1) regardless of object count), a micro-batch expands
+    exactly the manifests in (start, end], and a committed offset pair
+    replays identically even after the log has grown."""
+    import json
+
+    from cost_of_living_data_etl_spark.sources.lake_datasource import (
+        LakeManifestLogStreamReader,
+    )
+
+    root = str(tmp_path)
+    objs = [
+        _publish_manifest(root, b, "2024-06-01", f"living_wage_{b}.csv",
+                          [f"LIVING WAGE,2,2,1,Kent,{b}.00\n"])
+        for b in range(20)
+    ]
+    reader = LakeManifestLogStreamReader(
+        LAKE_SCHEMAS["living_wage"], {"root": root, "category": "living_wage"}
+    )
+    assert reader.initialOffset() == {"last_batch": -1}
+    first = reader.latestOffset()
+    assert first == {"last_batch": 19}
+    # O(1): the offset names a position, not the 20 objects
+    assert len(json.dumps(first)) < 40
+    batch = reader.partitions(reader.initialOffset(), first)
+    assert sorted(p.value for p in batch) == sorted(objs)
+
+    # log grows; the committed pair still replays to the same set
+    _publish_manifest(root, 20, "2024-06-02", "living_wage_20.csv",
+                      ["LIVING WAGE,1,0,1,Sussex,15.50\n"])
+    replay = reader.partitions(reader.initialOffset(), first)
+    assert sorted(p.value for p in replay) == sorted(objs)
+    nxt = reader.latestOffset()
+    assert nxt == {"last_batch": 20}
+    delta = reader.partitions(first, nxt)
+    assert [p.value for p in delta] == [
+        str(tmp_path / LAKE_PREFIX / "2024-06-02" / "living_wage_20.csv")
+    ]
+    # category filter applies at manifest expansion
+    other = LakeManifestLogStreamReader(
+        LAKE_SCHEMAS["living_wage"], {"root": root, "category": "expenses"}
+    )
+    assert other.partitions(other.initialOffset(), other.latestOffset()) == []
+
+
+def test_manifest_log_rejects_per_batch_throttle(tmp_path):
+    from cost_of_living_data_etl_spark.sources.lake_datasource import (
+        LakeObjectsDataSource,
+    )
+
+    ds = LakeObjectsDataSource({
+        "root": str(tmp_path), "category": "living_wage",
+        "offset_mode": "manifest_log", "max_objects_per_batch": "2",
+    })
+    with pytest.raises(ValueError, match="manifest"):
+        ds.streamReader(LAKE_SCHEMAS["living_wage"])
+
+
+def test_manifest_log_stream_exactly_once_with_o1_checkpoint(registered, tmp_path):
+    """Two query lifetimes over one checkpoint in manifest-log mode:
+    lifetime 1 ingests manifests 0-1, a manifest lands between
+    lifetimes, lifetime 2 ingests ONLY the delta — and every offset
+    file Spark checkpointed is a position, not an object list."""
+    import json
+    from pathlib import Path
+
+    root = str(tmp_path / "lake")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _publish_manifest(root, 0, "2024-06-01", "living_wage_a.csv", [
+        "LIVING WAGE,2,2,1,Kent,21.34\n",
+        "POVERTY WAGE,2,2,1,Kent,10.00\n",
+    ])
+    _publish_manifest(root, 1, "2024-06-01", "living_wage_b.csv", [
+        "LIVING WAGE,1,0,1,Sussex,15.50\n",
+    ])
+
+    def run_one_lifetime():
+        q = (
+            registered.readStream.format("lake_objects")
+            .schema(LAKE_SCHEMAS["living_wage"])
+            .option("root", root)
+            .option("category", "living_wage")
+            .option("offset_mode", "manifest_log")
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+            q.awaitTermination()
+
+    run_one_lifetime()
+    assert registered.read.parquet(out).count() == 3
+
+    _publish_manifest(root, 2, "2024-06-02", "living_wage_c.csv", [
+        "LIVING WAGE,1,1,1,New Castle,18.25\n",
+    ])
+    run_one_lifetime()
+    final = registered.read.parquet(out)
+    got = sorted((r["county"], r["usd_amount"]) for r in final.collect())
+    assert got == [
+        ("Kent", 10.00), ("Kent", 21.34),
+        ("New Castle", 18.25), ("Sussex", 15.50),
+    ]
+    # every checkpointed offset is O(1): a {"last_batch": N} position
+    offset_files = [
+        p for p in (Path(ckpt) / "offsets").iterdir() if not p.name.startswith(".")
+    ]
+    assert offset_files
+    for p in offset_files:
+        last = p.read_text().strip().splitlines()[-1]
+        off = json.loads(last)
+        assert set(off) == {"last_batch"}, off
+        assert len(last) < 40
+
+
+def test_manifest_log_reads_sink_published_commits(registered, tmp_path):
+    """End-to-end pairing: objects published by LakeObjectsStreamWriter
+    (manifest-committed) are consumed by the manifest-log reader with
+    no listing of the lake prefix."""
+    from pyspark.sql import Row
+
+    from cost_of_living_data_etl_spark.sources.lake_datasource import (
+        LakeObjectsStreamWriter,
+    )
+
+    root = str(tmp_path / "lake")
+    w = LakeObjectsStreamWriter(
+        LAKE_SCHEMAS["living_wage"],
+        {"root": root, "category": "living_wage", "extract_date": "2024-06-01"},
+    )
+    for b, county in enumerate(["Kent", "Sussex"]):
+        m = w.write(iter([Row(
+            wage_level="LIVING WAGE", num_adults=2, num_children=1,
+            num_working=1, county=county, usd_amount=20.0 + b,
+        )]))
+        w.commit([m], batchId=b)
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = (
+        registered.readStream.format("lake_objects")
+        .schema(LAKE_SCHEMAS["living_wage"])
+        .option("root", root)
+        .option("category", "living_wage")
+        .option("offset_mode", "manifest_log")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        q.awaitTermination()
+    got = sorted((r["county"], r["usd_amount"])
+                 for r in registered.read.parquet(out).collect())
+    assert got == [("Kent", 20.0), ("Sussex", 21.0)]

@@ -587,6 +587,39 @@ def concurrency_blocks(bounds: DataFrame) -> DataFrame:
     )
 
 
+def _concurrency_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±1 boundary rows from the SESSION-INTERVAL aggregate (2 per
+    session) plus delta-0 midnight probe rows — the pre-checkpoint
+    input of q_concurrent_sessions_peak, factored out so plan tests
+    can audit the exact frame the catalog query consumes (the
+    checkpoint in the query hides this lineage behind a LogicalRDD)."""
+    intervals = _session_intervals(spark, sf_dir)
+    # day-opening probe rows (delta 0): sample the carried-in
+    # concurrency at each midnight, so a day whose peak arrives from
+    # sessions begun the previous day (or that sits entirely inside a
+    # long session) reports the true value
+    grid = (
+        intervals.groupBy()
+        .agg(
+            F.date_trunc("day", F.min("s")).alias("d0"),
+            F.date_trunc("day", F.max("e")).alias("d1"),
+        )
+        .select(
+            F.explode(
+                F.expr("sequence(d0, d1, interval 1 day)")
+            ).alias("ts"),
+            F.lit(0).alias("delta"),
+        )
+    )
+    return (
+        intervals.select(F.col("s").alias("ts"), F.lit(1).alias("delta"))
+        .unionAll(
+            intervals.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
+        )
+        .unionAll(grid)
+    )
+
+
 @register(
     "q_concurrent_sessions_peak",
     oracle=_CONCURRENCY_ORACLE,
@@ -626,35 +659,14 @@ def q_concurrent_sessions_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cost_of_living_data_etl_spark.operators.distributed_rank import (
         with_prefix_sums,
     )
-    intervals = _session_intervals(spark, sf_dir)
-    # day-opening probe rows (delta 0): sample the carried-in
-    # concurrency at each midnight, so a day whose peak arrives from
-    # sessions begun the previous day (or that sits entirely inside a
-    # long session) reports the true value
-    grid = (
-        intervals.groupBy()
-        .agg(
-            F.date_trunc("day", F.min("s")).alias("d0"),
-            F.date_trunc("day", F.max("e")).alias("d1"),
-        )
-        .select(
-            F.explode(
-                F.expr("sequence(d0, d1, interval 1 day)")
-            ).alias("ts"),
-            F.lit(0).alias("delta"),
-        )
-    )
-    bounds = (
-        intervals.select(F.col("s").alias("ts"), F.lit(1).alias("delta"))
-        .unionAll(
-            intervals.select(F.col("e").alias("ts"), F.lit(-1).alias("delta"))
-        )
-        .unionAll(grid)
-    )
     # 2 rows/session; consumed by the scan's rollup AND the join —
-    # materialize so sessionization runs once (tests inspect the
-    # pre-checkpoint plan via concurrency_blocks)
-    blocks = concurrency_blocks(bounds).transform(eager_checkpoint)
+    # materialize so sessionization runs once (the checkpoint hides
+    # lineage behind a Scan ExistingRDD even when lazy, so the plan
+    # test audits the factored pre-checkpoint builder the query calls:
+    # _concurrency_bounds, ADVICE r07)
+    blocks = concurrency_blocks(
+        _concurrency_bounds(spark, sf_dir)
+    ).transform(eager_checkpoint)
     scanned = with_prefix_sums(
         blocks,
         [F.col("ts"), F.col("delta").desc()],

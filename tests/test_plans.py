@@ -441,17 +441,15 @@ def test_concurrency_sweep_input_is_sessions_not_events(spark, sf_smoke):
     checkpoints the block rollup (hiding this lineage behind a
     LogicalRDD), so the assertion reads the factored pre-checkpoint
     builder the query materializes."""
-    import pyspark.sql.functions as F
-
     from cost_of_living_data_etl_spark.plans.analytics_extra import (
-        _session_intervals,
+        _concurrency_bounds,
         concurrency_blocks,
     )
 
-    intervals = _session_intervals(spark, sf_smoke)
-    bounds = intervals.select(
-        F.col("s").alias("ts"), F.lit(1).alias("delta")
-    ).unionAll(intervals.select(F.col("e").alias("ts"), F.lit(-1).alias("delta")))
+    # ADVICE r07: audit the builder the CATALOG QUERY itself calls —
+    # a locally re-built union here would keep passing if the query's
+    # own wiring regressed to raw events
+    bounds = _concurrency_bounds(spark, sf_smoke)
     plan = concurrency_blocks(bounds)._jdf.queryExecution().explainString(
         spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
             "simple"
@@ -459,7 +457,20 @@ def test_concurrency_sweep_input_is_sessions_not_events(spark, sf_smoke):
     )
     assert "Union" in plan
     # session intervals: min/max aggregate over (user_id, session_seq)
+    # upstream of the union — boundary rows come from the
+    # 2-rows-per-session aggregate, never raw events
     assert "partial_min" in plan or "HashAggregate" in plan
+    # and the query consumes exactly this builder (source-level pin:
+    # the checkpoint hides the lineage from the physical plan)
+    import inspect
+
+    from cost_of_living_data_etl_spark.plans.analytics_extra import (
+        q_concurrent_sessions_peak,
+    )
+
+    assert "_concurrency_bounds(spark, sf_dir)" in inspect.getsource(
+        q_concurrent_sessions_peak
+    )
 
 
 def test_theilsen_pair_stage_is_rollup_bounded(spark, sf_smoke):

@@ -345,3 +345,63 @@ def test_prefix_sum_fuzz_matches_reference(spark, vals, divisor):
         expected[k] = acc
         acc += w
     assert got == expected
+
+
+# --- superbucket carry boundedness (round-8 verdict item 5) ------------------
+
+
+def test_superbucket_carry_join_is_bounded(spark):
+    """The cross-superbucket carry is a triangular self-join over the
+    SUPERBUCKET frame only: its output has exactly one row per
+    superbucket and the pair join underneath is <= |SB|^2 rows — the
+    docstring's 100 TB arithmetic (10^12 rows -> ~15k superbuckets ->
+    ~10^8 comparisons on a broadcast join) holds because |SB| =
+    |buckets| / sb_step, independent of the ROW count per bucket."""
+    import pyspark.sql.functions as F2
+
+    from cost_of_living_data_etl_spark.operators.distributed_rank import (
+        _SB,
+        _superbucket_carry,
+    )
+
+    n_sb = 37
+    sb_frame = spark.range(n_sb).select(
+        F2.col("id").alias(_SB), (F2.col("id") * 10 + 1).alias("w")
+    )
+    carry = _superbucket_carry(sb_frame, ["w"])
+    assert carry.count() == n_sb  # one row per superbucket
+    # the triangular pair join the carry aggregates over
+    a, b = sb_frame.alias("a"), sb_frame.alias("b")
+    pairs = a.join(
+        F2.broadcast(b), F2.col(f"b.{_SB}") < F2.col(f"a.{_SB}"), "left"
+    ).count()
+    assert pairs <= n_sb * n_sb
+    # and the carry values are the exact exclusive prefix sums
+    got = {r[_SB]: r["__carry_w"] for r in carry.collect()}
+    acc, exp = 0, {}
+    for i in range(n_sb):
+        exp[i] = acc
+        acc += i * 10 + 1
+    assert got == exp
+
+
+def test_superbucket_count_independent_of_rows_per_bucket(spark):
+    """10x the rows per bucket must not change the superbucket frame:
+    the carry join's size is a function of the BUCKET GRID, not the
+    data volume — the property that keeps the primitive flat at 100 TB."""
+    import pyspark.sql.functions as F2
+
+    from cost_of_living_data_etl_spark.operators.distributed_rank import (
+        _BKT,
+        _SB,
+        _with_buckets,
+    )
+
+    def n_superbuckets(rows_per_bucket: int) -> int:
+        df = spark.range(200 * rows_per_bucket).select(
+            (F2.col("id") % 200).alias("v"), F2.col("id").alias("id")
+        )
+        b = _with_buckets(df, F2.col("v"), sb_step=16)
+        return b.select(_SB).distinct().count()
+
+    assert n_superbuckets(10) == n_superbuckets(100) == 13  # ceil(200/16)

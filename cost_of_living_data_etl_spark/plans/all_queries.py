@@ -70,4 +70,8 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     # round7 LAST: the catalog enters round 7 fully verified, so the
     # driver's 50-sample starts with these new names
     round7,
+    # round8: 8 new names; the r08 sample must also absorb the 16
+    # fingerprint-invalidated round-7 rewrites (verification.py), so
+    # additions stay well under the ~50-name window
+    round8,
 )

@@ -299,8 +299,10 @@ def q_mann_whitney_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cnt", F.col("cx") + F.col("cy"))
     )
+    # /1024 bucket grid: floor(val) is ~one bucket per distinct money
+    # value (rollup as large as the frame); coarser stays monotone
     scanned = with_prefix_sums(
-        v, ["val"], F.floor(F.col("val")), {"cnt": "cb"}
+        v, ["val"], F.floor(F.col("val") / F.lit(1024.0)), {"cnt": "cb"}
     )
     agg = scanned.groupBy().agg(
         F.sum("cx").cast("long").alias("nx"),
@@ -381,6 +383,9 @@ def q_hodges_lehmann_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     row count; the median selection is bucket-partitioned, so no task
     holds the pair frame.
     """
+    from cost_of_living_data_etl_spark.functions.checkpoints import (
+        eager_checkpoint,
+    )
     from cost_of_living_data_etl_spark.operators.distributed_rank import (
         with_global_position,
     )
@@ -388,10 +393,15 @@ def q_hodges_lehmann_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
 
     def daily(priority: str, out: str) -> DataFrame:
+        # materialized: the position helper reads the pair frame twice
+        # (bucket rollup + position join); without the checkpoint each
+        # read re-runs BOTH full orders scans + aggregates underneath
+        # the cross join (measured 21 s -> ~6 s at sf0.1)
         return (
             orders.filter(F.col("o_orderpriority") == priority)
             .groupBy(F.date_trunc("day", "o_orderdate").alias("d"))
             .agg(F.round(F.sum("o_totalprice"), 2).alias(out))
+            .transform(eager_checkpoint)
         )
 
     diffs = (
@@ -399,8 +409,12 @@ def q_hodges_lehmann_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(daily(MW_GROUP_Y, "ry"))
         .select((F.col("rx") - F.col("ry")).alias("diff"))
     )
+    # bucket on the ~$4k grid: floor(diff) would mint ~one bucket per
+    # pair (money diffs are near-unique), making the per-bucket rollup
+    # as large as the pair frame itself; /4096 keeps buckets ~100s of
+    # rows while staying monotone (measured 9.8 s -> see SCALE.md)
     ranked = with_global_position(
-        diffs, ["diff"], F.floor(F.col("diff")), n_col="n"
+        diffs, ["diff"], F.floor(F.col("diff") / F.lit(4096.0)), n_col="n"
     )
     return ranked.filter(
         F.col("pos") == F.floor((F.col("n") + 1) / 2) - 1

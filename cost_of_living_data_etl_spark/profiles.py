@@ -26,15 +26,19 @@ with documented defaults. Select with ``SPARK_GRAFT_PROFILE=production``
 (env) — one switch, all guards — or pass explicit per-call arguments,
 which always win over the profile.
 
-The production caps are corpus-tunable: ``lsh_max_bucket=1000`` bounds
-any band bucket to ≤ ~500k candidate pairs (a fixed per-bucket task,
-executor-safe at any corpus size; the hostile-fixture proofs use 50
-because that fixture's organic families are ≤ 4 docs).
-``setsim_max_prefix_df=10_000`` only silences pairs whose EVERY
-sub-threshold prefix token is shared by >10k docs — boilerplate
-families that exact dedup catches upstream. Recall loss is confined to
-near-dup families built entirely from df-heavy tokens; organic pairs
-keep at least one rare prefix token and survive.
+The production caps are corpus-tunable and share ONE rationale — a
+key (band bucket / prefix token) matching d rows generates up to d²
+candidate pairs, so d is capped where d² stops being a reasonable
+per-key task: ``lsh_max_bucket=1000`` bounds any band bucket to
+≤ ~500k candidate pairs, and ``setsim_max_prefix_df=1000`` bounds any
+prefix token's contribution identically (measured on the 50k-doc
+hostile corpus: the 5k-doc boilerplate family emits 12.5M pairs
+lossless, 10 organic pairs under the profile — SCALE.md). The
+hostile-fixture unit proofs use 50 because that fixture's organic
+families are ≤ 4 docs. Recall loss is confined to near-dup families
+built entirely from df-heavy tokens — boilerplate that exact dedup
+catches upstream; organic pairs keep at least one rare prefix token
+and survive.
 
 Plans are IDENTICAL between profiles except inside the guard subtrees
 (pinned by tests/test_profiles.py): parity resolves every knob to the
@@ -79,7 +83,7 @@ PARITY = Profile(
 PRODUCTION = Profile(
     name="production",
     lsh_max_bucket=1000,
-    setsim_max_prefix_df=10_000,
+    setsim_max_prefix_df=1000,
     exact_pairs_max_rows=100_000,
     approx_distinct=True,
 )

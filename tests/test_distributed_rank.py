@@ -405,3 +405,60 @@ def test_superbucket_count_independent_of_rows_per_bucket(spark):
         return b.select(_SB).distinct().count()
 
     assert n_superbuckets(10) == n_superbuckets(100) == 13  # ceil(200/16)
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=-(10**6), max_value=10**6),
+            st.integers(min_value=-(10**6), max_value=10**6),
+        ),
+        min_size=2,
+        max_size=200,
+    ),
+    n_tiles=st.sampled_from([2, 4, 7]),
+    divisor=st.sampled_from([1, 13, 10**4]),
+)
+@settings(**_H_SETTINGS)
+def test_multi_ntile_fuzz_matches_reference(spark, vals, n_tiles, divisor):
+    """Random frames x random tile counts x random bucket granularity:
+    the shared melted pass must equal a pure-Python SQL-standard ntile
+    over each spec's order (one asc, one desc via negation) — the
+    expected side never touches a Spark window, so the test cannot
+    share a bug with the implementation."""
+    rows = [(i, a, b) for i, (a, b) in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k long, a long, b long").repartition(4)
+    got = {
+        r["k"]: (r["ta"], r["tb"])
+        for r in with_global_ntiles(
+            df,
+            n_tiles,
+            [
+                (["a", "k"], F.floor(F.col("a") / F.lit(divisor)), "ta"),
+                (
+                    [-F.col("b"), F.col("k")],
+                    F.floor(-F.col("b") / F.lit(divisor)),
+                    "tb",
+                ),
+            ],
+            ["k"],
+            sb_step=4,
+        ).collect()
+    }
+
+    def ref_ntile(order):
+        n = len(order)
+        big, small = n // n_tiles + 1, n // n_tiles
+        cut = (n % n_tiles) * big
+        out = {}
+        for pos, key in enumerate(order):
+            out[key] = (
+                pos // big + 1
+                if pos < cut
+                else (n % n_tiles) + (pos - cut) // small + 1
+            )
+        return out
+
+    ta = ref_ntile([k for a, k in sorted((a, k) for k, a, b in rows)])
+    tb = ref_ntile([k for nb, k in sorted((-b, k) for k, a, b in rows)])
+    assert got == {k: (ta[k], tb[k]) for k, a, b in rows}

@@ -43,6 +43,12 @@ The round-7 rewrites themselves are seeded with an explicit
 ``stale:`` sentinel (see ``history/verified_fingerprints.json``),
 which can never equal a real fingerprint, so all 16 re-queue in round
 8's sample.
+
+Known perpetual re-queuer: ``q_bucketed_colocated_join`` embeds a
+session-keyed managed-table name by design, so its fingerprint churns
+every bench run and it re-enters the sample each round — one slot of
+~50, and arguably correct (each round re-verifies a genuinely fresh
+plan).
 """
 
 from __future__ import annotations

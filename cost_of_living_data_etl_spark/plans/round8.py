@@ -550,20 +550,26 @@ def q_minhash_jaccard_calibration(spark: SparkSession, sf_dir: str) -> DataFrame
     math assumes unbiased).
 
     Scale: pairs are the already-bucketed LSH miner output (never
-    all-pairs); signatures join back by doc id (two hash joins on the
-    slim signature table); the result is ≤ NUM_PERM+1 rows. Exact
-    means fold via det_sum.
+    all-pairs); the SAME persisted signature table feeds both the
+    miner and the two calibration joins, so the corpus is shingled
+    exactly once (a separate minhash_pair_plan call would shingle it
+    twice — measured 5.1× on the sf0.1→sf1.0 decade before this
+    reuse); the result is ≤ NUM_PERM+1 rows. Exact means fold via
+    det_sum.
     """
+    from pyspark import StorageLevel
+
     from cost_of_living_data_etl_spark.operators.dedup import (
         NUM_PERM,
-        minhash_pair_plan,
         minhash_signatures,
+        neardup_pairs_from_sigs,
     )
 
-    mh = minhash_signatures(
+    mh_full = minhash_signatures(
         load_table(spark, sf_dir, "documents")
-    ).select("doc_id", *[f"mh{j}" for j in range(NUM_PERM)])
-    pairs = minhash_pair_plan(spark, sf_dir)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = neardup_pairs_from_sigs(mh_full)
+    mh = mh_full.select("doc_id", *[f"mh{j}" for j in range(NUM_PERM)])
     s1 = mh.select(
         F.col("doc_id").alias("doc_id_1"),
         *[F.col(f"mh{j}").alias(f"a{j}") for j in range(NUM_PERM)],

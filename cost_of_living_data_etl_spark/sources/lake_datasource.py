@@ -313,15 +313,20 @@ class LakeManifestLogStreamReader(DataSourceStreamReader):
     fan-out, applying the same category-substring / extract-date
     filters as the listing reader; ``read`` is byte-identical to the
     listing reader's. Replays are deterministic because manifests are
-    immutable and never deleted: the same offset pair always expands
-    to the same object set, even after the log has grown.
+    immutable and never deleted: under the log contract below, the
+    same offset pair always expands to the same object set, even
+    after the log has grown (growth = ids above the pair's end).
 
     Log contract (the standard position-log assumption): manifests
     must be PUBLISHED in increasing id order — true for a streaming
-    sink's sequential micro-batches. An id that appears after a larger
-    id has been consumed would be skipped forever; multiple concurrent
-    producers therefore need separate logs (their batch ids collide
-    anyway).
+    sink's sequential micro-batches. A producer that violates it
+    (a straggler id below the consumed high-water mark) degrades
+    gracefully, never incorrectly: no future window includes the
+    straggler, a replayed UNCOMMITTED pair absorbs it exactly once,
+    and a pair already committed skips it forever (pinned by
+    tests/test_lake_datasource.py::test_manifest_log_out_of_order_id_degrades_gracefully).
+    Multiple concurrent producers therefore need separate logs (their
+    batch ids collide anyway).
     """
 
     def __init__(self, schema: StructType, options: dict):

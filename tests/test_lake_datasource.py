@@ -762,3 +762,60 @@ def test_manifest_log_reads_sink_published_commits(registered, tmp_path):
     got = sorted((r["county"], r["usd_amount"])
                  for r in registered.read.parquet(out).collect())
     assert got == [("Kent", 20.0), ("Sussex", 21.0)]
+
+
+def test_manifest_log_extract_date_filter(tmp_path):
+    """The optional extract_date option restricts manifest expansion to
+    that partition directory, same semantics as the listing reader."""
+    from cost_of_living_data_etl_spark.sources.lake_datasource import (
+        LakeManifestLogStreamReader,
+    )
+
+    root = str(tmp_path)
+    a = _publish_manifest(root, 0, "2024-06-01", "living_wage_a.csv",
+                          ["LIVING WAGE,2,2,1,Kent,21.34\n"])
+    _publish_manifest(root, 1, "2024-06-02", "living_wage_b.csv",
+                      ["LIVING WAGE,1,0,1,Sussex,15.50\n"])
+    reader = LakeManifestLogStreamReader(
+        LAKE_SCHEMAS["living_wage"],
+        {"root": root, "category": "living_wage", "extract_date": "2024-06-01"},
+    )
+    batch = reader.partitions(reader.initialOffset(), reader.latestOffset())
+    assert [p.value for p in batch] == [a]
+
+
+def test_manifest_log_out_of_order_id_degrades_gracefully(tmp_path):
+    """The position-log contract requires increasing publication order;
+    this pins what happens when a producer VIOLATES it (a straggler id
+    below the consumed high-water mark):
+
+    - no future window ever includes it (start >= high-water mark), so
+      a committed batch's data can never double-process;
+    - a replay of a NOT-yet-committed pair absorbs it (the failed
+      attempt's output was discarded, so the straggler is processed
+      exactly once); if the pair was already committed the straggler
+      is skipped forever — the documented loss mode that motivates the
+      'one log per producer, ids increase' contract."""
+    from cost_of_living_data_etl_spark.sources.lake_datasource import (
+        LakeManifestLogStreamReader,
+    )
+
+    root = str(tmp_path)
+    _publish_manifest(root, 0, "2024-06-01", "living_wage_0.csv",
+                      ["LIVING WAGE,2,2,1,Kent,21.34\n"])
+    _publish_manifest(root, 5, "2024-06-01", "living_wage_5.csv",
+                      ["LIVING WAGE,1,0,1,Sussex,15.50\n"])
+    reader = LakeManifestLogStreamReader(
+        LAKE_SCHEMAS["living_wage"], {"root": root, "category": "living_wage"}
+    )
+    first = reader.latestOffset()
+    assert first == {"last_batch": 5}
+    consumed = {p.value for p in reader.partitions(reader.initialOffset(), first)}
+    assert len(consumed) == 2
+    straggler = _publish_manifest(root, 3, "2024-06-01", "living_wage_3.csv",
+                                  ["LIVING WAGE,1,1,1,New Castle,18.25\n"])
+    nxt = reader.latestOffset()
+    assert nxt == first  # no progress signalled by the straggler
+    assert reader.partitions(first, nxt) == []  # never in a future window
+    replay = {p.value for p in reader.partitions(reader.initialOffset(), first)}
+    assert replay == consumed | {straggler}  # uncommitted replay absorbs it once

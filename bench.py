@@ -22,12 +22,19 @@ the 0.5-3 s one-time compile per plan is noise against minutes of
 scan/shuffle, so steady-state engine cost is the number that predicts
 cluster behavior. Both totals are printed for transparency.
 
+Drift measurement (round 9): the stratified canary set (CANARY_ALL)
+is timed in dedicated passes at the START and END of every run —
+first-pass timings normalize cross-round totals via per-query
+median-of-ratios, last/first measures in-run session-state inflation
+directly. Canary queries never reuse prior timings, even under
+--changed-only.
+
 ``--changed-only`` (local iteration; the driver's plain run is always
 full): re-times only queries whose normalized ANALYZED-plan
 fingerprint differs from the last run at the same SF, reusing prior
-timings for the rest — measured 285/286 reuse on an unchanged catalog
-(the one exception, q_bucketed_colocated_join, embeds a
-session-keyed managed-table name by design and legitimately re-runs).
+timings for the rest — all non-canary queries reuse on an unchanged
+catalog (q_bucketed_colocated_join's managed-table name was made
+content-deterministic in round 9, so it no longer churns).
 Fingerprints live in history/plan_fingerprints.json.
 """
 
@@ -59,18 +66,33 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # deltas vs BENCH_r01–r04 remain interpretable.
 HEADLINE: list[str] = []  # filled from catalog() in main()
 
-# Drift canary (round-8 verdict item 3): cross-snapshot totals are
-# dominated by host noise (untouched queries moved up to 4x between
-# rounds 6 and 7 with zero code change), which turns every round's
-# perf story into re-litigation. These ~15 queries are CHEAP (~0.2-1 s
-# warm each at sf0.1), PLAN-STABLE (no session-keyed table names, no
-# fit caches), UNTOUCHED since early rounds, and span the engine's
-# families (scan+agg, join, window, pivot, text, events, dedup,
-# corpus). Their total moves with the HOST, not the code — so the
-# bench emits both the raw warm total and a canary-normalized one
-# (raw / canary_ratio), and regression claims gate on the normalized
-# number. The set includes the three round-7 drift exemplars
-# (q_pack_sequences, q_monthly_order_extremes, q_join_key_skew_profile).
+# Drift canary (round-8 verdict item 3; methodology rebuilt in round 9
+# per the round-8 verdict item 1): cross-snapshot totals are dominated
+# by host noise (untouched queries moved up to 4x between rounds 6 and
+# 7 with zero code change), which turns every round's perf story into
+# re-litigation. The canary queries are PLAN-STABLE (no session-keyed
+# table names, no fit caches), UNTOUCHED since early rounds, and span
+# the engine's families (scan+agg, join, window, pivot, text, events,
+# dedup, corpus). Round-9 changes, each closing a measured hole in the
+# round-8 numbers (two runs of identical code normalized 22% apart):
+#
+# 1. STRATIFIED: four EXPENSIVE plan-stable queries (3.8-6 s warm each
+#    at sf0.1) join the fifteen cheap ones, so the canary is no longer
+#    fixed-overhead-dominated and actually represents a ~350 s
+#    workload's host sensitivity.
+# 2. FIRST **and** LAST: the canary set is timed in a dedicated pass at
+#    the very START of the run (canary_first — these timings also serve
+#    as the queries' in-loop timings, so nothing runs twice) and again
+#    at the very END (canary_last). last/first measures late-bench
+#    session-state inflation DIRECTLY instead of leaving it a
+#    hypothesis.
+# 3. MEDIAN-OF-RATIOS: normalization is median_c(first_now[c] /
+#    first_ref[c]) — one outlier query (or one noisy timing) can no
+#    longer swing the ratio the way total-over-total did.
+# 4. ALWAYS FRESH: the canary passes run unconditionally, including
+#    under --changed-only (ADVICE r08: reusing plan-stable canary
+#    timings made the ratio normalize fresh timings by a stale host).
+#
 # Contract: NEVER rewrite a canary query; replace the entry here (and
 # in SCALE.md) if one must change.
 CANARY = [
@@ -90,11 +112,28 @@ CANARY = [
     "q_pack_sequences",
     "q_join_key_skew_profile",
 ]
+# round-9 stratification: expensive, fixed-iteration, plan-stable
+CANARY_HEAVY = [
+    "q_pagerank_neardup_graph",
+    "q_isotonic_calibration_quality_dup",
+    "q_kcore_dup_graph",
+    "q_logistic_irls_status",
+]
+CANARY_ALL = CANARY + CANARY_HEAVY
 
 
-def _canary_reference(round_n: int) -> tuple[float | None, int | None]:
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
+def _canary_reference(round_n: int) -> tuple[dict[str, float], int | None]:
     """Newest prior full-run snapshot at the same SF with every canary
-    timing present -> (canary total, its round). (None, None) if none."""
+    timing present -> (per-query reference timings, its round).
+    Prefers the snapshot's dedicated start-of-run pass
+    (``canary.first``, round 9+) over its scattered in-loop timings so
+    the ratio compares like positions. ({}, None) if none."""
     for r in range(round_n - 1, 0, -1):
         p = Path(_REPO, "history", f"bench_full_r{r:02d}.json")
         try:
@@ -103,10 +142,12 @@ def _canary_reference(round_n: int) -> tuple[float | None, int | None]:
             continue
         if rec.get("sf") != SF_DIR:
             continue
+        first = rec.get("canary", {}).get("first") or {}
         qs = rec.get("queries", {})
-        if all(c in qs for c in CANARY):
-            return round(sum(qs[c] for c in CANARY), 3), r
-    return None, None
+        ref = {c: first.get(c, qs.get(c)) for c in CANARY_ALL}
+        if all(v is not None for v in ref.values()):
+            return {c: float(v) for c, v in ref.items()}, r
+    return {}, None
 
 _LEGACY_HEADLINE = [
     "q1_pricing_summary",
@@ -395,12 +436,18 @@ def main() -> None:
         to_run = [
             name
             for name in HEADLINE
-            if fingerprints.get(name) != prior_fp.get(name)
-            or name not in prior_timings
+            if name not in CANARY_ALL
+            and (
+                fingerprints.get(name) != prior_fp.get(name)
+                or name not in prior_timings
+            )
         ]
     else:
-        to_run = list(HEADLINE)
-    reused = [n for n in HEADLINE if n not in to_run]
+        to_run = [n for n in HEADLINE if n not in CANARY_ALL]
+    # Canary queries NEVER reuse prior timings (ADVICE r08): they run in
+    # the dedicated first/last passes below on every invocation, so the
+    # drift ratio always reflects THIS run's host.
+    reused = [n for n in HEADLINE if n not in to_run and n not in CANARY_ALL]
     if changed_only:
         print(
             json.dumps(
@@ -432,6 +479,27 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return time.perf_counter() - t0, df
 
+    # --- canary FIRST pass (start-of-run host baseline) ----------------
+    # These timings double as the canary queries' in-loop cold/warm
+    # numbers (same run_once contract), so the pass costs nothing extra
+    # versus timing them inside the main loop. The cold runs for ALL
+    # canaries complete BEFORE any warm run is timed: a measured sf0.01
+    # run showed last/first = 0.65 when cold and warm were interleaved —
+    # the early warm timings were dominated by a still-JITting JVM, not
+    # by the host. Batching ~19 plan executions ahead of the first timed
+    # run pushes the timed pass past the steepest part of the JIT curve.
+    canary_first: dict[str, float] = {}
+    for name in CANARY_ALL:
+        c, _ = run_once(name)
+        cold[name] = round(c, 3)
+        spark.catalog.clearCache()
+    for name in CANARY_ALL:
+        w, df = run_once(name)
+        canary_first[name] = round(w, 3)
+        timings[name] = canary_first[name]
+        fingerprints[name] = _fingerprint(df, specs[name].fn)
+        spark.catalog.clearCache()
+
     for name in reused:
         cold[name] = prior_cold.get(name, 0.0)
         timings[name] = prior_timings[name]
@@ -442,6 +510,17 @@ def main() -> None:
         w, df = run_once(name)
         timings[name] = round(w, 3)
         fingerprints[name] = _fingerprint(df, specs[name].fn)
+        spark.catalog.clearCache()
+
+    # --- canary LAST pass (end-of-run re-time, codegen already hot) ----
+    # last/first on identical plans in one process is the DIRECT
+    # measurement of late-bench session-state inflation (round-8
+    # verdict item 2) — previously a hypothesis inferred from cross-run
+    # totals.
+    canary_last: dict[str, float] = {}
+    for name in CANARY_ALL:
+        w, _ = run_once(name)
+        canary_last[name] = round(w, 3)
         spark.catalog.clearCache()
 
     fp_path.parent.mkdir(exist_ok=True)
@@ -468,24 +547,29 @@ def main() -> None:
         "queries_cold": cold,
         "sf": SF_DIR,
     }
-    # canary-normalized total (see CANARY above): ratio ~= host drift
-    # since the reference round; normalized_value is the cross-round
-    # comparable number
+    # canary-normalized total (see CANARY above): per-query
+    # median-of-ratios vs the newest prior full snapshot ~= host drift
+    # since that round; normalized_value is the cross-round comparable
+    # number. inflation = median(last/first) is the measured late-bench
+    # session-state drag within THIS run.
     round_n = 1 + len(list(Path(_REPO).glob("BENCH_r*.json")))
-    canary_now = (
-        round(sum(timings[c] for c in CANARY), 3)
-        if all(c in timings for c in CANARY)
-        else None
-    )
     canary_ref, canary_ref_round = _canary_reference(round_n)
     full["canary"] = {
-        "queries": CANARY,
-        "value": canary_now,
-        "ref_value": canary_ref,
+        "queries": CANARY_ALL,
+        "first": canary_first,
+        "last": canary_last,
+        "ref": canary_ref or None,
         "ref_round": canary_ref_round,
+        "inflation": round(
+            _median([canary_last[c] / canary_first[c] for c in CANARY_ALL]), 4
+        ),
     }
-    if canary_now and canary_ref:
-        ratio = round(canary_now / canary_ref, 4)
+    if canary_ref:
+        ratios = {
+            c: round(canary_first[c] / canary_ref[c], 4) for c in CANARY_ALL
+        }
+        ratio = round(_median(list(ratios.values())), 4)
+        full["canary"]["ratios"] = ratios
         full["canary"]["ratio"] = ratio
         full["normalized_value"] = round(full["value"] / ratio, 3)
     Path(_REPO, "BENCH_LOCAL.json").write_text(json.dumps(full, indent=1))
@@ -514,6 +598,7 @@ def main() -> None:
         "sf": SF_DIR,
         "queries": {},
     }
+    headline["canary_inflation"] = full["canary"]["inflation"]
     if "normalized_value" in full:
         headline["normalized_value"] = full["normalized_value"]
         headline["canary_ratio"] = full["canary"]["ratio"]

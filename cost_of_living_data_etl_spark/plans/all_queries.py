@@ -74,4 +74,7 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     # fingerprint-invalidated round-7 rewrites (verification.py), so
     # additions stay well under the ~50-name window
     round8,
+    # round9: 4 new names; the catalog enters round 9 with 308/309
+    # fingerprint-current, so the sample re-confirms old names too
+    round9,
 )

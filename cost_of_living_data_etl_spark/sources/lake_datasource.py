@@ -354,11 +354,17 @@ class LakeManifestLogStreamReader(DataSourceStreamReader):
         return {"last_batch": ids[-1] if ids else -1}
 
     def _wanted(self, obj: str) -> bool:
+        """Mirror _list_objects exactly (ADVICE r08): the listing reader
+        matches any FILE recursively under {root}/{LAKE_PREFIX}/
+        {extract_date}/, so the manifest filter anchors on that path
+        PREFIX — a basename(dirname(...)) equality check silently
+        dropped objects nested one level deeper than the date dir."""
         if self.category not in os.path.basename(obj):
             return False
-        if self.extract_date is not None:
-            return os.path.basename(os.path.dirname(obj)) == self.extract_date
-        return True
+        prefix = os.path.join(self.root, LAKE_PREFIX, self.extract_date or "")
+        return os.path.abspath(obj).startswith(
+            os.path.abspath(prefix) + os.sep
+        )
 
     def partitions(self, start: dict, end: dict) -> Sequence[InputPartition]:
         import json

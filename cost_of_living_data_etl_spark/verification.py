@@ -44,11 +44,19 @@ The round-7 rewrites themselves are seeded with an explicit
 which can never equal a real fingerprint, so all 16 re-queue in round
 8's sample.
 
-Known perpetual re-queuer: ``q_bucketed_colocated_join`` embeds a
-session-keyed managed-table name by design, so its fingerprint churns
-every bench run and it re-enters the sample each round — one slot of
-~50, and arguably correct (each round re-verifies a genuinely fresh
-plan).
+Bootstrap rule (ADVICE r08): when ``verified_fingerprints.json`` is
+MISSING, only the NEWEST correctness round's greens may be stamped
+with the current fingerprint — older rounds' greens were earned on
+plans that may since have been rewritten, so they get a ``stale:``
+sentinel and re-queue for a fresh driver hash. When the file EXISTS
+but cannot be parsed, the sync fails loudly instead of silently
+re-marking every historical green as current (which would reopen the
+round-7 blind spot this module closes).
+
+``q_bucketed_colocated_join`` was a perpetual re-queuer through round
+8 (session-keyed managed-table name churned its fingerprint per bench
+run); round 9 made the name content-deterministic (plans/mllite.py),
+so its fingerprint is now stable like every other query's.
 """
 
 from __future__ import annotations
@@ -127,11 +135,25 @@ def sync_verified_fingerprints(repo: Path) -> dict:
     if not current:
         return {}
     vpath = repo / VERIFIED_FP
-    verified = _load(vpath) or {
-        "sf": current.get("sf"),
-        "synced_through": 0,
-        "fingerprints": {},
-    }
+    bootstrap = not vpath.exists()
+    if bootstrap:
+        verified: dict = {
+            "sf": current.get("sf"),
+            "synced_through": 0,
+            "fingerprints": {},
+        }
+    else:
+        verified = _load(vpath)
+        if verified is None:
+            # Existing-but-unparseable must NOT silently re-bootstrap:
+            # that would stamp every historical green with the CURRENT
+            # fingerprint, marking since-rewritten plans as verified
+            # (ADVICE r08). A corrupt map needs a human decision.
+            raise ValueError(
+                f"{vpath} exists but is not parseable JSON — refusing to "
+                "silently re-bootstrap the verified-fingerprint map; fix "
+                "or delete the file explicitly."
+            )
     if verified.get("sf") != current.get("sf"):
         return verified
     rounds = correctness_rounds(repo)
@@ -141,15 +163,24 @@ def sync_verified_fingerprints(repo: Path) -> dict:
     if not new_rounds:
         return verified
     cfp = current.get("fingerprints", {})
+    newest = max(new_rounds)
     for r in new_rounds:
+        # Bootstrap can only vouch for the NEWEST round: the current
+        # fingerprints describe today's plans, and only the newest
+        # round's greens are known to have run against them. Older
+        # greens get a sentinel (never equal to a real fingerprint) so
+        # verified_names() re-queues them for a fresh driver hash.
+        stamp_current = (not bootstrap) or r == newest
         for name, row in rounds[r].items():
             if (
                 isinstance(row, dict)
                 and row.get("hash_match") is True
                 and name in cfp
             ):
-                verified["fingerprints"][name] = cfp[name]
-    verified["synced_through"] = max(new_rounds)
+                verified["fingerprints"][name] = (
+                    cfp[name] if stamp_current else f"stale:r{r}"
+                )
+    verified["synced_through"] = newest
     vpath.parent.mkdir(exist_ok=True)
     vpath.write_text(json.dumps(verified, indent=1, sort_keys=True))
     return verified

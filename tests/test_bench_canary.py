@@ -1,8 +1,9 @@
-"""bench.py's drift canary: the ~15 cheap, plan-stable queries whose
-total normalizes cross-round bench comparisons (SCALE.md 'Drift
-canary'). The set must stay resolvable against the catalog and the
-reference-lookup must pick the newest same-SF snapshot that has every
-canary timing."""
+"""bench.py's drift canary: the stratified (15 cheap + 4 expensive)
+plan-stable queries whose per-query median-of-ratios normalizes
+cross-round bench comparisons (SCALE.md 'Drift canary'). The set must
+stay resolvable against the catalog and the reference-lookup must pick
+the newest same-SF snapshot that has every canary timing, preferring a
+dedicated start-of-run pass (``canary.first``) over in-loop timings."""
 
 from __future__ import annotations
 
@@ -25,10 +26,22 @@ def test_canary_names_resolve_in_catalog():
 
     bench = _bench()
     cat = catalog()
-    missing = [c for c in bench.CANARY if c not in cat]
+    missing = [c for c in bench.CANARY_ALL if c not in cat]
     assert not missing, missing
     assert len(bench.CANARY) >= 12  # big enough to average out per-query noise
-    assert len(set(bench.CANARY)) == len(bench.CANARY)
+    # stratification (round-9): the heavy stratum keeps the canary from
+    # being fixed-overhead-dominated
+    assert len(bench.CANARY_HEAVY) >= 3
+    assert len(set(bench.CANARY_ALL)) == len(bench.CANARY_ALL)
+
+
+def test_median():
+    bench = _bench()
+    assert bench._median([3.0]) == 3.0
+    assert bench._median([1.0, 9.0]) == 5.0
+    assert bench._median([9.0, 1.0, 2.0]) == 2.0
+    # robust to one wild outlier — the property total-over-total lacked
+    assert bench._median([1.0, 1.0, 1.0, 1.0, 100.0]) == 1.0
 
 
 def test_canary_reference_prefers_newest_complete_snapshot(tmp_path, monkeypatch):
@@ -36,25 +49,50 @@ def test_canary_reference_prefers_newest_complete_snapshot(tmp_path, monkeypatch
     monkeypatch.setattr(bench, "_REPO", str(tmp_path))
     hist = tmp_path / "history"
     hist.mkdir()
-    full = {c: 0.5 for c in bench.CANARY}
+    full = {c: 0.5 for c in bench.CANARY_ALL}
     # r05: complete at the right SF; r06: wrong SF; r07: missing one canary
     (hist / "bench_full_r05.json").write_text(
         json.dumps({"sf": bench.SF_DIR, "queries": full})
     )
     (hist / "bench_full_r06.json").write_text(
-        json.dumps({"sf": "elsewhere", "queries": {c: 9.9 for c in bench.CANARY}})
+        json.dumps({"sf": "elsewhere", "queries": {c: 9.9 for c in bench.CANARY_ALL}})
     )
     partial = dict(full)
-    partial.pop(bench.CANARY[0])
+    partial.pop(bench.CANARY_ALL[0])
     (hist / "bench_full_r07.json").write_text(
         json.dumps({"sf": bench.SF_DIR, "queries": partial})
     )
-    total, rnd = bench._canary_reference(round_n=8)
+    ref, rnd = bench._canary_reference(round_n=8)
     assert rnd == 5
-    assert total == round(0.5 * len(bench.CANARY), 3)
+    assert ref == {c: 0.5 for c in bench.CANARY_ALL}
+
+
+def test_canary_reference_prefers_dedicated_first_pass(tmp_path, monkeypatch):
+    """A snapshot that carries canary.first (round 9+) supplies the
+    start-of-run timings; in-loop values only backfill names the pass
+    lacks (never the case in practice, but the lookup is total)."""
+    bench = _bench()
+    monkeypatch.setattr(bench, "_REPO", str(tmp_path))
+    hist = tmp_path / "history"
+    hist.mkdir()
+    first = {c: 0.25 for c in bench.CANARY_ALL}
+    first.pop(bench.CANARY_ALL[-1])  # one name falls back to in-loop
+    (hist / "bench_full_r09.json").write_text(
+        json.dumps(
+            {
+                "sf": bench.SF_DIR,
+                "queries": {c: 0.75 for c in bench.CANARY_ALL},
+                "canary": {"first": first},
+            }
+        )
+    )
+    ref, rnd = bench._canary_reference(round_n=10)
+    assert rnd == 9
+    assert ref[bench.CANARY_ALL[0]] == 0.25
+    assert ref[bench.CANARY_ALL[-1]] == 0.75
 
 
 def test_canary_reference_none_when_no_snapshot(tmp_path, monkeypatch):
     bench = _bench()
     monkeypatch.setattr(bench, "_REPO", str(tmp_path))
-    assert bench._canary_reference(round_n=8) == (None, None)
+    assert bench._canary_reference(round_n=8) == ({}, None)

@@ -784,6 +784,52 @@ def test_manifest_log_extract_date_filter(tmp_path):
     assert [p.value for p in batch] == [a]
 
 
+def test_manifest_log_nested_object_matches_listing_semantics(tmp_path):
+    """ADVICE r08: the listing reader matches any file recursively under
+    {root}/{LAKE_PREFIX}/{extract_date}/**; the manifest filter must
+    anchor on that path PREFIX, not require the object's immediate
+    parent to BE the date dir — an object nested one level deeper
+    (e.g. a sub-source subdirectory) was ingested by the listing reader
+    but silently dropped in manifest mode. Also: an object OUTSIDE the
+    lake prefix must be dropped even when extract_date is unset."""
+    import json
+    from pathlib import Path
+
+    from cost_of_living_data_etl_spark.sources.lake_datasource import (
+        LakeManifestLogStreamReader,
+        _list_objects,
+    )
+
+    root = str(tmp_path)
+    nested_dir = Path(root) / LAKE_PREFIX / "2024-06-01" / "vendor_a"
+    nested_dir.mkdir(parents=True)
+    nested = nested_dir / "living_wage_nested.csv"
+    nested.write_text(
+        "wage_level,num_children,num_adults,num_working,county,usd_amount\n"
+        "LIVING WAGE,2,2,1,Kent,21.34\n"
+    )
+    outside = Path(root) / "elsewhere" / "living_wage_outside.csv"
+    outside.parent.mkdir(parents=True)
+    outside.write_text(nested.read_text())
+    log = Path(root) / "_commits"
+    log.mkdir()
+    (log / "0.json").write_text(
+        json.dumps({"batch_id": 0, "objects": [str(nested), str(outside)]})
+    )
+
+    listed = _list_objects(root, "living_wage", "2024-06-01")
+    assert listed == [str(nested)]  # listing reader sees the nested object
+
+    for extract_date in ("2024-06-01", None):
+        reader = LakeManifestLogStreamReader(
+            LAKE_SCHEMAS["living_wage"],
+            {"root": root, "category": "living_wage",
+             "extract_date": extract_date},
+        )
+        batch = reader.partitions(reader.initialOffset(), reader.latestOffset())
+        assert [p.value for p in batch] == [str(nested)], extract_date
+
+
 def test_manifest_log_out_of_order_id_degrades_gracefully(tmp_path):
     """The position-log contract requires increasing publication order;
     this pins what happens when a producer VIOLATES it (a straggler id

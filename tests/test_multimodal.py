@@ -80,3 +80,33 @@ def test_frame_sampling_rowcounts(spark):
         F.max(F.length("frame")).alias("mx"), F.min("frame_idx").alias("mn")
     ).collect()[0]
     assert check["mx"] <= 64 and check["mn"] == 0
+
+
+def test_custom_decoder_injection(spark):
+    """The decode seam (round-8 verdict item 5): a user-supplied
+    decoder callable replaces the deterministic stub without touching
+    the mapInPandas plumbing — same schema, same batch shape, decoder
+    semantics fully owned by the caller. The fake 'codec' here returns
+    a constant-length ramp whose histogram differs measurably from the
+    byte-histogram stub, proving the custom path actually ran."""
+    import numpy as np
+
+    def ramp_decoder(payload: bytes, kind: str) -> np.ndarray:
+        # pretend every asset decodes to 32 samples 0..31 (bin 0,1 only)
+        return np.arange(32, dtype=np.uint8)
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    assets = documents_to_assets(docs)
+    custom = extract_features(assets, decoder=ramp_decoder).collect()
+    assert custom, "custom decode produced rows"
+    for r in custom:
+        assert r["n_samples"] == 32
+        feats = r["features"]
+        assert len(feats) == N_FEATURES
+        # 32 ramp samples in [0,32) all land in the first two 16-wide bins
+        assert abs(feats[0] - 0.5) < 1e-6 and abs(feats[1] - 0.5) < 1e-6
+        assert all(abs(v) < 1e-9 for v in feats[2:])
+    # default path (stub) still differs — the injection is not a no-op
+    stub = extract_features(assets).collect()
+    stub_m = {r["asset_id"]: r["n_samples"] for r in stub}
+    assert any(v != 32 for v in stub_m.values())

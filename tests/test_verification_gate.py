@@ -119,6 +119,48 @@ def test_sync_without_verified_map_bootstraps(tmp_path):
     assert json.loads((repo / VERIFIED_FP).read_text()) == v
 
 
+def test_bootstrap_stamps_only_newest_round_with_current(tmp_path):
+    """ADVICE r08: a fresh bootstrap must not vouch for OLD greens with
+    TODAY's fingerprints — a plan rewritten since its round-1 green
+    would otherwise ship as 'verified' without a fresh driver hash.
+    Old greens get a stale: sentinel (re-queue); a name green again in
+    the newest round is stamped current (ascending fold order)."""
+    repo = _fake_repo(
+        tmp_path,
+        correctness={
+            1: {"old_only": GREEN, "green_twice": GREEN},
+            3: {"new_only": GREEN, "green_twice": GREEN},
+        },
+        current={
+            "sf": "sfX",
+            "fingerprints": {"old_only": "f1", "new_only": "f2", "green_twice": "f3"},
+        },
+    )
+    v = sync_verified_fingerprints(repo)
+    assert v["synced_through"] == 3
+    assert v["fingerprints"]["old_only"] == "stale:r1"
+    assert v["fingerprints"]["new_only"] == "f2"
+    assert v["fingerprints"]["green_twice"] == "f3"
+    assert verified_names(repo) == {"new_only", "green_twice"}
+
+
+def test_sync_fails_loudly_on_corrupt_verified_map(tmp_path):
+    """An existing-but-unparseable map must raise, not silently
+    re-bootstrap (which would stamp every historical green with the
+    current fingerprint)."""
+    import pytest
+
+    repo = _fake_repo(
+        tmp_path,
+        correctness={1: {"a": GREEN}},
+        current={"sf": "sfX", "fingerprints": {"a": "f1"}},
+    )
+    (repo / VERIFIED_FP).parent.mkdir(parents=True, exist_ok=True)
+    (repo / VERIFIED_FP).write_text("{not json")
+    with pytest.raises(ValueError, match="refusing"):
+        sync_verified_fingerprints(repo)
+
+
 # --- the real repo state: round-7 rewrites must re-queue ---------------------
 
 REWRITTEN_R07 = [

@@ -8,16 +8,18 @@ row count, column names, dtype kinds, and values at strict 1e-9
 relative tolerance (tests/oracle_check.py — calibrated so local green
 predicts driver green). Exit code 0 iff every query matches.
 
-    python tools/verify_sweep.py [sf_dir]        # default /root/testdata/sf0.01
+    python tools/verify_sweep.py [sf_dir] [--names a,b,c]
 
-~12 min at sf0.01 on local[32]. Used for the end-of-round
-"full-catalog strict green" evidence line in COVERAGE.md; for quick
-iteration on a few queries, run the targeted pytest instead:
+~12 min at sf0.01 on local[32] (full catalog). Used for the
+end-of-round "full-catalog strict green" evidence line in COVERAGE.md;
+--names restricts the sweep to a comma-separated subset for targeted
+fresh-process checks. For quick iteration there is also:
 ORACLE_SF_FULL=1 python -m pytest tests/test_catalog_oracle.py -k <name>.
 """
 
 from __future__ import annotations
 
+import argparse
 import sys
 import time
 from pathlib import Path
@@ -31,10 +33,22 @@ from tests.oracle_check import assert_matches_oracle  # noqa: E402
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("--names", default=None,
+                    help="comma-separated catalog subset")
+    args = ap.parse_args()
+    sf_dir = args.sf_dir
     spark = get_spark(app_name="verify-sweep")
     spark.sparkContext.setLogLevel("FATAL")
     cat = catalog()
+    if args.names:
+        wanted = [n.strip() for n in args.names.split(",") if n.strip()]
+        unknown = [n for n in wanted if n not in cat]
+        if unknown:
+            print("UNKNOWN", *unknown)
+            return 2
+        cat = {n: cat[n] for n in wanted}
     bad: list[tuple[str, str]] = []
     t0 = time.time()
     for i, (name, spec) in enumerate(cat.items()):

@@ -96,3 +96,64 @@ def test_canary_reference_none_when_no_snapshot(tmp_path, monkeypatch):
     bench = _bench()
     monkeypatch.setattr(bench, "_REPO", str(tmp_path))
     assert bench._canary_reference(round_n=8) == ({}, None)
+
+
+def test_drift_median_filters_and_median(tmp_path, monkeypatch):
+    """The all-query drift estimate: only re-timed (both runs),
+    plan-unchanged names above the 0.2s noise floor enter; the median
+    resists single-query outliers."""
+    bench = _bench()
+    timings = {
+        "a": 1.0,   # ratio 2.0
+        "b": 2.0,   # ratio 2.0
+        "c": 3.0,   # ratio 2.0
+        "d": 4.0,   # ratio 40.0 — outlier, median unmoved
+        "e": 0.1,   # below floor now
+        "f": 1.0,   # below floor in ref
+        "g": 1.0,   # not re-timed now
+        "h": 1.0,   # not re-timed in ref
+        "i": 1.0,   # plan changed
+        "new": 1.0, # not in ref
+    }
+    ref = {
+        "queries": {"a": 0.5, "b": 1.0, "c": 1.5, "d": 0.1 + 0.0,
+                    "e": 1.0, "f": 0.1, "g": 1.0, "h": 1.0, "i": 0.5},
+        "retimed": ["a", "b", "c", "d", "e", "f", "g", "i"],
+    }
+    ref["queries"]["d"] = 0.2  # not 0.1: keep d above the ref floor too
+    retimed = set(timings) - {"g"}
+    drift, n = bench._drift_median(timings, retimed, ref, changed_names={"i"})
+    assert n == 4  # a b c d
+    assert drift == 2.0
+
+
+def test_drift_median_ref_without_retimed_counts_all(tmp_path):
+    """Pre-round-9 snapshots lack the retimed list: every ref name
+    counts (they were full runs)."""
+    bench = _bench()
+    timings = {"a": 1.0, "b": 3.0}
+    ref = {"queries": {"a": 0.5, "b": 1.0}}
+    drift, n = bench._drift_median(timings, {"a", "b"}, ref, set())
+    assert n == 2
+    assert drift == 2.5  # median of [2.0, 3.0]
+
+
+def test_drift_median_empty_when_nothing_comparable():
+    bench = _bench()
+    drift, n = bench._drift_median({"a": 1.0}, {"a"}, {"queries": {}}, set())
+    assert drift is None and n == 0
+
+
+def test_drift_reference_newest_same_sf(tmp_path, monkeypatch):
+    bench = _bench()
+    monkeypatch.setattr(bench, "_REPO", str(tmp_path))
+    hist = tmp_path / "history"
+    hist.mkdir()
+    (hist / "bench_full_r07.json").write_text(
+        json.dumps({"sf": bench.SF_DIR, "queries": {"a": 1.0}})
+    )
+    (hist / "bench_full_r08.json").write_text(
+        json.dumps({"sf": "elsewhere", "queries": {"a": 9.0}})
+    )
+    rec, rnd = bench._drift_reference(round_n=9)
+    assert rnd == 7 and rec["queries"] == {"a": 1.0}

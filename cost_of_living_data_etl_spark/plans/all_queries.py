@@ -77,4 +77,9 @@ from cost_of_living_data_etl_spark.plans import (  # noqa: F401
     # round9: 4 new names; the catalog enters round 9 with 308/309
     # fingerprint-current, so the sample re-confirms old names too
     round9,
+    # round9b: 3 lakehouse table-ops names (compaction planner,
+    # skipping audit, delete-cascade pre-flight); together with the 23
+    # names the round-9 type-aware bucket guard re-fingerprinted this
+    # keeps the churn under the ~50-name sample window
+    round9b,
 )

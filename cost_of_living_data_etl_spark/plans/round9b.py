@@ -1,0 +1,320 @@
+"""Round-9 catalog additions, part 2 — lakehouse table-ops queries.
+
+The reference pipeline writes plain append-only tables
+(`app.py:195-197`); at 100 TB the same warehouse needs the table
+MAINTENANCE layer every lakehouse format (Delta OPTIMIZE, Iceberg
+rewrite_data_files, GDPR purge jobs) runs as scheduled Spark jobs.
+These three queries are that layer's planning/audit passes, expressed
+as ordinary Catalyst plans over metadata-scale frames:
+
+1. ``q_compaction_plan_manifest`` — the small-file compaction PLANNER:
+   simulate a per-(source, ingest-batch) file manifest over the
+   documents corpus, then bin-pack each source's files (in batch
+   order) into merge groups of ~``COMPACT_TARGET_CHARS`` by exclusive
+   running char mass — ``merge_group = cum_before DIV target``, the
+   same integer-grid chunking rule as the corpus packer. One
+   partitioned window over the MANIFEST (one row per file, metadata
+   scale — never the data), exactly how Delta's OPTIMIZE plans per
+   table-partition.
+2. ``q_skipping_effectiveness_grid`` — the file-skipping AUDIT for the
+   Z-order layout: for a 4×4 grid of (price-bucket, day-bucket) point
+   probes, how many manifest files admit the probe by min/max range,
+   and how many rows those files hold. This is the "files scanned per
+   query" number a lakehouse exposes to judge whether clustering pays;
+   ``tests/test_layout.py`` pins the zorder-vs-singlesort win, this
+   query makes the same evidence a first-class result. LEFT join keeps
+   zero-hit probes (the best possible outcome) visible.
+3. ``q_delete_cascade_audit`` — the right-to-be-forgotten PRE-FLIGHT:
+   a deterministic ~3% customer deletion cohort (md5 bucket), cascaded
+   customer → orders → lineitem, reported per market segment: cohort
+   size, orders and line items that must go, and the revenue mass
+   (exact integer cents) leaving the warehouse. The audit a purge job
+   (``sources/warehouse.py::delete_keys``) runs BEFORE mutating
+   anything; per-order line counts are pre-aggregated so the cascade
+   joins stay one row per order.
+
+Float discipline: everything here is BIGINT counts / cent sums /
+bucket coordinates — no doubles anywhere, so partial-agg order can
+never drift a bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cost_of_living_data_etl_spark.plans.catalog import register
+from cost_of_living_data_etl_spark.plans.layout import _Z_ORACLE, zorder_files
+from cost_of_living_data_etl_spark.sources.tables import load_table
+
+# --------------------------------------------------------------------------
+# 1. small-file compaction planner
+# --------------------------------------------------------------------------
+
+#: ingest batches per source (the simulated small-file manifest: one
+#: "file" per (source, doc_id % COMPACT_BATCHES) ingest slice)
+COMPACT_BATCHES = 16
+#: target merged-file size in characters. A production constant —
+#: files already at/above it become singleton groups, exactly like
+#: OPTIMIZE's minFileSize/maxFileSize split.
+COMPACT_TARGET_CHARS = 20_000
+
+_COMPACT_ORACLE = f"""
+WITH files AS (
+    SELECT source,
+           CAST(doc_id % {COMPACT_BATCHES} AS BIGINT) AS batch_id,
+           CAST(count(*) AS BIGINT)       AS n_docs,
+           CAST(sum(n_chars) AS BIGINT)   AS file_chars
+    FROM documents
+    GROUP BY source, doc_id % {COMPACT_BATCHES}
+),
+planned AS (
+    SELECT source, batch_id, n_docs, file_chars,
+           CAST(coalesce(sum(file_chars) OVER (
+               PARTITION BY source ORDER BY batch_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) // {COMPACT_TARGET_CHARS} AS BIGINT) AS merge_group
+    FROM files
+)
+SELECT source, merge_group,
+       CAST(count(*) AS BIGINT)      AS n_files,
+       CAST(sum(n_docs) AS BIGINT)   AS n_docs,
+       CAST(sum(file_chars) AS BIGINT) AS chars_total,
+       CAST(min(batch_id) AS BIGINT) AS batch_min,
+       CAST(max(batch_id) AS BIGINT) AS batch_max
+FROM planned
+GROUP BY source, merge_group
+"""
+
+
+@register(
+    "q_compaction_plan_manifest",
+    oracle=_COMPACT_ORACLE,
+    tags=("layout", "compaction", "lakehouse-ops", "planner"),
+)
+def q_compaction_plan_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan small-file compaction: per-source ingest-batch "files"
+    bin-packed, in batch order, into merge groups of about
+    ``COMPACT_TARGET_CHARS`` by exclusive running size —
+    ``merge_group = cum_before DIV target``, so a group closes as soon
+    as the files before the current one reach the target. Emits one
+    row per planned merge job (file count, doc count, char mass,
+    batch range).
+
+    Scale: the window runs over the MANIFEST (one row per file), which
+    is metadata-sized at any corpus size, partitioned by source — the
+    same per-table-partition planning shape as Delta OPTIMIZE. All
+    integers; the group rule is the corpus packer's integer chunking.
+    """
+    from pyspark.sql import Window
+
+    files = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy(
+            "source",
+            (F.col("doc_id") % COMPACT_BATCHES).cast("long").alias("batch_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("file_chars"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("batch_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.withColumn(
+        "merge_group",
+        F.floor(
+            F.coalesce(F.sum("file_chars").over(w), F.lit(0))
+            / F.lit(COMPACT_TARGET_CHARS)
+        ).cast("long"),
+    )
+    return planned.groupBy("source", "merge_group").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.sum("file_chars").cast("long").alias("chars_total"),
+        F.min("batch_id").cast("long").alias("batch_min"),
+        F.max("batch_id").cast("long").alias("batch_max"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 2. file-skipping effectiveness grid over the Z-order manifest
+# --------------------------------------------------------------------------
+
+#: probe coordinates per dimension: 32 + 64·i, i ∈ 0..3 — four evenly
+#: spaced points across the 8-bit bucket space, crossed into 16 probes
+_PROBE_STEP = 64
+_PROBE_BASE = 32
+_PROBES_PER_DIM = 4
+
+_SKIP_ORACLE = f"""
+WITH manifest AS ({_Z_ORACLE}),
+grid AS (
+    SELECT CAST({_PROBE_BASE} + {_PROBE_STEP} * a.i AS BIGINT) AS price_b,
+           CAST({_PROBE_BASE} + {_PROBE_STEP} * b.i AS BIGINT) AS day_b
+    FROM range({_PROBES_PER_DIM}) a(i), range({_PROBES_PER_DIM}) b(i)
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS files_total FROM manifest)
+SELECT price_b, day_b,
+       CAST(count(file_id) AS BIGINT)          AS files_admit,
+       CAST(coalesce(sum(n_rows), 0) AS BIGINT) AS rows_admit,
+       (SELECT files_total FROM tot)            AS files_total
+FROM grid
+LEFT JOIN manifest
+  ON price_b_min <= price_b AND price_b <= price_b_max
+ AND day_b_min   <= day_b   AND day_b   <= day_b_max
+GROUP BY price_b, day_b
+"""
+
+
+@register(
+    "q_skipping_effectiveness_grid",
+    oracle=_SKIP_ORACLE,
+    tags=("layout", "zorder", "skipping", "lakehouse-ops"),
+)
+def q_skipping_effectiveness_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping audit of the Z-order manifest: for each of 16
+    (price-bucket, day-bucket) point probes, the number of files whose
+    min/max ranges ADMIT the probe (must be opened) and the row mass
+    behind them, beside the total file count — the "files scanned per
+    query" statistic that decides whether clustering is paying for
+    itself. Probes no file admits stay visible via the LEFT join:
+    zero is the best answer, not a missing row.
+
+    Scale: the probe join runs over the MANIFEST (one row per file)
+    against a 16-row literal grid — broadcast nested-loop on a
+    constant build side, metadata-scale probe side; the manifest
+    itself comes from the distributed zorder pass (`plans/layout.py`).
+    """
+    manifest = zorder_files(load_table(spark, sf_dir, "orders"))
+    probes = [
+        _PROBE_BASE + _PROBE_STEP * i for i in range(_PROBES_PER_DIM)
+    ]
+    grid = (
+        spark.range(_PROBES_PER_DIM)
+        .select(
+            F.expr(
+                f"CAST({_PROBE_BASE} + {_PROBE_STEP} * id AS BIGINT)"
+            ).alias("price_b")
+        )
+        .crossJoin(
+            spark.range(_PROBES_PER_DIM).select(
+                F.expr(
+                    f"CAST({_PROBE_BASE} + {_PROBE_STEP} * id AS BIGINT)"
+                ).alias("day_b")
+            )
+        )
+    )
+    tot = manifest.agg(F.count(F.lit(1)).cast("long").alias("files_total"))
+    admit = (
+        (F.col("price_b_min") <= F.col("price_b"))
+        & (F.col("price_b") <= F.col("price_b_max"))
+        & (F.col("day_b_min") <= F.col("day_b"))
+        & (F.col("day_b") <= F.col("day_b_max"))
+    )
+    return (
+        grid.join(manifest, admit, "left")
+        .groupBy("price_b", "day_b")
+        .agg(
+            F.count("file_id").cast("long").alias("files_admit"),
+            F.coalesce(F.sum("n_rows"), F.lit(0))
+            .cast("long")
+            .alias("rows_admit"),
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+
+
+# --------------------------------------------------------------------------
+# 3. right-to-be-forgotten cascade pre-flight
+# --------------------------------------------------------------------------
+
+#: deterministic deletion cohort: customers whose md5 bucket (mod 100)
+#: falls below this — ~3% of the customer dimension
+DELETE_COHORT_PCT = 3
+
+_DEL_BUCKET_SPARK = (
+    "cast(conv(substring(md5(cast(c_custkey AS STRING)), 1, 15), 16, 10)"
+    " AS BIGINT) % 100"
+)
+_DEL_BUCKET_SQL = (
+    "CAST(('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 15)) AS BIGINT)"
+    " % 100"
+)
+#: money on the exact integer cent grid (see plans/round9.py::_CENTS)
+_O_CENTS = "CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)"
+
+_DELETE_ORACLE = f"""
+WITH cohort AS (
+    SELECT c_custkey, c_mktsegment
+    FROM customer
+    WHERE {_DEL_BUCKET_SQL} < {DELETE_COHORT_PCT}
+),
+li AS (
+    SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_li
+    FROM lineitem GROUP BY l_orderkey
+),
+cascade AS (
+    SELECT cohort.c_mktsegment, cohort.c_custkey,
+           o.o_orderkey, {_O_CENTS} AS cents, li.n_li
+    FROM cohort
+    LEFT JOIN orders o ON o.o_custkey = cohort.c_custkey
+    LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+)
+SELECT c_mktsegment,
+       CAST(count(DISTINCT c_custkey) AS BIGINT)   AS n_customers,
+       CAST(count(o_orderkey) AS BIGINT)           AS n_orders,
+       CAST(coalesce(sum(n_li), 0) AS BIGINT)      AS n_lineitems,
+       CAST(coalesce(sum(cents), 0) AS BIGINT)     AS revenue_cents
+FROM cascade
+GROUP BY c_mktsegment
+"""
+
+
+@register(
+    "q_delete_cascade_audit",
+    oracle=_DELETE_ORACLE,
+    tags=("privacy", "gdpr", "lakehouse-ops", "join"),
+)
+def q_delete_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten pre-flight: a deterministic ~3% customer
+    cohort (md5 bucket — in production, the actual request queue),
+    cascaded through the FK chain customer → orders → lineitem, and
+    reported per market segment: cohort size, orders and line items
+    the purge must delete, and the exact cent revenue mass leaving the
+    warehouse. This is the audit that runs (and gets signed off)
+    BEFORE ``sources/warehouse.py::delete_keys`` mutates anything.
+
+    Shape: line items are pre-aggregated to one count per order, so
+    the cascade stays one row per order; LEFT joins keep zero-order
+    customers in their cohort count. At scale the cohort is a
+    key-shuffled join against each fact (the purge's own access
+    pattern); the per-segment rollup is tiny.
+    """
+    cohort = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.expr(_DEL_BUCKET_SPARK) < DELETE_COHORT_PCT)
+        .select("c_custkey", "c_mktsegment")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_li"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.expr(_O_CENTS).alias("cents")
+    )
+    cascade = cohort.join(
+        orders, orders.o_custkey == cohort.c_custkey, "left"
+    ).join(li, li.l_orderkey == F.col("o_orderkey"), "left")
+    return cascade.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_custkey").cast("long").alias("n_customers"),
+        F.count("o_orderkey").cast("long").alias("n_orders"),
+        F.coalesce(F.sum("n_li"), F.lit(0)).cast("long").alias("n_lineitems"),
+        F.coalesce(F.sum("cents"), F.lit(0))
+        .cast("long")
+        .alias("revenue_cents"),
+    )

@@ -462,3 +462,33 @@ def test_multi_ntile_fuzz_matches_reference(spark, vals, n_tiles, divisor):
     ta = ref_ntile([k for a, k in sorted((a, k) for k, a, b in rows)])
     tb = ref_ntile([k for nb, k in sorted((-b, k) for k, a, b in rows)])
     assert got == {k: (ta[k], tb[k]) for k, a, b in rows}
+
+
+def test_bucket_guard_is_type_derived(spark):
+    """The NULL/NaN router emits the cheapest guard the bucket TYPE
+    demands (round-9 perf fix: the unconditional three-branch CASE
+    tripled per-row evaluation of wide arithmetic bucket keys — 2.0x
+    on the Morton-code zorder plan). Pin the plan shape per type:
+    float/double keep the NaN probe, nullable integrals get a bare
+    coalesce, non-nullable buckets no guard at all."""
+    from cost_of_living_data_etl_spark.operators.distributed_rank import (
+        _with_buckets,
+    )
+
+    def plan(df, bucket):
+        return _with_buckets(df, bucket, sb_step=8)._jdf.queryExecution(
+        ).analyzed().toString()
+
+    dbl = spark.createDataFrame([(1.0,)], "v double")
+    p = plan(dbl, F.col("v"))
+    assert "isnan" in p
+
+    nullable_long = spark.createDataFrame([(1,)], "v long")
+    assert nullable_long.schema["v"].nullable
+    p = plan(nullable_long, F.col("v"))
+    assert "isnan" not in p and "coalesce" in p
+
+    nonnull = spark.range(3)  # id is non-nullable
+    assert not nonnull.schema["id"].nullable
+    p = plan(nonnull, F.col("id"))
+    assert "isnan" not in p and "coalesce" not in p

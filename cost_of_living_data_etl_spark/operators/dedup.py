@@ -298,15 +298,22 @@ def neardup_pairs_from_sigs(
     )
 
     if max_bucket is not None:
-        # drop pathological buckets before the b² self-join; one extra
-        # aggregate over (band, hash) — short keys, map-side partial
-        w_ok = (
-            bands.groupBy("band_idx", "band_hash")
-            .agg(F.count(F.lit(1)).alias("bsz"))
-            .filter(F.col("bsz") <= max_bucket)
-            .select("band_idx", "band_hash")
+        # drop pathological buckets before the b² self-join. A window
+        # count partitioned on EXACTLY the self-join's equi keys: the
+        # shuffle it needs is the shuffle the join needs anyway, so
+        # ReuseExchange computes the banded frame once. The previous
+        # rollup + left-semi form consumed `bands` twice, re-running
+        # the shingle→minhash subtree — measured +26-40% on the pair
+        # consumers on a corpus where the cap drops nothing (SCALE.md
+        # round-9 production-profile decade table).
+        from pyspark.sql import Window
+
+        wspec = Window.partitionBy("band_idx", "band_hash")
+        bands = (
+            bands.withColumn("__bsz", F.count(F.lit(1)).over(wspec))
+            .filter(F.col("__bsz") <= max_bucket)
+            .drop("__bsz")
         )
-        bands = bands.join(w_ok, ["band_idx", "band_hash"], "left_semi")
 
     a, bb = bands.alias("a"), bands.alias("b")
     join_cond = (

@@ -91,25 +91,26 @@ def test_cap_drops_boilerplate_bucket_but_keeps_organic_pairs(sigs, capsys):
 
 
 def test_cap_filters_before_the_self_join(sigs):
-    """The guard must prune buckets UPSTREAM of the b² self-join: the
-    capped plan carries a left-semi join of the band table against the
-    bucket-size aggregate, and that semi join feeds the pair join —
-    dropping oversized buckets before any candidate pair exists."""
+    """The guard must prune buckets UPSTREAM of the b² self-join. Since
+    round 9 it is a window count partitioned on EXACTLY the self-join's
+    equi keys (band_idx, band_hash) plus a filter — the shuffle the
+    window needs is the one the join needs anyway (ReuseExchange), so
+    the banded frame is computed once instead of twice (the previous
+    rollup + left-semi form re-ran the shingle→minhash subtree;
+    SCALE.md round-9 production-decade table). Pin the shape: a Window
+    over (band_idx, band_hash) and a bucket-size Filter, both present
+    only in the capped plan."""
     plan = neardup_pairs_from_sigs(sigs, max_bucket=50)._jdf.queryExecution(
     ).optimizedPlan().toString()
-    semi_at = plan.find("LeftSemi")
-    assert semi_at != -1, plan
-    # the semi join appears below (i.e. printed AFTER, deeper in) the
-    # candidate self-join in the plan tree: find the inner join on
-    # band_hash equality that produces candidates, then require the
-    # semi join to be in its subtree
-    inner_at = plan.find("band_hash")
-    assert inner_at != -1, plan
+    win_at = plan.find("Window")
+    assert win_at != -1, plan
+    assert "windowspecdefinition(band_idx" in plan, plan
+    assert "__bsz" in plan, plan
 
 
 def test_uncapped_parity_is_unchanged(sigs):
     """max_bucket=None must keep exact-oracle parity semantics: the
-    default path has NO semi join (zero extra aggregate)."""
+    default path has NO guard window (zero extra operator)."""
     plan = neardup_pairs_from_sigs(sigs, max_bucket=None)._jdf.queryExecution(
     ).optimizedPlan().toString()
-    assert "LeftSemi" not in plan
+    assert "Window" not in plan and "__bsz" not in plan

@@ -93,9 +93,8 @@ def test_cap_drops_boilerplate_bucket_but_keeps_organic_pairs(sigs, capsys):
 def test_cap_filters_before_the_self_join(sigs):
     """The guard must prune buckets UPSTREAM of the b² self-join. Since
     round 9 it is a window count partitioned on EXACTLY the self-join's
-    equi keys (band_idx, band_hash) plus a filter — the shuffle the
-    window needs is the one the join needs anyway (ReuseExchange), so
-    the banded frame is computed once instead of twice (the previous
+    equi keys (band_idx, band_hash) plus a filter — one derivation of
+    the banded frame instead of two independent branches (the previous
     rollup + left-semi form re-ran the shingle→minhash subtree;
     SCALE.md round-9 production-decade table). Pin the shape: a Window
     over (band_idx, band_hash) and a bucket-size Filter, both present

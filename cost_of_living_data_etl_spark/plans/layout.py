@@ -67,16 +67,23 @@ def _morton_sql(xb: str, yb: str, bits: int = ZBITS) -> str:
     return " + ".join(terms)
 
 
-def zorder_files(orders: DataFrame, file_rows: int = FILE_ROWS) -> DataFrame:
-    """Z-order the orders fact on (price, order day) and emit the
-    per-file skipping manifest: (file_id, n_rows, price-bucket and
-    day-bucket min/max)."""
-    bounds = orders.agg(
+def zorder_bounds(orders: DataFrame) -> DataFrame:
+    """The 1-row global (price, day) bounds frame the bucket coding
+    normalizes against — split out so incremental maintenance can code
+    an append batch against the FULL table's bounds (table stats stay
+    fixed while data arrives)."""
+    return orders.agg(
         F.min("o_totalprice").alias("pmin"),
         F.max("o_totalprice").alias("pmax"),
         F.min(F.to_date("o_orderdate")).alias("dmin"),
         F.max(F.to_date("o_orderdate")).alias("dmax"),
     )
+
+
+def zorder_code(orders: DataFrame, bounds: DataFrame) -> DataFrame:
+    """Bucket-code rows against a bounds frame: (k, xb, yb, z) with
+    xb/yb the 8-bit dimension buckets and z their Morton interleave.
+    Pure codegen arithmetic after a broadcast of the 1-row bounds."""
     b = orders.crossJoin(F.broadcast(bounds))
     d = F.datediff(F.to_date("o_orderdate"), F.col("dmin"))
     dspan = F.datediff(F.col("dmax"), F.col("dmin"))
@@ -99,9 +106,23 @@ def zorder_files(orders: DataFrame, file_rows: int = FILE_ROWS) -> DataFrame:
         .cast("bigint")
     )
     yb = F.floor(d * float(1 << ZBITS) / (dspan + F.lit(1))).cast("bigint")
-    coded = b.select(
+    return b.select(
         F.col("o_orderkey").alias("k"), xb.alias("xb"), yb.alias("yb")
     ).withColumn("z", morton_z(F.col("xb"), F.col("yb")))
+
+
+def zorder_files(
+    orders: DataFrame,
+    file_rows: int = FILE_ROWS,
+    bounds_from: DataFrame | None = None,
+) -> DataFrame:
+    """Z-order the orders fact on (price, order day) and emit the
+    per-file skipping manifest: (file_id, n_rows, price-bucket and
+    day-bucket min/max). ``bounds_from``: normalize buckets against
+    ANOTHER frame's bounds (default: ``orders`` itself) — the
+    incremental-maintenance case where the layout covers the base
+    table but coding must match full-table stats."""
+    coded = zorder_code(orders, zorder_bounds(bounds_from or orders))
     # distributed zipWithIndex keyed on the bounded Morton code: exact
     # global (z, k) positions without a single-partition window
     files = with_global_position(coded, ["z", "k"], F.col("z")).withColumn(

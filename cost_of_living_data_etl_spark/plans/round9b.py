@@ -4,7 +4,7 @@ The reference pipeline writes plain append-only tables
 (`app.py:195-197`); at 100 TB the same warehouse needs the table
 MAINTENANCE layer every lakehouse format (Delta OPTIMIZE, Iceberg
 rewrite_data_files, GDPR purge jobs) runs as scheduled Spark jobs.
-These three queries are that layer's planning/audit passes, expressed
+These queries are that layer's planning/audit passes, expressed
 as ordinary Catalyst plans over metadata-scale frames:
 
 1. ``q_compaction_plan_manifest`` — the small-file compaction PLANNER:
@@ -32,6 +32,16 @@ as ordinary Catalyst plans over metadata-scale frames:
    (``sources/warehouse.py::delete_keys``) runs BEFORE mutating
    anything; per-order line counts are pre-aggregated so the cascade
    joins stay one row per order.
+4. ``q_dataset_version_manifest`` — content-addressed dataset version
+   manifest: per hash partition, row count + an order-insensitive
+   integer content fingerprint (per-row md5 split into two 32-bit
+   halves, each summed as BIGINT). The reproducibility check a
+   training-data release ships beside the data.
+5. ``q_zorder_incremental_rewrite`` — incremental OPTIMIZE planning:
+   which Z-ordered base files an append batch forces to be rewritten,
+   with the new-point mass per file; the rectangle-contains range join
+   decomposed into an equi join on price bucket (file rectangles
+   expand to ≤ 256 rows each; append points pre-aggregate to cells).
 
 Float discipline: everything here is BIGINT counts / cent sums /
 bucket coordinates — no doubles anywhere, so partial-agg order can
@@ -317,4 +327,241 @@ def q_delete_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum("cents"), F.lit(0))
         .cast("long")
         .alias("revenue_cents"),
+    )
+
+
+# --------------------------------------------------------------------------
+# 4. dataset content-version manifest
+# --------------------------------------------------------------------------
+
+#: hash partitions in the manifest (in production: the table's actual
+#: partition layout)
+VERSION_PARTS = 16
+
+#: the content string each row hashes — typed columns rendered through
+#: engine-agreed formats: BIGINTs print identically, money rides the
+#: exact cent grid, the date through an explicit yyyy-MM-dd pattern.
+#: Raw doubles are deliberately EXCLUDED from the hash input (their
+#: shortest-roundtrip string rendering is not engine-portable).
+_ROW_STR_SPARK = (
+    "concat_ws('|', o_orderkey, o_custkey, "
+    f"{_O_CENTS}, o_orderstatus, o_orderpriority, "
+    "date_format(o_orderdate, 'yyyy-MM-dd'))"
+)
+_ROW_STR_SQL = (
+    "concat_ws('|', o_orderkey, o_custkey, "
+    f"{_O_CENTS}, o_orderstatus, o_orderpriority, "
+    "strftime(o_orderdate, '%Y-%m-%d'))"
+)
+
+_VERSION_ORACLE = f"""
+SELECT CAST(o_orderkey % {VERSION_PARTS} AS BIGINT) AS part_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(('0x' || substr(md5({_ROW_STR_SQL}), 1, 8)) AS BIGINT))
+            AS BIGINT) AS fp_lo,
+       CAST(sum(CAST(('0x' || substr(md5({_ROW_STR_SQL}), 9, 8)) AS BIGINT))
+            AS BIGINT) AS fp_hi
+FROM orders
+GROUP BY o_orderkey % {VERSION_PARTS}
+"""
+
+
+@register(
+    "q_dataset_version_manifest",
+    oracle=_VERSION_ORACLE,
+    tags=("lakehouse-ops", "versioning", "reproducibility", "audit"),
+)
+def q_dataset_version_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed dataset version manifest: per hash partition,
+    the row count and an ORDER-INSENSITIVE content fingerprint — the
+    sum of each row's md5 split into two 32-bit halves, each summed as
+    BIGINT. Two runs/clusters/replicas hold the same data iff their
+    manifests match; a changed partition pinpoints WHERE they diverge.
+    This is the reproducibility check a training-data release ships
+    beside the data (Delta checksums / DVC-style content addressing)
+    as one aggregate pass.
+
+    Exactness: summing 32-bit halves keeps every partial sum far under
+    BIGINT overflow (2^32 · rows-per-partition; fine past 10^9 rows per
+    partition — shard the partition key before that), and integer sums
+    are associative, so partial aggregation in ANY order, on any
+    cluster, yields identical fingerprints. Doubles never enter the
+    hash input (engine-portable renderings only).
+
+    Scale: one map-side-combined groupBy over the fact; output is
+    |partitions| rows. At 100 TB this is the cheapest full-table
+    integrity pass there is.
+    """
+    h = F.md5(F.expr(_ROW_STR_SPARK))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            (F.col("o_orderkey") % VERSION_PARTS).cast("long").alias("part_id"),
+            F.expr(
+                f"cast(conv(substring(md5({_ROW_STR_SPARK}), 1, 8), 16, 10)"
+                " AS BIGINT)"
+            ).alias("h_lo"),
+            F.expr(
+                f"cast(conv(substring(md5({_ROW_STR_SPARK}), 9, 8), 16, 10)"
+                " AS BIGINT)"
+            ).alias("h_hi"),
+        )
+        .groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("h_lo").cast("long").alias("fp_lo"),
+            F.sum("h_hi").cast("long").alias("fp_hi"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# 5. incremental Z-order maintenance: the rewrite set an append implies
+# --------------------------------------------------------------------------
+
+#: deterministic append batch: ~5% of orders by md5 bucket
+APPEND_PCT = 5
+
+_APPEND_SPARK = (
+    "cast(conv(substring(md5(cast(o_orderkey AS STRING)), 1, 15), 16, 10)"
+    f" AS BIGINT) % 100 < {APPEND_PCT}"
+)
+_APPEND_SQL = (
+    "CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT)"
+    f" % 100 < {APPEND_PCT}"
+)
+
+from cost_of_living_data_etl_spark.plans.layout import (  # noqa: E402
+    FILE_ROWS as _Z_FILE_ROWS,
+)
+from cost_of_living_data_etl_spark.plans.layout import (  # noqa: E402
+    ZBITS as _Z_ZBITS,
+)
+from cost_of_living_data_etl_spark.plans.layout import (  # noqa: E402
+    _morton_sql,
+    zorder_bounds,
+    zorder_code,
+)
+
+_INC_ORACLE = f"""
+WITH bounds AS (
+    SELECT min(o_totalprice) AS pmin, max(o_totalprice) AS pmax,
+           min(CAST(o_orderdate AS DATE)) AS dmin,
+           max(CAST(o_orderdate AS DATE)) AS dmax
+    FROM orders
+),
+coded AS (
+    SELECT o_orderkey AS k,
+           ({_APPEND_SQL}) AS is_append,
+           CASE WHEN pmax = pmin THEN 0
+                ELSE least({(1 << 8) - 1}, CAST(floor(
+                    (o_totalprice - pmin) * {float(1 << 8)} / (pmax - pmin)
+                ) AS BIGINT)) END AS xb,
+           CAST(floor(
+               date_diff('day', dmin, CAST(o_orderdate AS DATE))
+               * {float(1 << 8)} / (date_diff('day', dmin, dmax) + 1)
+           ) AS BIGINT) AS yb
+    FROM orders, bounds
+),
+z AS (
+    SELECT k, is_append, xb, yb, {_morton_sql("xb", "yb")} AS z FROM coded
+),
+manifest AS (
+    SELECT file_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(xb) AS price_b_min, max(xb) AS price_b_max,
+           min(yb) AS day_b_min,   max(yb) AS day_b_max
+    FROM (
+        SELECT xb, yb,
+               CAST(floor((row_number() OVER (ORDER BY z, k) - 1)
+                    / {1000}) AS BIGINT) AS file_id
+        FROM z WHERE NOT is_append
+    )
+    GROUP BY file_id
+),
+pts AS (
+    SELECT xb, yb, CAST(count(*) AS BIGINT) AS n_new
+    FROM z WHERE is_append GROUP BY xb, yb
+),
+expanded AS (
+    SELECT m.file_id, m.n_rows, m.day_b_min, m.day_b_max,
+           CAST(r.i AS BIGINT) AS price_b
+    FROM manifest m JOIN range({1 << 8}) r(i)
+      ON r.i BETWEEN m.price_b_min AND m.price_b_max
+)
+SELECT e.file_id,
+       CAST(e.n_rows AS BIGINT)   AS n_rows,
+       CAST(sum(p.n_new) AS BIGINT) AS n_new_points,
+       CAST(count(*) AS BIGINT)     AS cells_hit
+FROM expanded e
+JOIN pts p ON p.xb = e.price_b
+          AND p.yb BETWEEN e.day_b_min AND e.day_b_max
+GROUP BY e.file_id, e.n_rows
+"""
+
+
+@register(
+    "q_zorder_incremental_rewrite",
+    oracle=_INC_ORACLE,
+    tags=("layout", "zorder", "incremental", "lakehouse-ops", "planner"),
+)
+def q_zorder_incremental_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental OPTIMIZE planning: an append batch (~5% of orders,
+    md5-deterministic) arrives against a Z-ordered base layout — which
+    files must be REWRITTEN to restore clustering, and how much new
+    data lands in each? Both sides are bucket-coded against the FULL
+    table's bounds (table stats stay fixed as data arrives — the
+    `zorder_code`/`zorder_bounds` seam in plans/layout.py), the base
+    manifest is laid out over base rows only, and a file is hit when
+    its (price, day) bucket rectangle contains an append point's cell.
+
+    Scale shape: the rectangle-contains range join is decomposed into
+    an EQUI join — each manifest file expands to its covered price
+    buckets (≤ 256 rows per file, a constant), then joins append
+    CELLS (≤ 2^16 distinct, pre-aggregated with counts) on exact
+    price-bucket equality with the day range as a post-filter. No
+    nested-loop over points × files: both join inputs are
+    metadata-scale and the join key distributes.
+    """
+    full = load_table(spark, sf_dir, "orders")
+    bounds = zorder_bounds(full)
+    is_append = F.expr(_APPEND_SPARK)
+    from cost_of_living_data_etl_spark.plans.layout import zorder_files
+
+    manifest = zorder_files(
+        full.filter(~is_append), _Z_FILE_ROWS, bounds_from=full
+    )
+    pts = (
+        zorder_code(full.filter(is_append), bounds)
+        .groupBy("xb", "yb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    )
+    expanded = (
+        manifest.join(
+            spark.range(1 << _Z_ZBITS).select(
+                F.col("id").cast("long").alias("price_b")
+            ),
+            (F.col("price_b") >= F.col("price_b_min"))
+            & (F.col("price_b") <= F.col("price_b_max")),
+        )
+        .select("file_id", "n_rows", "day_b_min", "day_b_max", "price_b")
+    )
+    return (
+        expanded.join(
+            pts,
+            (F.col("xb") == F.col("price_b"))
+            & (F.col("yb") >= F.col("day_b_min"))
+            & (F.col("yb") <= F.col("day_b_max")),
+        )
+        .groupBy("file_id", "n_rows")
+        .agg(
+            F.sum("n_new").cast("long").alias("n_new_points"),
+            F.count(F.lit(1)).cast("long").alias("cells_hit"),
+        )
+        .select(
+            "file_id",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            "n_new_points",
+            "cells_hit",
+        )
     )

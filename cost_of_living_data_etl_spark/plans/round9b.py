@@ -392,10 +392,18 @@ def q_dataset_version_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     |partitions| rows. At 100 TB this is the cheapest full-table
     integrity pass there is.
     """
-    h = F.md5(F.expr(_ROW_STR_SPARK))
+    return version_partials(load_table(spark, sf_dir, "orders"))
+
+
+def version_partials(orders: DataFrame) -> DataFrame:
+    """The manifest aggregate over ANY orders frame — shared by the
+    catalog query and the streaming twin
+    (``streaming/versioning.py``): because the fingerprints are plain
+    BIGINT sums, per-micro-batch partials merged by re-summing equal
+    the one-pass batch manifest BIT-identically, whatever the batch
+    boundaries (pinned in tests/test_streaming_versioning.py)."""
     return (
-        load_table(spark, sf_dir, "orders")
-        .select(
+        orders.select(
             (F.col("o_orderkey") % VERSION_PARTS).cast("long").alias("part_id"),
             F.expr(
                 f"cast(conv(substring(md5({_ROW_STR_SPARK}), 1, 8), 16, 10)"

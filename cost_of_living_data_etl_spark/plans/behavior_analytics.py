@@ -257,11 +257,27 @@ def q_decay_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # window sum: sum(w) over an unordered partition accumulates in
     # shuffle-fetch order — last-ulp drift run-to-run and
     # engine-to-engine, exactly what the driver's exact-hash gate
-    # cannot tolerate (det_sum docstring)
-    wsum = touch.groupBy("p_id").agg(det_sum("w").alias("sw"))
-    shared = touch.join(wsum, "p_id").select(
-        F.date_trunc("day", F.col("v_ts")).alias("day"),
-        (F.col("value") * F.col("w") / F.col("sw")).alias("attributed"),
+    # cannot tolerate (det_sum docstring). One groupBy collects the
+    # purchase's touches and folds sw from the same sorted list —
+    # the explode below then replaces the former touch⋈wsum join-back,
+    # which derived the expensive range join a second time (2 scans of
+    # events + a SortMergeJoin on p_id, all gone; plan shape pinned in
+    # plans/r09/q_decay_attribution_{before,after}.txt).
+    grouped = touch.groupBy("p_id").agg(
+        F.first("value").alias("value"),
+        F.collect_list(F.struct("v_ts", "w")).alias("touches"),
+    ).withColumn(
+        "sw",
+        F.expr(
+            "aggregate(array_sort(transform(touches, t -> t.w)),"
+            " CAST(0.0 AS DOUBLE), (a, x) -> a + x)"
+        ),
+    )
+    shared = grouped.select(
+        F.explode("touches").alias("t"), "value", "sw"
+    ).select(
+        F.date_trunc("day", F.col("t.v_ts")).alias("day"),
+        (F.col("value") * F.col("t.w") / F.col("sw")).alias("attributed"),
     )
     return shared.groupBy("day").agg(
         F.count(F.lit(1)).cast("long").alias("n_touches"),

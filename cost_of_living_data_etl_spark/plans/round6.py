@@ -868,24 +868,32 @@ def q_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("max_df")
     )
     ex0 = fp.selectExpr("doc_id", "explode(fps) AS f")
-    rare = (
-        ex0.groupBy("f")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .crossJoin(F.broadcast(nd))
-        .filter(F.col("df") <= F.col("max_df"))
-        .select("f")
-    )
-    ex = ex0.join(rare, "f", "left_semi")
+    # pair mining via ONE groupBy(f) + in-row pair generation: collect
+    # the (distinct-by-construction) doc set per fingerprint, gate on
+    # its size (≡ count_distinct ≤ max_df — the old df-rollup + semi-
+    # join), and emit the sorted set's i<j pairs with a nested
+    # transform (≡ the old a.f = b.f AND a.doc_id < b.doc_id
+    # self-join). Replaces 2 exchanges on f + a sort-merge self-join
+    # with 1 exchange + a hash aggregate; pair volume is unchanged and
+    # df-capped, so the in-row expansion is bounded by max_df²/2.
+    # Plan evidence: plans/r09/q_winnowing_overlap_pairs_{before,after}.txt.
     shared = (
-        ex.alias("a")
-        .join(
-            ex.alias("b"),
-            (F.col("a.f") == F.col("b.f"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ex0.groupBy("f")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.size("ds") <= F.col("max_df"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ds, (x, i) ->"
+                    " transform(slice(ds, i + 2, size(ds)), y ->"
+                    " struct(x AS d1, y AS d2))))"
+                )
+            ).alias("p")
         )
         .groupBy(
-            F.col("a.doc_id").alias("doc_id_1"),
-            F.col("b.doc_id").alias("doc_id_2"),
+            F.col("p.d1").alias("doc_id_1"),
+            F.col("p.d2").alias("doc_id_2"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)

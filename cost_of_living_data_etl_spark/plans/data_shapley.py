@@ -46,6 +46,9 @@ import math
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from cost_of_living_data_etl_spark.functions.checkpoints import (
+    eager_checkpoint,
+)
 from cost_of_living_data_etl_spark.functions.columns import det_sum
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.plans.mllite import (
@@ -277,31 +280,52 @@ def q_data_shapley_source_groups(
     )
     bucket = F.expr(_NB_BUCKET_SPARK)
     train = docs.filter(bucket < _TRAIN_CUT)
+    # The eval panel (≤ EVAL_PANEL rows), the per-(grp, lang, word)
+    # count table (≤ 4·|langs|·NB_V rows), the per-(grp, lang) doc
+    # counts, and the 16-row coalition-accuracy table below are each
+    # consumed by SEVERAL downstream branches; without materialization
+    # every branch re-derives the full corpus pipeline (the analyzed
+    # plan held ~12 token-explode scans — plans/r09/
+    # q_data_shapley_source_groups_before.txt). All four are bounded
+    # (constant in corpus size), so the localCheckpoint is the
+    # dedup-signature idiom, not a data-scaled persist.
     test = (
         docs.filter(bucket >= _TEST_CUT)
         .select("doc_id", F.col("lang").alias("true_lang"), "t")
         .orderBy("doc_id")
         .limit(EVAL_PANEL)
+        .transform(eager_checkpoint)
     )
 
     train_tokens = train.select(
         "grp", "lang", F.explode(F.split("t", r"\s+")).alias("word")
     )
+    # ONE token-explode pass: the per-(grp, lang, word) count table
+    # subsumes the global word counts (vocab = top-V of its word-sums,
+    # exact BIGINT merge — same (count DESC, word) order as counting
+    # the tokens directly), so the corpus is split+exploded once
+    # instead of once for vocab and again for cglw. The checkpointed
+    # table is vocabulary-scaled (|words|·grp·lang), the winnowing-
+    # fingerprint class of persist: far smaller than a second full
+    # text pass at any scale.
+    cglw_all = (
+        train_tokens.groupBy("grp", "lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .transform(eager_checkpoint)
+    )
     vocab = [
         r["word"]
-        for r in train_tokens.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        for r in cglw_all.groupBy("word")
+        .agg(F.sum("c").alias("cnt"))
         .orderBy(F.col("cnt").desc(), "word")
         .limit(NB_V)
         .collect()
     ]
-    cglw = (
-        train_tokens.filter(F.col("word").isin(vocab))
-        .groupBy("grp", "lang", "word")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    ngl = train.groupBy("grp", "lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    cglw = cglw_all.filter(F.col("word").isin(vocab))
+    ngl = (
+        train.groupBy("grp", "lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .transform(eager_checkpoint)
     )
 
     memb = spark.createDataFrame(_memb_rows(), "mask int, grp int")
@@ -390,6 +414,7 @@ def q_data_shapley_source_groups(
                 F.expr("CAST(0.0 AS DOUBLE)"),
             ).alias("v"),
         )
+        .transform(eager_checkpoint)
     )
     const = spark.createDataFrame(
         _shap_const_rows(),

@@ -65,7 +65,7 @@ LITERAL-limited candidate lists, fixed bin counts).
 
 from __future__ import annotations
 
-from collections.abc import Sequence
+from collections.abc import Callable, Sequence
 
 import pyspark.sql.functions as F
 import pyspark.sql.types as T
@@ -237,6 +237,103 @@ def with_global_position(
     if n_col is not None:
         n_tot = bkt_tot.groupBy().agg(F.sum(cnt).cast("long").alias(n_col))
         out = out.crossJoin(F.broadcast(n_tot))
+    return out
+
+
+def select_global_ranks(
+    df: DataFrame,
+    order_cols: Sequence[str | Column],
+    bucket: Column,
+    targets: Callable[[DataFrame], DataFrame],
+    *,
+    rank_col: str = "__drank_k",
+    pos_col: str = "pos",
+    n_col: str | None = None,
+    prefix: bool = False,
+    sb_step: int = DEFAULT_SB_STEP,
+) -> DataFrame:
+    """Rows of ``df`` at chosen 0-based global rank positions under
+    ``ORDER BY order_cols`` — bit-identical to computing
+    :func:`with_global_position` and filtering ``pos_col`` to the
+    target set, but only the BUCKETS that contain a target rank pay
+    the position exchange+sort: every other bucket is dropped by a
+    broadcast semi-join straight after the (map-side partial) bucket
+    rollup. For selection-style consumers — medians, quantile grids,
+    conformal q̂ — the full-frame position join is the dominant
+    shuffle, and this prunes it to a handful of bucket-sized
+    partitions (guide §2.3/§2.4: shuffle only the bytes the answer
+    needs).
+
+    ``targets``: callable receiving a ONE-ROW DataFrame with BIGINT
+    column ``n`` (the total row count, free from the rollup) and
+    returning a SMALL DataFrame with BIGINT column ``rank_col`` of
+    target positions; extra columns (e.g. a quantile grid's ``q``)
+    ride through to the output. Target ranks outside ``[0, n)`` simply
+    match nothing (same as the filter they replace). Column names in
+    the targets frame must not collide with ``df``'s.
+
+    ``prefix=True`` switches the match from ``pos == k`` to
+    ``pos < k`` (top-``k`` prefix consumers): kept buckets are those
+    whose offset lies below some target ``k``, and each surviving row
+    joins every target with ``pos < k``.
+
+    Output: ``df``'s columns + ``pos_col`` + the targets frame's
+    columns (+ ``n_col`` if requested). Like the position helper, df
+    is read twice (rollup + pruned position pass) — materialize
+    expensive inputs first.
+
+    When to use (measured, round 9): the pruning pays when the frame
+    is pair-scale (millions of rows, e.g. the Hodges-Lehmann 5.8M-row
+    diff frame: −40% interleaved) AND cheap to re-derive. For frames
+    of ~60k-600k skinny rows the full position exchange+sort is
+    cheaper than this helper's extra broadcast stages (+35-45% on
+    q_doc_length_order_stats / q_ppl_filter_retention_curve /
+    q_vocab_coverage_curve), and for an expensive LAZY input the
+    second derivation dominates (+15% on the Theil-Sen pair join) —
+    those callers keep :func:`with_global_position`."""
+    from cost_of_living_data_etl_spark.functions.checkpoints import (
+        eager_checkpoint,
+    )
+
+    b = _with_buckets(df, bucket, sb_step)
+    cnt = "__drank_cnt"
+    # The rollup is one row per bucket — tiny — but FOUR branches read
+    # it (offsets, extents, total count, and the caller's targets).
+    # Materialized so a lazily-derived expensive `df` (e.g. a pair
+    # join) is scanned exactly twice (rollup + pruned pass), not once
+    # per broadcast chain: measured +30% on the Theil-Sen pair frame
+    # without this, ~flat with it.
+    bkt_tot = (
+        b.groupBy(_SB, _BKT)
+        .agg(F.count(F.lit(1)).alias(cnt))
+        .transform(eager_checkpoint)
+    )
+    offs = _bucket_prefix_totals(bkt_tot, [cnt])
+    off = F.col(f"__off_{cnt}")
+    ext = bkt_tot.select(_BKT, cnt).join(offs, _BKT)
+    n_df = bkt_tot.groupBy().agg(F.sum(cnt).cast("long").alias("n"))
+    tgt = targets(n_df)
+    if prefix:
+        bucket_cond = off < F.col(rank_col)
+        row_cond = F.col(pos_col) < F.col(rank_col)
+    else:
+        bucket_cond = (F.col(rank_col) >= off) & (
+            F.col(rank_col) < off + F.col(cnt)
+        )
+        row_cond = F.col(pos_col) == F.col(rank_col)
+    hit = ext.join(
+        F.broadcast(tgt.select(rank_col)), bucket_cond, "left_semi"
+    ).select(_BKT)
+    rn = F.row_number().over(Window.partitionBy(_BKT).orderBy(*order_cols))
+    out = (
+        b.join(F.broadcast(hit), _BKT, "left_semi")
+        .join(F.broadcast(offs), _BKT)
+        .withColumn(pos_col, (off + rn - F.lit(1)).cast("long"))
+        .join(F.broadcast(tgt), row_cond)
+        .drop(_BKT, _SB, f"__off_{cnt}")
+    )
+    if n_col is not None:
+        out = out.crossJoin(F.broadcast(n_df.withColumnRenamed("n", n_col)))
     return out
 
 

@@ -910,7 +910,12 @@ def q_theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # slopes stay LAZY: re-deriving the broadcast pair join for the
     # helper's second read is cheaper than materializing ~3M rows
-    # (measured: an eager checkpoint here cost 2× the recompute)
+    # (measured: an eager checkpoint here cost 2× the recompute).
+    # Round 9: the bucket-pruned selection helper
+    # (select_global_ranks) was A/B-tested here and REJECTED — the
+    # ~24 MB skinny pair frame sorts faster than the helper's extra
+    # broadcast stages cost (interleaved: 3.8 s old vs 4.4 s pruned),
+    # unlike the selection callers whose inputs are cheap to re-derive.
     ranked = with_global_position(
         slopes.select("slope"), ["slope"], F.floor(F.col("slope")), n_col="n"
     )

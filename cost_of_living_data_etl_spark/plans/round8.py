@@ -387,7 +387,7 @@ def q_hodges_lehmann_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager_checkpoint,
     )
     from cost_of_living_data_etl_spark.operators.distributed_rank import (
-        with_global_position,
+        select_global_ranks,
     )
 
     orders = load_table(spark, sf_dir, "orders")
@@ -413,12 +413,20 @@ def q_hodges_lehmann_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pair (money diffs are near-unique), making the per-bucket rollup
     # as large as the pair frame itself; /4096 keeps buckets ~100s of
     # rows while staying monotone (measured 9.8 s -> see SCALE.md)
-    ranked = with_global_position(
-        diffs, ["diff"], F.floor(F.col("diff") / F.lit(4096.0)), n_col="n"
+    # bucket-pruned selection: only the bucket holding the lower-median
+    # rank pays the position exchange+sort; the other ~6M pair rows are
+    # dropped right after the map-side rollup (select_global_ranks —
+    # bit-identical to the former position+filter)
+    sel = select_global_ranks(
+        diffs,
+        ["diff"],
+        F.floor(F.col("diff") / F.lit(4096.0)),
+        lambda nd: nd.select(
+            (F.floor((F.col("n") + 1) / 2) - 1).cast("long").alias("__drank_k")
+        ),
+        n_col="n",
     )
-    return ranked.filter(
-        F.col("pos") == F.floor((F.col("n") + 1) / 2) - 1
-    ).select(
+    return sel.select(
         F.col("n").cast("long").alias("n_pairs"),
         F.col("diff").alias("hl_shift"),
     )

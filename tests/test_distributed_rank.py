@@ -492,3 +492,91 @@ def test_bucket_guard_is_type_derived(spark):
     assert not nonnull.schema["id"].nullable
     p = plan(nonnull, F.col("id"))
     assert "isnan" not in p and "coalesce" not in p
+
+
+# --- select_global_ranks (round 9: bucket-pruned selection) ---------------
+
+from cost_of_living_data_etl_spark.operators.distributed_rank import (  # noqa: E402
+    select_global_ranks,
+)
+
+
+@pytest.mark.parametrize("name,bucket,sb", BUCKETINGS, ids=[b[0] for b in BUCKETINGS])
+def test_select_ranks_matches_position_filter(spark, name, bucket, sb):
+    """Exact-rank selection ≡ with_global_position + filter, for a
+    median-style single target and a multi-target grid (with an
+    out-of-range rank that must match nothing)."""
+    bucket = bucket()
+    df = _frame(spark)
+    ref = with_global_position(df, ["v", "id"], bucket, sb_step=sb)
+
+    # single data-derived target: the lower median
+    got = select_global_ranks(
+        df,
+        ["v", "id"],
+        bucket,
+        lambda nd: nd.select(
+            (F.floor((F.col("n") + 1) / 2) - 1).cast("long").alias("__drank_k")
+        ),
+        n_col="n",
+        sb_step=sb,
+    ).select("v", "id", "pos")
+    exp = ref.crossJoin(
+        F.broadcast(df.groupBy().agg(F.count(F.lit(1)).alias("n")))
+    ).filter(F.col("pos") == F.floor((F.col("n") + 1) / 2) - 1).select(
+        "v", "id", "pos"
+    )
+    assert _same(got, exp)
+
+    # grid of targets incl. duplicates-in-bucket and out-of-range
+    ks = [(0,), (1,), (999,), (1999,), (10**9,)]
+    tgt = lambda nd: spark.createDataFrame(ks, "k long").select(  # noqa: E731
+        "k", F.col("k").alias("__drank_k")
+    )
+    got = select_global_ranks(df, ["v", "id"], bucket, tgt, sb_step=sb).select(
+        "v", "id", "pos", "k"
+    )
+    kdf = spark.createDataFrame(ks, "k long")
+    exp = ref.join(F.broadcast(kdf), F.col("pos") == F.col("k")).select(
+        "v", "id", "pos", "k"
+    )
+    assert _same(got, exp)
+    assert got.filter(F.col("k") == 10**9).count() == 0
+
+
+def test_select_ranks_prefix_matches_position_filter(spark):
+    """prefix=True ≡ position + (pos < k) join for a top-k grid."""
+    df = _frame(spark, n=500)
+    bucket = F.floor(F.col("v") / F.lit(10))
+    ref = with_global_position(df, ["v", "id"], bucket)
+    ks = [(1,), (10,), (250,)]
+    kdf = spark.createDataFrame(ks, "k long")
+    got = select_global_ranks(
+        df,
+        ["v", "id"],
+        bucket,
+        lambda nd: kdf.select("k", F.col("k").alias("__drank_k")),
+        prefix=True,
+    ).select("v", "id", "pos", "k")
+    exp = ref.join(F.broadcast(kdf), F.col("pos") < F.col("k")).select(
+        "v", "id", "pos", "k"
+    )
+    assert _same(got, exp)
+
+
+def test_select_ranks_null_nan_buckets(spark):
+    """NULL/NaN sort keys route through the sentinel buckets exactly
+    like the position helper (module bucket contract)."""
+    rows = [(None, 1), (float("nan"), 2), (3.0, 3), (1.0, 4), (2.0, 5)]
+    df = spark.createDataFrame(rows, "v double, id long")
+    bucket = F.col("v")
+    ref = with_global_position(df, ["v", "id"], bucket)
+    for k in range(5):
+        got = select_global_ranks(
+            df,
+            ["v", "id"],
+            bucket,
+            lambda nd: spark.createDataFrame([(k,)], "__drank_k long"),
+        ).select("v", "id", "pos")
+        exp = ref.filter(F.col("pos") == k).select("v", "id", "pos")
+        assert _same(got, exp), f"rank {k}"

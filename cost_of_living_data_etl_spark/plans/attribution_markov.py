@@ -33,7 +33,7 @@ join over the (src, dst, p) edge table instead of the pivot.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cost_of_living_data_etl_spark.functions.checkpoints import (
@@ -214,36 +214,59 @@ def markov_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
         )
     )
-    jw = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
-    numbered = ev.withColumn("rn", F.row_number().over(jw))
-    fp = (
-        numbered.filter(F.col("event_type") == "purchase")
-        .groupBy("user_id", "day")
-        .agg(F.min("rn").alias("prn"))
+    # Single-pass journey fold (round 9): the former shape — row_number
+    # window, first-purchase rollup, join-back, lag window + max window
+    # union — derived the windowed path FOUR times (two windows, a join
+    # probe and a union branch) over the same (user_id, day)
+    # partitioning. One groupBy collects each journey's events, and the
+    # truncation / conv-mapping / lag-edge / terminal-null logic folds
+    # in-row over the sorted list — exactly one exchange of the events
+    # frame, bit-identical edges (all integer/string ops; event_id
+    # uniqueness makes the struct sort ≡ ORDER BY ts, event_id).
+    grouped = ev.groupBy("user_id", "day").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("evs")
     )
-    path = (
-        numbered.join(fp, ["user_id", "day"], "left")
-        .filter(F.col("prn").isNull() | (F.col("rn") <= F.col("prn")))
-        .select(
-            "user_id",
-            "day",
-            "rn",
-            "prn",
-            F.when(F.col("event_type") == "purchase", F.lit("conv"))
-            .otherwise(F.col("event_type"))
-            .alias("st"),
+    edges = (
+        grouped.select(
+            F.explode(
+                F.expr(
+                    """
+            CASE WHEN array_position(
+                     transform(evs, e -> e.event_type = 'purchase'), true
+                   ) > 0
+                 THEN transform(
+                     sequence(1, CAST(array_position(
+                         transform(evs, e -> e.event_type = 'purchase'),
+                         true) AS INT)),
+                     i -> struct(
+                         CASE WHEN i = 1 THEN 'start'
+                              WHEN element_at(evs, i - 1).event_type
+                                   = 'purchase' THEN 'conv'
+                              ELSE element_at(evs, i - 1).event_type
+                         END AS src,
+                         CASE WHEN element_at(evs, i).event_type
+                                   = 'purchase' THEN 'conv'
+                              ELSE element_at(evs, i).event_type
+                         END AS dst))
+                 ELSE concat(
+                     transform(
+                         sequence(1, size(evs)),
+                         i -> struct(
+                             CASE WHEN i = 1 THEN 'start'
+                                  ELSE element_at(evs, i - 1).event_type
+                             END AS src,
+                             element_at(evs, i).event_type AS dst)),
+                     array(struct(
+                         element_at(evs, size(evs)).event_type AS src,
+                         'null' AS dst)))
+            END
+            """
+                )
+            ).alias("e")
         )
-    )
-    ow = Window.partitionBy("user_id", "day").orderBy("rn")
-    edges = path.select(
-        F.coalesce(F.lag("st").over(ow), F.lit("start")).alias("src"),
-        F.col("st").alias("dst"),
-    ).unionByName(
-        path.withColumn(
-            "mx", F.max("rn").over(Window.partitionBy("user_id", "day"))
-        )
-        .filter((F.col("rn") == F.col("mx")) & F.col("prn").isNull())
-        .select(F.col("st").alias("src"), F.lit("null").alias("dst"))
+        .select("e.src", "e.dst")
     )
     return edges.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("cnt"))
 

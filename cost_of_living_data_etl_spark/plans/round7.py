@@ -44,6 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cost_of_living_data_etl_spark.functions.checkpoints import eager_checkpoint
 from cost_of_living_data_etl_spark.functions.columns import det_sum
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.sources.tables import load_table
@@ -524,28 +525,41 @@ def q_dedup_keeper_source_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("kept"),
     )
-    tot = j.agg(
-        F.count(F.lit(1)).cast("long").alias("all_docs"),
-        F.sum("kept").cast("long").alias("all_kept"),
-    )
-    return (
-        j.crossJoin(F.broadcast(tot))
-        .groupBy("source")
+    # ONE pass over j: the corpus totals are exact-integer sums of the
+    # per-source rollup, so the labels+docs join no longer re-derives
+    # for a separate global-total branch (round 9; the ratios divide
+    # the same longs as before, so the doubles are bit-identical)
+    per_source = (
+        j.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("kept").cast("long").alias("n_kept"),
-            (F.sum("kept") * F.lit(1.0) / F.count(F.lit(1))).alias("kept_rate"),
-            (
-                F.count(F.lit(1)) * F.lit(1.0) / F.max("all_docs")
-            ).alias("share_before"),
-            (F.sum("kept") * F.lit(1.0) / F.max("all_kept")).alias(
-                "share_after"
-            ),
             F.sum("n_chars").cast("long").alias("chars_total"),
             F.sum(F.when(F.col("kept") == 1, F.col("n_chars")).otherwise(0))
             .cast("long")
             .alias("chars_kept"),
         )
+        # |sources| rows; without this the tot branch prunes the chars
+        # columns, defeating ReuseExchange, and j derives twice anyway
+        .transform(eager_checkpoint)
+    )
+    tot = per_source.groupBy().agg(
+        F.sum("n_docs").cast("long").alias("all_docs"),
+        F.sum("n_kept").cast("long").alias("all_kept"),
+    )
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_kept",
+        (F.col("n_kept") * F.lit(1.0) / F.col("n_docs")).alias("kept_rate"),
+        (F.col("n_docs") * F.lit(1.0) / F.col("all_docs")).alias(
+            "share_before"
+        ),
+        (F.col("n_kept") * F.lit(1.0) / F.col("all_kept")).alias(
+            "share_after"
+        ),
+        "chars_total",
+        "chars_kept",
     )
 
 

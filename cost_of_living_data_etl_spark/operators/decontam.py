@@ -123,7 +123,9 @@ def q_decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark import StorageLevel
 
-    grams = ngram_hashes(load_table(spark, sf_dir, "documents"), NGRAM_N).persist(
+    grams = ngram_hashes(
+        load_table(spark, sf_dir, "documents", parallel=True), NGRAM_N
+    ).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     is_eval = F.col("doc_id") % EVAL_MOD == 0
@@ -265,7 +267,9 @@ def q_decontam_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    grams = ngram_hashes(load_table(spark, sf_dir, "documents"), NGRAM_N).persist(
+    grams = ngram_hashes(
+        load_table(spark, sf_dir, "documents", parallel=True), NGRAM_N
+    ).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     is_eval = F.col("doc_id") % EVAL_MOD == 0

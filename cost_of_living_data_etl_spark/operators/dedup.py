@@ -147,6 +147,9 @@ def q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     arbitrary row). The shuffle key is the 32-char hash, never the
     document — at 100 TB this moves ~50 bytes/doc.
     """
+    # scan-parallelization measured and REJECTED here (round 9): the
+    # md5 groupBy map work is too cheap — the re-key exchange doubled
+    # the query (0.21 -> 0.45 s interleaved)
     return (
         load_table(spark, sf_dir, "documents")
         .groupBy(F.md5(F.col("text").cast("binary")).alias("content_hash"))
@@ -238,7 +241,13 @@ def minhash_pair_plan(
     """
     from pyspark import StorageLevel
 
-    docs = load_table(spark, sf_dir, "documents")
+    # parallel=True: the shingle+md5+minhash map pass is the chain's
+    # single most expensive kernel and runs as ONE task on the
+    # single-split fixture files; every emitted value downstream is
+    # order-insensitive (md5/xxhash ints, array_min, exact-count
+    # Jaccard ratios), so the re-key is parity-safe. Measured −20% on
+    # q_dedup_minhash_lsh (2.80 → 2.21 s interleaved, round 9).
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     mh = minhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
     return neardup_pairs_from_sigs(mh, max_bucket=max_bucket)
 
@@ -521,7 +530,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # evaluated exactly once by construction.
     from pyspark import StorageLevel
 
-    docs = load_table(spark, sf_dir, "documents")
+    # parallel=True: the per-word md5 + 60-bit fold map pass is the
+    # dominant serial kernel; every output is an md5-derived integer
+    # (order-free), so the re-key is parity-safe
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     _hs = (
         f"transform(array_distinct({_WORDS}), "
         "w -> cast(conv(substring(md5(w), 1, 15), 16, 10) AS BIGINT))"
@@ -609,7 +621,9 @@ def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     One-vs-all exact Jaccard via a broadcast of the query shingle set;
     top-k by TakeOrderedAndProject (no global sort).
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # parallel=True: shingling dominates; Jaccard is a ratio of exact
+    # set sizes and the top-k order is total (round 9)
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     sh = shingle_docs(docs)
     q = sh.filter(F.col("doc_id") == 0).select(F.col("shingles").alias("qsh"))
     jaccard = F.size(F.array_intersect("shingles", "qsh")) / F.size(
@@ -655,9 +669,18 @@ def q_dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair set; the plan shape is identical when the corpus half comes
     from parquet.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs).withColumn(
-        "is_new", F.col("doc_id") % NEW_BATCH_MOD == 0
+    from pyspark import StorageLevel
+
+    # parallel=True + persist (round 9): same justification as
+    # minhash_pair_plan — the signature map pass is the serial kernel
+    # and the band join + two verify joins consume `sigs` on THREE
+    # branches; unpersisted, the shingle+minhash pipeline re-ran per
+    # branch.
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
+    sigs = (
+        minhash_signatures(docs)
+        .withColumn("is_new", F.col("doc_id") % NEW_BATCH_MOD == 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     return neardup_pairs_from_sigs(sigs, touching_only="is_new")
 
@@ -903,6 +926,11 @@ def q_crossdoc_substring_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     only hashes. Nothing is ever all-pairs.
     """
     docs = (
+        # scan-parallelization REJECTED here (round 9): the per-source
+        # mean of per-doc dup rates is a plain double sum — its value
+        # depends on the order rows reach the aggregate (measured
+        # last-ulp flips under a re-keyed scan), so the serial scan
+        # order is part of this query's float contract
         load_table(spark, sf_dir, "documents")
         .filter(F.length("text") >= CHUNK_W)
         .select("doc_id", "source", "text", F.length("text").alias("len"))

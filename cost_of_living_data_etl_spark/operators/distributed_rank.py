@@ -186,6 +186,12 @@ def _bucket_prefix_totals(
     w = Window.partitionBy(*gc, _SB).orderBy(_BKT).rowsBetween(
         Window.unboundedPreceding, -1
     )
+    # NOTE (round 9): an explicit F.broadcast(sb_off) was A/B-tested
+    # here and REJECTED — interleaved same-session runs on five
+    # prefix-scan consumers were flat to slightly SLOWER (AQE already
+    # converts this join at runtime when sb_off is small, and the
+    # static hint only churned ~25 plan fingerprints). Left on the
+    # default planner.
     joined = bkt_frame.join(sb_off, [*gc, _SB])
     sel = [F.col(c) for c in gc] + [F.col(_BKT)]
     for c in weight_cols:

@@ -359,7 +359,8 @@ def q_text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash fingerprint (min-md5 over stride-4 char 8-grams)."""
-    return load_table(spark, sf_dir, "documents").select(
+    # parallel=True: per-row map only — partitioning cannot change it
+    return load_table(spark, sf_dir, "documents", parallel=True).select(
         "doc_id", fingerprint("text").alias("fp")
     )
 

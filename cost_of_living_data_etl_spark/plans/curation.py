@@ -35,6 +35,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame, SparkSession
 
+from cost_of_living_data_etl_spark.functions.checkpoints import (
+    eager_checkpoint,
+)
 from cost_of_living_data_etl_spark.functions.columns import det_sum
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.sources.tables import load_table
@@ -318,8 +321,15 @@ def q_dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     — bit-identical, so the (weight, doc_id) rank order the driver
     hashes cannot drift.
     """
+    # parallel=True: the bigram build + hash is the serial map kernel;
+    # every output is an exact count or a det_sum fold (order-free).
+    # ONE explode pass (round 9; previously the occurrence stream was
+    # derived twice — once for the distributions, once for the per-doc
+    # counts): the (doc_id, lang, bucket) rollup is materialized and
+    # BOTH the 256-bucket distributions and the per-doc weights derive
+    # from it by exact-integer sums.
     occ = (
-        load_table(spark, sf_dir, "documents")
+        load_table(spark, sf_dir, "documents", parallel=True)
         .select(
             "doc_id",
             "lang",
@@ -331,9 +341,16 @@ def q_dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "lang", F.expr(_BUCKET_SPARK).alias("bucket"))
     )
-    dist = occ.groupBy("bucket").agg(
-        F.count_if(F.col("lang") == DSIR_TARGET_LANG).alias("c_t"),
-        F.count(F.lit(1)).alias("c_r"),
+    dlb = (
+        occ.groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .transform(eager_checkpoint)
+    )
+    dist = dlb.groupBy("bucket").agg(
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, F.col("cnt")).otherwise(0)
+        ).alias("c_t"),
+        F.sum("cnt").alias("c_r"),
     )
     tot = dist.groupBy().agg(
         F.sum("c_t").alias("t_total"), F.sum("c_r").alias("r_total")
@@ -345,9 +362,7 @@ def q_dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.log((F.col("c_r") + 1.0) / (F.col("r_total") + DSIR_BUCKETS))
         ).alias("log_ratio"),
     )
-    doc_bucket = occ.groupBy("doc_id", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
-    )
+    doc_bucket = dlb.select("doc_id", "bucket", "cnt")
     weights = (
         doc_bucket.join(F.broadcast(ratio), "bucket")
         .groupBy("doc_id")

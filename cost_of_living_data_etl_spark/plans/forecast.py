@@ -219,6 +219,11 @@ def q_laspeyres_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cents"),
             F.sum(F.col("l_quantity").cast("long")).alias("qty"),
         )
+        # NOTE (round 9): an eager checkpoint of this rollup was
+        # A/B-tested and REJECTED (1.82 s old vs 1.88 s new min,
+        # interleaved) — ReuseExchange already dedups the rollup's
+        # exchange across the three consuming branches, so the
+        # materialization job only added cost.
     )
     base_mon = pp.groupBy().agg(F.min("mon").alias("m0"))
     base = (

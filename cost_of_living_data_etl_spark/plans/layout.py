@@ -123,6 +123,16 @@ def zorder_files(
     incremental-maintenance case where the layout covers the base
     table but coding must match full-table stats."""
     coded = zorder_code(orders, zorder_bounds(bounds_from or orders))
+    # the position helper reads its input TWICE (bucket rollup +
+    # position join) — materialize the slim (k, xb, yb, z) frame so
+    # the scan + ~32-term Morton interleave runs once, not per branch
+    # (round 9; the helper's own docstring asks expensive inputs to be
+    # materialized first)
+    from cost_of_living_data_etl_spark.functions.checkpoints import (
+        eager_checkpoint,
+    )
+
+    coded = coded.transform(eager_checkpoint)
     # distributed zipWithIndex keyed on the bounded Morton code: exact
     # global (z, k) positions without a single-partition window
     files = with_global_position(coded, ["z", "k"], F.col("z")).withColumn(

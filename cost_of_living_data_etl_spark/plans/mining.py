@@ -534,7 +534,10 @@ def q_lsh_blocking_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         q_setsim_prefix_join,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
+    # parallel=True: the signature map pass is the serial kernel and
+    # every output is an exact-integer count or a ratio of two counts
+    # (round 9; same justification as minhash_pair_plan)
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     mh = minhash_signatures(docs).transform(eager_checkpoint)  # sigs computed once
     bands = mh.select(
         "doc_id",

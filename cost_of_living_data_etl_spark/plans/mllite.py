@@ -30,6 +30,9 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
+from cost_of_living_data_etl_spark.functions.checkpoints import (
+    eager_checkpoint,
+)
 from cost_of_living_data_etl_spark.functions.columns import det_sum
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.plans.reshape import (
@@ -259,9 +262,11 @@ def q_ridge_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     (entrywise — no re-scan per fold, the algebra partial aggregation
     buys you), each held-out model solves by the shared Cramer text,
     and a second pass scores every row against its own fold's
-    broadcast betas for the held-out RMSE. Two corpus passes TOTAL for
-    k models — versus k+1 for the naive per-fold refit; at 100 TB
-    that's the difference between a CV sweep and an overnight job.
+    broadcast betas for the held-out RMSE. ONE corpus pass total
+    (materializing the slim design matrix) + two passes over that
+    matrix for k models — versus k+1 corpus passes for the naive
+    per-fold refit; at 100 TB that's the difference between a CV
+    sweep and an overnight job.
 
     Folds are md5-bucket assignments on o_orderkey (replayable, no
     RNG). Float discipline: fold Grams and fold-sum totals are
@@ -286,11 +291,19 @@ def q_ridge_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x2_raw").cast("double").alias("x2"),
             F.expr(_FOLD_SPARK).alias("fold"),
         )
+        # the slim (y, x1, x2, fold) design matrix feeds BOTH passes
+        # (fold Grams + held-out scoring) — materialize so the
+        # lineitem rollup + orders join runs once, not per pass
+        # (round 9; same idiom as q_conformal_interval_ridge). At
+        # 100 TB this is the persisted design-matrix table; det_sum
+        # folds are partition-order-free, so results are identical.
+        .transform(eager_checkpoint)
     )
     # Pass 1: per-fold partial Grams. The k×10 result (the WHOLE model
     # state) is collected and replayed as literals so the total/LOO
     # algebra below never re-derives the aggregate subtree — keeping
-    # the query at exactly two corpus passes (pinned in test_plans.py).
+    # the query at exactly two passes over the materialized design
+    # matrix (pinned in test_plans.py).
     fold_rows = [
         tuple(r)
         for r in feats.groupBy("fold")

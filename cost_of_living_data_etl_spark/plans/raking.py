@@ -197,24 +197,33 @@ def q_raking_ipf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     module docstring for the unrolled-iteration parity contract."""
     orders = load_table(spark, sf_dir, "orders")
     bucket = _BUCKET_SPARK.format(k="o_orderkey")
-    cells = (
-        orders.filter(F.expr(_SAMPLE_PRED.format(b=bucket)))
-        .groupBy(
+    # ONE orders pass (round 9; previously three: sample cells + row
+    # margins + column margins each re-scanned the fact table): the
+    # per-(status, priority) rollup carries BOTH the population count
+    # and the sample count, and the margins are exact-integer sums of
+    # that ≤15-row grid.
+    base = (
+        orders.groupBy(
             F.col("o_orderstatus").alias("s"),
             F.col("o_orderpriority").alias("p"),
         )
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("nf"),
+            F.sum(
+                F.when(F.expr(_SAMPLE_PRED.format(b=bucket)), 1).otherwise(0)
+            ).alias("n"),
+        )
+        .transform(eager_checkpoint)
     )
-    rown = orders.groupBy(F.col("o_orderstatus").alias("s")).agg(
-        F.count(F.lit(1)).alias("rn")
-    ).select("s", F.lit(None).cast("string").alias("p"), "rn",
-             F.lit(None).cast("long").alias("cn"))
-    coln = orders.groupBy(F.col("o_orderpriority").alias("p")).agg(
-        F.count(F.lit(1)).alias("cn")
-    ).select(F.lit(None).cast("string").alias("s"), "p",
-             F.lit(None).cast("long").alias("rn"), "cn")
+    cells = base.filter(F.col("n") > 0).select("s", "p", "n")
+    rown = base.groupBy("s").agg(F.sum("nf").alias("rn")).select(
+        "s", F.lit(None).cast("string").alias("p"), "rn",
+        F.lit(None).cast("long").alias("cn"))
+    coln = base.groupBy("p").agg(F.sum("nf").alias("cn")).select(
+        F.lit(None).cast("string").alias("s"), "p",
+        F.lit(None).cast("long").alias("rn"), "cn")
     # ≤15-row / ≤8-row states, materialized once: the 15-branch final
-    # union re-reads them, and must not re-scan orders each time
+    # union re-reads them, and must not re-scan the grid each time
     cells.transform(eager_checkpoint).createOrReplaceTempView("rake_cells_v")
     rown.unionByName(coln).transform(eager_checkpoint).createOrReplaceTempView(
         "rake_margins_v"

@@ -777,7 +777,16 @@ def antitonic_fit(binned: DataFrame) -> DataFrame:
 
     Input: (bin, n, pos). Output: (bin, n, pos, raw rate, iso rate).
     """
-    idx = binned.withColumn("r", F.row_number().over(Window.orderBy("bin")))
+    # The ≤ISO_BINS-row grid feeds FOUR plan branches (pre → pre0 and
+    # the pair join's b side, the k probe, the final join) — without
+    # materialization each branch re-derived the caller's WHOLE
+    # upstream (for the isotonic query: the LSH pair chain + quality
+    # text pass, 4×). One eager checkpoint of the constant-size grid
+    # collapses that to a single derivation (round 9; the dedup-
+    # signature idiom).
+    idx = binned.withColumn(
+        "r", F.row_number().over(Window.orderBy("bin"))
+    ).transform(eager_checkpoint)
     run = Window.orderBy("r").rowsBetween(Window.unboundedPreceding, 0)
     pre = idx.select(
         "r", F.sum("n").over(run).alias("cn"), F.sum("pos").over(run).alias("cp")

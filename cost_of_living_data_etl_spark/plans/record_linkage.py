@@ -197,16 +197,40 @@ def fs_candidates(
         .join(_modal(part, "p_size", "size"), "name")
         .transform(eager_checkpoint)  # vocabulary-bounded; read 4× below
     )
-    n = prof.count()
-    us = []
-    for f in FS_FIELDS:
-        agree = (
-            prof.groupBy(f)
+    # ONE job for all three u-estimators + the profile count (round 9;
+    # previously prof.count() plus one groupBy+collect PER FIELD = 4
+    # driver round-trips): melt the three fields into (field, value)
+    # rows, count per cell, fold Σn·(n−1) and Σn per field. All exact
+    # integers; the string cast is injective per field, so the value
+    # counts are unchanged.
+    melted = prof.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("f"),
+                        F.col(f).cast("string").alias("v"),
+                    )
+                    for f in FS_FIELDS
+                ]
+            )
+        ).alias("m")
+    ).select("m.f", "m.v")
+    stats = {
+        r["f"]: r
+        for r in (
+            melted.groupBy("f", "v")
             .agg(F.count(F.lit(1)).alias("n"))
-            .agg(F.sum(F.col("n") * (F.col("n") - 1)).cast("long").alias("a"))
-            .collect()[0]["a"]
+            .groupBy("f")
+            .agg(
+                F.sum(F.col("n") * (F.col("n") - 1)).cast("long").alias("a"),
+                F.sum("n").cast("long").alias("nn"),
+            )
+            .collect()
         )
-        us.append((f, agree))
+    }
+    n = stats[FS_FIELDS[0]]["nn"]
+    us = [(f, stats[f]["a"]) for f in FS_FIELDS]
     u = spark.range(1).selectExpr(
         *[
             f"CAST({a} AS DOUBLE) / ({n} * ({n} - 1.0)) AS u_{f}"

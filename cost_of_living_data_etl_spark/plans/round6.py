@@ -821,7 +821,9 @@ def q_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py::neardup_pairs_from_sigs max_bucket).
     """
     fp = (
-        load_table(spark, sf_dir, "documents")
+        # parallel=True: char-gram md5 hashing is the dominant serial
+        # kernel; fingerprints/counts are order-free ints (round 9)
+        load_table(spark, sf_dir, "documents", parallel=True)
         # pad-ONLY-short-docs to k chars: rpad alone also TRUNCATES
         # longer strings (round-6 review catch: plain rpad(t, 8) cut
         # every doc to its first 8 chars and the miner returned zero
@@ -964,7 +966,14 @@ def q_boilerplate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle class) re-joined to the occurrence stream; the corpus doc
     count is a 1-row broadcast. Counts exact ints, one division.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # parallel=True: the shingle build is the serial map kernel; all
+    # outputs are exact counts and one int ratio (order-free). ONE
+    # shingle pass (round 9; previously the occurrence stream was
+    # derived twice — df rollup + row-level join-back): aggregate to
+    # (shingle, source) CELLS first — a document has exactly ONE
+    # source, so per-shingle df = Σ_source per-cell distinct docs —
+    # then the df join runs over |cells| rows, not |occurrences|.
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     sh = (
         docs.select("source", "doc_id", F.trim(F.col("text")).alias("t"))
         .select("source", "doc_id", "t", F.split("t", r"\s+").alias("ws"))
@@ -974,21 +983,30 @@ def q_boilerplate_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.expr(_SHINGLES_FROM_WS)).alias("shingle"),
         )
     )
-    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    df = sh.groupBy("shingle").agg(
-        F.count_distinct("doc_id").cast("long").alias("df")
+    cell = (
+        sh.groupBy("shingle", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ_cell"),
+            F.count_distinct("doc_id").alias("nd_cell"),
+        )
+        .transform(eager_checkpoint)
+    )
+    dfr = cell.groupBy("shingle").agg(F.sum("nd_cell").alias("df"))
+    nd = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
     return (
-        sh.join(df, "shingle")
+        cell.join(dfr, "shingle")
         .crossJoin(F.broadcast(nd))
         .groupBy("source")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.sum("n_occ_cell").cast("long").alias("n_occ"),
             F.sum(
                 F.when(
                     F.col("df")
                     >= F.ceil(F.lit(BOILER_DF_FRAC) * F.col("n_docs")),
-                    1,
+                    F.col("n_occ_cell"),
                 ).otherwise(0)
             ).cast("long").alias("n_boiler"),
         )
@@ -1091,10 +1109,16 @@ def q_ppl_filter_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("perplexity") * 8),
         pos_col="__rnk_pos",
     )
-    n_tot = ppl.agg(F.count(F.lit(1)).alias("n"))
+    # ONE totals pass serves both the rank grid (docs_total) and the
+    # final token-share denominator (round 9; previously two separate
+    # aggregates each re-scanned the checkpointed ppl frame)
+    tot = ppl.agg(
+        F.count(F.lit(1)).cast("long").alias("docs_total"),
+        F.sum("n_bigrams").cast("long").alias("tokens_total"),
+    ).transform(eager_checkpoint)
     grid = spark.createDataFrame([(q,) for q in PPL_GRID], "q double")
-    targets = grid.crossJoin(F.broadcast(n_tot)).selectExpr(
-        "q", "greatest(1, CAST(ceil(q * n) AS BIGINT)) AS k"
+    targets = grid.crossJoin(F.broadcast(tot)).selectExpr(
+        "q", "greatest(1, CAST(ceil(q * docs_total) AS BIGINT)) AS k"
     )
     thresholds = (
         ranked.join(
@@ -1103,10 +1127,6 @@ def q_ppl_filter_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("q")
         .agg(F.max("perplexity").alias("ppl_cut"))
-    )
-    tot = ppl.agg(
-        F.count(F.lit(1)).cast("long").alias("docs_total"),
-        F.sum("n_bigrams").cast("long").alias("tokens_total"),
     )
     return (
         F.broadcast(thresholds)

@@ -15,6 +15,9 @@ directory levels.
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLE_NAMES = (
@@ -81,15 +84,123 @@ def load_events(spark: SparkSession, path: str) -> DataFrame:
     return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# --- scan-parallelism floor (optimization round 9) ---------------------------
+#
+# The driver fixtures are ONE parquet file with ONE row group per
+# table, so Spark's split computation yields a SINGLE scan task and
+# every fused scan+map stage — text shingling, minhashing, partial
+# aggregation — runs serially no matter how many cores the session
+# has (guide §2.5 "input skew: one huge unsplittable file …
+# repartition immediately after the read"; §6 input split sizing).
+# ``load_table(..., parallel=True)`` re-keys the freshly-read rows by
+# a deterministic per-table key when the ESTIMATED split count of the
+# scan is below the session's default parallelism:
+#
+# - hash repartition on a data key is deterministic under task retry
+#   (round-robin would need its sort-before-repartition pass), and
+# - the key is each table's dominant join/grouping key, so the
+#   exchange frequently REPLACES a downstream one (same partitioning).
+#
+# OPT-IN, never blanket: a repartition changes the ORDER rows reach
+# downstream operators, and plain double sums/avgs add in that order —
+# a measured blanket A/B flipped last-ulp bits in q1_pricing_summary
+# and q_char_trigram_entropy, which would break their exact-hash
+# oracle parity. Callers may opt in ONLY where every emitted float is
+# order-insensitive (exact-integer ratios, det_sum folds, min/max,
+# order statistics) — the near-dup hash pipelines are the proven win
+# (measured −20% on the MinHash chain); plain numeric scan+agg
+# queries LOSE (the exchange costs more than the serial map work it
+# parallelizes: +30% on q_spearman_price_quantity), so the default
+# stays off.
+#
+# The decision derives from input size vs cores — at real scale (many
+# files/splits) the condition is false and the plan is untouched, so
+# this is scale-adaptive, not a local[32] constant.
+# ``SPARK_GRAFT_SCAN_PARALLELIZE=off`` force-disables it (A/B hook).
+SCAN_PARALLELIZE_ENV = "SPARK_GRAFT_SCAN_PARALLELIZE"  # auto (default) | off
+
+#: below this input size the repartition exchange costs more than the
+#: serial scan it parallelizes (tiny dims: region/nation/supplier)
+_PARALLELIZE_MIN_BYTES = 128 * 1024
+
+#: deterministic, evenly-distributed repartition key per table — the
+#: table's primary key or (events) its dominant window/grouping key
+_REPARTITION_KEY = {
+    "customer": "c_custkey",
+    "part": "p_partkey",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "events": "user_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+
+def _input_bytes(path: str) -> list[int]:
+    """Sizes of the data files behind ``path`` (driver-side metadata
+    only — no Spark job). Unknown layouts (object stores, globs) return
+    [] and the scan is left untouched."""
+    try:
+        if os.path.isfile(path):
+            return [os.path.getsize(path)]
+        if os.path.isdir(path):
+            out = []
+            for root, _dirs, files in os.walk(path):
+                out.extend(
+                    os.path.getsize(os.path.join(root, f))
+                    for f in files
+                    if not f.startswith(("_", "."))
+                )
+            return out
+    except OSError:
+        pass
+    return []
+
+
+def _max_partition_bytes(spark: SparkSession) -> int:
+    raw = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    digits = "".join(ch for ch in str(raw) if ch.isdigit())
+    return int(digits) if digits else 128 * 1024 * 1024
+
+
+def _scan_parallelized(
+    spark: SparkSession, df: DataFrame, path: str, name: str
+) -> DataFrame:
+    if os.environ.get(SCAN_PARALLELIZE_ENV, "auto") == "off":
+        return df
+    key = _REPARTITION_KEY.get(name)
+    if key is None:
+        return df
+    sizes = _input_bytes(path)
+    if not sizes or sum(sizes) < _PARALLELIZE_MIN_BYTES:
+        return df
+    max_pb = _max_partition_bytes(spark)
+    est_splits = sum(max(1, math.ceil(s / max_pb)) for s in sizes)
+    cores = spark.sparkContext.defaultParallelism
+    if est_splits >= cores:
+        return df
+    return df.repartition(cores, df[key])
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, parallel: bool = False
+) -> DataFrame:
     """Load one fixture table as a DataFrame (lazy scan).
 
     ``events`` goes through :func:`load_events` so ``ts`` is always
     TimestampType no matter which fixture generation is on disk.
+    ``parallel=True`` re-keys single-split inputs across the session's
+    cores — ONLY safe for order-insensitive consumers; see the
+    scan-parallelism note above.
     """
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
-        return load_events(spark, f"{sf_dir}/{name}.parquet")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = load_events(spark, path)
+    else:
+        df = spark.read.parquet(path)
+    if parallel:
+        df = _scan_parallelized(spark, df, path, name)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -30,9 +30,6 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from cost_of_living_data_etl_spark.functions.checkpoints import (
-    eager_checkpoint,
-)
 from cost_of_living_data_etl_spark.functions.columns import det_sum
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.plans.reshape import (
@@ -262,11 +259,9 @@ def q_ridge_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
     (entrywise — no re-scan per fold, the algebra partial aggregation
     buys you), each held-out model solves by the shared Cramer text,
     and a second pass scores every row against its own fold's
-    broadcast betas for the held-out RMSE. ONE corpus pass total
-    (materializing the slim design matrix) + two passes over that
-    matrix for k models — versus k+1 corpus passes for the naive
-    per-fold refit; at 100 TB that's the difference between a CV
-    sweep and an overnight job.
+    broadcast betas for the held-out RMSE. Two corpus passes TOTAL for
+    k models — versus k+1 for the naive per-fold refit; at 100 TB
+    that's the difference between a CV sweep and an overnight job.
 
     Folds are md5-bucket assignments on o_orderkey (replayable, no
     RNG). Float discipline: fold Grams and fold-sum totals are
@@ -291,13 +286,12 @@ def q_ridge_kfold_cv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("x2_raw").cast("double").alias("x2"),
             F.expr(_FOLD_SPARK).alias("fold"),
         )
-        # the slim (y, x1, x2, fold) design matrix feeds BOTH passes
-        # (fold Grams + held-out scoring) — materialize so the
-        # lineitem rollup + orders join runs once, not per pass
-        # (round 9; same idiom as q_conformal_interval_ridge). At
-        # 100 TB this is the persisted design-matrix table; det_sum
-        # folds are partition-order-free, so results are identical.
-        .transform(eager_checkpoint)
+        # NOTE (round 9): an eager checkpoint of this design matrix
+        # was A/B-tested and REJECTED (3.98 s old vs 4.76 s new min,
+        # interleaved) — materializing 150k rows costs more than the
+        # second derivation of the cheap scan+agg+join it would save.
+        # q_conformal_interval_ridge keeps its checkpoint because FOUR
+        # branches read it; here there are only two passes.
     )
     # Pass 1: per-fold partial Grams. The k×10 result (the WHOLE model
     # state) is collected and replayed as literals so the total/LOO
@@ -1438,14 +1432,17 @@ def q_conformal_interval_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("long")
     # distributed order statistic: bucket-partitioned zipWithIndex over
     # the calibration residuals (floor(resid) is the monotone bucket;
-    # ties rank arbitrarily but the value at the target rank is unique)
-    # + a broadcast 1-row count — no single-partition rank window
-    ncal = cal.agg(F.count(F.lit(1)).alias("n_cal"))
+    # ties rank arbitrarily but the value at the target rank is unique).
+    # n_cal rides along from the helper's own bucket rollup (n_col) —
+    # no separate cal.agg job + broadcast (round 9)
     qhat = (
         with_global_position(
-            cal, ["resid"], F.floor(F.col("resid")), pos_col="__rnk_pos"
+            cal,
+            ["resid"],
+            F.floor(F.col("resid")),
+            pos_col="__rnk_pos",
+            n_col="n_cal",
         )
-        .crossJoin(F.broadcast(ncal))
         .filter(F.col("__rnk_pos") == F.least(need, F.col("n_cal")) - 1)
         .select(
             "n_train",

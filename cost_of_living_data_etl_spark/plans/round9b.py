@@ -53,9 +53,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cost_of_living_data_etl_spark.functions.checkpoints import (
-    eager_checkpoint,
-)
 from cost_of_living_data_etl_spark.plans.catalog import register
 from cost_of_living_data_etl_spark.plans.layout import _Z_ORACLE, zorder_files
 from cost_of_living_data_etl_spark.sources.tables import load_table
@@ -202,11 +199,12 @@ def q_skipping_effectiveness_grid(spark: SparkSession, sf_dir: str) -> DataFrame
     constant build side, metadata-scale probe side; the manifest
     itself comes from the distributed zorder pass (`plans/layout.py`).
     """
-    # the metadata-scale manifest feeds two branches (file total +
-    # probe join) — materialize so the zorder pass runs once (round 9)
-    manifest = zorder_files(load_table(spark, sf_dir, "orders")).transform(
-        eager_checkpoint
-    )
+    # NOTE (round 9): an eager checkpoint of the manifest was
+    # A/B-tested and REJECTED (2.01 s old vs 2.21 s new min,
+    # interleaved) — the two consuming branches share the position
+    # helper's exchange, so ReuseExchange already dedups the zorder
+    # pass and the materialization job only added cost.
+    manifest = zorder_files(load_table(spark, sf_dir, "orders"))
     probes = [
         _PROBE_BASE + _PROBE_STEP * i for i in range(_PROBES_PER_DIM)
     ]

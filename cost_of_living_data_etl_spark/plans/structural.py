@@ -150,7 +150,15 @@ def setsim_pairs(
             ).alias("hs"),
         )
         .withColumn("n_h", F.size("hs"))
-        .localCheckpoint(eager=False)
+        # EAGER (round 9; was lazy): with a lazy checkpoint the first
+        # job computes `sh` once per consuming stage — the prefix
+        # chain AND both verify-join sides each re-ran the shingle +
+        # xxhash kernel (stage decomposition: full pass cost ~1.7 s
+        # more than the candidate stage alone; eager A/B 4.9 -> 3.9 s
+        # on the quietest interleaved rep). The analyzed plan is the
+        # same LogicalRDD in both modes, so fingerprints don't churn,
+        # and plan-only passes still degrade to lazy.
+        .transform(eager_checkpoint)
     )
     tok = sh.select("doc_id", "n_h", F.explode("hs").alias("h"))
     df_counts = tok.groupBy("h").agg(F.count(F.lit(1)).alias("df"))

@@ -580,17 +580,15 @@ def test_countmin_probes_avoid_global_sort_and_join_broadcast(spark, sf_smoke):
 
 
 def test_ridge_cv_is_two_pass_gram_subtraction(spark, sf_smoke):
-    """k models from ONE corpus pass total: the slim design matrix is
-    materialized at build time (round 9), pass 1 (the fold-Gram
-    aggregate) collapses to k×10 literal rows, so the RETURNED plan is
-    pass 2 alone — ZERO lineitem scans (the matrix arrives as a
-    checkpointed ExistingRDD), with the 5-row betas arriving as
-    literals joined by broadcast. A per-fold refit would show k extra
-    aggregate subtrees here."""
+    """k models from TWO corpus passes total: pass 1 (the fold-Gram
+    aggregate) runs at build time and collapses to k×10 literal rows,
+    so the RETURNED plan is pass 2 alone — exactly one lineitem scan,
+    with the 5-row betas arriving as literals joined by broadcast.
+    A per-fold refit would show k extra aggregate subtrees here."""
     plan = plan_of(spark, "q_ridge_kfold_cv", sf_smoke, mode="simple")
-    assert plan.count("lineitem.parquet") == 0, plan.count("lineitem.parquet")
+    assert plan.count("lineitem.parquet") == 1, plan.count("lineitem.parquet")
     assert "BroadcastHashJoin" in plan
-    assert "Scan ExistingRDD" in plan
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
     assert "BatchEvalPython" not in plan
 
 

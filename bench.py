@@ -115,7 +115,15 @@ CANARY = [
     "q_pack_sequences",
     "q_join_key_skew_profile",
 ]
-# round-9 stratification: expensive, fixed-iteration, plan-stable
+# round-9 stratification: expensive, fixed-iteration, plan-stable.
+# NOTE (optimization round 9): three of the four consume shared
+# operators optimized this round (the LSH chain re-key; the isotonic
+# grid checkpoint), so their plans churn ONCE in the r9 snapshots. The
+# within-run first/last inflation instrument is unaffected (same plan
+# inside one run); cross-round ratios for those names measure the
+# optimization this round and resume as drift instruments from the
+# next snapshot. The gating number (all-query drift median) excludes
+# changed plans by fingerprint automatically.
 CANARY_HEAVY = [
     "q_pagerank_neardup_graph",
     "q_isotonic_calibration_quality_dup",

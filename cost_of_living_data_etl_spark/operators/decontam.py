@@ -373,13 +373,24 @@ def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_norm,
     )
 
-    e = with_norm(load_table(spark, sf_dir, "embeddings"))
-    ev = e.filter(F.col("vec_id") % EVAL_MOD == 0).select(
+    # parallel=True on the TRAIN side only (round 9): the
+    # |train|×|eval| interpreted fold dot products are the dominant
+    # serial kernel; the per-train best match is a struct-max
+    # (order-free) and the cosine is a deterministic per-pair
+    # expression, so the re-key is parity-safe (measured 1.49→0.59 s
+    # interleaved). The broadcast eval slice stays on the plain scan —
+    # re-keying a frame that is about to be collected for broadcast is
+    # pure cost.
+    ev = with_norm(load_table(spark, sf_dir, "embeddings")).filter(
+        F.col("vec_id") % EVAL_MOD == 0
+    ).select(
         F.col("vec_id").alias("eval_id"),
         F.col("embedding").alias("eemb"),
         F.col("norm").alias("enorm"),
     )
-    tr = e.filter(F.col("vec_id") % EVAL_MOD != 0)
+    tr = with_norm(
+        load_table(spark, sf_dir, "embeddings", parallel=True)
+    ).filter(F.col("vec_id") % EVAL_MOD != 0)
     cand = tr.crossJoin(F.broadcast(ev)).select(
         F.col("vec_id").alias("train_id"),
         F.col("label"),

@@ -1092,6 +1092,9 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchor side bucketed instead of broadcast (or via q_ann_ivf_probe
     cells); the label-constraint filter stays in the scan stage.
     """
+    # scan-parallelization A/B-tested and REJECTED here (round 9):
+    # only |anchors|x|corpus| = ~10k cosines — the re-key exchange
+    # costs more than the small kernel it parallelizes (0.51 vs 0.61 s)
     e = with_norm(load_table(spark, sf_dir, "embeddings"))
     q = e.filter(F.col("vec_id") < HARDNEG_NQ).select(
         F.col("vec_id").alias("qid"),

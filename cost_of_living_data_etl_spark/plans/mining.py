@@ -125,7 +125,16 @@ def q_mutual_nn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"q_mutual_nn_ann (same reciprocal filter over IVF-cell "
             f"candidates, the CCMatrix-style production path) at this scale."
         )
-    a = e.filter(F.col("vec_id") % 4 == 0).select(
+    # parallel=True on the PROBE side only (round 9): the dense a×b
+    # cosine pass is the serial kernel and both argmaxes are struct-max
+    # partial aggregates (order-free), so the re-key is parity-safe
+    # (measured 2.28→1.53 s interleaved); the broadcast b side and the
+    # guard count stay on the plain scan.
+    a = with_norm(
+        load_table(spark, sf_dir, "embeddings", parallel=True).select(
+            "vec_id", "embedding"
+        )
+    ).filter(F.col("vec_id") % 4 == 0).select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_emb"),
         F.col("norm").alias("a_norm"),

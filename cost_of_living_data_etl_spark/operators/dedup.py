@@ -247,6 +247,17 @@ def minhash_pair_plan(
     # order-insensitive (md5/xxhash ints, array_min, exact-count
     # Jaccard ratios), so the re-key is parity-safe. Measured −20% on
     # q_dedup_minhash_lsh (2.80 → 2.21 s interleaved, round 9).
+    #
+    # Float-contract caveat (ADVICE r09): ONE transitive consumer emits
+    # a plain double sum — q_pagerank_neardup_graph's per-node
+    # Σ pr/outd. Its addend ORDER depends on shuffle arrival, which
+    # Spark does not contractually fix; parity holds EMPIRICALLY
+    # (exact-hash green at sf0.001/0.01/0.1 across rounds 9-10) because
+    # each node's contributions arrive within one sort-free hash
+    # aggregate. Pagerank is CANARY_HEAVY (bench.py contract: never
+    # rewrite), so the sum is documented rather than routed through a
+    # det_sum fold; if its oracle gate ever flickers, that fold is the
+    # fix — not removing this re-key.
     docs = load_table(spark, sf_dir, "documents", parallel=True)
     mh = minhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
     return neardup_pairs_from_sigs(mh, max_bucket=max_bucket)

@@ -202,7 +202,14 @@ def fs_candidates(
     # driver round-trips): melt the three fields into (field, value)
     # rows, count per cell, fold Σn·(n−1) and Σn per field. All exact
     # integers; the string cast is injective per field, so the value
-    # counts are unchanged.
+    # counts are unchanged. Injectivity requires string/integral field
+    # types — a float field could merge 0.0/-0.0 or split on rendering
+    # (ADVICE r09) — so pin it:
+    for _f, _t in prof.select(*FS_FIELDS).dtypes:
+        assert _t in ("string", "int", "bigint", "smallint", "tinyint"), (
+            f"fs_candidates u-estimator melts {_f}:{_t}; the string cast "
+            "is only count-preserving for string/integral fields"
+        )
     melted = prof.select(
         F.explode(
             F.array(

@@ -147,16 +147,26 @@ def test_simhash_signature_is_shuffle_free(spark, sf_smoke):
     ex_lines = [
         l for l in plan.splitlines() if "Exchange hashpartitioning" in l
     ]
-    assert ex_lines
     for line in ex_lines:
         assert "REPARTITION_BY_NUM" in line or "doc_id_1" in line, line
     # signature pipeline (InMemoryRelation → ... → FileScan) is a pure
     # Project over the (re-keyed) scan: no aggregate, md5 once, and
-    # the only exchange inside it is the pre-hash doc_id re-key.
+    # at most one exchange inside it — the pre-hash doc_id re-key,
+    # present exactly when _scan_parallelized's own condition holds
+    # (env on, multi-core session, fixture above the size floor) so the
+    # test tracks the code's decision instead of hard-coding it
+    # (ADVICE r09).
+    from cost_of_living_data_etl_spark.sources import tables
+
+    probe = tables.load_table(spark, sf_smoke, "documents")
+    rekeyed = tables._scan_parallelized(
+        spark, probe, f"{sf_smoke}/documents.parquet", "documents"
+    ) is not probe
     sig = plan.split("InMemoryRelation", 1)[1].split("FileScan", 1)[0]
     assert "HashAggregate" not in sig
-    assert sig.count("Exchange hashpartitioning") == 1
-    assert "hashpartitioning(doc_id" in sig
+    assert sig.count("Exchange hashpartitioning") == (1 if rekeyed else 0)
+    if rekeyed:
+        assert "hashpartitioning(doc_id" in sig
     assert sig.count("md5") == 1
 
 

@@ -1360,22 +1360,35 @@ def star_components(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         return int(row["n"]), int(row["h"])
 
     def star(e: DataFrame, large: bool) -> DataFrame:
-        nbr_min = e.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
-        )
-        j = e.join(nbr_min, "u")
+        # m = min(N(u) ∪ {u}) as a WINDOW over the edge list's own join
+        # key (round 10; previously a groupBy("u") rollup joined back
+        # on "u"): one exchange on u serves both the min and the edge
+        # rows — the same one-exchange-per-keyed-pass discipline as the
+        # LSH bucket cap (operators/dedup.py). Interleaved A/B vs the
+        # rollup+join form: 3.20 → 2.95 s min / 3.38 → 3.24 s med over
+        # 5 reps, rows identical. (A lazier variant checkpointing once
+        # per ROUND was also tried and REJECTED: without the per-star
+        # checkpoint the large-star subtree replicates across the
+        # small-star's branches — 44 Exchange / 24 Window nodes in one
+        # round's static plan, 0 reused — the round-9 "branches with
+        # different pruning need the materialization" rule in action.)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("u")
+        j = e.withColumn("m", F.least(F.min("v").over(w), F.col("u")))
         if large:
             linked = j.filter(F.col("v") > F.col("u")).select(
                 F.col("v").alias("a"), F.col("m").alias("b")
             )
         else:
+            # the per-u self-link (u, m) rides as per-EDGE duplicates;
+            # the .distinct() below collapses them, so the emitted edge
+            # SET is identical to the old per-distinct-u union arm
             linked = (
                 j.filter(F.col("v") <= F.col("u"))
                 .select(F.col("v").alias("a"), F.col("m").alias("b"))
                 .unionAll(
-                    nbr_min.select(
-                        F.col("u").alias("a"), F.col("m").alias("b")
-                    )
+                    j.select(F.col("u").alias("a"), F.col("m").alias("b"))
                 )
             )
         out = (

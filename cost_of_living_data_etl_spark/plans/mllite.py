@@ -494,12 +494,33 @@ def q_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     vocab_tokens = train_tokens.filter(F.col("word").isin(vocab))
-    cwl_rows = vocab_tokens.groupBy("lang", "word").agg(
-        F.count(F.lit(1)).cast("long").alias("c")
-    ).collect()
-    prior_rows = train.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
-    ).collect()
+    # ONE collect for token counts AND priors (round 10; previously two
+    # sequential driver round-trips): the per-(lang, word) token counts
+    # and the per-lang doc counts are independent rollups, so a tagged
+    # union ships both in a single job — same exact-integer rows, one
+    # scheduling barrier instead of two.
+    model_rows = (
+        vocab_tokens.groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .select(F.lit("cwl").alias("kind"), "lang", "word", "c")
+        .unionByName(
+            train.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .select(
+                F.lit("prior").alias("kind"),
+                "lang",
+                F.lit(None).cast("string").alias("word"),
+                "c",
+            )
+        )
+        .collect()
+    )
+    cwl_rows = [r for r in model_rows if r["kind"] == "cwl"]
+    prior_rows = [
+        {"lang": r["lang"], "n": r["c"]}
+        for r in model_rows
+        if r["kind"] == "prior"
+    ]
     n_train = sum(r["n"] for r in prior_rows)
 
     # Model tables rebuilt as LITERAL DataFrames (exact ints), with the

@@ -222,12 +222,17 @@ def q_raking_ipf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     coln = base.groupBy("p").agg(F.sum("nf").alias("cn")).select(
         F.lit(None).cast("string").alias("s"), "p",
         F.lit(None).cast("long").alias("rn"), "cn")
-    # ≤15-row / ≤8-row states, materialized once: the 15-branch final
-    # union re-reads them, and must not re-scan the grid each time
-    cells.transform(eager_checkpoint).createOrReplaceTempView("rake_cells_v")
-    rown.unionByName(coln).transform(eager_checkpoint).createOrReplaceTempView(
-        "rake_margins_v"
-    )
+    # Round 10: the two second-level checkpoints here were STALE — they
+    # guarded a 15-branch final union that round 8 already replaced
+    # with the single CASE-chain execution, after which the `m` and `t`
+    # CTEs each read their view exactly ONCE. Two synchronous
+    # checkpoint jobs for once-read 15-row frames are pure cost (the
+    # r9 checkpoint rule); base stays materialized because THREE
+    # branches (cells, row margins, column margins) prune it
+    # differently. Interleaved A/B keep-vs-drop: 4.65 vs 4.45 s med
+    # (flat within host noise), 2 fewer jobs.
+    cells.createOrReplaceTempView("rake_cells_v")
+    rown.unionByName(coln).createOrReplaceTempView("rake_margins_v")
     return spark.sql(
         "WITH "
         + _rake_suffix()

@@ -184,7 +184,11 @@ def q_containment_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark import StorageLevel
 
-    docs = load_table(spark, sf_dir, "documents")
+    # parallel=True (round 10): this query rebuilds the minhash chain
+    # outside minhash_pair_plan and was missed by the r9 re-key pass;
+    # same justification (shingle+md5+minhash is the serial kernel;
+    # containment is a ratio of exact set sizes — order-insensitive).
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
     mh = minhash_signatures(docs).persist(StorageLevel.MEMORY_AND_DISK)
     bands = mh.select(
         "doc_id",
@@ -1516,6 +1520,11 @@ def lm_scored_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     model, one Spark shape, one oracle CTE text (_LM_SCORED_CTES)."""
     from pyspark import StorageLevel
 
+    # Scan re-key tried and REJECTED (round 10): det_sum folds make it
+    # parity-safe, but the chain's cost is the persisted bigram explode
+    # + vocab-bounded joins, not the tokenize scan — interleaved A/B
+    # med 1.73 → 1.77 s on q_bigram_lm_perplexity and 2.34 → 2.79 s on
+    # q_ppl_filter_retention_curve with parallel=True.
     docs = load_table(spark, sf_dir, "documents")
     # \\s doubled for Spark's escape-processing string literals
     toks = docs.selectExpr(

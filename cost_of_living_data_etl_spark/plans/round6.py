@@ -274,6 +274,11 @@ def q_ngram_novelty_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame. Counts are exact ints; the single ratio divides two BIGINTs
     once. Measured 9.5 s → 2.2 s warm at sf0.1.
     """
+    # Scan re-key tried and REJECTED (round 10): outputs are exact ints
+    # + one BIGINT ratio and min_by is a total-order argmin, so
+    # parallel=True would be parity-safe — but the interleaved A/B says
+    # the groupBy(shingle) exchange dominates and the re-key only adds
+    # a shuffle ahead of it: med 1.31 s (off) vs 1.66 s (on), +27%.
     docs = load_table(spark, sf_dir, "documents")
     sh = (
         docs.select("source", "doc_id", F.trim(F.col("text")).alias("t"))
@@ -1130,13 +1135,18 @@ def q_ppl_filter_retention_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("perplexity") * 8),
         pos_col="__rnk_pos",
     )
-    # ONE totals pass serves both the rank grid (docs_total) and the
-    # final token-share denominator (round 9; previously two separate
-    # aggregates each re-scanned the checkpointed ppl frame)
+    # ONE totals text serves both the rank grid (docs_total) and the
+    # final token-share denominator (round 9). Round 10: the r9 EAGER
+    # CHECKPOINT on this 1-row aggregate was the round-9 PERF
+    # regression (driver 2.73 → 3.02 s): it added a synchronous job
+    # barrier before the two consuming broadcasts, which otherwise
+    # evaluate the cheap agg-over-checkpointed-ppl inside their own
+    # jobs. Interleaved A/B: fold+ckpt 3.25 s med / fold-lazy 2.93 /
+    # r8 two-agg 2.98 — the fold stays, the checkpoint goes.
     tot = ppl.agg(
         F.count(F.lit(1)).cast("long").alias("docs_total"),
         F.sum("n_bigrams").cast("long").alias("tokens_total"),
-    ).transform(eager_checkpoint)
+    )
     grid = spark.createDataFrame([(q,) for q in PPL_GRID], "q double")
     targets = grid.crossJoin(F.broadcast(tot)).selectExpr(
         "q", "greatest(1, CAST(ceil(q * docs_total) AS BIGINT)) AS k"

@@ -274,7 +274,15 @@ def q_distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     division. North-star extension (SURVEY.md §2.8 text analysis);
     no reference analogue.
     """
-    docs = load_table(spark, sf_dir, "documents")
+    # parallel=True (round 10): the tokenize + triple-gram explode is
+    # the dominant serial kernel on single-split fixtures; outputs are
+    # exact counts (count, count_distinct) and one LONG/LONG division —
+    # order-insensitive, so the scan re-key is parity-safe. Interleaved
+    # A/B: med 1.93 s (off) → 1.39 s (on), −28%. (The sibling novelty
+    # query REJECTED the same re-key at +27% — there the
+    # groupBy(shingle) exchange dominates, here the 3×-gram explode
+    # does.)
+    docs = load_table(spark, sf_dir, "documents", parallel=True)
 
     def grams(n: int) -> str:
         return (

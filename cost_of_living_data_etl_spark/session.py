@@ -43,6 +43,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # spark.sql.join.preferSortMergeJoin=false was A/B'd in round 10
+        # (closing the r9 backlog item) and REJECTED as a no-op here:
+        # the catalog's non-broadcast joins are size-SYMMETRIC self-
+        # joins, so SHJ's muchSmaller(3×) condition never fires — the
+        # executed post-AQE plans are byte-identical modulo expr ids
+        # (plans/r10/*_executed_{smj,shj}.txt) and an order-ALTERNATING
+        # interleaved A/B is flat (setsim 2.88/2.88 s min). A first
+        # fixed-order A/B had shown −10-20% "wins" that turned out to
+        # be measurement position bias; full-catalog bit-parity under
+        # the flag (318/318 at sf0.01) is recorded in OPTIMIZATION_r10
+        # should a future asymmetric join want it.
         # --- python interop ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -80,7 +80,16 @@ def main() -> int:
 
     times: dict[str, list[float]] = {k: [] for k in variants}
     for rep in range(args.reps):
-        for label, fn in variants.items():
+        # ALTERNATE arm order per rep (round 10): a fixed order lets
+        # every later arm ride the earlier arm's page-cache/JIT warmth
+        # — a fixed-order A/B of a conf that provably changed NOTHING
+        # (identical executed plans) showed a reproducible −10-20%
+        # "win" for whichever arm ran second. Alternation cancels the
+        # position bias across reps.
+        order = list(variants.items())
+        if rep % 2 == 1:
+            order.reverse()
+        for label, fn in order:
             t = run_once(fn)
             spark.catalog.clearCache()
             times[label].append(t)

@@ -289,12 +289,11 @@ def q_data_shapley_source_groups(
     # q_data_shapley_source_groups_before.txt). All four are bounded
     # (constant in corpus size), so the localCheckpoint is the
     # dedup-signature idiom, not a data-scaled persist.
-    test = (
+    test_lazy = (
         docs.filter(bucket >= _TEST_CUT)
         .select("doc_id", F.col("lang").alias("true_lang"), "t")
         .orderBy("doc_id")
         .limit(EVAL_PANEL)
-        .transform(eager_checkpoint)
     )
 
     train_tokens = train.select(
@@ -308,25 +307,42 @@ def q_data_shapley_source_groups(
     # table is vocabulary-scaled (|words|·grp·lang), the winnowing-
     # fingerprint class of persist: far smaller than a second full
     # text pass at any scale.
-    cglw_all = (
-        train_tokens.groupBy("grp", "lang", "word")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-        .transform(eager_checkpoint)
+    cglw_lazy = train_tokens.groupBy("grp", "lang", "word").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
     )
-    vocab = [
-        r["word"]
-        for r in cglw_all.groupBy("word")
-        .agg(F.sum("c").alias("cnt"))
-        .orderBy(F.col("cnt").desc(), "word")
-        .limit(NB_V)
-        .collect()
-    ]
+    ngl_lazy = train.groupBy("grp", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    # The three bounded materializations are INDEPENDENT full-corpus
+    # rollups that ran as sequential job barriers; submit them from a
+    # thread pool so their (serial, single-split) scan+agg pipelines
+    # overlap (guide §2.6; round 10 — same move as the bucketed-join
+    # writes). Then the two phase-2 driver actions (vocab top-V and the
+    # eval-panel count — both over just-checkpointed bounded frames)
+    # overlap the same way. Order-alternating interleaved A/B: med
+    # 4.28 → 3.92 s, min 3.96 → 3.23, rows identical (CHECK).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(eager_checkpoint, f)
+            for f in (test_lazy, cglw_lazy, ngl_lazy)
+        ]
+        test, cglw_all, ngl = [f.result() for f in futs]
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        vocab_fut = pool.submit(
+            lambda: [
+                r["word"]
+                for r in cglw_all.groupBy("word")
+                .agg(F.sum("c").alias("cnt"))
+                .orderBy(F.col("cnt").desc(), "word")
+                .limit(NB_V)
+                .collect()
+            ]
+        )
+        n_test_fut = pool.submit(test.count)
+        vocab, n_test = vocab_fut.result(), n_test_fut.result()
     cglw = cglw_all.filter(F.col("word").isin(vocab))
-    ngl = (
-        train.groupBy("grp", "lang")
-        .agg(F.count(F.lit(1)).cast("long").alias("n"))
-        .transform(eager_checkpoint)
-    )
 
     memb = spark.createDataFrame(_memb_rows(), "mask int, grp int")
     masks = spark.createDataFrame(
@@ -398,7 +414,7 @@ def q_data_shapley_source_groups(
         .filter(F.col("rn") == 1)
         .select("mask", "true_lang", "cand")
     )
-    n_test = test.count()
+    # n_test was computed above, overlapped with the vocab collect
     hits = pred.groupBy("mask").agg(
         F.sum((F.col("cand") == F.col("true_lang")).cast("int"))
         .cast("long")
